@@ -1,0 +1,69 @@
+"""Table catalog for the driver's synthetic parquet tables.
+
+TESTDATA.md: tables ``region nation customer supplier part orders
+lineitem events documents embeddings`` live at
+``{sf_dir}/{name}.parquet``. We read them lazily and keep per-path
+DataFrame handles; Catalyst prunes columns and pushes filters into
+the parquet scan, so handing the full table to every operator is
+free (check ``.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimensions small enough to broadcast at ANY scale factor (bounded
+# cardinality in TPC-H-like generators: region=5, nation=25,
+# supplier grows slowly). Fact tables must never be broadcast.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+class Catalog:
+    """Lazy table accessor bound to one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in TABLES:
+            raise AttributeError(name)
+        return self.table(name)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def register_views(self) -> None:
+        """Register all tables as temp views for spark.sql() use."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,90 @@
+"""Query registry — the bridge between operator modules and the
+driver contract in ``__spark_entry__.py``.
+
+Every operator module registers its public queries here with an
+optional DuckDB oracle SQL string. ``__spark_entry__.queries()`` /
+``oracle_sql()`` simply re-export this registry, and the test suite
+iterates it to run the same spark-vs-duckdb comparison the driver
+runs (tests/oracle.py).
+
+Conventions (enforced by tests/test_contract.py):
+- every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver sorts columns by NAME before hashing);
+- output columns are double / bigint / string / timestamp only —
+  doubles are produced from exact decimal math (functions/money.py)
+  so both engines emit bit-identical values;
+- every query takes (spark, sf_dir) and is a pure function of the
+  parquet tables under sf_dir.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Operator modules that register queries on import.
+_OPERATOR_MODULES = (
+    "data_pipeline_2025_spark.operators.pricing",
+    "data_pipeline_2025_spark.operators.search",
+    "data_pipeline_2025_spark.operators.compare",
+    "data_pipeline_2025_spark.operators.lowest",
+    "data_pipeline_2025_spark.operators.basket",
+    "data_pipeline_2025_spark.operators.history",
+    "data_pipeline_2025_spark.operators.stats",
+    "data_pipeline_2025_spark.operators.joins",
+    "data_pipeline_2025_spark.operators.dedup",
+    "data_pipeline_2025_spark.operators.text",
+    "data_pipeline_2025_spark.operators.similarity",
+    "data_pipeline_2025_spark.operators.multimodal",
+    "data_pipeline_2025_spark.streaming.windowed",
+)
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (idempotent) and return the registry."""
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as exc:
+            # Allow partial builds while modules are still landing,
+            # but only for OUR missing modules, never for typos inside.
+            if mod.split(".")[-1] not in str(exc):
+                raise
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    load_all()
+    return _REGISTRY[name]
