@@ -1,0 +1,174 @@
+"""Event-stream analytics (batch view) — the time-series semantics
+the reference's ingest encodes (SURVEY.md §2.9 T2/T5: event time vs
+processing time, provenance, per-item fan-out) plus the windowed
+history patterns (§2.5 W2).
+
+The same aggregations run under Structured Streaming in
+streaming/windowed.py; here they run as batch over the events table
+so the driver can oracle-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import dec, money_out, to_double
+from ..registry import register
+
+_ORACLE_Q21 = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*)                 AS n,
+       COUNT(DISTINCT user_id)  AS users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value_d
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+@register(
+    "q21_events_daily",
+    oracle=_ORACLE_Q21,
+    doc="Daily per-type event rollup: counts, distinct users, exact "
+    "money sum (F5 date funcs + A2 counts).",
+    tags=("events", "agg", "time"),
+)
+def q21_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_ORACLE_Q22 = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_value_d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "q22_user_running_totals",
+    oracle=_ORACLE_Q22,
+    doc="Per-user ordered window: row_number + exact running sum "
+    "(W2-shaped ordered history).",
+    tags=("events", "window"),
+)
+def q22_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        to_double(F.sum(dec("value")).over(wsum)).alias("running_value_d"),
+    )
+
+
+_ORACLE_Q23 = """
+SELECT user_id,
+       COUNT(*) AS events,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us_d
+FROM (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "q23_event_gaps",
+    oracle=_ORACLE_Q23,
+    doc="lag() inter-event gap per user in exact microseconds → "
+    "average (sessionization building block).",
+    tags=("events", "window", "lag"),
+)
+def q23_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = cat.events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            (to_double(F.sum("gap_us")) / F.count(F.lit(1))).alias("avg_gap_us_d"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_Q24 = """
+SELECT user_id,
+       COUNT(*) AS n,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signups,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS views,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS clicks,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS errors,
+       CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL   AS has_k
+FROM events
+GROUP BY user_id, has_k
+ORDER BY user_id, has_k
+"""
+
+
+@register(
+    "q24_user_event_pivot",
+    oracle=_ORACLE_Q24,
+    doc="Conditional-count pivot per user + JSON props extraction "
+    "(F8 json handling; raw_data JSONB analog).",
+    tags=("events", "pivot", "json"),
+)
+def q24_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t + "s")
+
+    has_k = F.get_json_object(F.col("props"), "$.k").cast("bigint").isNotNull()
+    return (
+        cat.events.withColumn("has_k", has_k)
+        .groupBy("user_id", "has_k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cnt("signup"),
+            cnt("view"),
+            cnt("click"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "errors"
+            ),
+        )
+        .select(
+            "user_id", "n", "signups", "views", "clicks", "purchases", "errors", "has_k"
+        )
+        .orderBy("user_id", "has_k")
+    )

@@ -1,0 +1,170 @@
+"""Price history + trend — the reference's `GET /products/barcode/
+{barcode}/price-history` (SURVEY.md §2.2 Q12, §2.5 W2, §2.4 A13-A14;
+salim/app/server/routes/products.py:229-296).
+
+Trend semantics (A13, products.py:283-296): order observations
+newest-first, split in half (recent = first len//2 rows), compare
+half averages: recent > older*1.05 → increasing, < older*0.95 →
+decreasing, else stable. The reference leaves tie order unspecified;
+we pin (collected_at DESC, product_id) — SURVEY §7 hard-part #2.
+
+Scale: everything is windowed by barcode — one shuffle, partial
+aggs, no data explosion; history per key is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import to_double
+from ..mapping import domain_sql, effective, products
+from ..registry import register
+
+BARCODE = "50"
+CUTOFF = "2000-11-04 00:00:00"  # max shipdate - 365d (reference: now()-days)
+
+_ORACLE_Q11 = domain_sql(f"""
+SELECT barcode, supermarket_id, product_id, collected_at,
+       CAST(price AS DOUBLE)                        AS price_d,
+       CAST(promo_price AS DOUBLE)                  AS promo_price_d,
+       CAST(COALESCE(promo_price, price) AS DOUBLE) AS effective_d
+FROM products
+WHERE barcode = '{BARCODE}' AND collected_at >= TIMESTAMP '{CUTOFF}'
+""")
+
+
+@register(
+    "q11_price_history",
+    oracle=_ORACLE_Q11,
+    doc="Price history for one barcode within a look-back window "
+    "(Q12/W2/O5).",
+    tags=("history", "filter"),
+)
+def q11_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = products(Catalog(spark, sf_dir))
+    return (
+        df.where(
+            (F.col("barcode") == BARCODE)
+            & (F.col("collected_at") >= F.lit(CUTOFF).cast("timestamp"))
+        )
+        .select(
+            "barcode",
+            "supermarket_id",
+            "product_id",
+            "collected_at",
+            to_double(F.col("price")).alias("price_d"),
+            to_double(F.col("promo_price")).alias("promo_price_d"),
+            to_double(effective()).alias("effective_d"),
+        )
+    )
+
+
+_ORACLE_Q12 = domain_sql("""
+,h AS (
+    SELECT barcode,
+           COALESCE(promo_price, price) AS eff,
+           row_number() OVER (
+               PARTITION BY barcode ORDER BY collected_at DESC, product_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY barcode) AS cnt
+    FROM products
+),
+agg AS (
+    SELECT barcode,
+           MAX(cnt) AS points,
+           CAST(SUM(CASE WHEN rn <= cnt // 2 THEN eff END) AS DOUBLE)
+               / SUM(CASE WHEN rn <= cnt // 2 THEN 1 ELSE 0 END) AS recent_avg,
+           CAST(SUM(CASE WHEN rn > cnt // 2 THEN eff END) AS DOUBLE)
+               / SUM(CASE WHEN rn > cnt // 2 THEN 1 ELSE 0 END) AS older_avg
+    FROM h
+    GROUP BY barcode
+    HAVING MAX(cnt) >= 2
+)
+SELECT barcode, points, recent_avg, older_avg,
+       CASE WHEN recent_avg > older_avg * 1.05 THEN 'increasing'
+            WHEN recent_avg < older_avg * 0.95 THEN 'decreasing'
+            ELSE 'stable' END AS trend
+FROM agg
+""")
+
+
+@register(
+    "q12_price_trend",
+    oracle=_ORACLE_Q12,
+    doc="Half-split trend classifier per barcode: recent-half avg vs "
+    "older-half avg, ±5%% bands (A13, products.py:283-296).",
+    tags=("history", "window", "trend"),
+)
+def q12_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = products(Catalog(spark, sf_dir)).withColumn("eff", effective())
+    wo = Window.partitionBy("barcode").orderBy(
+        F.col("collected_at").desc(), "product_id"
+    )
+    wc = Window.partitionBy("barcode")
+    h = df.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    half = F.floor(F.col("cnt") / 2)
+    recent_sum = F.sum(F.when(F.col("rn") <= half, F.col("eff")))
+    recent_n = F.sum(F.when(F.col("rn") <= half, 1).otherwise(0))
+    older_sum = F.sum(F.when(F.col("rn") > half, F.col("eff")))
+    older_n = F.sum(F.when(F.col("rn") > half, 1).otherwise(0))
+    agg = (
+        h.groupBy("barcode")
+        .agg(
+            F.max("cnt").alias("points"),
+            (to_double(recent_sum) / recent_n).alias("recent_avg"),
+            (to_double(older_sum) / older_n).alias("older_avg"),
+        )
+        .where(F.col("points") >= 2)
+    )
+    return agg.select(
+        "barcode",
+        "points",
+        "recent_avg",
+        "older_avg",
+        F.when(F.col("recent_avg") > F.col("older_avg") * 1.05, "increasing")
+        .when(F.col("recent_avg") < F.col("older_avg") * 0.95, "decreasing")
+        .otherwise("stable")
+        .alias("trend"),
+    )
+
+
+_ORACLE_Q13 = domain_sql("""
+,h AS (
+    SELECT barcode,
+           COALESCE(promo_price, price) AS eff,
+           row_number() OVER (
+               PARTITION BY barcode ORDER BY collected_at DESC, product_id
+           ) AS rn
+    FROM products
+)
+SELECT barcode,
+       CAST(MAX(CASE WHEN rn = 1 THEN eff END) AS DOUBLE) AS current_d,
+       CAST(MIN(eff) AS DOUBLE) AS low_d,
+       CAST(MAX(eff) AS DOUBLE) AS high_d
+FROM h
+GROUP BY barcode
+""")
+
+
+@register(
+    "q13_history_minmax",
+    oracle=_ORACLE_Q13,
+    doc="Current / lowest / highest effective price per barcode over "
+    "its history (A14 + W2 latest-row).",
+    tags=("history", "agg"),
+)
+def q13_history_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = products(Catalog(spark, sf_dir)).withColumn("eff", effective())
+    wo = Window.partitionBy("barcode").orderBy(
+        F.col("collected_at").desc(), "product_id"
+    )
+    h = df.withColumn("rn", F.row_number().over(wo))
+    return h.groupBy("barcode").agg(
+        to_double(F.max(F.when(F.col("rn") == 1, F.col("eff")))).alias("current_d"),
+        to_double(F.min("eff")).alias("low_d"),
+        to_double(F.max("eff")).alias("high_d"),
+    )

@@ -1,0 +1,208 @@
+"""Join strategies — the reference's join inventory (SURVEY.md §2.3
+J1-J5 + the implicit anti-join of S10's get-or-create) expressed the
+way a 100 TB Spark job should:
+
+- bounded dimensions (supplier/nation/region) broadcast → the fact
+  scan never shuffles for the join (J1);
+- the one-to-many rollup (J3's json_agg) is a groupBy with
+  collect_list on the already-joined rows — one shuffle by the
+  group key;
+- the anti-join (get-or-create / processed-files diff, §2.7) is a
+  broadcast-able left_anti;
+- argmin-per-key (A9's min_by) is a rank window, tie-broken
+  deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import dec, dec_lit, money_out, to_double
+from ..registry import register
+
+_ORACLE_Q17 = """
+SELECT r_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+            AS DOUBLE) AS revenue_d,
+       COUNT(*) AS line_count
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@register(
+    "q17_revenue_by_nation",
+    oracle=_ORACLE_Q17,
+    doc="Fact ⋈ three broadcast dimensions → revenue rollup (J1; "
+    "TPC-H Q5 shape).",
+    tags=("join", "broadcast", "agg"),
+)
+def q17_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    price = dec("l_extendedprice")
+    disc = dec("l_discount", 6, 4)
+    one = dec_lit("1.0000")
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            money_out(F.sum(price * (one - disc))).alias("revenue_d"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_ORACLE_Q18 = """
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price_d,
+       COUNT(l.l_orderkey) AS line_count,
+       CAST(COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_qty_d,
+       COALESCE(string_agg(
+           l.l_linenumber || ':' || CAST(CAST(l.l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+           ',' ORDER BY l.l_linenumber || ':' || CAST(CAST(l.l_quantity AS DECIMAL(12,2)) AS VARCHAR)),
+           '') AS lines_s
+FROM orders o
+LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey < 200
+GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+ORDER BY o.o_orderkey
+"""
+
+
+@register(
+    "q18_order_lines_rollup",
+    oracle=_ORACLE_Q18,
+    doc="Left-join + per-key nested rollup — the json_agg(…) FILTER "
+    "pattern (J3, fastapi-server/app.py:31-52) via sorted "
+    "collect_list.",
+    tags=("join", "rollup"),
+)
+def q18_order_lines_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.where(F.col("o_orderkey") < 200)
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        dec("l_quantity").alias("qty"),
+    )
+    joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    # Null-guarded so unmatched orders collect an empty list (mirrors
+    # json_agg(...) FILTER (WHERE matched) — SURVEY J3). Sorted by
+    # the rendered string itself: l_linenumber is NOT unique within
+    # an order in this data, so it can't be the (deterministic) key.
+    line_str = F.when(
+        F.col("l_orderkey").isNotNull(),
+        F.concat(
+            F.col("l_linenumber").cast("string"),
+            F.lit(":"),
+            F.col("qty").cast("string"),
+        ),
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(
+            F.count("l_orderkey").alias("line_count"),
+            to_double(F.coalesce(F.sum("qty"), F.lit(0))).alias("total_qty_d"),
+            F.array_join(F.array_sort(F.collect_list(line_str)), ",").alias(
+                "lines_s"
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            to_double(dec("o_totalprice")).alias("total_price_d"),
+            "line_count",
+            "total_qty_d",
+            "lines_s",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_ORACLE_Q19 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "q19_customers_without_orders",
+    oracle=_ORACLE_Q19,
+    doc="Anti-join — the reference's processed-files set diff / "
+    "get-or-create miss path (§2.7, S10) as left_anti.",
+    tags=("join", "anti"),
+)
+def q19_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_Q20 = """
+SELECT l_partkey AS partkey,
+       MAX(CASE WHEN rn = 1 THEN l_suppkey END) AS cheapest_supplier,
+       CAST(ROUND(MIN(eff), 4) AS DOUBLE)       AS best_price_d
+FROM (
+    SELECT l_partkey, l_suppkey,
+           CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS eff,
+           row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))),
+                        l_suppkey, l_orderkey, l_linenumber
+           ) AS rn
+    FROM lineitem
+)
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
+@register(
+    "q20_cheapest_supplier_per_part",
+    oracle=_ORACLE_Q20,
+    doc="argmin-per-key (A9's min_by / cheapest_store) with full "
+    "deterministic tie-break.",
+    tags=("window", "argmin"),
+)
+def q20_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    price = dec("l_extendedprice")
+    disc = dec("l_discount", 6, 4)
+    one = dec_lit("1.0000")
+    li = cat.lineitem.withColumn("eff", price * (one - disc))
+    w = Window.partitionBy("l_partkey").orderBy(
+        "eff", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("l_suppkey"))).alias(
+                "cheapest_supplier"
+            ),
+            to_double(F.round(F.min("eff"), 4)).alias("best_price_d"),
+        )
+        .orderBy("partkey")
+    )

@@ -1,0 +1,117 @@
+"""Catalog statistics — the reference's categories/brands/stats
+endpoints and get_store_info MCP tool (SURVEY.md §2.4 A2-A5, §2.6
+O4; salim/app/server/routes/utils.py:17-50, mcp.py:531-556).
+
+The reference rounds percentages in Python (banker's rounding,
+utils.py:49) — we expose full-precision doubles instead so the value
+is engine-agnostic; a presentation layer can round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import to_double
+from ..mapping import domain_sql, products, supermarkets
+from ..registry import register
+
+_ORACLE_Q14 = domain_sql("""
+SELECT DISTINCT category FROM products
+WHERE category IS NOT NULL
+ORDER BY category
+""")
+
+
+@register(
+    "q14_distinct_categories",
+    oracle=_ORACLE_Q14,
+    doc="DISTINCT + sort with NULL drop (A4/O4, utils.py:17-18).",
+    tags=("distinct",),
+)
+def q14_distinct_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = products(Catalog(spark, sf_dir))
+    return (
+        df.select("category").where(F.col("category").isNotNull()).distinct().orderBy("category")
+    )
+
+
+_ORACLE_Q15 = domain_sql("""
+SELECT p.supermarket_id,
+       s.name AS supermarket_name,
+       COUNT(*)            AS product_count,
+       COUNT(promo_price)  AS promo_count,
+       CAST(COUNT(promo_price) AS DOUBLE) * 100 / COUNT(*) AS sale_pct,
+       CAST(SUM(price) AS DOUBLE) / COUNT(*)               AS avg_price_d,
+       COUNT(DISTINCT category)                            AS category_count,
+       string_agg(DISTINCT category, ',' ORDER BY category) AS categories
+FROM products p
+JOIN supermarkets s USING (supermarket_id)
+GROUP BY p.supermarket_id, s.name
+ORDER BY p.supermarket_id
+""")
+
+
+@register(
+    "q15_store_stats",
+    oracle=_ORACLE_Q15,
+    doc="Per-store stats: counts, conditional promo count, sale%%, "
+    "avg price, distinct category roster (A2/A3/A5, mcp.py:531-556).",
+    tags=("agg", "stats"),
+)
+def q15_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    df = products(cat).join(F.broadcast(supermarkets(cat)), "supermarket_id")
+    total = F.count(F.lit(1))
+    promo = F.count("promo_price")
+    return (
+        df.groupBy("supermarket_id", F.col("name").alias("supermarket_name"))
+        .agg(
+            total.alias("product_count"),
+            promo.alias("promo_count"),
+            (promo.cast("double") * 100 / total).alias("sale_pct"),
+            (to_double(F.sum("price")) / total).alias("avg_price_d"),
+            F.countDistinct("category").alias("category_count"),
+            F.array_join(F.array_sort(F.collect_set("category")), ",").alias(
+                "categories"
+            ),
+        )
+        .orderBy("supermarket_id")
+    )
+
+
+_ORACLE_Q16 = domain_sql("""
+SELECT s.supermarket_id, s.name, s.city,
+       COUNT(p.product_id)  AS product_count
+FROM supermarkets s
+LEFT JOIN products p USING (supermarket_id)
+WHERE lower(s.city) LIKE '%a%'
+GROUP BY s.supermarket_id, s.name, s.city
+ORDER BY s.name, s.supermarket_id
+""")
+
+
+@register(
+    "q16_store_directory",
+    oracle=_ORACLE_Q16,
+    doc="Store directory with city ILIKE filter + left-join product "
+    "counts, alphabetical (Q10/J5/O6, mcp.py:475-483).",
+    tags=("join", "filter"),
+)
+def q16_store_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    dim = supermarkets(cat).where(F.lower(F.col("city")).contains("a"))
+    counts = products(cat).groupBy("supermarket_id").agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    return (
+        dim.join(counts, "supermarket_id", "left")
+        .select(
+            "supermarket_id",
+            "name",
+            "city",
+            F.coalesce(F.col("pc"), F.lit(0)).alias("product_count"),
+        )
+        .orderBy("name", "supermarket_id")
+    )

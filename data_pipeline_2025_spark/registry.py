@@ -49,6 +49,8 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.history",
     "data_pipeline_2025_spark.operators.stats",
     "data_pipeline_2025_spark.operators.joins",
+    "data_pipeline_2025_spark.operators.events",
+    "data_pipeline_2025_spark.operators.scalars",
     "data_pipeline_2025_spark.operators.dedup",
     "data_pipeline_2025_spark.operators.text",
     "data_pipeline_2025_spark.operators.similarity",
@@ -79,8 +81,9 @@ def load_all() -> dict[str, QuerySpec]:
             importlib.import_module(mod)
         except ModuleNotFoundError as exc:
             # Allow partial builds while modules are still landing,
-            # but only for OUR missing modules, never for typos inside.
-            if mod.split(".")[-1] not in str(exc):
+            # but only for OUR missing modules, never for other
+            # import errors inside an operator module.
+            if "data_pipeline_2025_spark" not in str(exc):
                 raise
     return dict(_REGISTRY)
 

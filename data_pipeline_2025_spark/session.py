@@ -34,6 +34,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Quieter local runs; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
+    # The driver's events.parquet stores ts as TIMESTAMP(NANOS),
+    # which Spark refuses by default; read it as long nanos and let
+    # the catalog convert to a microsecond timestamp (truncation —
+    # same as DuckDB's ns→µs behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
