@@ -1,0 +1,420 @@
+"""Deduplication operators over the `documents` table — the
+LLM-training-data dedup family BASELINE.json makes first-class:
+exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is deterministic (hash functions derived from md5, which
+both engines implement identically) so each stage has a DuckDB
+oracle — including the banded MinHash pipeline.
+
+Scale design (the reason each shape was chosen):
+- exact dedup: one groupBy on a 128-bit key — partial-aggregatable,
+  no skew (hash keys are uniform).
+- n-gram Jaccard: candidate pairs come from an equi-join on
+  shingles, never a cross join; at 100 TB the shingle join is the
+  classic doc-pair generator but its fan-out is bounded by shingle
+  document frequency, and the MinHash/LSH variant below caps it.
+- MinHash/LSH: signatures are 16 aggregate expressions in ONE
+  groupBy pass (no 16× row explosion); candidates join on banded
+  signature keys — the 100 TB-safe path (pairs only form inside a
+  band bucket).
+- SimHash: 32 conditional-sum aggregates in one pass; near-dup
+  candidates join on 8-bit band keys, verified by bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+from .text import TOKENS_SQL, tokens_col
+
+# ---------------------------------------------------------------- exact
+
+_ORACLE_Q34 = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*)    AS copies
+FROM fp
+GROUP BY fingerprint
+"""
+
+
+@register(
+    "q34_dedup_exact",
+    oracle=_ORACLE_Q34,
+    doc="Exact dedup: hash-groupBy on normalized-content md5; "
+    "min doc_id survives.",
+    tags=("dedup", "exact"),
+)
+def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        cat.documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+# Word 3-gram shingles, distinct per document.
+SHINGLES_SQL = f"""
+toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+    FROM toks, UNNEST(range(1, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 3
+)"""
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct word-trigram shingles."""
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    shingle_arr = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh"))
+        .distinct()
+    )
+
+
+JACCARD_THRESHOLD = 0.8
+
+_ORACLE_Q35 = f"""
+WITH {SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a
+    JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, inter,
+       sa.n + sb.n - inter AS unions,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "q35_ngram_jaccard_pairs",
+    oracle=_ORACLE_Q35,
+    doc="Near-dup pairs by word-trigram Jaccard >= 0.8; candidates "
+    "from a shingle equi-join (never a cross join).",
+    tags=("dedup", "jaccard"),
+)
+def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    unions = F.col("na") + F.col("nb") - F.col("inter")
+    jac = F.col("inter").cast("double") / unions
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            unions.alias("unions"),
+            jac.alias("jaccard"),
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+    )
+
+
+# ------------------------------------------------------------ MinHash/LSH
+
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+LSH_VERIFY_THRESHOLD = 0.8
+
+
+def _h_sql(i: int) -> str:
+    # Deterministic hash family: lexicographic min over fixed-width
+    # hex = numeric min over the 64-bit space. Identical in Spark.
+    return f"MIN(substr(md5('{i}:' || sh), 1, 16))"
+
+
+def _minhash_select_sql() -> str:
+    cols = ",\n           ".join(f"{_h_sql(i)} AS h{i}" for i in range(NUM_HASHES))
+    return f"SELECT doc_id,\n           {cols}\n    FROM shingles GROUP BY doc_id"
+
+
+def _band_keys_sql() -> str:
+    rows = NUM_HASHES // NUM_BANDS
+    parts = []
+    for b in range(NUM_BANDS):
+        key = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM minhash"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_Q36 = f"""
+WITH {SHINGLES_SQL},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+       CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) AS jaccard
+FROM verified v
+JOIN sizes sa ON v.doc_a = sa.doc_id
+JOIN sizes sb ON v.doc_b = sb.doc_id
+WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
+@register(
+    "q36_minhash_lsh_dedup",
+    oracle=_ORACLE_Q36,
+    doc="MinHash (16 hashes as aggregates, no row explosion) + LSH "
+    "banding (4×4) candidate join + Jaccard verification — the "
+    "100 TB-safe near-dup path.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+
+    def h(i: int) -> Column:
+        return F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 16)
+        ).alias(f"h{i}")
+
+    minhash = sh.groupBy("doc_id").agg(*[h(i) for i in range(NUM_HASHES)])
+    rows = NUM_HASHES // NUM_BANDS
+    band_frames = []
+    for bnd in range(NUM_BANDS):
+        key_cols: list[Column] = []
+        for r in range(rows):
+            if r:
+                key_cols.append(F.lit("|"))
+            key_cols.append(F.col(f"h{bnd * rows + r}"))
+        band_frames.append(
+            minhash.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat(*key_cols)).alias("bkey"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sha, F.col("doc_a") == F.col("da"))
+        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        verified.join(sa, "doc_a")
+        .join(sb_, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(jac >= LSH_VERIFY_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+
+def _simhash_cte_sql() -> str:
+    # bit j of a token = top bit of nibble j of its md5 (32 nibbles).
+    sums = ",\n           ".join(
+        "SUM(CASE WHEN substr(md5(tok), %d, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+tokd AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+bitsums AS (
+    SELECT doc_id,
+           {sums}
+    FROM tokd GROUP BY doc_id
+),
+simhash AS (
+    SELECT doc_id, {fp} AS simhash FROM bitsums
+)"""
+
+
+_ORACLE_Q37 = f"""
+WITH {_simhash_cte_sql()}
+SELECT doc_id, simhash FROM simhash
+"""
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    tokd = cat.documents.select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    )
+    high = tuple("89abcdef")
+    sums = [
+        F.sum(
+            F.when(
+                F.substring(F.md5("tok"), j + 1, 1).isin(*high), 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bitsums = tokd.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return bitsums.select("doc_id", fp.alias("simhash"))
+
+
+@register(
+    "q37_simhash",
+    oracle=_ORACLE_Q37,
+    doc="32-bit SimHash fingerprint per document — 32 conditional-"
+    "sum aggregates in one pass (tf-weighted bit voting).",
+    tags=("dedup", "simhash"),
+)
+def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_frame(spark, sf_dir)
+
+
+_ORACLE_Q38 = f"""
+WITH {_simhash_cte_sql()},
+bands AS (
+    SELECT doc_id, b AS band, (simhash >> (b * 8)) & 255 AS bkey
+    FROM simhash, UNNEST(range(0, 4)) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand c
+JOIN simhash sa ON c.doc_a = sa.doc_id
+JOIN simhash sb ON c.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAMMING_MAX}
+"""
+
+
+@register(
+    "q38_simhash_neardup",
+    oracle=_ORACLE_Q38,
+    doc="SimHash near-dups: 8-bit band bucketing for candidates, "
+    "verified by Hamming distance <= 3 (bit_count of xor).",
+    tags=("dedup", "simhash", "lsh"),
+)
+def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_frame(spark, sf_dir)
+    bands = (
+        sim.withColumn(
+            "band", F.explode(F.array(*[F.lit(b) for b in range(4)]))
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255").alias("bkey"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(hamming <= HAMMING_MAX)
+    )

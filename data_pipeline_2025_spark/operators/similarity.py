@@ -1,0 +1,258 @@
+"""Similarity search over the `embeddings` table — BASELINE.json's
+ANN requirement (the Spark-native analog of the reference's RAG
+retrieval, SURVEY.md §2.11: FAISS + RetrievalQA(k=2) →
+embedding-column + cosine top-k).
+
+Two paths, mirroring how you'd actually serve 100 TB of vectors:
+- brute-force cosine top-k (the correctness baseline): queries are a
+  tiny broadcast side, candidates stream; one pass, no shuffle
+  beyond the final per-query top-k;
+- IVF-style partitioning (the scale path): assign every vector to
+  its nearest of K fixed centroids — searches then touch one
+  bucket instead of the full corpus. Bucketing is the same
+  pattern as LSH banding in dedup.py.
+
+All vector math is double-precision column algebra
+(zip_with/aggregate — JVM-side, no UDF); cosines are rounded to 6
+decimals BEFORE ranking so ordering is engine-stable (rank ties
+break by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+QUERY_IDS = (0, 1, 2)
+TOP_K = 10
+N_CENTROIDS = 8
+NEARDUP_COS = 0.4
+
+_QIDS_SQL = ", ".join(str(i) for i in QUERY_IDS)
+
+
+def _vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>, label, n2: double self-dot)."""
+    cat = Catalog(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = cat.embeddings.select("vec_id", v.alias("v"), "label")
+    return e.withColumn("n2", _dot(F.col("v"), F.col("v")))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_ORACLE_Q40 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+q AS (SELECT * FROM n WHERE vec_id IN ({_QIDS_SQL})),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           round(list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)), 6) AS cos_r
+    FROM q JOIN n c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_r, rn AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+    ) AS rn
+    FROM pairs
+)
+WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "q40_ann_bruteforce",
+    oracle=_ORACLE_Q40,
+    doc="Brute-force cosine top-k per query vector (ANN correctness "
+    "baseline; broadcast queries × streamed candidates).",
+    tags=("similarity", "ann"),
+)
+def q40_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vec_norms(spark, sf_dir)
+    q = (
+        n.where(F.col("vec_id").isin(*QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_r", "rank")
+    )
+
+
+# IVF assignment: centroids are the first K vectors (a deterministic
+# stand-in for trained k-means centers; the plumbing — bucket assign,
+# in-bucket search — is what scales). Distance via the dot identity
+# ||a-b||² = n2a + n2b - 2·a·b, identical formula in both engines.
+_IVF_CTE = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n
+         WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+    SELECT vec_id, label, centroid_id, d2_r FROM (
+        SELECT n.vec_id, n.label, cent.centroid_id,
+               round(n.n2 + cent.cn2 - 2 * list_dot_product(n.v, cent.cv), 6) AS d2_r,
+               row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                   round(n.n2 + cent.cn2 - 2 * list_dot_product(n.v, cent.cv), 6),
+                   cent.centroid_id
+               ) AS rn
+        FROM n CROSS JOIN cent
+    ) WHERE rn = 1
+)"""
+
+_ORACLE_Q41 = f"""
+WITH {_IVF_CTE}
+SELECT vec_id, centroid_id, d2_r FROM assign
+"""
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vec_norms(spark, sf_dir)
+    cent = (
+        n.where(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    d2 = F.round(
+        F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2_r", "centroid_id")
+    return (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("d2_r", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "centroid_id", "d2_r")
+    )
+
+
+@register(
+    "q41_ivf_assign",
+    oracle=_ORACLE_Q41,
+    doc="IVF bucket assignment: nearest-of-K centroids per vector "
+    "(broadcast centroids, deterministic tie-break).",
+    tags=("similarity", "ivf"),
+)
+def q41_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_assign(spark, sf_dir).select("vec_id", "centroid_id", "d2_r")
+
+
+_ORACLE_Q42 = f"""
+WITH {_IVF_CTE}
+SELECT centroid_id,
+       COUNT(*) AS members,
+       CAST(SUM(CAST(d2_r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_d2,
+       COUNT(DISTINCT label) AS distinct_labels
+FROM assign
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+@register(
+    "q42_ivf_cluster_stats",
+    oracle=_ORACLE_Q42,
+    doc="IVF cluster profile: membership, mean squared distance "
+    "(exact decimal sum), label diversity.",
+    tags=("similarity", "ivf", "agg"),
+)
+def q42_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _ivf_assign(spark, sf_dir)
+    return (
+        a.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("members"),
+            (
+                F.sum(F.col("d2_r").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_d2"),
+            F.countDistinct("label").alias("distinct_labels"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+_ORACLE_Q43 = f"""
+WITH {_IVF_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_r
+FROM assign a
+JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN n na ON na.vec_id = a.vec_id
+JOIN n nb ON nb.vec_id = b.vec_id
+WHERE round(list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {NEARDUP_COS}
+"""
+
+
+@register(
+    "q43_embedding_neardup",
+    oracle=_ORACLE_Q43,
+    doc="Embedding near-dup pairs: candidates restricted to the same "
+    "IVF bucket (the 100 TB-safe pair generator), cosine-verified.",
+    tags=("similarity", "dedup"),
+)
+def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vec_norms(spark, sf_dir)
+    a = _ivf_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_a"), F.col("centroid_id").alias("ca")
+    )
+    b = _ivf_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_b"), F.col("centroid_id").alias("cb")
+    )
+    cand = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    na = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na2")
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb2")
+    )
+    cos_r = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cos_r.alias("cos_r"))
+        .where(F.col("cos_r") >= NEARDUP_COS)
+    )

@@ -1,0 +1,265 @@
+"""Text-analysis operators over the `documents` table — the
+LLM-training-data surface BASELINE.json asks for beyond the
+reference's own operators (the reference's closest analogs: Hebrew
+name normalization and the crawler's article content fields,
+SURVEY.md §2.11 / FIXTURES.md §6).
+
+All of it is built-in-function column algebra (split / filter /
+transform / regexp) — JVM-side, whole-stage-codegen-friendly, no
+Python UDFs — so a 100 TB corpus scan is one embarrassingly parallel
+pass with no shuffle except the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+
+# Deterministic whitespace tokenization shared by every text op:
+# split on single spaces, drop empties (multi-space safe).
+TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def tokens_col() -> Column:
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_ORACLE_Q30 = f"""
+WITH d AS (
+    SELECT doc_id, lang, source, text,
+           {TOKENS_SQL} AS toks,
+           length(text) AS chars
+    FROM documents
+)
+SELECT doc_id, lang, source, chars,
+       len(toks) AS words,
+       len(list_distinct(toks)) AS uniq_words,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)  AS avg_word_len,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(toks)                                             AS stop_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)        AS uniq_ratio,
+       (CASE WHEN len(toks) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.25 END)
+         + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                                                                   AS quality_score
+FROM d
+WHERE len(toks) > 0
+"""
+
+
+@register(
+    "q30_text_quality",
+    oracle=_ORACLE_Q30,
+    doc="Per-document quality scoring: length/word/stopword/"
+    "uniqueness ratios + composite score (training-data filter).",
+    tags=("text", "quality"),
+)
+def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    d = cat.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("chars"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("letters"),
+        F.size(toks).alias("words"),
+        F.size(F.array_distinct(toks)).alias("uniq_words"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).alias("stops"),
+    ).where(F.col("words") > 0)
+    uniq_ratio = F.col("uniq_words").cast("double") / F.col("words")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "chars",
+        "words",
+        "uniq_words",
+        (F.col("letters").cast("double") / F.col("words")).alias("avg_word_len"),
+        (F.col("stops").cast("double") / F.col("words")).alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (
+            F.when(F.col("words").between(20, 80), F.lit(0.5)).otherwise(F.lit(0.25))
+            + F.lit(0.5) * uniq_ratio
+        ).alias("quality_score"),
+    )
+
+
+# n-gram-heuristic language ID: score each language by stopword hits
+# (argmax with a fixed preference order for ties). On this synthetic
+# corpus every text shares an English-ish vocabulary — the CLASSIFIER
+# is the deliverable, the labels are exercised by the accuracy matrix.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def _score_sql(lang: str) -> str:
+    marks = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({marks})))"
+
+
+_ORACLE_Q31 = f"""
+WITH d AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, lang,
+           {_score_sql('en')} AS s_en,
+           {_score_sql('es')} AS s_es,
+           {_score_sql('fr')} AS s_fr,
+           {_score_sql('de')} AS s_de
+    FROM d
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS predicted
+    FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM pred
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+@register(
+    "q31_lang_id_matrix",
+    oracle=_ORACLE_Q31,
+    doc="Stopword-heuristic language ID -> label × prediction "
+    "confusion matrix (langid building block).",
+    tags=("text", "langid"),
+)
+def q31_lang_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+
+    def score(lang: str) -> Column:
+        marks = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(marks, x)))
+
+    scored = cat.documents.select(
+        "doc_id",
+        "lang",
+        score("en").alias("s_en"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+        score("de").alias("s_de"),
+    )
+    zero = (
+        (F.col("s_en") == 0)
+        & (F.col("s_es") == 0)
+        & (F.col("s_fr") == 0)
+        & (F.col("s_de") == 0)
+    )
+    predicted = (
+        F.when(zero, "unknown")
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
+        .when(F.col("s_fr") >= F.col("s_de"), "fr")
+        .otherwise("de")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+TOKEN_REGEX = "[a-z]+|[0-9]+"
+
+_ORACLE_Q32 = f"""
+WITH d AS (
+    SELECT source,
+           len({TOKENS_SQL}) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+    FROM documents
+)
+SELECT source,
+       COUNT(*)        AS docs,
+       SUM(ws_tokens)  AS total_ws_tokens,
+       SUM(re_tokens)  AS total_re_tokens,
+       SUM(bpe_est)    AS total_bpe_est,
+       CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q32_token_counts",
+    oracle=_ORACLE_Q32,
+    doc="Token counting per source: whitespace, regex (BPE-ish "
+    "pre-tokenizer), chars/4 BPE estimate.",
+    tags=("text", "tokens"),
+)
+def q32_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "source",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0))).alias(
+            "re_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("bpe_est"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("re_tokens").alias("total_re_tokens"),
+            F.sum("bpe_est").alias("total_bpe_est"),
+            (F.sum("ws_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# Normalized-content fingerprint (F7's md5 + the dedup key idea of
+# raw_hash, generate_products.py:171): lower, collapse whitespace.
+_ORACLE_Q33 = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))  AS fingerprint,
+       array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')
+                                                                 AS prefix
+FROM documents
+"""
+
+
+@register(
+    "q33_doc_fingerprint",
+    oracle=_ORACLE_Q33,
+    doc="Deterministic content fingerprint (md5 of normalized text) "
+    "+ 8-token prefix — exact-dedup key.",
+    tags=("text", "fingerprint"),
+)
+def q33_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return cat.documents.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.array_join(F.slice(tokens_col(), 1, 8), " ").alias("prefix"),
+    )
