@@ -1,0 +1,75 @@
+"""Benchmark harness — runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+The headline set covers every execution shape the engine has: fact
+scan+agg, filter+pagination, window argmin, basket pipeline, trend
+windows, broadcast-join rollup, events rollup, shingle-join Jaccard,
+MinHash LSH, ANN, Arrow mapInPandas, and a real Structured Streaming
+run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_2025_spark import registry  # noqa: E402
+from data_pipeline_2025_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "q01_pricing_summary",
+    "q02_product_search",
+    "q07_cheapest_per_store",
+    "q09_basket_totals",
+    "q12_price_trend",
+    "q17_revenue_by_nation",
+    "q21_events_daily",
+    "q22_user_running_totals",
+    "q35_ngram_jaccard_pairs",
+    "q36_minhash_lsh_dedup",
+    "q40_ann_bruteforce",
+    "q45_multimodal_metadata",
+    "q50_stream_hourly_rollup",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dp2025-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.load_all()
+
+    # JVM/codegen warmup on the smallest tier so headline timings
+    # measure the queries, not classloading.
+    specs["q01_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].spark_fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

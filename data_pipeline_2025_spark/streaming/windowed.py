@@ -1,0 +1,139 @@
+"""Structured Streaming over the events table — the reference's
+polling relay re-expressed (SURVEY.md §2.9): the file source replaces
+S3 list-and-diff (T1), exactly-once file tracking replaces the
+in-memory processed set, dropDuplicates replaces ack/requeue +
+UNIQUE-constraint dedup (T3/T6), and event-time windows replace the
+"prices per hour" style rollups (T7).
+
+These two registry queries run a REAL streaming query
+(Trigger.AvailableNow → memory sink) and return its result table, so
+the driver's DuckDB oracle checks streaming output against batch
+SQL — the strongest effectively-once evidence available.
+Watermark + append-mode late-data handling is exercised separately
+in tests/test_streaming.py (append mode withholds the tail window by
+design, so it can't be oracle-diffed batch-style).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+from ..functions.money import dec, money_out
+from ..registry import register
+
+_COUNTER = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (ts normalized to µs)."""
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema  # ts is long nanos (session.py)
+    # The file source wants a directory; glob-filter down to the
+    # events table inside the sf_dir.
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_ORACLE_Q50 = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value_d
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register(
+    "q50_stream_hourly_rollup",
+    oracle=_ORACLE_Q50,
+    doc="Structured Streaming tumbling-window rollup (AvailableNow → "
+    "memory sink) checked against batch SQL (T4/T7).",
+    tags=("streaming", "window"),
+)
+def q50_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+    )
+    name = f"stream_hourly_{next(_COUNTER)}"
+    _run_to_memory(
+        agg.select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value_d"
+        ),
+        name,
+    )
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+_ORACLE_Q51 = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q51_stream_dedup_replay",
+    oracle=_ORACLE_Q51,
+    doc="Effectively-once under duplicate delivery: the stream reads "
+    "the source TWICE (simulated redelivery), dropDuplicates on "
+    "event_id restores exactly-once counts (T3/T6).",
+    tags=("streaming", "dedup"),
+)
+def q51_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    replayed = s1.unionByName(s2)  # every event delivered twice
+    deduped = replayed.dropDuplicates(["event_id"])
+    raw_name = f"stream_dedup_raw_{next(_COUNTER)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(raw_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # COUNT(DISTINCT) isn't allowed in a streaming agg; the deduped
+    # stream lands append-mode in memory and the exact rollup runs
+    # as batch on the landed rows.
+    return (
+        spark.table(raw_name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
