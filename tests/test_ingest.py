@@ -1,0 +1,205 @@
+"""Ingest-path tests (SURVEY.md §5 pyramid, tier 3 golden-file +
+tier 4 property tests): XML flatten, bronze single-item coercion,
+silver coercions, dedupe idempotence, streaming replay
+effectively-once."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_2025_spark.sources.bronze import (
+    explode_items,
+    read_price_files,
+)
+from data_pipeline_2025_spark.sources.silver import (
+    availability_links,
+    dedupe_price_items,
+    normalize_items,
+    upsert_stores,
+)
+from data_pipeline_2025_spark.sources.xmlsource import (
+    flatten_stores,
+    read_stores_xml,
+)
+
+STORES_XML = """<?xml version="1.0" encoding="utf-8"?>
+<Root>
+  <ChainID>7290700100008</ChainID>
+  <ChainName>&quot;Test Chain&quot; Ltd</ChainName>
+  <LastUpdateDate>2025-08-21</LastUpdateDate>
+  <LastUpdateTime>00:22:17.000</LastUpdateTime>
+  <SubChains>
+    <SubChain>
+      <SubChainID>001</SubChainID>
+      <SubChainName>מרכז</SubChainName>
+      <Stores>
+        <Store>
+          <StoreID>001</StoreID>
+          <BikoretNo>7</BikoretNo>
+          <StoreType>1</StoreType>
+          <StoreName >סניף ראשי</StoreName>
+          <Address>הרצל 1</Address>
+          <City></City>
+          <ZIPCode>12345</ZIPCode>
+        </Store>
+        <Store>
+          <StoreID>002</StoreID>
+          <BikoretNo>8</BikoretNo>
+          <StoreType>2</StoreType>
+          <StoreName>סניף שני</StoreName>
+          <Address>ביאליק 2</Address>
+          <City>חיפה</City>
+          <ZIPCode>54321</ZIPCode>
+        </Store>
+      </Stores>
+    </SubChain>
+    <SubChain>
+      <SubChainID>002</SubChainID>
+      <SubChainName>דרום</SubChainName>
+      <Stores>
+        <Store>
+          <StoreID>101</StoreID>
+          <BikoretNo>9</BikoretNo>
+          <StoreType>1</StoreType>
+          <StoreName>באר שבע</StoreName>
+          <Address></Address>
+          <City>באר שבע</City>
+          <ZIPCode></ZIPCode>
+        </Store>
+      </Stores>
+    </SubChain>
+  </SubChains>
+</Root>
+"""
+
+
+def _item(code: str, price: str = "12.90", date: str = "2025-08-21 06:00:00"):
+    return {
+        "ItemCode": code,
+        "ItemName": f"פריט {code}",
+        "ManufacturerName": "Maker",
+        "ItemPrice": price,
+        "UnitOfMeasurePrice": "1.2900",
+        "Quantity": "1.000",
+        "UnitQty": "1",
+        "UnitOfMeasure": "unit",
+        "PriceUpdateDate": date,
+        "ItemStatus": "1",
+        "AllowDiscount": "1",
+        "bIsWeighted": "0",
+        "ItemId": code,
+    }
+
+
+def _price_file(chain: str, store: str, items):
+    return json.dumps(
+        {"Root": {"ChainId": chain, "StoreId": store, "Items": {"Item": items}}},
+        ensure_ascii=False,
+    )
+
+
+@pytest.fixture()
+def price_dir(tmp_path):
+    d = tmp_path / "prices"
+    d.mkdir()
+    # normal multi-item file
+    (d / "f1.json").write_text(
+        _price_file(
+            "7290700100008",
+            "001",
+            [
+                _item("100"),
+                _item("200", price=""),  # '' price → NULL (F9)
+                _item("300", date="not-a-date"),  # malformed → NULL
+            ],
+        )
+    )
+    # single-item file: Items.Item is a dict, not a list (S7 quirk)
+    (d / "f2.json").write_text(_price_file("9999999999999", "002", _item("400")))
+    return str(d)
+
+
+def test_xml_flatten(spark, tmp_path):
+    p = tmp_path / "StoresFull_test.xml"
+    p.write_text(STORES_XML, encoding="utf-8")
+    flat = flatten_stores(read_stores_xml(spark, str(p)))
+    rows = {r["store_id"]: r for r in flat.collect()}
+    assert set(rows) == {"001", "002", "101"}
+    assert rows["001"]["chain_id"] == "7290700100008"
+    assert rows["001"]["chain_name"] == '"Test Chain" Ltd'  # entity decoded
+    assert rows["001"]["city"] is None  # empty element → NULL
+    assert rows["002"]["city"] == "חיפה"  # Hebrew survives
+    assert rows["101"]["sub_chain_name"] == "דרום"
+    assert rows["001"]["store_type"] == 1
+
+
+def test_bronze_single_item_coercion(spark, price_dir):
+    files = read_price_files(spark, price_dir)
+    got = {r["source_file"].split("/")[-1]: r for r in files.collect()}
+    assert len(got["f1.json"]["items"]) == 3
+    assert len(got["f2.json"]["items"]) == 1  # dict coerced to 1-elem list
+    assert got["f2.json"]["items"][0]["ItemCode"] == "400"
+
+
+def test_silver_coercions_and_dedupe(spark, price_dir):
+    bronze = explode_items(
+        read_price_files(spark, price_dir), ingested_at="2025-08-21 07:00:00"
+    )
+    silver = normalize_items(bronze)
+    rows = {r["item_code"]: r for r in silver.collect()}
+    assert len(rows) == 4
+    assert rows["100"]["item_price"] is not None
+    assert float(rows["100"]["item_price"]) == 12.90
+    assert rows["200"]["item_price"] is None  # '' → NULL
+    assert rows["300"]["price_update_date"] is None  # malformed → NULL
+    assert rows["100"]["price_update_date"] is not None
+    assert rows["100"]["raw_hash"] is not None and len(rows["100"]["raw_hash"]) == 32
+
+    # replay the whole batch: dedupe keeps one copy (T6)
+    replayed = silver.unionByName(silver)
+    assert dedupe_price_items(replayed).count() == 4
+
+    links = availability_links(silver)
+    assert links.count() == 4
+
+
+def test_store_upsert_get_or_create(spark, price_dir):
+    bronze = explode_items(
+        read_price_files(spark, price_dir), ingested_at="2025-08-21 07:00:00"
+    )
+    silver = normalize_items(bronze)
+    empty = spark.createDataFrame(
+        [], "chain_id string, store_id string, chain_name string"
+    )
+    dim1 = upsert_stores(empty, silver)
+    got = {(r["chain_id"], r["store_id"]): r["chain_name"] for r in dim1.collect()}
+    assert got[("7290700100008", "001")] == "Rami Levi"  # known chain
+    assert got[("9999999999999", "002")] == "Chain 9999999999999"  # fallback
+    # second upsert with the same data adds nothing (get-or-create)
+    dim2 = upsert_stores(dim1, silver)
+    assert dim2.count() == dim1.count()
+
+
+def test_streaming_ingest_replay_effectively_once(spark, price_dir, tmp_path):
+    from data_pipeline_2025_spark.streaming.ingest import start_price_ingest
+
+    sink = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_price_ingest(spark, price_dir, sink, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(sink).count()
+    assert first == 4
+
+    # redeliver one file under a NEW name (content replay — the
+    # checkpoint already covers same-path redelivery)
+    import shutil
+
+    shutil.copy(f"{price_dir}/f1.json", f"{price_dir}/f1_replayed.json")
+    q2 = start_price_ingest(spark, price_dir, sink, ckpt)
+    q2.awaitTermination()
+    after = spark.read.parquet(sink).count()
+    assert after == first  # content-key anti-join absorbed the replay

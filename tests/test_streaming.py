@@ -1,0 +1,82 @@
+"""Watermark + append-mode semantics (SURVEY.md §2.9 T5-T7): late
+data beyond the watermark is dropped, closed windows emit exactly
+once across query restarts. This is the part of streaming the
+batch-oracle queries (q50/q51) can't cover — append mode withholds
+open windows by design."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+SCHEMA = "event_id LONG, ts STRING, value DOUBLE"
+
+
+def _run_pass(spark, src, sink, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_watermark_drops_late_and_emits_once(spark, tmp_path):
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows), encoding="utf-8"
+        )
+
+    # batch 1: events 10:00-10:25 → watermark advances to 10:15,
+    # window [10:00,10:10) closes and emits.
+    write(
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:30", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:05:00", "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01 10:25:00", "value": 1.0},
+        ],
+    )
+    _run_pass(spark, str(src), sink, ckpt)
+    first = {r["window_start"].isoformat(): r["n"] for r in spark.read.parquet(sink).collect()}
+    assert first == {"2024-01-01T10:00:00": 2}
+
+    # batch 2: one event LATE beyond the watermark (10:01 < 10:15 →
+    # its window is already closed → dropped), one fresh at 10:30
+    # (watermark → 10:20, closing [10:10,10:20)).
+    write(
+        "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 10:01:00", "value": 1.0},
+            {"event_id": 5, "ts": "2024-01-01 10:12:00", "value": 1.0},
+            {"event_id": 6, "ts": "2024-01-01 10:30:00", "value": 1.0},
+        ],
+    )
+    _run_pass(spark, str(src), sink, ckpt)
+    final = {r["window_start"].isoformat(): r["n"] for r in spark.read.parquet(sink).collect()}
+    # the closed 10:00 window did NOT re-emit or absorb the late
+    # event; 10:10 window emitted with only the in-time event.
+    assert final == {
+        "2024-01-01T10:00:00": 2,
+        "2024-01-01T10:10:00": 1,
+    }
