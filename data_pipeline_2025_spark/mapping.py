@@ -122,6 +122,12 @@ def products(cat: Catalog) -> DataFrame:
                 "promo_price"
             ),
             F.col("l_shipdate").alias("collected_at"),
+            # Raw double retained (underscore = not part of the domain
+            # schema): predicates on the DECIMAL price column can't
+            # push into the parquet scan (cast blocks it), so range
+            # queries add a superset pre-filter on this raw column —
+            # see search.q02. Queries never output it.
+            F.col("l_extendedprice").alias("_price_raw"),
         )
     )
 

@@ -91,9 +91,13 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Persisted: every consumer (pair generation, per-doc sizes,
+    # verification joins) re-reads this frame 2-4×; at scale you'd
+    # materialize the shingle table once for the same reason.
     return (
         cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh"))
         .distinct()
+        .persist()
     )
 
 
@@ -343,7 +347,9 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
         ).otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp + term
-    return bitsums.select("doc_id", fp.alias("simhash"))
+    # Persisted: the near-dup query reads it three times (bands + both
+    # sides of the verification join).
+    return bitsums.select("doc_id", fp.alias("simhash")).persist()
 
 
 @register(

@@ -56,8 +56,13 @@ WHERE rn > {OFFSET} AND rn <= {OFFSET + LIMIT}
 )
 def q02_product_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = products(Catalog(spark, sf_dir))
+    # _price_raw range is a SUPERSET of the decimal-price range (±1
+    # absorbs the cast rounding); it pushes into the parquet scan as
+    # a min/max row-group filter while the exact decimal predicate
+    # keeps oracle-identical semantics.
     filtered = df.where(
-        F.lower(F.col("canonical_name")).contains(TERM.lower())
+        F.col("_price_raw").between(MIN_PRICE - 1, MAX_PRICE + 1)
+        & F.lower(F.col("canonical_name")).contains(TERM.lower())
         & F.lower(F.col("brand")).contains(BRAND_TERM.lower())
         & (F.col("price") >= MIN_PRICE)
         & (F.col("price") <= MAX_PRICE)
