@@ -1,0 +1,164 @@
+"""Set operations, hierarchical rollups, and sessionization —
+engine capabilities beyond the reference's literal surface (its only
+set-like logic is the processed-files diff, SURVEY.md §2.7) that any
+replacement analytics engine must carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import dec, dec_lit, money_out, to_double
+from ..registry import register
+
+_ORACLE_Q27 = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT
+    (SELECT COUNT(*) FROM a)                                   AS active_1995,
+    (SELECT COUNT(*) FROM b)                                   AS active_1996,
+    (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS retained,
+    (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))    AS churned,
+    (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))     AS either_year
+"""
+
+
+@register(
+    "q27_set_operations",
+    oracle=_ORACLE_Q27,
+    doc="UNION / INTERSECT / EXCEPT cohort arithmetic (yearly active "
+    "customers, retention/churn) — §2.7 set-op capability.",
+    tags=("setops",),
+)
+def q27_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    counts = [
+        a.count(),
+        b.count(),
+        a.intersect(b).count(),
+        a.exceptAll(b).distinct().count(),
+        a.union(b).distinct().count(),
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)],
+        "active_1995 long, active_1996 long, retained long, churned long, either_year long",
+    )
+
+
+_ORACLE_Q28 = """
+SELECT r_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+            AS DOUBLE) AS revenue_d,
+       COUNT(*) AS line_count,
+       GROUPING(r_name)::BIGINT * 2 + GROUPING(n_name)::BIGINT AS grouping_level
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY grouping_level, r_name, n_name
+"""
+
+
+@register(
+    "q28_revenue_rollup",
+    oracle=_ORACLE_Q28,
+    doc="Hierarchical ROLLUP(region, nation) with grouping level — "
+    "subtotals + grand total in one pass (partial-agg friendly).",
+    tags=("rollup", "agg"),
+)
+def q28_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    price = dec("l_extendedprice")
+    disc = dec("l_discount", 6, 4)
+    one = dec_lit("1.0000")
+    joined = (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            money_out(F.sum(price * (one - disc))).alias("revenue_d"),
+            F.count(F.lit(1)).alias("line_count"),
+            (
+                F.grouping("r_name").cast("bigint") * 2
+                + F.grouping("n_name").cast("bigint")
+            ).alias("grouping_level"),
+        )
+        .orderBy("grouping_level", "r_name", "n_name")
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_ORACLE_Q29 = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, event_id, us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*)            AS events,
+       MAX(us) - MIN(us)   AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register(
+    "q29_sessionization",
+    oracle=_ORACLE_Q29,
+    doc="Gap-based sessionization (lag → new-session flag → running "
+    "sum session id → per-session rollup); 30-minute idle gap.",
+    tags=("events", "window", "session"),
+)
+def q29_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = cat.events.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > SESSION_GAP_US), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wrun))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )

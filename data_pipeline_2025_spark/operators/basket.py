@@ -67,24 +67,10 @@ FROM store_totals
 
 
 def _store_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import basket_store_totals
+
     cat = Catalog(spark, sf_dir)
-    offers = (
-        products(cat)
-        .where(F.col("barcode").isin(*BASKET))
-        .withColumn("eff", effective())
-    )
-    w = Window.partitionBy("supermarket_id", "barcode").orderBy("eff", "product_id")
-    best = offers.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return (
-        best.join(F.broadcast(supermarkets(cat)), "supermarket_id")
-        .groupBy("supermarket_id", F.col("name").alias("supermarket_name"))
-        .agg(
-            F.sum("price").alias("total_price"),
-            F.sum("eff").alias("total_effective"),
-            F.sum(F.col("price") - F.col("eff")).alias("total_savings"),
-            F.count(F.lit(1)).alias("product_count"),
-        )
-    )
+    return basket_store_totals(products(cat), supermarkets(cat), list(BASKET))
 
 
 @register(

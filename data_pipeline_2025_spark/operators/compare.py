@@ -48,20 +48,17 @@ WHERE p.barcode = '{BARCODE}'
     tags=("join", "compare"),
 )
 def q06_barcode_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import compare_offers
+
     cat = Catalog(spark, sf_dir)
-    offers = products(cat).where(F.col("barcode") == BARCODE)
-    dim = supermarkets(cat)
-    return (
-        offers.join(F.broadcast(dim), "supermarket_id")
-        .select(
-            "supermarket_id",
-            dim["name"].alias("supermarket_name"),
-            "city",
-            "product_id",
-            to_double(F.col("price")).alias("price_d"),
-            to_double(F.col("promo_price")).alias("promo_price_d"),
-            to_double(effective()).alias("effective_d"),
-            to_double(F.col("price") - F.col("promo_price")).alias("savings_d"),
-            "collected_at",
-        )
+    return compare_offers(products(cat), supermarkets(cat), BARCODE).select(
+        "supermarket_id",
+        F.col("name").alias("supermarket_name"),
+        "city",
+        "product_id",
+        to_double(F.col("price")).alias("price_d"),
+        to_double(F.col("promo_price")).alias("promo_price_d"),
+        to_double(F.col("effective_price")).alias("effective_d"),
+        to_double(F.col("savings")).alias("savings_d"),
+        "collected_at",
     )

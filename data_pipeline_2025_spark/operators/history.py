@@ -43,21 +43,17 @@ WHERE barcode = '{BARCODE}' AND collected_at >= TIMESTAMP '{CUTOFF}'
     tags=("history", "filter"),
 )
 def q11_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import price_history
+
     df = products(Catalog(spark, sf_dir))
-    return (
-        df.where(
-            (F.col("barcode") == BARCODE)
-            & (F.col("collected_at") >= F.lit(CUTOFF).cast("timestamp"))
-        )
-        .select(
-            "barcode",
-            "supermarket_id",
-            "product_id",
-            "collected_at",
-            to_double(F.col("price")).alias("price_d"),
-            to_double(F.col("promo_price")).alias("promo_price_d"),
-            to_double(effective()).alias("effective_d"),
-        )
+    return price_history(df, BARCODE, CUTOFF).select(
+        "barcode",
+        "supermarket_id",
+        "product_id",
+        "collected_at",
+        to_double(F.col("price")).alias("price_d"),
+        to_double(F.col("promo_price")).alias("promo_price_d"),
+        to_double(F.col("effective_price")).alias("effective_d"),
     )
 
 
@@ -98,37 +94,11 @@ FROM agg
     tags=("history", "window", "trend"),
 )
 def q12_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = products(Catalog(spark, sf_dir)).withColumn("eff", effective())
-    wo = Window.partitionBy("barcode").orderBy(
-        F.col("collected_at").desc(), "product_id"
-    )
-    wc = Window.partitionBy("barcode")
-    h = df.withColumn("rn", F.row_number().over(wo)).withColumn(
-        "cnt", F.count(F.lit(1)).over(wc)
-    )
-    half = F.floor(F.col("cnt") / 2)
-    recent_sum = F.sum(F.when(F.col("rn") <= half, F.col("eff")))
-    recent_n = F.sum(F.when(F.col("rn") <= half, 1).otherwise(0))
-    older_sum = F.sum(F.when(F.col("rn") > half, F.col("eff")))
-    older_n = F.sum(F.when(F.col("rn") > half, 1).otherwise(0))
-    agg = (
-        h.groupBy("barcode")
-        .agg(
-            F.max("cnt").alias("points"),
-            (to_double(recent_sum) / recent_n).alias("recent_avg"),
-            (to_double(older_sum) / older_n).alias("older_avg"),
-        )
-        .where(F.col("points") >= 2)
-    )
-    return agg.select(
-        "barcode",
-        "points",
-        "recent_avg",
-        "older_avg",
-        F.when(F.col("recent_avg") > F.col("older_avg") * 1.05, "increasing")
-        .when(F.col("recent_avg") < F.col("older_avg") * 0.95, "decreasing")
-        .otherwise("stable")
-        .alias("trend"),
+    from ..domain import price_trend
+
+    df = products(Catalog(spark, sf_dir))
+    return price_trend(df).select(
+        "barcode", "points", "recent_avg", "older_avg", "trend"
     )
 
 
@@ -158,13 +128,6 @@ GROUP BY barcode
     tags=("history", "agg"),
 )
 def q13_history_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = products(Catalog(spark, sf_dir)).withColumn("eff", effective())
-    wo = Window.partitionBy("barcode").orderBy(
-        F.col("collected_at").desc(), "product_id"
-    )
-    h = df.withColumn("rn", F.row_number().over(wo))
-    return h.groupBy("barcode").agg(
-        to_double(F.max(F.when(F.col("rn") == 1, F.col("eff")))).alias("current_d"),
-        to_double(F.min("eff")).alias("low_d"),
-        to_double(F.max("eff")).alias("high_d"),
-    )
+    from ..domain import history_minmax
+
+    return history_minmax(products(Catalog(spark, sf_dir)))

@@ -46,18 +46,15 @@ WHERE rk = 1
     tags=("window", "argmin"),
 )
 def q07_cheapest_per_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import cheapest_per_store
+
     df = products(Catalog(spark, sf_dir))
-    w = Window.partitionBy("supermarket_id").orderBy(effective())
-    return (
-        df.withColumn("rk", F.rank().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "supermarket_id",
-            "barcode",
-            "canonical_name",
-            "product_id",
-            to_double(effective()).alias("effective_d"),
-        )
+    return cheapest_per_store(df).select(
+        "supermarket_id",
+        "barcode",
+        "canonical_name",
+        "product_id",
+        to_double(effective()).alias("effective_d"),
     )
 
 
@@ -90,28 +87,14 @@ FROM (
     tags=("topk", "window"),
 )
 def q08_lowest_prices_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import lowest_prices_page
+
     df = products(Catalog(spark, sf_dir))
-    page = (
-        df.select(
-            "product_id",
-            "barcode",
-            "canonical_name",
-            "supermarket_id",
-            effective().alias("eff"),
-        )
-        .orderBy("eff", "product_id")
-        .limit(PAGE_LIMIT * 3)
-    )
-    w = Window.partitionBy()
-    maxc = F.max("eff").over(w)
-    return page.select(
+    return lowest_prices_page(df, PAGE_LIMIT).select(
         "product_id",
         "barcode",
         "canonical_name",
         "supermarket_id",
         to_double(F.col("eff")).alias("effective_d"),
-        F.when(
-            F.col("eff") < maxc,
-            to_double(maxc - F.col("eff")) * 100 / to_double(maxc),
-        ).alias("savings_pct"),
+        "savings_pct",
     )

@@ -55,33 +55,32 @@ WHERE rn > {OFFSET} AND rn <= {OFFSET + LIMIT}
     tags=("filter", "pagination"),
 )
 def q02_product_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import search_products
+
     df = products(Catalog(spark, sf_dir))
     # _price_raw range is a SUPERSET of the decimal-price range (±1
     # absorbs the cast rounding); it pushes into the parquet scan as
-    # a min/max row-group filter while the exact decimal predicate
-    # keeps oracle-identical semantics.
-    filtered = df.where(
-        F.col("_price_raw").between(MIN_PRICE - 1, MAX_PRICE + 1)
-        & F.lower(F.col("canonical_name")).contains(TERM.lower())
-        & F.lower(F.col("brand")).contains(BRAND_TERM.lower())
-        & (F.col("price") >= MIN_PRICE)
-        & (F.col("price") <= MAX_PRICE)
-    )
-    w = Window.orderBy("product_id")
-    return (
-        filtered.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > OFFSET) & (F.col("rn") <= OFFSET + LIMIT))
-        .select(
-            "product_id",
-            "supermarket_id",
-            "barcode",
-            "canonical_name",
-            "brand",
-            "category",
-            to_double(F.col("price")).alias("price_d"),
-            to_double(F.col("promo_price")).alias("promo_price_d"),
-            "collected_at",
-        )
+    # a min/max row-group filter while the exact decimal predicates
+    # inside search_products keep oracle-identical semantics.
+    df = df.where(F.col("_price_raw").between(MIN_PRICE - 1, MAX_PRICE + 1))
+    return search_products(
+        df,
+        term=TERM,
+        brand=BRAND_TERM,
+        min_price=MIN_PRICE,
+        max_price=MAX_PRICE,
+        offset=OFFSET,
+        limit=LIMIT,
+    ).select(
+        "product_id",
+        "supermarket_id",
+        "barcode",
+        "canonical_name",
+        "brand",
+        "category",
+        to_double(F.col("price")).alias("price_d"),
+        to_double(F.col("promo_price")).alias("promo_price_d"),
+        "collected_at",
     )
 
 

@@ -61,24 +61,10 @@ ORDER BY p.supermarket_id
     tags=("agg", "stats"),
 )
 def q15_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import store_stats
+
     cat = Catalog(spark, sf_dir)
-    df = products(cat).join(F.broadcast(supermarkets(cat)), "supermarket_id")
-    total = F.count(F.lit(1))
-    promo = F.count("promo_price")
-    return (
-        df.groupBy("supermarket_id", F.col("name").alias("supermarket_name"))
-        .agg(
-            total.alias("product_count"),
-            promo.alias("promo_count"),
-            (promo.cast("double") * 100 / total).alias("sale_pct"),
-            (to_double(F.sum("price")) / total).alias("avg_price_d"),
-            F.countDistinct("category").alias("category_count"),
-            F.array_join(F.array_sort(F.collect_set("category")), ",").alias(
-                "categories"
-            ),
-        )
-        .orderBy("supermarket_id")
-    )
+    return store_stats(products(cat), supermarkets(cat)).orderBy("supermarket_id")
 
 
 _ORACLE_Q16 = domain_sql("""

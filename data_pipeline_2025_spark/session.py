@@ -58,6 +58,10 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    # local[N] runs the whole "cluster" in the driver JVM; the 1g
+    # default heap OOMs on sf0.1 shuffles + caches. Only effective
+    # before JVM launch, harmless afterwards.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

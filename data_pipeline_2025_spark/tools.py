@@ -87,23 +87,17 @@ def compare_results(spark: SparkSession, sf_dir: str, barcode: str) -> dict[str,
 
 
 def _basket_totals(spark: SparkSession, sf_dir: str, barcodes: list[str]):
+    from .domain import basket_store_totals
+
     prods, dim = _offers(spark, sf_dir)
-    offers = prods.where(F.col("barcode").isin(*barcodes)).withColumn(
-        "eff", effective()
-    )
-    w = Window.partitionBy("supermarket_id", "barcode").orderBy("eff", "product_id")
-    best = offers.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return (
-        best.join(F.broadcast(dim), "supermarket_id")
-        .groupBy("supermarket_id", "name")
-        .agg(
-            to_double(F.round(F.sum("price"), 2)).alias("total_price"),
-            to_double(F.round(F.sum("eff"), 2)).alias("total_promo_price"),
-            to_double(F.round(F.sum(F.col("price") - F.col("eff")), 2)).alias(
-                "total_savings"
-            ),
-            F.count(F.lit(1)).alias("product_count"),
-        )
+    totals = basket_store_totals(prods, dim, barcodes)
+    return totals.select(
+        "supermarket_id",
+        F.col("supermarket_name").alias("name"),
+        to_double(F.round("total_price", 2)).alias("total_price"),
+        to_double(F.round("total_effective", 2)).alias("total_promo_price"),
+        to_double(F.round("total_savings", 2)).alias("total_savings"),
+        "product_count",
     )
 
 
