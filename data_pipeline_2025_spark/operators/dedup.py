@@ -91,19 +91,14 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # Persisted DISK_ONLY: every consumer (pair generation, per-doc
-    # sizes, verification joins) re-reads this frame 2-4×; at scale
-    # you'd materialize the shingle table once for the same reason.
-    # Disk (not heap) because the engine must not assume its host
-    # session has memory to spare — the grading driver's session may
-    # run with a small heap, and cache entries are never unpersisted
-    # by a returned-DataFrame API.
-    from pyspark import StorageLevel
-
+    # Persisted (MEMORY_AND_DISK, spills under pressure): every
+    # consumer (pair generation, per-doc sizes, verification joins)
+    # re-reads this frame 2-4×; at scale you'd materialize the
+    # shingle table once for the same reason.
     return (
         cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh"))
         .distinct()
-        .persist(StorageLevel.DISK_ONLY)
+        .persist()
     )
 
 
@@ -174,16 +169,26 @@ NUM_HASHES = 16
 NUM_BANDS = 4  # 4 rows per band
 LSH_VERIFY_THRESHOLD = 0.8
 
-
-def _h_sql(i: int) -> str:
-    # Deterministic hash family: lexicographic min over fixed-width
-    # hex = numeric min over the 64-bit space. Identical in Spark.
-    return f"MIN(substr(md5('{i}:' || sh), 1, 16))"
+# Kirsch-Mitzenmacher hash family: h_i = (a + i·b) mod P with a, b
+# drawn from ONE md5 per shingle (first/second 12 hex chars = 48-bit
+# ints; a + 15·b < 2^53 so bigint arithmetic is exact in both
+# engines). 16× fewer md5 invocations than hashing per-i — the
+# difference between 1 and 16 passes over 100 TB of shingles.
+MINHASH_PRIME = 281474976710597  # largest prime < 2^48
 
 
 def _minhash_select_sql() -> str:
-    cols = ",\n           ".join(f"{_h_sql(i)} AS h{i}" for i in range(NUM_HASHES))
-    return f"SELECT doc_id,\n           {cols}\n    FROM shingles GROUP BY doc_id"
+    cols = ",\n           ".join(
+        f"MIN((a + {i} * b) % {MINHASH_PRIME}) AS h{i}" for i in range(NUM_HASHES)
+    )
+    return f"""SELECT doc_id,
+           {cols}
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(h, 1, 12))::BIGINT  AS a,
+               ('0x' || substr(h, 17, 12))::BIGINT AS b
+        FROM (SELECT doc_id, md5(sh) AS h FROM shingles)
+    ) GROUP BY doc_id"""
 
 
 def _band_keys_sql() -> str:
@@ -238,26 +243,30 @@ WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) >= {LSH_VERIFY_THRESHOLD
 )
 def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
-
-    def h(i: int) -> Column:
-        return F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 16)
-        ).alias(f"h{i}")
-
-    minhash = sh.groupBy("doc_id").agg(*[h(i) for i in range(NUM_HASHES)])
+    hashed = sh.select(
+        "doc_id", F.md5("sh").alias("h")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring("h", 17, 12), 16, 10).cast("bigint").alias("b"),
+    )
+    minhash = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
     rows = NUM_HASHES // NUM_BANDS
     band_frames = []
     for bnd in range(NUM_BANDS):
-        key_cols: list[Column] = []
-        for r in range(rows):
-            if r:
-                key_cols.append(F.lit("|"))
-            key_cols.append(F.col(f"h{bnd * rows + r}"))
+        key = F.concat_ws(
+            "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
+        )
         band_frames.append(
             minhash.select(
                 "doc_id",
                 F.lit(bnd).alias("band"),
-                F.md5(F.concat(*key_cols)).alias("bkey"),
+                F.md5(key).alias("bkey"),
             )
         )
     bands = band_frames[0]
@@ -353,13 +362,9 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
         ).otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp + term
-    # Persisted DISK_ONLY (see shingles_df for why not heap): the
-    # near-dup query reads it three times.
-    from pyspark import StorageLevel
-
-    return bitsums.select("doc_id", fp.alias("simhash")).persist(
-        StorageLevel.DISK_ONLY
-    )
+    # Persisted (see shingles_df): the near-dup query reads it three
+    # times.
+    return bitsums.select("doc_id", fp.alias("simhash")).persist()
 
 
 @register(

@@ -134,6 +134,61 @@ assign AS (
     ) WHERE rn = 1
 )"""
 
+@register(
+    "q46_ann_pandas_vectorized",
+    oracle=None,  # numpy's pairwise/SIMD summation is not
+    # bit-identical to a sequential SQL fold; correctness of the
+    # math is covered by q40's exact oracle — this entry proves the
+    # Arrow-vectorized scale path (rows-only check).
+    doc="Brute-force cosine top-k via an Arrow-batched pandas UDF "
+    "(numpy matmul per batch) — the high-throughput path for wide "
+    "fan-out scoring.",
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def q46_ann_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    n = _vec_norms(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
+        for r in n.where(F.col("vec_id").isin(*QUERY_IDS)).collect()
+    ]
+    qmat = np.stack([q[1] for q in queries])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qids = [q[0] for q in queries]
+
+    def score(batches):
+        for pdf in batches:
+            cmat = np.stack(pdf["v"].apply(np.asarray).values).astype(np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            sims = (cmat @ qmat.T) / (cnorm[:, None] * qnorm[None, :])
+            out = []
+            for qi, qid in enumerate(qids):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": pdf["vec_id"].values,
+                            "cos_r": np.round(sims[:, qi], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    pairs = (
+        n.select("vec_id", "v")
+        .mapInPandas(score, "query_id long, neighbor_id long, cos_r double")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_r", "rank")
+    )
+
+
 _ORACLE_Q41 = f"""
 WITH {_IVF_CTE}
 SELECT vec_id, centroid_id, d2_r FROM assign

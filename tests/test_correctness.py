@@ -30,6 +30,15 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+def test_pandas_ann_agrees_with_exact(spark, sf_smoke):
+    """The vectorized (rows-only-checked) ANN path must return the
+    same neighbors as the oracle-exact q40 path."""
+    exact = SPECS["q40_ann_bruteforce"].spark_fn(spark, sf_smoke).collect()
+    fast = SPECS["q46_ann_pandas_vectorized"].spark_fn(spark, sf_smoke).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    assert key(exact) == key(fast)
+
+
 def test_contract_shape():
     import __spark_entry__ as e
 
