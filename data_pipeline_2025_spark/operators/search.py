@@ -167,6 +167,82 @@ ORDER BY supermarket_id
 """)
 
 
+# pg_trgm-analog fuzzy search (the reference's ONLY physical tuning
+# is a GIN trigram index on canonical_name, tables.sql:48 — SURVEY
+# §4). Spark has no trigram index; the scalable equivalent is
+# trigram-set similarity as pure column algebra: the query term's
+# trigram set is a LITERAL (driver-side), so the whole operator is a
+# scan + per-row array intersection — no join, no shuffle before the
+# final top-k.
+FUZZY_TERM = "wigdet bolt"  # deliberately misspelled 'widget bolt'
+SIM_THRESHOLD = 0.3
+TOP_FUZZY = 10
+
+
+def _trigrams(s: str) -> list[str]:
+    padded = f"  {s.lower()} "
+    return sorted({padded[i : i + 3] for i in range(len(padded) - 2)})
+
+
+def _term_tg_sql() -> str:
+    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in _trigrams(FUZZY_TERM)) + "]"
+
+
+_ORACLE_Q47 = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+tg AS (
+    SELECT name,
+           list_distinct([substr(padded, i, 3)
+                          for i in range(1, length(padded) - 1)]) AS tgs
+    FROM (SELECT name, '  ' || lower(name) || ' ' AS padded FROM names)
+),
+scored AS (
+    SELECT name,
+           len(list_filter(tgs, x -> list_contains({_term_tg_sql()}, x))) AS shared,
+           len(tgs) AS n_name,
+           {len(_trigrams(FUZZY_TERM))} AS n_term
+    FROM tg
+)
+SELECT name,
+       CAST(shared AS DOUBLE) / (n_name + n_term - shared) AS sim
+FROM scored
+WHERE CAST(shared AS DOUBLE) / (n_name + n_term - shared) >= {SIM_THRESHOLD}
+ORDER BY sim DESC, name
+LIMIT {TOP_FUZZY}
+"""
+
+
+@register(
+    "q47_trigram_fuzzy_search",
+    oracle=_ORACLE_Q47,
+    doc="pg_trgm-style trigram-set similarity search (misspelled "
+    "term still matches) — scan-only, literal term trigrams, no "
+    "join (tables.sql:48 GIN-index analog).",
+    tags=("search", "fuzzy", "trigram"),
+)
+def q47_trigram_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    term_tgs = _trigrams(FUZZY_TERM)
+    names = cat.part.select(F.col("p_name").alias("name")).distinct()
+    tg = names.withColumn(
+        "padded", F.concat(F.lit("  "), F.lower("name"), F.lit(" "))
+    ).withColumn(
+        "tgs",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(padded) - 2), i -> substring(padded, i, 3))")
+        ),
+    )
+    term_arr = F.array(*[F.lit(t) for t in term_tgs])
+    shared = F.size(F.array_intersect(F.col("tgs"), term_arr))
+    sim = shared.cast("double") / (F.size("tgs") + len(term_tgs) - shared)
+    return (
+        tg.select("name", sim.alias("sim"))
+        .where(F.col("sim") >= SIM_THRESHOLD)
+        .orderBy(F.col("sim").desc(), "name")
+        .limit(TOP_FUZZY)
+    )
+
+
 @register(
     "q05_recent_window",
     oracle=_ORACLE_Q05,

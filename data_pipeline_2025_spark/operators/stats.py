@@ -67,6 +67,41 @@ def q15_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store_stats(products(cat), supermarkets(cat)).orderBy("supermarket_id")
 
 
+_ORACLE_Q48 = """
+SELECT p_type,
+       COUNT(*) AS parts,
+       round(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25), 6) AS p25,
+       round(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.50), 6) AS p50,
+       round(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.90), 6) AS p90
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+@register(
+    "q48_price_percentiles",
+    oracle=_ORACLE_Q48,
+    doc="Exact interpolated percentiles per category (Spark "
+    "percentile() ≡ DuckDB quantile_cont; rounded to absorb "
+    "interpolation-order ulps).",
+    tags=("agg", "percentile"),
+)
+def q48_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    p = F.col("p_retailprice").cast("double")
+    return (
+        cat.part.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.round(F.percentile(p, F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile(p, F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile(p, F.lit(0.90)), 6).alias("p90"),
+        )
+        .orderBy("p_type")
+    )
+
+
 _ORACLE_Q16 = domain_sql("""
 SELECT s.supermarket_id, s.name, s.city,
        COUNT(p.product_id)  AS product_count

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the '.explain and iterate' loop
+frozen into tests, so a regression that silently turns a broadcast
+join into a sort-merge join (or drops a pushed filter) fails CI, not
+a 100 TB run."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from data_pipeline_2025_spark import registry
+
+SPECS = registry.load_all()
+
+
+def plan_of(spark, name, sf_dir, mode="formatted") -> str:
+    df = SPECS[name].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dimension_joins_broadcast(spark, sf_smoke):
+    """J1: fact ⋈ supplier/nation/region must be broadcast-hash —
+    never a shuffled sort-merge join (SURVEY §2.3)."""
+    plan = plan_of(spark, "q17_revenue_by_nation", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_search_pushes_scan_filters(spark, sf_smoke):
+    """Q5 price range must reach the lineitem parquet scan via the
+    raw-double superset filter (row-group pruning at scale)."""
+    plan = plan_of(spark, "q02_product_search", sf_smoke)
+    assert "GreaterThanOrEqual(l_extendedprice" in plan
+    assert "LessThanOrEqual(l_extendedprice" in plan
+
+
+def test_argmin_uses_window_group_limit(spark, sf_smoke):
+    """W1 rank()==1 should trigger Spark's WindowGroupLimit pushdown
+    (top-1 computed per partition before the full window sort)."""
+    plan = plan_of(spark, "q07_cheapest_per_store", sf_smoke)
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_accidental_cartesian(spark, sf_smoke):
+    """Every query except the deliberate broadcast cross joins (ANN
+    scoring against a handful of query vectors) must be
+    cartesian-free."""
+    allowed_cross = {
+        "q40_ann_bruteforce",
+        "q41_ivf_assign",
+        "q42_ivf_cluster_stats",
+        "q43_embedding_neardup",
+        "q46_ann_pandas_vectorized",
+    }
+    for name in sorted(SPECS):
+        if name in allowed_cross or name.startswith("q5"):  # streaming: runs a query
+            continue
+        plan = plan_of(spark, name, sf_smoke, mode="simple")
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_smoke):
+    """The flagship agg pipeline must stay inside whole-stage codegen
+    (no Python/row-at-a-time breaks)."""
+    plan = plan_of(spark, "q01_pricing_summary", sf_smoke)
+    # partial + final aggregation (map-side combine) both present
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    codegen = plan_of(spark, "q01_pricing_summary", sf_smoke, mode="codegen")
+    assert "WholeStageCodegen subtrees" in codegen
+
+
+def test_ann_cross_join_is_broadcast(spark, sf_smoke):
+    """The ANN scoring pass streams candidates against BROADCAST
+    query vectors — a shuffled cartesian would be a scale bug."""
+    plan = plan_of(spark, "q40_ann_bruteforce", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
