@@ -99,6 +99,53 @@ def q28_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_Q49 = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_d,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE)           AS max_d
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SALT_BUCKETS = 16
+
+
+@register(
+    "q49_salted_skew_agg",
+    oracle=_ORACLE_Q49,
+    doc="Skew-safe two-phase aggregation: salt the hot grouping key "
+    "(events has only 5 event_types → 5 giant reducers at 100 TB), "
+    "partial-agg per (key, salt), then merge. Result is provably "
+    "identical to the direct groupBy (same oracle).",
+    tags=("agg", "skew", "salting"),
+)
+def q49_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    v = dec("value")
+    # phase 1: spread each hot key over SALT_BUCKETS reducers.
+    # Deterministic salt (not rand()) so retried tasks agree.
+    salted = cat.events.withColumn(
+        "_salt", (F.col("event_id") % SALT_BUCKETS).cast("int")
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(v).alias("psum"),
+        F.max(v).alias("pmax"),
+    )
+    # phase 2: merge the ≤16 partials per key (tiny shuffle).
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            money_out(F.sum("psum")).alias("total_d"),
+            to_double(F.max("pmax")).alias("max_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 _ORACLE_Q29 = f"""
