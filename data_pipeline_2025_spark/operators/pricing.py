@@ -54,6 +54,19 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @register(
+    "q52_sql_api_pricing",
+    oracle=_ORACLE_Q01,
+    doc="The SAME ANSI SQL text as q01's oracle executed via "
+    "spark.sql() over registered views — SQL-surface parity: one "
+    "query string, two engines, identical bytes out.",
+    tags=("sql", "agg"),
+)
+def q52_sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_ORACLE_Q01)
+
+
+@register(
     "q01_pricing_summary",
     oracle=_ORACLE_Q01,
     doc="Flagship grouped pricing summary (SURVEY §2.4 A1-A3; TPC-H Q1 shape).",
