@@ -74,8 +74,10 @@ toks AS (
     SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
 ),
 shingles AS (
-    SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
-    FROM toks, UNNEST(range(1, len(toks) - 1)) AS t(i)
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                 for i in range(1, len(toks) - 1)])) AS sh
+    FROM toks
     WHERE len(toks) >= 3
 )"""
 
@@ -84,21 +86,24 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) distinct word-trigram shingles."""
     cat = Catalog(spark, sf_dir)
     toks = tokens_col()
-    shingle_arr = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # array_distinct BEFORE the explode: per-doc uniqueness is a
+    # local (no-shuffle) operation; a global .distinct() after the
+    # explode would shuffle the entire shingle stream for nothing.
+    shingle_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
     # Persisted (MEMORY_AND_DISK, spills under pressure): every
     # consumer (pair generation, per-doc sizes, verification joins)
     # re-reads this frame 2-4×; at scale you'd materialize the
     # shingle table once for the same reason.
     return (
-        cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh"))
-        .distinct()
-        .persist()
+        cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh")).persist()
     )
 
 

@@ -1,0 +1,138 @@
+"""Temporal operators: as-of join and validity intervals — the
+operators a price-history store implies (the reference's "current
+price" reads are as-of-now lookups, products.py:244-296) and that
+Spark lacks as builtins (SURVEY's custom-operator rule (a):
+compose from existing DataFrame ops).
+
+The DuckDB oracle for the as-of join uses its NATIVE ASOF JOIN —
+the strongest semantics check available: our windowed composition
+must agree with a first-class implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import to_double
+from ..mapping import domain_sql, products
+from ..registry import register
+
+PROBE_TIMES = (
+    "1996-06-01 00:00:00",
+    "1998-01-01 00:00:00",
+    "2000-06-01 00:00:00",
+)
+ASOF_BARCODES = tuple(str(b) for b in range(20))
+
+_BARCODES_SQL = ", ".join(f"'{b}'" for b in ASOF_BARCODES)
+_TIMES_SQL = ", ".join(f"TIMESTAMP '{t}'" for t in PROBE_TIMES)
+
+# One observation per (store, barcode, ts): min effective price —
+# makes the as-of target deterministic under same-timestamp ties.
+_OBS_CTE = f"""
+obs AS (
+    SELECT supermarket_id, barcode, collected_at,
+           MIN(COALESCE(promo_price, price)) AS eff
+    FROM products
+    WHERE barcode IN ({_BARCODES_SQL})
+    GROUP BY supermarket_id, barcode, collected_at
+),
+probes AS (
+    SELECT DISTINCT supermarket_id, barcode, t
+    FROM obs, UNNEST([{_TIMES_SQL}]) AS pt(t)
+)"""
+
+_ORACLE_Q53 = domain_sql(f""",{_OBS_CTE}
+SELECT p.supermarket_id, p.barcode, p.t AS probe_t,
+       o.collected_at AS asof_ts,
+       CAST(o.eff AS DOUBLE) AS asof_price_d
+FROM probes p
+ASOF JOIN obs o
+  ON p.supermarket_id = o.supermarket_id
+ AND p.barcode = o.barcode
+ AND p.t >= o.collected_at
+""")
+
+
+@register(
+    "q53_asof_price",
+    oracle=_ORACLE_Q53,
+    doc="As-of join: price in effect at each probe time per "
+    "(store, barcode) — windowed composition checked against "
+    "DuckDB's NATIVE ASOF JOIN.",
+    tags=("temporal", "asof", "window"),
+)
+def q53_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..mapping import effective
+
+    df = products(Catalog(spark, sf_dir)).where(
+        F.col("barcode").isin(*ASOF_BARCODES)
+    )
+    obs = df.groupBy("supermarket_id", "barcode", "collected_at").agg(
+        F.min(effective()).alias("eff")
+    )
+    times = F.explode(
+        F.array(*[F.lit(t).cast("timestamp") for t in PROBE_TIMES])
+    ).alias("t")
+    probes = obs.select("supermarket_id", "barcode").distinct().select(
+        "supermarket_id", "barcode", times
+    )
+    joined = probes.join(obs, ["supermarket_id", "barcode"]).where(
+        F.col("collected_at") <= F.col("t")
+    )
+    w = Window.partitionBy("supermarket_id", "barcode", "t").orderBy(
+        F.col("collected_at").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "supermarket_id",
+            "barcode",
+            F.col("t").alias("probe_t"),
+            F.col("collected_at").alias("asof_ts"),
+            to_double(F.col("eff")).alias("asof_price_d"),
+        )
+    )
+
+
+_ORACLE_Q54 = domain_sql(f""",{_OBS_CTE}
+SELECT supermarket_id, barcode,
+       collected_at AS valid_from,
+       lead(collected_at) OVER w AS valid_to,
+       CAST(eff AS DOUBLE) AS eff_d,
+       lead(collected_at) OVER w IS NULL AS is_current
+FROM obs
+WINDOW w AS (PARTITION BY supermarket_id, barcode ORDER BY collected_at)
+""")
+
+
+@register(
+    "q54_price_validity_intervals",
+    oracle=_ORACLE_Q54,
+    doc="SCD2-style validity intervals per (store, barcode): "
+    "[collected_at, next observation) via lead(); open interval = "
+    "current price.",
+    tags=("temporal", "scd2", "window"),
+)
+def q54_price_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..mapping import effective
+
+    df = products(Catalog(spark, sf_dir)).where(
+        F.col("barcode").isin(*ASOF_BARCODES)
+    )
+    obs = df.groupBy("supermarket_id", "barcode", "collected_at").agg(
+        F.min(effective()).alias("eff")
+    )
+    w = Window.partitionBy("supermarket_id", "barcode").orderBy("collected_at")
+    nxt = F.lead("collected_at").over(w)
+    return obs.select(
+        "supermarket_id",
+        "barcode",
+        F.col("collected_at").alias("valid_from"),
+        nxt.alias("valid_to"),
+        to_double(F.col("eff")).alias("eff_d"),
+        nxt.isNull().alias("is_current"),
+    )

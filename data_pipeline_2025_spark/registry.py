@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.events",
     "data_pipeline_2025_spark.operators.scalars",
     "data_pipeline_2025_spark.operators.analytics",
+    "data_pipeline_2025_spark.operators.temporal",
     "data_pipeline_2025_spark.operators.dedup",
     "data_pipeline_2025_spark.operators.text",
     "data_pipeline_2025_spark.operators.similarity",

@@ -5,22 +5,14 @@ a 100 TB run."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
-import pytest
-
 from data_pipeline_2025_spark import registry
+from data_pipeline_2025_spark.plans import plan_of as _plan_of
 
 SPECS = registry.load_all()
 
 
 def plan_of(spark, name, sf_dir, mode="formatted") -> str:
-    df = SPECS[name].spark_fn(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    return _plan_of(SPECS[name].spark_fn(spark, sf_dir), mode)
 
 
 def test_dimension_joins_broadcast(spark, sf_smoke):
