@@ -132,6 +132,94 @@ def q18_order_lines_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_Q56 = """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+            AS DOUBLE) AS revenue_d,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_d DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q56_shipping_priority",
+    oracle=_ORACLE_Q56,
+    doc="Three-way join + filtered agg + top-k by revenue (TPC-H Q3 "
+    "shape): segment filter pushes to the customer scan, date "
+    "filters to orders/lineitem scans.",
+    tags=("join", "topk", "agg"),
+)
+def q56_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    price = dec("l_extendedprice")
+    disc = dec("l_discount", 6, 4)
+    one = dec_lit("1.0000")
+    return (
+        cat.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(cat.orders.where(F.col("o_orderdate") < d), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            cat.lineitem.where(F.col("l_shipdate") > d),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_out(F.sum(price * (one - disc))).alias("revenue_d"))
+        .select("l_orderkey", "revenue_d", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_d").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_ORACLE_Q57 = """
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price_d,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty_d
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+ORDER BY total_qty_d DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "q57_large_volume_orders",
+    oracle=_ORACLE_Q57,
+    doc="HAVING over a joined agg + top-k (TPC-H Q18 shape) — the "
+    "group-filter-rank pipeline at fact×fact join scale.",
+    tags=("join", "having", "topk"),
+)
+def q57_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    qty = dec("l_quantity")
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(qty).alias("qty_sum"))
+        .where(F.col("qty_sum") > 150)
+        .select(
+            "c_name",
+            "o_orderkey",
+            to_double(dec("o_totalprice")).alias("total_price_d"),
+            to_double(F.col("qty_sum")).alias("total_qty_d"),
+        )
+        .orderBy(F.col("total_qty_d").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 _ORACLE_Q19 = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c

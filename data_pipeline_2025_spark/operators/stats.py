@@ -102,6 +102,66 @@ def q48_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_Q55 = domain_sql("""
+,spread AS (
+    SELECT barcode,
+           COUNT(*) AS n,
+           SUM(CAST(COALESCE(promo_price, price) AS DECIMAL(18,2)))            AS s,
+           SUM(CAST(COALESCE(promo_price, price) AS DECIMAL(18,2))
+             * CAST(COALESCE(promo_price, price) AS DECIMAL(18,2)))            AS sq,
+           MIN(COALESCE(promo_price, price)) AS lo,
+           MAX(COALESCE(promo_price, price)) AS hi
+    FROM products
+    GROUP BY barcode
+    HAVING COUNT(*) >= 2
+)
+SELECT barcode, n,
+       CAST(s AS DOUBLE) / n AS mean_d,
+       (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS var_d,
+       CAST(hi - lo AS DOUBLE) AS spread_d,
+       CAST(hi - lo AS DOUBLE) * 100 / CAST(hi AS DOUBLE) AS spread_pct
+FROM spread
+""")
+
+
+@register(
+    "q55_price_spread",
+    oracle=_ORACLE_Q55,
+    doc="Cross-store price dispersion per barcode: mean/variance "
+    "derived from EXACT decimal sum/sum-of-squares (engine-stable, "
+    "unlike builtin stddev over doubles), spread and spread%%.",
+    tags=("agg", "stats", "variance"),
+)
+def q55_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..mapping import effective
+
+    df = products(Catalog(spark, sf_dir))
+    eff2 = effective().cast("decimal(18,2)")
+    agg = (
+        df.groupBy("barcode")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(eff2).alias("s"),
+            F.sum(eff2 * eff2).alias("sq"),
+            F.min(effective()).alias("lo"),
+            F.max(effective()).alias("hi"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    s_d = to_double(F.col("s"))
+    sq_d = to_double(F.col("sq"))
+    return agg.select(
+        "barcode",
+        "n",
+        (s_d / F.col("n")).alias("mean_d"),
+        ((sq_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)).alias("var_d"),
+        to_double(F.col("hi") - F.col("lo")).alias("spread_d"),
+        (to_double(F.col("hi") - F.col("lo")) * 100 / to_double(F.col("hi"))).alias(
+            "spread_pct"
+        ),
+    )
+
+
 _ORACLE_Q16 = domain_sql("""
 SELECT s.supermarket_id, s.name, s.city,
        COUNT(p.product_id)  AS product_count

@@ -36,6 +36,56 @@ def _run_pass(spark, src, sink, ckpt):
     q.awaitTermination()
 
 
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (SCALE.md streaming notes): a
+    redelivery inside the watermark window is suppressed; the dedup
+    state for old keys is GC'd once the watermark passes them —
+    bounded state at 100 TB, unlike raw dropDuplicates."""
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0},
+                {"event_id": 1, "ts": "2024-01-01 10:00:05", "value": 1.0},  # dup
+                {"event_id": 2, "ts": "2024-01-01 10:04:00", "value": 1.0},
+            ]
+        )
+    )
+    run()
+    assert spark.read.parquet(sink).count() == 2  # in-batch dup suppressed
+
+    # redelivery of event 1 WITHIN the watermark → still suppressed
+    (src / "b2.json").write_text(
+        json.dumps({"event_id": 1, "ts": "2024-01-01 10:06:00", "value": 1.0})
+    )
+    run()
+    assert spark.read.parquet(sink).count() == 2
+
+
 def test_watermark_drops_late_and_emits_once(spark, tmp_path):
     src = tmp_path / "src"
     sink = str(tmp_path / "sink")
