@@ -33,11 +33,14 @@ HEADLINE = (
     "q17_revenue_by_nation",
     "q21_events_daily",
     "q22_user_running_totals",
+    "q29_sessionization",
     "q35_ngram_jaccard_pairs",
     "q36_minhash_lsh_dedup",
     "q40_ann_bruteforce",
     "q45_multimodal_metadata",
+    "q47_trigram_fuzzy_search",
     "q50_stream_hourly_rollup",
+    "q53_asof_price",
 )
 
 

@@ -99,6 +99,72 @@ def q28_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_Q58 = """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_d,
+       GROUPING(c_mktsegment)::BIGINT * 2 + GROUPING(o_orderpriority)::BIGINT AS gl
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+ORDER BY gl, c_mktsegment, o_orderpriority
+"""
+
+
+@register(
+    "q58_order_cube",
+    oracle=_ORACLE_Q58,
+    doc="CUBE over (segment, priority): all four grouping-set "
+    "combinations in one pass.",
+    tags=("cube", "agg"),
+)
+def q58_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_out(F.sum(dec("o_totalprice"))).alias("total_d"),
+            (
+                F.grouping("c_mktsegment").cast("bigint") * 2
+                + F.grouping("o_orderpriority").cast("bigint")
+            ).alias("gl"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "n", "total_d", "gl")
+        .orderBy("gl", "c_mktsegment", "o_orderpriority")
+    )
+
+
+_ORACLE_Q59 = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "q59_semi_join_urgent",
+    oracle=_ORACLE_Q59,
+    doc="EXISTS / left-semi join: customers with at least one urgent "
+    "order (the dual of q19's anti-join).",
+    tags=("join", "semi"),
+)
+def q59_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    urgent = cat.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cat.customer.join(
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 _ORACLE_Q49 = """
 SELECT event_type,
        COUNT(*) AS n,

@@ -28,6 +28,11 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+    # stable schema + result across repeated invocation (the driver
+    # may call more than once)
+    df2 = e.entry(spark)
+    assert df2.schema == df.schema
+    assert [tuple(r) for r in df2.collect()] == [tuple(r) for r in rows]
 
 
 def test_pandas_ann_agrees_with_exact(spark, sf_smoke):
