@@ -98,6 +98,69 @@ FROM documents
 """
 
 
+FRAME_SAMPLES = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_pos", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(blob)
+            frames_total = 1 + n % 240
+            k = min(frames_total, FRAME_SAMPLES)
+            for i in range(k):
+                pos = i * frames_total // k
+                out.append(
+                    (
+                        doc_id,
+                        pos,
+                        hashlib.md5(f"{doc_id}:{pos}".encode()).hexdigest(),
+                    )
+                )
+        yield pd.DataFrame(out, columns=["doc_id", "frame_pos", "frame_hash"])
+
+
+_ORACLE_Q60 = f"""
+WITH vids AS (
+    SELECT doc_id,
+           1 + length(text) % 240 AS frames_total,
+           least(1 + length(text) % 240, {FRAME_SAMPLES}) AS k
+    FROM documents
+    WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(i * frames_total // k AS INTEGER) AS frame_pos,
+       md5(doc_id || ':' || CAST(i * frames_total // k AS VARCHAR)) AS frame_hash
+FROM vids, UNNEST(range(0, k)) AS t(i)
+"""
+
+
+@register(
+    "q60_multimodal_frame_sample",
+    oracle=_ORACLE_Q60,
+    doc="Frame sampling for video payloads via mapInPandas (stubbed "
+    "decoder): uniform-stride positions, one output row per sampled "
+    "frame — the explode-shaped pandas pattern.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q60_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    vids = cat.documents.where(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return vids.mapInPandas(_sample_frames, FRAME_SCHEMA)
+
+
 @register(
     "q45_multimodal_metadata",
     oracle=_ORACLE_Q45,

@@ -189,6 +189,81 @@ def q46_ann_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Random-hyperplane LSH: 8 signed projections → 256 buckets.
+# Hyperplane weights are DATA-INDEPENDENT pseudo-random integers
+# derived from md5 at module load (python-side) and inlined as
+# literals into both engines — no runtime hashing, and the dot
+# products are ALL-INTEGER (embedding scaled by 1e6 via floor), so
+# both engines compute bit-identical signs with zero float-ordering
+# risk.
+import hashlib as _hashlib
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def _plane_weights() -> list[list[int]]:
+    return [
+        [
+            int(_hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:12], 16) % 2001 - 1000
+            for d in range(EMB_DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+PLANES = _plane_weights()
+
+
+def _plane_sql(p: int) -> str:
+    w = PLANES[p]
+    terms = " + ".join(f"m[{d + 1}] * ({w[d]})" for d in range(EMB_DIM))
+    return f"(CASE WHEN {terms} > 0 THEN 1::BIGINT << {p} ELSE 0 END)"
+
+
+_ORACLE_Q44 = f"""
+WITH m AS (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
+    FROM embeddings
+)
+SELECT vec_id, label,
+       {" + ".join(_plane_sql(p) for p in range(N_PLANES))} AS bucket
+FROM m
+"""
+
+
+@register(
+    "q44_rp_lsh_buckets",
+    oracle=_ORACLE_Q44,
+    doc="Random-hyperplane LSH bucketing (8 planes → 256 buckets): "
+    "literal integer hyperplanes, all-integer dot products — the "
+    "cosine-space analog of MinHash banding for 100 TB ANN.",
+    tags=("similarity", "lsh"),
+)
+def q44_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    e = cat.embeddings.select("vec_id", "label", m.alias("m"))
+    bucket = None
+    for p in range(N_PLANES):
+        w = F.array(*[F.lit(v) for v in PLANES[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("m"), w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = term if bucket is None else bucket + term
+    return e.select("vec_id", "label", bucket.alias("bucket"))
+
+
 _ORACLE_Q41 = f"""
 WITH {_IVF_CTE}
 SELECT vec_id, centroid_id, d2_r FROM assign
