@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..functions.money import to_double
-from ..mapping import domain_sql, effective, products, supermarkets
+from ..mapping import domain_sql, products, supermarkets
 from ..registry import register
 
 BASKET = ("3", "7", "11", "19", "23")

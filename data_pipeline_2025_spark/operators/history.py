@@ -14,12 +14,12 @@ aggs, no data explosion; history per key is bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..functions.money import to_double
-from ..mapping import domain_sql, effective, products
+from ..mapping import domain_sql, products
 from ..registry import register
 
 BARCODE = "50"

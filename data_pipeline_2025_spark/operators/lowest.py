@@ -16,7 +16,7 @@ data shuffled by supermarket_id; no row explosion, AQE handles skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog

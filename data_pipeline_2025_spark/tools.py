@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
