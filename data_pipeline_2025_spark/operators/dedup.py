@@ -309,6 +309,93 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- full pipeline
+
+_ORACLE_Q61 = f"""
+WITH fp AS (
+    SELECT doc_id, n_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+exact_survivors AS (
+    SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+),
+{SHINGLES_SQL.lstrip()},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+near_dup_losers AS (
+    SELECT DISTINCT v.doc_b AS doc_id
+    FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+        GROUP BY c.doc_a, c.doc_b
+    ) v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) >= {LSH_VERIFY_THRESHOLD}
+),
+kept AS (
+    SELECT e.doc_id FROM exact_survivors e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+)
+SELECT (SELECT COUNT(*) FROM documents)          AS input_docs,
+       (SELECT COUNT(*) FROM exact_survivors)    AS after_exact,
+       (SELECT COUNT(*) FROM kept)               AS after_near_dup,
+       (SELECT SUM(n_chars) FROM fp JOIN kept USING (doc_id)) AS kept_chars
+"""
+
+
+@register(
+    "q61_dedup_pipeline",
+    oracle=_ORACLE_Q61,
+    doc="End-to-end dedup pipeline: exact (md5 groupBy) → MinHash-"
+    "LSH near-dup removal (keep the lower doc_id of each verified "
+    "pair) → surviving-corpus stats. The composition a training-"
+    "data curation job actually runs.",
+    tags=("dedup", "pipeline"),
+)
+def q61_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = cat.documents.select(
+        "doc_id", "n_chars", F.md5(norm).alias("fingerprint")
+    )
+    exact = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    losers = (
+        q36_minhash_lsh_dedup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.select("doc_id").join(losers, "doc_id", "left_anti")
+    input_docs = cat.documents.count()
+    after_exact = exact.count()
+    kept_stats = (
+        kept.join(fp, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("after_near_dup"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(input_docs, after_exact, kept_stats["after_near_dup"], kept_stats["kept_chars"])],
+        "input_docs long, after_exact long, after_near_dup long, kept_chars long",
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 32
