@@ -36,6 +36,7 @@ HEADLINE = (
     "q29_sessionization",
     "q35_ngram_jaccard_pairs",
     "q36_minhash_lsh_dedup",
+    "q63_decontamination",
     "q40_ann_bruteforce",
     "q45_multimodal_metadata",
     "q47_trigram_fuzzy_search",

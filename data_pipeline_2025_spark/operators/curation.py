@@ -1,0 +1,310 @@
+"""Corpus-curation operators over the `documents` table — the
+remaining pieces a large-scale training-data pipeline runs besides
+dedup/similarity/text-stats (BASELINE.json's scale extras; the
+reference's closest analog is its seeded fixture split,
+salim/generate_products.py:225):
+
+- deterministic hash-based train/val/test splits (q62) — the
+  standard trick for reproducible splits with no stored state: the
+  assignment is a pure function of the stable doc key, so any
+  engine (or any re-run over reshuffled data) derives the same
+  split without a lookup table.
+- train/test decontamination (q63) — n-gram overlap between the
+  held-out split and the training split (the eval-leakage check
+  every LLM data pipeline must run).
+- source-mixture weighting (q64) — per-source token shares and the
+  resampling weight that would flatten the mixture to uniform.
+- Gopher-style repetition filters (q65) — top-token concentration
+  and duplicate-bigram fraction per document.
+
+Scale design:
+- The split bucket is column algebra on md5 (JVM-side, codegen); no
+  shuffle, no lookup join — at 100 TB the split is free.
+- q63's contamination join shuffles on the shingle string exactly
+  like q35's Jaccard join; its fan-out is bounded by shingle
+  document frequency. At deployment the held-out side is ~10% of
+  the corpus and static, so you'd broadcast a Bloom filter of test
+  shingles to prefilter the train stream before the shuffle (Spark
+  does this automatically under
+  spark.sql.optimizer.runtime.bloomFilter.enabled when the test
+  side is small; see SCALE.md).
+- q64 is a two-level aggregation (source → total) — partial aggs,
+  bytes of state.
+- q65 is per-document array algebra plus one groupBy(doc_id) for
+  term frequencies — embarrassingly parallel, no cross-document
+  traffic.
+
+md5 is the shared deterministic hash (both engines produce the same
+hex), which is what makes every one of these oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..registry import register
+from .dedup import SHINGLES_SQL, shingles_df
+from .text import TOKENS_SQL, tokens_col
+
+# --------------------------------------------------- hash-split buckets
+
+TRAIN_PCT = 80  # bucket < 80            -> train
+VAL_PCT = 90  # 80 <= bucket < 90      -> val ; >= 90 -> test
+
+# First 8 hex chars of md5(doc_id) as an integer, mod 100. Both
+# engines lowercase-hex their md5, so the bucket is identical.
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100"
+)
+
+
+def bucket_col() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def split_col() -> Column:
+    b = bucket_col()
+    return (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_ORACLE_Q62 = f"""
+WITH b AS (
+    SELECT doc_id, lang, source, n_chars,
+           {_BUCKET_SQL} AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {VAL_PCT}   THEN 'val'
+            ELSE 'test' END          AS split,
+       COUNT(*)                      AS docs,
+       SUM(n_chars)                  AS chars,
+       COUNT(DISTINCT lang)          AS langs,
+       COUNT(DISTINCT source)        AS sources
+FROM b
+GROUP BY split
+"""
+
+
+@register(
+    "q62_deterministic_split",
+    oracle=_ORACLE_Q62,
+    doc="Reproducible train/val/test split (80/10/10) assigned by "
+    "md5(doc_id) bucket — a pure function of the key, identical "
+    "on every engine and every re-run; per-split corpus stats.",
+    tags=("curation", "split"),
+)
+def q62_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select("lang", "source", "n_chars", split_col().alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct("lang").alias("langs"),
+            F.countDistinct("source").alias("sources"),
+        )
+    )
+
+
+# ------------------------------------------------------ decontamination
+
+_ORACLE_Q63 = f"""
+WITH {SHINGLES_SQL},
+marked AS (
+    SELECT doc_id, sh, {_BUCKET_SQL} AS bucket FROM shingles
+),
+train AS (SELECT doc_id, sh FROM marked WHERE bucket < {VAL_PCT}),
+test  AS (SELECT doc_id, sh FROM marked WHERE bucket >= {VAL_PCT}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM test GROUP BY doc_id),
+hits AS (
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.sh)       AS n_contaminated,
+           COUNT(DISTINCT tr.doc_id)  AS n_train_docs
+    FROM test t
+    JOIN train tr ON t.sh = tr.sh
+    GROUP BY t.doc_id
+)
+SELECT h.doc_id,
+       s.n                                 AS n_shingles,
+       h.n_contaminated,
+       CAST(h.n_contaminated AS DOUBLE) / s.n AS contamination_ratio,
+       h.n_train_docs
+FROM hits h
+JOIN sizes s USING (doc_id)
+"""
+
+
+@register(
+    "q63_decontamination",
+    oracle=_ORACLE_Q63,
+    doc="Eval-leakage check: word-trigram shingles of held-out docs "
+    "(md5 bucket >= 90) joined against the train+val shingle "
+    "stream; per test doc, how many of its shingles appear in "
+    "training data and in how many training docs.",
+    tags=("curation", "decontamination"),
+)
+def q63_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir).withColumn("bucket", bucket_col())
+    train = sh.where(F.col("bucket") < VAL_PCT).select("doc_id", "sh")
+    test = sh.where(F.col("bucket") >= VAL_PCT).select("doc_id", "sh")
+    sizes = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        test.join(train.withColumnRenamed("doc_id", "train_doc"), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_contaminated"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+            "contamination_ratio"
+        ),
+        "n_train_docs",
+    )
+
+
+# ----------------------------------------------------- mixture weights
+
+_ORACLE_Q64 = f"""
+WITH t AS (
+    SELECT source, len({TOKENS_SQL}) AS toks FROM documents
+),
+agg AS (
+    SELECT source, COUNT(*) AS docs, SUM(toks) AS tokens
+    FROM t GROUP BY source
+),
+tot AS (SELECT SUM(tokens) AS total, COUNT(*) AS nsources FROM agg)
+SELECT a.source, a.docs, a.tokens,
+       CAST(a.tokens AS DOUBLE) / t.total                  AS token_share,
+       (CAST(1 AS DOUBLE) / t.nsources)
+           / (CAST(a.tokens AS DOUBLE) / t.total)          AS uniform_weight
+FROM agg a CROSS JOIN tot t
+"""
+
+
+@register(
+    "q64_source_mixture",
+    oracle=_ORACLE_Q64,
+    doc="Domain-mixture accounting: per-source doc/token counts, "
+    "token share, and the resampling weight that would flatten "
+    "the mixture to uniform (the knob a data-mixing job turns).",
+    tags=("curation", "mixture"),
+)
+def q64_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    agg = (
+        cat.documents.select("source", F.size(tokens_col()).alias("toks"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("toks").alias("tokens"))
+    )
+    tot = agg.agg(
+        F.sum("tokens").alias("total"), F.count(F.lit(1)).alias("nsources")
+    )
+    share = F.col("tokens").cast("double") / F.col("total")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "tokens",
+        share.alias("token_share"),
+        ((F.lit(1).cast("double") / F.col("nsources")) / share).alias(
+            "uniform_weight"
+        ),
+    )
+
+
+# ------------------------------------------------- repetition (Gopher)
+
+TOP_TOKEN_MAX = 0.2  # flag if the most frequent token is >20% of doc
+DUP_BIGRAM_MAX = 0.3  # flag if >30% of bigrams are repeats
+
+_ORACLE_Q65 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, toks,
+           [array_to_string(list_slice(toks, i, i + 1), ' ')
+            for i in range(1, len(toks))] AS bigrams
+    FROM toks
+    WHERE len(toks) >= 2
+),
+tf AS (
+    SELECT doc_id, unnest(toks) AS tok FROM base
+),
+top AS (
+    SELECT doc_id, MAX(c) AS top_c
+    FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tf GROUP BY doc_id, tok)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.toks)                                   AS words,
+       CAST(t.top_c AS DOUBLE) / len(b.toks)         AS top_token_ratio,
+       CAST(len(b.bigrams) - len(list_distinct(b.bigrams)) AS DOUBLE)
+           / len(b.bigrams)                          AS dup_bigram_ratio,
+       CASE WHEN CAST(t.top_c AS DOUBLE) / len(b.toks) > {TOP_TOKEN_MAX}
+              OR CAST(len(b.bigrams) - len(list_distinct(b.bigrams)) AS DOUBLE)
+                     / len(b.bigrams) > {DUP_BIGRAM_MAX}
+            THEN 1 ELSE 0 END                        AS flagged
+FROM base b
+JOIN top t USING (doc_id)
+"""
+
+
+@register(
+    "q65_repetition_filter",
+    oracle=_ORACLE_Q65,
+    doc="Gopher-style repetition signals per document: top-token "
+    "concentration (explode + groupBy term frequency) and "
+    "duplicate-bigram fraction (pure array algebra, no shuffle); "
+    "flag = would-be-removed by the quality filter.",
+    tags=("curation", "quality"),
+)
+def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    base = cat.documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ).alias("bigrams"),
+    ).where(F.size("toks") >= 2)
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    words = F.size("toks")
+    top_ratio = F.col("top_c").cast("double") / words
+    dup_ratio = (
+        (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).cast("double")
+        / F.size("bigrams")
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        words.alias("words"),
+        top_ratio.alias("top_token_ratio"),
+        dup_ratio.alias("dup_bigram_ratio"),
+        F.when((top_ratio > TOP_TOKEN_MAX) | (dup_ratio > DUP_BIGRAM_MAX), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flagged"),
+    )

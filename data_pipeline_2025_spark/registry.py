@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.text",
     "data_pipeline_2025_spark.operators.similarity",
     "data_pipeline_2025_spark.operators.multimodal",
+    "data_pipeline_2025_spark.operators.curation",
     "data_pipeline_2025_spark.streaming.windowed",
 )
 
