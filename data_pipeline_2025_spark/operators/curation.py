@@ -227,6 +227,92 @@ def q64_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- deterministic downsample
+
+# Independent hash for sampling decisions: a DIFFERENT md5 substring
+# (chars 9-16) than the split bucket (chars 1-8), so sampling is
+# uncorrelated with the train/val/test assignment.
+_SAMPLE_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS UBIGINT) % 1000"
+)
+
+_ORACLE_Q66 = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len({TOKENS_SQL})    AS toks,
+           {_SAMPLE_BUCKET_SQL} AS sbucket
+    FROM documents
+),
+agg AS (
+    SELECT source, COUNT(*) AS docs_in, SUM(toks) AS tokens_in
+    FROM t GROUP BY source
+),
+tot AS (SELECT SUM(tokens_in) AS total, COUNT(*) AS nsources FROM agg),
+rates AS (
+    SELECT a.source, a.docs_in,
+           LEAST(1000, CAST(floor(
+               CAST(1000 * t.total AS DOUBLE) / (t.nsources * a.tokens_in)
+           ) AS BIGINT)) AS keep_permille
+    FROM agg a CROSS JOIN tot t
+)
+SELECT r.source, r.docs_in, r.keep_permille,
+       COUNT(*) FILTER (WHERE t.sbucket < r.keep_permille)     AS docs_kept,
+       COALESCE(SUM(t.toks) FILTER (WHERE t.sbucket < r.keep_permille), 0)
+                                                               AS tokens_kept
+FROM t JOIN rates r USING (source)
+GROUP BY r.source, r.docs_in, r.keep_permille
+"""
+
+
+@register(
+    "q66_weighted_downsample",
+    oracle=_ORACLE_Q66,
+    doc="Deterministic mixture rebalancing: per-source keep rate "
+    "(permille) that flattens token shares to uniform, applied by "
+    "hash-mod thinning on an md5 bucket independent of the q62 "
+    "split bucket. Reproducible sampling with no RNG state — the "
+    "same doc survives on every engine and every re-run.",
+    tags=("curation", "sampling"),
+)
+def q66_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sbucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    t = cat.documents.select(
+        "doc_id", "source", F.size(tokens_col()).alias("toks"), sbucket.alias("sbucket")
+    )
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"), F.sum("toks").alias("tokens_in")
+    )
+    tot = agg.agg(
+        F.sum("tokens_in").alias("total"), F.count(F.lit(1)).alias("nsources")
+    )
+    rate = F.least(
+        F.lit(1000).cast("long"),
+        F.floor(
+            (F.lit(1000) * F.col("total")).cast("double")
+            / (F.col("nsources") * F.col("tokens_in"))
+        ),
+    )
+    rates = agg.crossJoin(F.broadcast(tot)).select(
+        "source", "docs_in", rate.alias("keep_permille")
+    )
+    kept = F.col("sbucket") < F.col("keep_permille")
+    return (
+        t.join(F.broadcast(rates), "source")
+        .groupBy("source", "docs_in", "keep_permille")
+        .agg(
+            F.count(F.when(kept, 1)).alias("docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("toks"))), F.lit(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------- repetition (Gopher)
 
 TOP_TOKEN_MAX = 0.2  # flag if the most frequent token is >20% of doc

@@ -68,6 +68,31 @@ def test_whole_stage_codegen_on_flagship(spark, sf_smoke):
     assert "WholeStageCodegen subtrees" in codegen
 
 
+def test_split_is_scan_local(spark, sf_smoke):
+    """q62: the md5-bucket split must be pure column algebra over the
+    scan — no join, no lookup table; one partial+final aggregation."""
+    plan = plan_of(spark, "q62_deterministic_split", sf_smoke)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_decontamination_reuses_shingle_cache(spark, sf_smoke):
+    """q63: train/test/sizes all read the ONE persisted shingle frame
+    (at scale: materialize once, scan thrice) — and the held-out
+    probe side never becomes a cartesian."""
+    plan = plan_of(spark, "q63_decontamination", sf_smoke)
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_downsample_rates_broadcast(spark, sf_smoke):
+    """q66: the per-source rate table (O(#sources) rows) must ride
+    the broadcast path back onto the fact scan, never a shuffle."""
+    plan = plan_of(spark, "q66_weighted_downsample", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ann_cross_join_is_broadcast(spark, sf_smoke):
     """The ANN scoring pass streams candidates against BROADCAST
     query vectors — a shuffled cartesian would be a scale bug."""
