@@ -87,7 +87,7 @@ SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
             WHEN bucket < {VAL_PCT}   THEN 'val'
             ELSE 'test' END          AS split,
        COUNT(*)                      AS docs,
-       SUM(n_chars)                  AS chars,
+       CAST(SUM(n_chars) AS BIGINT)  AS chars,
        COUNT(DISTINCT lang)          AS langs,
        COUNT(DISTINCT source)        AS sources
 FROM b
@@ -185,7 +185,7 @@ WITH t AS (
     SELECT source, len({TOKENS_SQL}) AS toks FROM documents
 ),
 agg AS (
-    SELECT source, COUNT(*) AS docs, SUM(toks) AS tokens
+    SELECT source, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
     FROM t GROUP BY source
 ),
 tot AS (SELECT SUM(tokens) AS total, COUNT(*) AS nsources FROM agg)
@@ -257,8 +257,8 @@ rates AS (
 )
 SELECT r.source, r.docs_in, r.keep_permille,
        COUNT(*) FILTER (WHERE t.sbucket < r.keep_permille)     AS docs_kept,
-       COALESCE(SUM(t.toks) FILTER (WHERE t.sbucket < r.keep_permille), 0)
-                                                               AS tokens_kept
+       CAST(COALESCE(SUM(t.toks) FILTER (WHERE t.sbucket < r.keep_permille), 0)
+            AS BIGINT)                                         AS tokens_kept
 FROM t JOIN rates r USING (source)
 GROUP BY r.source, r.docs_in, r.keep_permille
 """
@@ -338,14 +338,14 @@ top AS (
     GROUP BY doc_id
 )
 SELECT b.doc_id,
-       len(b.toks)                                   AS words,
+       CAST(len(b.toks) AS INTEGER)                  AS words,
        CAST(t.top_c AS DOUBLE) / len(b.toks)         AS top_token_ratio,
        CAST(len(b.bigrams) - len(list_distinct(b.bigrams)) AS DOUBLE)
            / len(b.bigrams)                          AS dup_bigram_ratio,
        CASE WHEN CAST(t.top_c AS DOUBLE) / len(b.toks) > {TOP_TOKEN_MAX}
               OR CAST(len(b.bigrams) - len(list_distinct(b.bigrams)) AS DOUBLE)
                      / len(b.bigrams) > {DUP_BIGRAM_MAX}
-            THEN 1 ELSE 0 END                        AS flagged
+            THEN CAST(1 AS BIGINT) ELSE 0 END        AS flagged
 FROM base b
 JOIN top t USING (doc_id)
 """

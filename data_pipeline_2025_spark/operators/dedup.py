@@ -354,7 +354,7 @@ kept AS (
 SELECT (SELECT COUNT(*) FROM documents)          AS input_docs,
        (SELECT COUNT(*) FROM exact_survivors)    AS after_exact,
        (SELECT COUNT(*) FROM kept)               AS after_near_dup,
-       (SELECT SUM(n_chars) FROM fp JOIN kept USING (doc_id)) AS kept_chars
+       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM fp JOIN kept USING (doc_id)) AS kept_chars
 """
 
 
@@ -483,7 +483,7 @@ cand AS (
                 AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
 FROM cand c
 JOIN simhash sa ON c.doc_a = sa.doc_id
 JOIN simhash sb ON c.doc_b = sb.doc_id

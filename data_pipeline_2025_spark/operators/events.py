@@ -53,7 +53,7 @@ def q21_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_Q22 = """
 SELECT event_id, user_id,
-       row_number() OVER w AS rn,
+       CAST(row_number() OVER w AS INTEGER) AS rn,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -126,11 +126,11 @@ def q23_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_Q24 = """
 SELECT user_id,
        COUNT(*) AS n,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signups,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS views,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS clicks,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS errors,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS errors,
        CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL   AS has_k
 FROM events
 GROUP BY user_id, has_k

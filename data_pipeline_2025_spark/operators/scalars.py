@@ -20,7 +20,7 @@ SELECT p_partkey,
        CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
        md5(p_name)                                        AS name_hash,
        upper(p_type)                                      AS type_u,
-       length(p_name)                                     AS name_len,
+       CAST(length(p_name) AS INTEGER)                    AS name_len,
        split_part(p_name, ' ', 1)                         AS first_word,
        CAST(CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) AS BIGINT) AS price_cents,
        CAST(regexp_replace(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR),
@@ -72,7 +72,7 @@ _ORACLE_Q26 = """
 SELECT c_mktsegment,
        COUNT(*) AS customers,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance_d,
-       SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS negative_accounts,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_accounts,
        md5(c_mktsegment) AS segment_hash
 FROM customer
 GROUP BY c_mktsegment

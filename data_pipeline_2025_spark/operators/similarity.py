@@ -59,7 +59,7 @@ pairs AS (
            round(list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)), 6) AS cos_r
     FROM q JOIN n c ON c.vec_id <> q.vec_id
 )
-SELECT query_id, neighbor_id, neighbor_label, cos_r, rn AS rank
+SELECT query_id, neighbor_id, neighbor_label, cos_r, CAST(rn AS INTEGER) AS rank
 FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id

@@ -37,9 +37,9 @@ WITH d AS (
            length(text) AS chars
     FROM documents
 )
-SELECT doc_id, lang, source, chars,
-       len(toks) AS words,
-       len(list_distinct(toks)) AS uniq_words,
+SELECT doc_id, lang, source, CAST(chars AS INTEGER) AS chars,
+       CAST(len(toks) AS INTEGER) AS words,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS uniq_words,
        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)  AS avg_word_len,
        CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
            / len(toks)                                             AS stop_ratio,
@@ -195,9 +195,9 @@ WITH d AS (
 )
 SELECT source,
        COUNT(*)        AS docs,
-       SUM(ws_tokens)  AS total_ws_tokens,
-       SUM(re_tokens)  AS total_re_tokens,
-       SUM(bpe_est)    AS total_bpe_est,
+       CAST(SUM(ws_tokens) AS BIGINT)  AS total_ws_tokens,
+       CAST(SUM(re_tokens) AS BIGINT)  AS total_re_tokens,
+       CAST(SUM(bpe_est)   AS BIGINT)  AS total_bpe_est,
        CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
 FROM d
 GROUP BY source
