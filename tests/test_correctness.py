@@ -51,3 +51,46 @@ def test_contract_shape():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 1
+
+
+# A silently-dropped operator module (the registry.load_all()
+# ModuleNotFoundError guard) must show up as a hard failure here.
+# Bump this when registering new queries.
+EXPECTED_QUERY_COUNT = 65
+
+
+def test_registry_complete():
+    assert len(SPECS) == EXPECTED_QUERY_COUNT, sorted(SPECS)
+
+
+def test_priority_queries_inside_driver_cap():
+    """Driver evidence says the correctness sweep caps at 50 queries
+    in registration order. The 15 queries it skipped in round 1 plus
+    every round-1 red query fixed this round must sit inside the
+    first 50 so the driver actually checks them."""
+    first_50 = set(list(SPECS)[:50])
+    must_lead = {
+        # skipped in round 1
+        "q40_ann_bruteforce",
+        "q41_ivf_assign",
+        "q42_ivf_cluster_stats",
+        "q43_embedding_neardup",
+        "q44_rp_lsh_buckets",
+        "q46_ann_pandas_vectorized",
+        "q45_multimodal_metadata",
+        "q60_multimodal_frame_sample",
+        "q62_deterministic_split",
+        "q63_decontamination",
+        "q64_source_mixture",
+        "q65_repetition_filter",
+        "q66_weighted_downsample",
+        "q50_stream_hourly_rollup",
+        "q51_stream_dedup_replay",
+        # red in round 1, oracle fixed this round
+        "q24_user_event_pivot",
+        "q26_segment_balances",
+        "q29_sessionization",
+        "q32_token_counts",
+        "q61_dedup_pipeline",
+    }
+    assert must_lead <= first_50, must_lead - first_50
