@@ -72,12 +72,13 @@ def search_products(
         df = df.where(F.col("price") <= max_price)
     if supermarket_id:  # deliberate falsy check — the Q6 quirk
         df = df.where(F.col("supermarket_id") == supermarket_id)
-    w = Window.orderBy("product_id")
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-        .drop("_rn")
-    )
+    # Pagination compiles to TakeOrderedAndProject(offset+limit, offset):
+    # a parallel partial top-k per partition, merged on the driver —
+    # never a single-partition row_number window (which would funnel
+    # every filtered row through one task at scale). Keyset pagination
+    # (WHERE product_id > last_seen ORDER BY product_id LIMIT n) is the
+    # O(page) production path; see operators/search.py docstring.
+    return df.orderBy("product_id").offset(offset).limit(limit)
 
 
 def compare_offers(

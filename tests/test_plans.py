@@ -32,6 +32,15 @@ def test_search_pushes_scan_filters(spark, sf_smoke):
     assert "LessThanOrEqual(l_extendedprice" in plan
 
 
+def test_pagination_is_take_ordered(spark, sf_smoke):
+    """Q7 pagination must compile to TakeOrderedAndProject (parallel
+    partial top-k with offset) — NEVER a single-partition row_number
+    window, which funnels every filtered row through one task."""
+    plan = plan_of(spark, "q02_product_search", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_argmin_uses_window_group_limit(spark, sf_smoke):
     """W1 rank()==1 should trigger Spark's WindowGroupLimit pushdown
     (top-1 computed per partition before the full window sort)."""
