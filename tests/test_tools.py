@@ -45,6 +45,68 @@ def test_best_basket_and_savings_consistency(spark, sf_smoke):
         assert worst["stores"][0]["supermarket_name"] == sav["most_expensive_store"]
 
 
+def test_mcp_schema_covers_every_tool():
+    from data_pipeline_2025_spark import mcp
+
+    assert set(mcp.TOOL_SCHEMAS) == set(tools.ALL_TOOLS)
+    assert set(mcp.RESULT_SHAPES) == set(tools.ALL_TOOLS)
+    for schema in mcp.list_tools():
+        s = schema["inputSchema"]
+        assert s["type"] == "object"
+        assert set(s["required"]) <= set(s["properties"])
+
+
+SAMPLE_ARGS = {
+    "search_product": {"term": "widget"},
+    "compare_results": {"barcode": "50"},
+    "find_best_basket": {"barcodes": BASKET},
+    "find_most_expensive_basket": {"barcodes": BASKET},
+    "calculate_savings": {"barcodes": BASKET},
+    "get_stores": {},
+    "get_store_info": {"supermarket_id": 1},
+}
+
+
+def test_mcp_results_match_declared_shapes(spark, sf_smoke):
+    """Every tool result, dispatched through the protocol layer, must
+    match its declared result contract — keys ⊇ always, ⊆ always ∪
+    conditional (list tools: element keys exactly as declared)."""
+    from data_pipeline_2025_spark import mcp
+
+    for name, args in SAMPLE_ARGS.items():
+        res = mcp.execute_tool(spark, sf_smoke, name, args)
+        shape = mcp.RESULT_SHAPES[name]
+        if shape.get("list"):
+            assert isinstance(res, list) and res, name
+            for el in res:
+                assert set(el) == shape["element"], (name, el)
+        else:
+            keys = set(res)
+            assert shape["always"] <= keys, (name, keys)
+            assert keys <= shape["always"] | shape["conditional"], (name, keys)
+
+
+def test_mcp_validation_rejects_bad_calls(spark, sf_smoke):
+    import pytest as _pytest
+
+    from data_pipeline_2025_spark import mcp
+
+    with _pytest.raises(KeyError):
+        mcp.execute_tool(spark, sf_smoke, "no_such_tool", {})
+    with _pytest.raises(mcp.ToolValidationError):
+        mcp.execute_tool(spark, sf_smoke, "search_product", {})  # missing term
+    with _pytest.raises(mcp.ToolValidationError):
+        mcp.execute_tool(spark, sf_smoke, "search_product", {"term": 7})
+    with _pytest.raises(mcp.ToolValidationError):
+        mcp.execute_tool(spark, sf_smoke, "get_store_info", {"supermarket_id": "x"})
+    with _pytest.raises(mcp.ToolValidationError):
+        mcp.execute_tool(
+            spark, sf_smoke, "find_best_basket", {"barcodes": [1, 2]}
+        )
+    with _pytest.raises(mcp.ToolValidationError):
+        mcp.execute_tool(spark, sf_smoke, "get_stores", {"zipcode": "x"})
+
+
 def test_get_stores_and_info(spark, sf_smoke):
     stores = tools.get_stores(spark, sf_smoke)
     assert stores
