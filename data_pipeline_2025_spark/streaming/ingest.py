@@ -14,6 +14,14 @@ Sink is parquet here (this container has no Delta); with Delta the
 foreachBatch body becomes a single MERGE. The replay test in
 tests/test_ingest.py proves duplicate file delivery does not
 duplicate rows.
+
+The sink is PARTITIONED BY event date (ingest_date =
+date(price_update_date)) and the idempotence anti-join reads ONLY
+the partitions present in the micro-batch — the MERGE-shaped,
+partition-bounded upsert: replays arrive within a bounded event-time
+window (T6), so the dedup read is O(replay window), never
+O(history). With Delta the same scoping is the MERGE predicate
+`target.ingest_date IN (...)` that enables file skipping.
 """
 
 from __future__ import annotations
@@ -28,6 +36,23 @@ from ..sources.bronze import explode_items, normalize_price_payload
 from ..sources.silver import dedupe_price_items, normalize_items
 
 DEDUP_KEY = ["chain_id", "store_id", "item_code", "price_update_date", "raw_hash"]
+PARTITION_COL = "ingest_date"
+
+
+def scoped_existing_keys(
+    spark: SparkSession, sink_dir: str, touched_dates: list
+) -> DataFrame:
+    """Existing-key frame restricted to the sink partitions a batch
+    touches. The IN-list predicate on the partition column prunes at
+    the file index — untouched date partitions are never opened
+    (asserted by tests/test_ingest.py::test_upsert_reads_only_touched_partitions).
+    ``touched_dates`` may contain None (malformed PriceUpdateDate →
+    the null partition)."""
+    dates = [d for d in touched_dates if d is not None]
+    pred = F.col(PARTITION_COL).isin(dates) if dates else F.lit(False)
+    if any(d is None for d in touched_dates):
+        pred = pred | F.col(PARTITION_COL).isNull()
+    return spark.read.parquet(sink_dir).where(pred).select(*DEDUP_KEY)
 
 
 def start_price_ingest(
@@ -53,10 +78,18 @@ def start_price_ingest(
     silver = normalize_items(explode_items(normalize_price_payload(raw)))
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = dedupe_price_items(batch)
+        batch = dedupe_price_items(batch).withColumn(
+            PARTITION_COL, F.to_date("price_update_date")
+        )
         spark_ = batch.sparkSession
         if os.path.exists(sink_dir):
-            existing = spark_.read.parquet(sink_dir).select(*DEDUP_KEY)
+            # One row per event date in the micro-batch — bounded by
+            # the replay window, tiny driver-side list.
+            touched = [
+                r[PARTITION_COL]
+                for r in batch.select(PARTITION_COL).distinct().collect()
+            ]
+            existing = scoped_existing_keys(spark_, sink_dir, touched)
             # eqNullSafe: a NULL key column (e.g. malformed
             # PriceUpdateDate) must still match its replayed twin, or
             # every replay re-appends those rows.
@@ -65,7 +98,7 @@ def start_price_ingest(
                 c = batch[k].eqNullSafe(existing[k])
                 cond = c if cond is None else cond & c
             batch = batch.join(existing, cond, "left_anti")
-        batch.write.mode("append").parquet(sink_dir)
+        batch.write.mode("append").partitionBy(PARTITION_COL).parquet(sink_dir)
 
     return (
         silver.writeStream.foreachBatch(write_batch)

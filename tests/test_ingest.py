@@ -184,6 +184,43 @@ def test_store_upsert_get_or_create(spark, price_dir):
     assert dim2.count() == dim1.count()
 
 
+def test_upsert_reads_only_touched_partitions(spark, tmp_path):
+    """The MERGE-shaped upsert's anti-join must be partition-bounded:
+    scoping the existing-keys read to the batch's event dates prunes
+    at the file index — O(replay window), never O(history)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_2025_spark.streaming.ingest import scoped_existing_keys
+
+    sink = str(tmp_path / "part_sink")
+    df = spark.range(30).select(
+        F.lit("c").alias("chain_id"),
+        F.lit("s").alias("store_id"),
+        F.col("id").cast("string").alias("item_code"),
+        F.to_timestamp(F.lit("2025-08-21 00:00:00")).alias("price_update_date"),
+        F.md5(F.col("id").cast("string")).alias("raw_hash"),
+        F.date_add(F.lit("2025-08-20").cast("date"), (F.col("id") % 3).cast("int")).alias(
+            "ingest_date"
+        ),
+    )
+    df.write.mode("append").partitionBy("ingest_date").parquet(sink)
+
+    scoped = scoped_existing_keys(spark, sink, [datetime.date(2025, 8, 21)])
+    assert scoped.count() == 10  # one of three date partitions
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ingest_date" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # null event date → only the null partition (plus nothing else)
+    assert scoped_existing_keys(spark, sink, [None]).count() == 0
+    both = scoped_existing_keys(
+        spark, sink, [None, datetime.date(2025, 8, 20)]
+    )
+    assert both.count() == 10
+
+
 def test_streaming_ingest_replay_effectively_once(spark, price_dir, tmp_path):
     from data_pipeline_2025_spark.streaming.ingest import start_price_ingest
 
