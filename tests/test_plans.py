@@ -102,6 +102,30 @@ def test_downsample_rates_broadcast(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
 
 
+def test_trigram_index_prunes_partitions(spark, sf_smoke):
+    """q67: the inverted-index lookup must read only the term's own
+    posting lists — first-char partition pruning + tg IN-filter
+    pushed to the parquet scan (the GIN-index behavior)."""
+    df = SPECS["q67_trigram_index_search"].spark_fn(spark, sf_smoke)
+    plan = _plan_of(df, "formatted")
+    assert "PartitionFilters" in plan
+    part_sec = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "tg1" in part_sec and "tg1#" in part_sec
+    assert "PushedFilters" in plan
+    pushed_sec = plan.split("PushedFilters")[1].split("]")[0]
+    assert "In(tg," in pushed_sec.replace(" ", "").replace("In(tg,", "In(tg,") or "In(tg" in pushed_sec
+
+
+def test_trigram_index_agrees_with_scan_side(spark, sf_smoke):
+    """Index-side (q67) and scan-side (q47) halves of the pg_trgm
+    analog must return identical results."""
+    a = SPECS["q47_trigram_fuzzy_search"].spark_fn(spark, sf_smoke).collect()
+    b = SPECS["q67_trigram_index_search"].spark_fn(spark, sf_smoke).collect()
+    assert [(r["name"], round(r["sim"], 12)) for r in a] == [
+        (r["name"], round(r["sim"], 12)) for r in b
+    ]
+
+
 def test_ann_cross_join_is_broadcast(spark, sf_smoke):
     """The ANN scoring pass streams candidates against BROADCAST
     query vectors — a shuffled cartesian would be a scale bug."""
