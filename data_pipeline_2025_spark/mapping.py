@@ -89,7 +89,40 @@ def supermarkets(cat: Catalog) -> DataFrame:
     )
 
 
-def products(cat: Catalog) -> DataFrame:
+# Materialized-silver registry: sf_dirs whose products table has
+# been written this process (rebuilt once per process → always fresh
+# vs the source parquet, amortized across every domain query).
+_SILVER_BUILT: set[str] = set()
+
+
+def silver_products_path(sf_dir: str) -> str:
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"{tempfile.gettempdir()}/dp2025_gold/{key}/products_silver"
+
+
+def products(cat: Catalog, materialized: bool = True) -> DataFrame:
+    """The products fact view. ``materialized=True`` (default) reads
+    a silver parquet table written once per (process, sf_dir) — the
+    engine's ingest-time materialization, mirroring the reference
+    where `products` IS a loaded Postgres table (tables.sql:14-41),
+    not a per-query join. The md5 surrogate id is computed once at
+    write time instead of per query (SCALE.md: "materialize the id
+    at ingest"); every domain query then scans a columnar table with
+    pushed filters and no join. ``materialized=False`` returns the
+    defining expression (used by the builder itself and available
+    for pipelines that want fusion with upstream operators)."""
+    if not materialized:
+        return _products_expr(cat)
+    path = silver_products_path(cat.sf_dir)
+    if path not in _SILVER_BUILT:
+        _products_expr(cat).write.mode("overwrite").parquet(path)
+        _SILVER_BUILT.add(path)
+    return cat.spark.read.parquet(path)
+
+
+def _products_expr(cat: Catalog) -> DataFrame:
     price = dec("l_extendedprice")
     disc = dec("l_discount", 6, 4)
     one = dec_lit("1.0000")

@@ -25,11 +25,13 @@ def test_dimension_joins_broadcast(spark, sf_smoke):
 
 
 def test_search_pushes_scan_filters(spark, sf_smoke):
-    """Q5 price range must reach the lineitem parquet scan via the
-    raw-double superset filter (row-group pruning at scale)."""
+    """Q5 price range must reach the parquet scan (row-group pruning
+    at scale). On the materialized silver table both the raw-double
+    superset filter and the exact decimal predicate push down."""
     plan = plan_of(spark, "q02_product_search", sf_smoke)
-    assert "GreaterThanOrEqual(l_extendedprice" in plan
-    assert "LessThanOrEqual(l_extendedprice" in plan
+    assert "GreaterThanOrEqual(_price_raw" in plan
+    assert "LessThanOrEqual(_price_raw" in plan
+    assert "products_silver" in plan  # reads the ingest-materialized table
 
 
 def test_pagination_is_take_ordered(spark, sf_smoke):
