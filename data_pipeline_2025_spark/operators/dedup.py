@@ -458,6 +458,81 @@ def q61_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- duplicated spans
+#
+# Exact-substring duplication signal (the Lee et al. "Deduplicating
+# Training Data Makes Language Models Better" idea, span-level): a
+# document's 8-gram windows that also appear in OTHER documents are
+# duplicated spans; their fraction is the cut-or-keep signal a
+# substring-dedup pass uses. Scale shape: window→df is one groupBy
+# on the gram hash (uniform keys, partial-aggregatable); the join
+# back to window positions is an equi-join on the same key — no
+# pair explosion anywhere (this is a per-DOC signal, not a pair
+# generator).
+
+SPAN_N = 8
+
+_SPANS_SQL = f"""
+toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           unnest([md5(array_to_string(list_slice(toks, i, i + {SPAN_N - 1}), ' '))
+                   for i in range(1, len(toks) - {SPAN_N - 2})]) AS g
+    FROM toks
+    WHERE len(toks) >= {SPAN_N}
+)"""
+
+_ORACLE_Q69 = f"""
+WITH {_SPANS_SQL},
+df AS (
+    SELECT g, COUNT(DISTINCT doc_id) AS docs FROM spans GROUP BY g
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT)                                    AS windows,
+       CAST(SUM(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                   AS dup_windows,
+       CAST(SUM(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*)                                              AS dup_ratio
+FROM spans s JOIN df USING (g)
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "q69_duplicated_span_ratio",
+    oracle=_ORACLE_Q69,
+    doc="Span-level exact-duplication signal: fraction of each "
+    "document's 8-gram windows that appear in at least one other "
+    "document (substring-dedup cut signal; per-doc, no pair join).",
+    tags=("dedup", "spans"),
+)
+def q69_duplicated_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, SPAN_N), " ")),
+    )
+    spans = cat.documents.where(F.size(toks) >= SPAN_N).select(
+        "doc_id", F.explode(F.when(F.size(toks) >= SPAN_N, gram)).alias("g")
+    )
+    df_counts = spans.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("docs")
+    )
+    dup = F.when(F.col("docs") >= 2, 1).otherwise(0)
+    return (
+        spans.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("windows"),
+            F.sum(dup).cast("bigint").alias("dup_windows"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+        )
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 32

@@ -263,3 +263,78 @@ def q33_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.array_join(F.slice(tokens_col(), 1, 8), " ").alias("prefix"),
     )
+
+
+# ------------------------------------------------- vocabulary coverage
+#
+# Tokenizer-coverage filter: build the corpus top-K vocabulary (by
+# frequency, token-asc tie-break — both engines sort identically on
+# ASCII tokens), then measure each source's out-of-vocabulary token
+# rate. High OOV → the source needs tokenizer attention or is noise.
+# Scale shape: the vocab is a K-row table (broadcast), the token
+# stream aggregates per (source, token) FIRST (map-side combinable,
+# bounded by |vocab_universe| per source) before the broadcast join —
+# the raw token stream never shuffles.
+
+VOCAB_K = 100
+
+_ORACLE_Q68 = f"""
+WITH tok AS (
+    SELECT source, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+counts AS (
+    SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, SUM(c) AS total,
+               row_number() OVER (ORDER BY SUM(c) DESC, tok) AS rn
+        FROM counts GROUP BY tok
+    ) WHERE rn <= {VOCAB_K}
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT)                                   AS tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+                                                                AS oov_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS DOUBLE)
+           / SUM(c)                                             AS oov_rate
+FROM counts LEFT JOIN vocab v USING (tok)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q68_vocab_coverage",
+    oracle=_ORACLE_Q68,
+    doc="Top-K corpus vocabulary coverage per source: OOV token "
+    "rate against the frequency-ranked vocab (tokenizer-coverage "
+    "quality filter).",
+    tags=("text", "vocab", "curation"),
+)
+def q68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.documents.select("source", F.explode(tokens_col()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("tok").agg(F.sum("c").alias("total"))
+    # Top-K via TakeOrderedAndProject (parallel partial top-k over
+    # the aggregated totals) — never a single-partition window.
+    vocab = (
+        totals.orderBy(F.col("total").desc(), "tok").limit(VOCAB_K).select("tok")
+    )
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        counts.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("tokens"),
+            F.sum(oov_c).alias("oov_tokens"),
+            (F.sum(oov_c).cast("double") / F.sum("c")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
