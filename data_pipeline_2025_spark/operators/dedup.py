@@ -671,3 +671,144 @@ def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(hamming <= HAMMING_MAX)
     )
+
+
+# ------------------------------------------- connected components
+#
+# Near-dup CLUSTERS, not just pairs: production dedup keeps one
+# canonical document per connected component of the near-dup graph
+# (pairs alone under-delete: a~b, b~c must collapse to ONE survivor
+# even when a~c was never emitted). Spark side is iterative
+# min-label propagation over the symmetrized LSH edge list — each
+# round is one shuffle join + groupBy, labels only ever decrease,
+# and lineage is truncated per round with localCheckpoint (the
+# local[] analog of checkpointing to the cluster store, mandatory
+# for any iterative DataFrame algorithm). Rounds = graph diameter;
+# near-dup components are shallow (dup clusters, not social
+# graphs), so this converges in a handful of rounds. At 100 TB the
+# same loop runs with pointer-doubling / alternating large-star
+# small-star (O(log n) rounds, Kiveris et al. "Connected Components
+# in MapReduce and Beyond") — the per-round plan is identical.
+
+MAX_CC_ROUNDS = 50
+
+_ORACLE_Q70 = f"""
+WITH RECURSIVE {SHINGLES_SQL.lstrip()},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+    GROUP BY c.doc_a, c.doc_b
+),
+edges AS (
+    SELECT v.doc_a AS eu, v.doc_b AS ew
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter)
+          >= {LSH_VERIFY_THRESHOLD}
+),
+sym AS (
+    SELECT eu, ew FROM edges
+    UNION ALL
+    SELECT ew AS eu, eu AS ew FROM edges
+),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id AS label FROM documents
+    UNION
+    SELECT s.ew AS doc_id, r.label FROM reach r JOIN sym s ON s.eu = r.doc_id
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       doc_id = component AS is_canonical
+FROM comp
+"""
+
+
+@register(
+    "q70_neardup_components",
+    oracle=_ORACLE_Q70,
+    doc="Connected components of the verified LSH near-dup graph "
+    "(iterative min-label propagation, localCheckpoint-truncated "
+    "lineage): every document labeled with its cluster's min "
+    "doc_id, cluster size, and canonical flag — the cluster-level "
+    "dedup survivor selection that pairwise output can't give.",
+    tags=("dedup", "graph", "components"),
+)
+def q70_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        q36_minhash_lsh_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+        .persist()
+    )
+    try:
+        sym = edges.unionByName(
+            edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+        )
+        labels = cat.documents.select(
+            "doc_id", F.col("doc_id").alias("label")
+        ).localCheckpoint()
+        # Labels are non-negative and strictly decrease wherever a
+        # smaller component label arrives, so sum(label) is a
+        # monotone convergence witness — one tiny agg action per
+        # round instead of a join-based diff.
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(MAX_CC_ROUNDS):
+            lbl_u = labels.select(
+                F.col("doc_id").alias("u"), F.col("label").alias("ulabel")
+            )
+            msgs = (
+                sym.join(lbl_u, "u")
+                .groupBy("w")
+                .agg(F.min("ulabel").alias("nlabel"))
+                .select(F.col("w").alias("doc_id"), "nlabel")
+            )
+            new_labels = (
+                labels.join(msgs, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {MAX_CC_ROUNDS} rounds"
+            )
+    finally:
+        edges.unpersist()
+    wc = Window.partitionBy("component")
+    return labels.select("doc_id", F.col("label").alias("component")).select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

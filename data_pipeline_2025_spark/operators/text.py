@@ -338,3 +338,78 @@ def q68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- TF-IDF keywords
+#
+# Per-document keyword extraction: score = tf · idf with the
+# RATIONAL idf N/df (not log(N/df)) so every arithmetic step is an
+# IEEE-exact +,/,* both engines round identically — log() differs
+# in the last ulp between libm and the JVM and would break the
+# value-hash gate. Ranking (score desc, token asc) is therefore
+# bit-stable too. Scale shape: one per-(doc, token) partial
+# aggregation; df is vocab-sized (broadcastable); per-doc top-k is
+# a window over each doc's OWN tokens (bounded partitions, uniform
+# keys) — the raw token stream shuffles once.
+
+TFIDF_TOP_K = 3
+
+_ORACLE_Q71 = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, SUM(c) AS doclen FROM c GROUP BY doc_id),
+df AS (SELECT tok, COUNT(*) AS df FROM c GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM dl)
+SELECT doc_id, keyword, rn, score FROM (
+    SELECT c.doc_id, c.tok AS keyword,
+           (CAST(c.c AS DOUBLE) / dl.doclen)
+               * (CAST(n.n AS DOUBLE) / df.df)              AS score,
+           CAST(row_number() OVER (
+               PARTITION BY c.doc_id
+               ORDER BY (CAST(c.c AS DOUBLE) / dl.doclen)
+                            * (CAST(n.n AS DOUBLE) / df.df) DESC,
+                        c.tok
+           ) AS INTEGER)                                    AS rn
+    FROM c
+    JOIN dl USING (doc_id)
+    JOIN df USING (tok)
+    CROSS JOIN n
+) WHERE rn <= {TFIDF_TOP_K}
+"""
+
+
+@register(
+    "q71_tfidf_keywords",
+    oracle=_ORACLE_Q71,
+    doc="Top-3 TF-IDF keywords per document (rational idf N/df for "
+    "cross-engine bit-exact doubles); per-doc window top-k over "
+    "partial-aggregated term counts.",
+    tags=("text", "tfidf", "keywords"),
+)
+def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dl = counts.groupBy("doc_id").agg(F.sum("c").alias("doclen"))
+    dft = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = dl.agg(F.count(F.lit(1)).alias("n"))
+    score = (F.col("c").cast("double") / F.col("doclen")) * (
+        F.col("n").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "keyword")
+    return (
+        counts.join(dl, "doc_id")
+        .join(dft, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.col("tok").alias("keyword"), score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "keyword", "rn", "score")
+    )

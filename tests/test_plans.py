@@ -133,3 +133,21 @@ def test_ann_cross_join_is_broadcast(spark, sf_smoke):
     query vectors — a shuffled cartesian would be a scale bug."""
     plan = plan_of(spark, "q40_ann_bruteforce", sf_smoke, mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_join_is_broadcast(spark, sf_smoke):
+    """q68: the top-K vocab (K rows) must ride the broadcast path
+    onto the per-(source, token) counts — never a shuffle of the
+    aggregated token stream for a 100-row dimension."""
+    plan = plan_of(spark, "q68_vocab_coverage", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_scalar_is_broadcast_not_cartesian(spark, sf_smoke):
+    """q71: the corpus-size scalar joins every row via a broadcast
+    nested loop (1-row build side) — a shuffled cartesian would be
+    a scale bug."""
+    plan = plan_of(spark, "q71_tfidf_keywords", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
