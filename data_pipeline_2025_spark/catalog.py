@@ -82,3 +82,24 @@ class Catalog:
         """Register all tables as temp views for spark.sql() use."""
         for name in TABLES:
             self.table(name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a NARROW input to the session's default parallelism
+    before a compute-heavy or row-multiplying transform (tokenize /
+    shingle / vector fold) — but ONLY when the scan is under-parallel.
+
+    A small single-file table arrives as ONE scan partition, so the
+    expansion would run on one core no matter how many the cluster
+    has. Shuffling the narrow rows first moves 1× the input;
+    shuffling the exploded stream later would move ~N×. At real
+    scale the file scan is already wide (one partition per ~128 MB
+    split), so this is a NO-OP there — an unconditional repartition
+    would re-shuffle the whole corpus for nothing. With key columns
+    the placement is hash-deterministic (and co-locates the later
+    per-key aggregation); results are unaffected either way.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, fan_out
 from ..registry import register
 from .text import TOKENS_SQL, tokens_col
 
@@ -126,7 +126,12 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
-        return cat.documents.select("doc_id", F.explode(shingle_arr).alias("sh"))
+        # fan_out BEFORE the shingle expansion: the narrow documents
+        # scan is one partition per input file; exploding there would
+        # serialize the whole shingle build on one core.
+        return fan_out(cat.documents, "doc_id").select(
+            "doc_id", F.explode(shingle_arr).alias("sh")
+        )
 
     return _cached_persist("shingles", spark, sf_dir, build)
 
@@ -515,8 +520,10 @@ def q69_duplicated_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, SPAN_N), " ")),
     )
-    spans = cat.documents.where(F.size(toks) >= SPAN_N).select(
-        "doc_id", F.explode(F.when(F.size(toks) >= SPAN_N, gram)).alias("g")
+    spans = (
+        fan_out(cat.documents, "doc_id")
+        .where(F.size(toks) >= SPAN_N)
+        .select("doc_id", F.explode(F.when(F.size(toks) >= SPAN_N, gram)).alias("g"))
     )
     df_counts = spans.groupBy("g").agg(
         F.countDistinct("doc_id").alias("docs")
@@ -575,7 +582,7 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup query reads it three times.
     def build() -> DataFrame:
         cat = Catalog(spark, sf_dir)
-        tokd = cat.documents.select(
+        tokd = fan_out(cat.documents, "doc_id").select(
             "doc_id", F.explode(tokens_col()).alias("tok")
         )
         high = tuple("89abcdef")

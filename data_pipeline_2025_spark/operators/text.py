@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, fan_out
 from ..registry import register
 
 # Deterministic whitespace tokenization shared by every text op:
@@ -315,7 +315,8 @@ ORDER BY source
 def q68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     counts = (
-        cat.documents.select("source", F.explode(tokens_col()).alias("tok"))
+        fan_out(cat.documents)
+        .select("source", F.explode(tokens_col()).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -393,7 +394,8 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     counts = (
-        cat.documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        fan_out(cat.documents, "doc_id")
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
