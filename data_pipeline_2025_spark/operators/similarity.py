@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, fan_out
 from ..registry import register
 
 QUERY_IDS = (0, 1, 2)
@@ -38,7 +38,9 @@ def _vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v: array<double>, label, n2: double self-dot)."""
     cat = Catalog(spark, sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = cat.embeddings.select("vec_id", v.alias("v"), "label")
+    # fan_out: embeddings is one parquet file -> one scan partition;
+    # the per-row dot-product folds would all run on one core.
+    e = fan_out(cat.embeddings, "vec_id").select("vec_id", v.alias("v"), "label")
     return e.withColumn("n2", _dot(F.col("v"), F.col("v")))
 
 
@@ -248,7 +250,7 @@ def q44_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
     )
-    e = cat.embeddings.select("vec_id", "label", m.alias("m"))
+    e = fan_out(cat.embeddings, "vec_id").select("vec_id", "label", m.alias("m"))
     bucket = None
     for p in range(N_PLANES):
         w = F.array(*[F.lit(v) for v in PLANES[p]])
@@ -385,4 +387,138 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "vec_b")
         .select("vec_a", "vec_b", cos_r.alias("cos_r"))
         .where(F.col("cos_r") >= NEARDUP_COS)
+    )
+
+
+# ----------------------------------------------------- ANN recall@k
+#
+# The measurement half of ANN serving: recall@k of the IVF path
+# (probe the query's own bucket, nprobe=1) against the exact
+# brute-force top-k. This is the number you actually turn the IVF
+# knobs (K centroids, nprobe) against at 100 TB — scanning ~1/K of
+# the corpus buys you `recall_at_k`, and the query itself reports
+# how many candidates the probe scanned. All ranking is on
+# round(cos, 6) with vec_id tie-breaks, so both engines produce the
+# identical top-k sets and the recall fractions are exact.
+
+_ORACLE_Q72 = f"""
+WITH {_IVF_CTE},
+q AS (SELECT vec_id, v, n2 FROM n WHERE vec_id IN ({_QIDS_SQL})),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v)
+                                  / (sqrt(q.n2) * sqrt(c.n2)), 6) DESC,
+                            c.vec_id
+               ) AS rn
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+),
+qa AS (
+    SELECT vec_id AS query_id, centroid_id FROM assign
+    WHERE vec_id IN ({_QIDS_SQL})
+),
+probe AS (
+    SELECT qa.query_id, a.vec_id AS neighbor_id,
+           round(list_dot_product(nq.v, nc.v)
+                 / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos_r
+    FROM qa
+    JOIN assign a ON a.centroid_id = qa.centroid_id
+                 AND a.vec_id <> qa.query_id
+    JOIN n nq ON nq.vec_id = qa.query_id
+    JOIN n nc ON nc.vec_id = a.vec_id
+),
+ivf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+               ) AS rn
+        FROM probe
+    ) WHERE rn <= {TOP_K}
+),
+scanned AS (
+    SELECT query_id, COUNT(*) AS scanned FROM probe GROUP BY query_id
+)
+SELECT e.query_id,
+       s.scanned,
+       CAST(COUNT(i.neighbor_id) AS BIGINT)              AS hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / {TOP_K}    AS recall_at_k
+FROM exact e
+LEFT JOIN ivf i ON i.query_id = e.query_id
+               AND i.neighbor_id = e.neighbor_id
+JOIN scanned s ON s.query_id = e.query_id
+GROUP BY e.query_id, s.scanned
+ORDER BY e.query_id
+"""
+
+
+@register(
+    "q72_ann_recall",
+    oracle=_ORACLE_Q72,
+    doc="ANN quality metric: recall@k of the IVF probe (own bucket, "
+    "nprobe=1) vs the exact brute-force top-k, plus how many "
+    "candidates the probe scanned — the tuning signal for K/nprobe "
+    "at scale.",
+    tags=("similarity", "ann", "eval"),
+)
+def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q40_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    assign = _ivf_assign(spark, sf_dir)
+    n = _vec_norms(spark, sf_dir)
+    qa = (
+        assign.where(F.col("vec_id").isin(*QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("qc"))
+    )
+    nq = n.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    nc = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    probe = (
+        F.broadcast(qa)
+        .join(
+            assign.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("centroid_id").alias("cc"),
+            ),
+            (F.col("cc") == F.col("qc"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
+    ivf = (
+        probe.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    scanned = probe.groupBy("query_id").agg(F.count(F.lit(1)).alias("scanned"))
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+        .join(F.broadcast(scanned), "query_id")
+        .select("query_id", "scanned", "hits", "recall_at_k")
+        .orderBy("query_id")
     )
