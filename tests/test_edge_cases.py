@@ -1,0 +1,136 @@
+"""Degenerate-input robustness for the corpus-facing operator
+families: empty corpus, single document, empty embedding set.
+
+The oracle sweep proves correctness on the generated testdata; these
+prove the same plans don't crash (divide-by-zero, empty aggregates,
+None convergence sums, explode-of-empty) when a partition or an
+entire input is empty — which at 100 TB is not an edge case, it's a
+Tuesday (an empty ingest hour, a filtered-out shard).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import types as T
+
+from data_pipeline_2025_spark import registry
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+DOC_QUERIES = (
+    "q30_text_quality",
+    "q31_lang_id_matrix",
+    "q32_token_counts",
+    "q33_doc_fingerprint",
+    "q34_dedup_exact",
+    "q35_ngram_jaccard_pairs",
+    "q36_minhash_lsh_dedup",
+    "q37_simhash",
+    "q38_simhash_neardup",
+    "q61_dedup_pipeline",
+    "q68_vocab_coverage",
+    "q69_duplicated_span_ratio",
+    "q70_neardup_components",
+    "q71_tfidf_keywords",
+)
+
+EMB_QUERIES = (
+    "q40_ann_bruteforce",
+    "q41_ivf_assign",
+    "q42_ivf_cluster_stats",
+    "q43_embedding_neardup",
+    "q44_rp_lsh_buckets",
+    "q72_ann_recall",
+)
+
+
+def _write_sf(spark, path: str, docs: list, embs: list) -> str:
+    spark.createDataFrame(docs, DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    spark.createDataFrame(embs, EMB_SCHEMA).write.mode("overwrite").parquet(
+        f"{path}/embeddings.parquet"
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory) -> str:
+    return _write_sf(spark, str(tmp_path_factory.mktemp("sf_empty")), [], [])
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(spark, tmp_path_factory) -> str:
+    docs = [
+        (0, "alpha beta gamma delta", "en", "src0", 22),
+        (1, "x", "en", "src0", 1),  # below every n-gram window
+        (2, "", "en", "src1", 0),  # empty text
+    ]
+    embs = [
+        (0, [1.0] * 64, 0),
+        (1, [0.5] * 64, 1),
+    ]
+    return _write_sf(spark, str(tmp_path_factory.mktemp("sf_tiny")), docs, embs)
+
+
+SPECS = registry.load_all()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_queries_survive_empty_corpus(spark, empty_sf, name):
+    rows = SPECS[name].spark_fn(spark, empty_sf).collect()
+    if name == "q61_dedup_pipeline":
+        # global-summary query: one row of zero counts (NULL char
+        # sum — SUM over zero rows is NULL in both engines)
+        assert len(rows) == 1
+        assert rows[0]["input_docs"] == 0
+    else:
+        assert rows == []
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_queries_survive_tiny_corpus(spark, tiny_sf, name):
+    # Must not raise; pair/near-dup queries legitimately return [].
+    SPECS[name].spark_fn(spark, tiny_sf).collect()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_emb_queries_survive_empty_corpus(spark, empty_sf, name):
+    rows = SPECS[name].spark_fn(spark, empty_sf).collect()
+    assert rows == []
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_emb_queries_survive_tiny_corpus(spark, tiny_sf, name):
+    SPECS[name].spark_fn(spark, tiny_sf).collect()
+
+
+def test_cc_singletons_when_no_edges(spark, tiny_sf):
+    """q70 on a corpus with no near-dup pairs: every doc is its own
+    canonical singleton component."""
+    rows = {
+        r["doc_id"]: r
+        for r in SPECS["q70_neardup_components"].spark_fn(spark, tiny_sf).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for doc_id, r in rows.items():
+        assert r["component"] == doc_id
+        assert r["cluster_size"] == 1
+        assert r["is_canonical"] is True
