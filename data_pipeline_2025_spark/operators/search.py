@@ -267,28 +267,70 @@ def trigram_index_path(sf_dir: str) -> str:
     return f"{tempfile.gettempdir()}/dp2025_gold/{key}/trigram_index"
 
 
-def build_trigram_index(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the trigram → name posting list as a gold table
-    (idempotent per sf_dir)."""
-    from ..sources.gold import write_gold
-
-    path = trigram_index_path(sf_dir)
-    if path in _INDEX_CACHE:
-        return path
-    cat = Catalog(spark, sf_dir)
-    names = cat.part.select(F.col("p_name").alias("name")).distinct()
+def _postings_frame(names: DataFrame) -> DataFrame:
+    """(name, n_name, tg, tg1) posting rows for a names frame."""
     padded = F.concat(F.lit("  "), F.lower("name"), F.lit(" "))
     tgs = F.array_distinct(
         F.expr("transform(sequence(1, length(padded) - 2), i -> substring(padded, i, 3))")
     )
-    postings = (
+    return (
         names.withColumn("padded", padded)
         .withColumn("tgs", tgs)
         .withColumn("n_name", F.size("tgs"))
         .select("name", "n_name", F.explode("tgs").alias("tg"))
         .withColumn("tg1", F.substring("tg", 1, 1))
     )
-    write_gold(postings, path, partition_by=("tg1",))
+
+
+def _manifest_path(path: str) -> str:
+    return path + "_names"
+
+
+def build_trigram_index_at(
+    spark: SparkSession, names: DataFrame, path: str
+) -> str:
+    """Materialize the posting list plus the indexed-name manifest
+    (the S6 landed-set pattern: the manifest is what makes later
+    incremental updates idempotent)."""
+    from ..sources.gold import write_gold
+
+    write_gold(_postings_frame(names), path, partition_by=("tg1",))
+    names.select("name").write.mode("overwrite").parquet(_manifest_path(path))
+    return path
+
+
+def update_trigram_index(
+    spark: SparkSession, path: str, new_names: DataFrame
+) -> int:
+    """Incremental, idempotent index maintenance — the 100 TB path
+    (a full rebuild per ingest batch would rescan the entire name
+    corpus). Already-indexed names are dropped by an anti-join
+    against the name manifest (one narrow column, broadcastable for
+    typical batch sizes); the parquet append then touches ONLY the
+    tg1 partitions the fresh postings land in — untouched partition
+    directories are never rewritten (asserted in tests). Returns the
+    number of newly indexed names."""
+    from ..sources.gold import write_gold
+
+    known = spark.read.parquet(_manifest_path(path)).select("name")
+    fresh = new_names.select("name").distinct().join(known, "name", "left_anti")
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        return 0
+    write_gold(_postings_frame(fresh), path, partition_by=("tg1",), mode="append")
+    fresh.write.mode("append").parquet(_manifest_path(path))
+    return n_fresh
+
+
+def build_trigram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the trigram → name posting list as a gold table
+    (idempotent per sf_dir)."""
+    path = trigram_index_path(sf_dir)
+    if path in _INDEX_CACHE:
+        return path
+    cat = Catalog(spark, sf_dir)
+    names = cat.part.select(F.col("p_name").alias("name")).distinct()
+    build_trigram_index_at(spark, names, path)
     _INDEX_CACHE.add(path)
     return path
 
@@ -303,11 +345,25 @@ def build_trigram_index(spark: SparkSession, sf_dir: str) -> str:
     tags=("search", "fuzzy", "trigram", "index"),
 )
 def q67_trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_trigram_index(
+        spark, build_trigram_index(spark, sf_dir), FUZZY_TERM
+    )
+
+
+def search_trigram_index(
+    spark: SparkSession,
+    path: str,
+    term: str,
+    threshold: float = SIM_THRESHOLD,
+    k: int = TOP_FUZZY,
+) -> DataFrame:
+    """Fuzzy search against a materialized trigram index at `path`:
+    candidates come from the term's own posting lists only."""
     from ..sources.gold import read_gold
 
-    term_tgs = _trigrams(FUZZY_TERM)
+    term_tgs = _trigrams(term)
     n_term = len(term_tgs)
-    idx = read_gold(spark, build_trigram_index(spark, sf_dir))
+    idx = read_gold(spark, path)
     postings = idx.where(
         F.col("tg1").isin(sorted({t[0] for t in term_tgs}))
         & F.col("tg").isin(term_tgs)
@@ -320,9 +376,9 @@ def q67_trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.select("name", sim.alias("sim"))
-        .where(sim >= SIM_THRESHOLD)
+        .where(sim >= threshold)
         .orderBy(F.col("sim").desc(), "name")
-        .limit(TOP_FUZZY)
+        .limit(k)
     )
 
 

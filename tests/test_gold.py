@@ -39,3 +39,51 @@ def test_gold_roundtrip_preserves_decimals(spark, sf_smoke, tmp_path):
     orig = sorted(str(r) for r in df.select("product_id", "price").collect())
     rt = sorted(str(r) for r in back.select("product_id", "price").collect())
     assert orig == rt
+
+
+def test_trigram_index_incremental_update(spark, tmp_path):
+    """Incremental index maintenance: new names append postings into
+    ONLY their own tg1 partitions; already-indexed names are no-ops
+    (manifest anti-join); search sees the new names immediately."""
+    import os
+
+    from data_pipeline_2025_spark.operators.search import (
+        build_trigram_index_at,
+        search_trigram_index,
+        update_trigram_index,
+    )
+
+    path = str(tmp_path / "tg_index")
+    base = spark.createDataFrame(
+        [("widget bolt",), ("gadget nut",)], ["name"]
+    )
+    build_trigram_index_at(spark, base, path)
+
+    # a tg1 partition no new name will touch ('w' from 'widget')
+    w_dir = next(
+        os.path.join(path, d) for d in os.listdir(path) if d == "tg1=w"
+    )
+    before = sorted(os.listdir(w_dir))
+
+    # duplicate name → 0 new; fresh name → appended once
+    assert update_trigram_index(spark, path, base.limit(1)) == 0
+    fresh = spark.createDataFrame([("sprocket cam",), ("widget bolt",)], ["name"])
+    assert update_trigram_index(spark, path, fresh) == 1
+
+    # untouched 'w' partition files unchanged ('sprocket cam' has no
+    # trigram starting with w)
+    assert sorted(os.listdir(w_dir)) == before
+
+    # no duplicate postings for the re-sent name
+    idx = read_gold(spark, path)
+    assert (
+        idx.where(F.col("name") == "widget bolt").count()
+        == idx.where(F.col("name") == "widget bolt").select("tg").distinct().count()
+    )
+
+    # the fresh name is immediately searchable (misspelled probe)
+    hits = search_trigram_index(spark, path, "sproket cam").collect()
+    assert [r["name"] for r in hits][:1] == ["sprocket cam"]
+
+    # idempotent re-send after the append
+    assert update_trigram_index(spark, path, fresh) == 0
