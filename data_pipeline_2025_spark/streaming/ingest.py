@@ -60,11 +60,19 @@ def start_price_ingest(
     source_dir: str,
     sink_dir: str,
     checkpoint_dir: str,
+    index_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the end-to-end ingest stream (AvailableNow so tests and
     backfills drain the source then stop; swap the trigger for
     processingTime='30 seconds' to mirror the reference's poll
-    cadence, T4)."""
+    cadence, T4).
+
+    With ``index_dir`` set, each micro-batch also maintains the
+    trigram search index (the pg_trgm GIN analog): new item names
+    append postings into only their own tg1 partitions; replayed
+    names are no-ops via the index's name manifest — so the serving
+    index stays fresh with the data, exactly like the reference's
+    index updating on INSERT."""
     raw = (
         spark.readStream.format("text")
         .option("wholetext", "true")
@@ -99,6 +107,22 @@ def start_price_ingest(
                 cond = c if cond is None else cond & c
             batch = batch.join(existing, cond, "left_anti")
         batch.write.mode("append").partitionBy(PARTITION_COL).parquet(sink_dir)
+        if index_dir is not None:
+            from ..operators.search import (
+                _manifest_path,
+                build_trigram_index_at,
+                update_trigram_index,
+            )
+
+            names = (
+                batch.select(F.col("item_name").alias("name"))
+                .where(F.col("name").isNotNull())
+                .distinct()
+            )
+            if os.path.exists(_manifest_path(index_dir)):
+                update_trigram_index(spark_, index_dir, names)
+            else:
+                build_trigram_index_at(spark_, names, index_dir)
 
     return (
         silver.writeStream.foreachBatch(write_batch)

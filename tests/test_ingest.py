@@ -240,3 +240,33 @@ def test_streaming_ingest_replay_effectively_once(spark, price_dir, tmp_path):
     q2.awaitTermination()
     after = spark.read.parquet(sink).count()
     assert after == first  # content-key anti-join absorbed the replay
+
+
+def test_ingest_maintains_trigram_index(spark, price_dir, tmp_path):
+    """With index_dir set, every micro-batch keeps the trigram search
+    index fresh: new names are posted once, replayed files change
+    nothing (manifest idempotence), and the index is immediately
+    searchable — the GIN-updates-on-INSERT behavior."""
+    import shutil
+
+    from data_pipeline_2025_spark.streaming.ingest import start_price_ingest
+    from data_pipeline_2025_spark.operators.search import search_trigram_index
+    from data_pipeline_2025_spark.sources.gold import read_gold
+
+    sink = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "tg_index")
+    start_price_ingest(spark, price_dir, sink, ckpt, index_dir=idx).awaitTermination()
+
+    names = {r["name"] for r in read_gold(spark, idx).select("name").distinct().collect()}
+    assert names == {"פריט 100", "פריט 200", "פריט 300", "פריט 400"}
+    postings_before = read_gold(spark, idx).count()
+
+    # content replay under a new file name → index unchanged
+    shutil.copy(f"{price_dir}/f1.json", f"{price_dir}/f1_replay_idx.json")
+    start_price_ingest(spark, price_dir, sink, ckpt, index_dir=idx).awaitTermination()
+    assert read_gold(spark, idx).count() == postings_before
+
+    # fuzzy search over the maintained index (misspelled probe)
+    hits = search_trigram_index(spark, idx, "פריט 10", threshold=0.2).collect()
+    assert any(r["name"] == "פריט 100" for r in hits)
