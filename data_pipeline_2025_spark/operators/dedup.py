@@ -540,6 +540,74 @@ def q69_duplicated_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Applying the span signal as a cut policy: drop documents whose
+# duplicated-span ratio exceeds the threshold; docs too short to
+# carry any 8-gram window have no signal and are kept by default
+# (COALESCE(ratio, 0) — the standard fail-open choice for a dedup
+# signal). Scale shape: q69's per-doc frame plus ONE broadcast-free
+# left join back to the narrow documents table and a per-source
+# aggregation — nothing new shuffles.
+
+SPAN_CUT = 0.2
+
+_ORACLE_Q73 = f"""
+WITH {_SPANS_SQL},
+df AS (
+    SELECT g, COUNT(DISTINCT doc_id) AS docs FROM spans GROUP BY g
+),
+ratio AS (
+    SELECT s.doc_id,
+           CAST(SUM(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_ratio
+    FROM spans s JOIN df USING (g)
+    GROUP BY s.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN COALESCE(r.dup_ratio, 0) <= {SPAN_CUT}
+                     THEN 1 ELSE 0 END) AS BIGINT)        AS docs_kept,
+       CAST(SUM(CASE WHEN COALESCE(r.dup_ratio, 0) <= {SPAN_CUT}
+                     THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       CAST(SUM(CASE WHEN COALESCE(r.dup_ratio, 0) <= {SPAN_CUT}
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*)                                      AS keep_rate
+FROM documents d
+LEFT JOIN ratio r USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "q73_span_cut_stats",
+    oracle=_ORACLE_Q73,
+    doc="Substring-dedup cut policy applied: per-source docs/chars "
+    "kept when documents over the duplicated-span threshold are "
+    "dropped (short no-signal docs kept fail-open).",
+    tags=("dedup", "spans", "curation"),
+)
+def q73_span_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ratio = q69_duplicated_span_ratio(spark, sf_dir).select("doc_id", "dup_ratio")
+    keep = F.coalesce("dup_ratio", F.lit(0.0)) <= SPAN_CUT
+    return (
+        cat.documents.select("doc_id", "source", "n_chars")
+        .join(ratio, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(keep.cast("bigint")).alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("chars_kept"),
+            (F.sum(keep.cast("bigint")).cast("double") / F.count(F.lit(1))).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 32
