@@ -137,3 +137,79 @@ def q51_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ORACLE_Q74 = """
+SELECT s.user_id,
+       s.event_id AS signup_event,
+       p.event_id AS purchase_event,
+       CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS gap_us
+FROM events s
+JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup'
+ AND p.event_type = 'purchase'
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+ORDER BY s.user_id, signup_event, purchase_event
+"""
+
+
+@register(
+    "q74_stream_join_attribution",
+    oracle=_ORACLE_Q74,
+    doc="Stream-stream inner join (T7+): signups joined to purchases "
+    "by the same user within 1 hour — watermarks on BOTH sides plus "
+    "a time-interval join condition, so per-key state is bounded by "
+    "the interval (the conversion-attribution pattern); streaming "
+    "output checked against the batch SQL join.",
+    tags=("streaming", "join"),
+)
+def q74_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signups = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("su"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("su") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"stream_attrib_{next(_COUNTER)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("su").alias("user_id"),
+            "signup_event",
+            "purchase_event",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+            ).alias("gap_us"),
+        )
+        .orderBy("user_id", "signup_event", "purchase_event")
+    )
