@@ -309,7 +309,13 @@ def update_trigram_index(
     typical batch sizes); the parquet append then touches ONLY the
     tg1 partitions the fresh postings land in — untouched partition
     directories are never rewritten (asserted in tests). Returns the
-    number of newly indexed names."""
+    number of newly indexed names.
+
+    Crash consistency: postings and manifest are two parquet appends;
+    a crash between them re-appends those postings on retry. In a
+    deployment both writes become one Delta transaction (or the
+    manifest write goes first, making retries drop the batch) — the
+    partition-bounded shape is unchanged."""
     from ..sources.gold import write_gold
 
     known = spark.read.parquet(_manifest_path(path)).select("name")
