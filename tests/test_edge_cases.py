@@ -134,3 +134,51 @@ def test_cc_singletons_when_no_edges(spark, tiny_sf):
         assert r["component"] == doc_id
         assert r["cluster_size"] == 1
         assert r["is_canonical"] is True
+
+
+def test_hot_shingle_cap_on_boilerplate_corpus(spark, tmp_path_factory):
+    """Adversarial skew: 150 documents sharing one boilerplate
+    sentence (df > SHINGLE_DF_CAP) with otherwise-disjoint content.
+    The capped Jaccard must (a) drop the hot shingles from pair
+    generation — so no pair survives on boilerplate alone — and
+    (b) still agree exactly with the DF-capped oracle SQL on this
+    corpus, proving the cap is mirrored, not approximated."""
+    import duckdb
+
+    from tests.oracle import _canon_rows
+
+    boiler = "terms and conditions apply to this listing"
+    docs = [
+        (
+            i,
+            f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e",
+            "en",
+            f"src{i % 3}",
+            80,
+        )
+        for i in range(150)
+    ]
+    sf = str(tmp_path_factory.mktemp("sf_boiler"))
+    spark.createDataFrame(docs, DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    spec = SPECS["q35_ngram_jaccard_pairs"]
+    sdf = spec.spark_fn(spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows == []  # boilerplate alone must not create pairs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert _canon_rows(sdf.columns, srows) == _canon_rows(ocols, orows)
+
+    # LSH path on the same corpus: candidates may form (shared
+    # signatures), but verification must reject them all — capped or
+    # not, these docs are < 0.8 Jaccard.
+    assert SPECS["q36_minhash_lsh_dedup"].spark_fn(spark, sf).count() == 0
