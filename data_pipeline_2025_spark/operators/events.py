@@ -172,3 +172,78 @@ def q24_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "has_k")
     )
+
+
+# --------------------------------------- continuous aggregate (q75)
+#
+# The TimescaleDB continuous-aggregate / lambda pattern Spark-style:
+# history is served from a MATERIALIZED hourly rollup (gold parquet,
+# partitioned by day — time-scoped reads prune at the file index),
+# only the live tail is aggregated from raw events at query time.
+# The split is on an hour boundary, so no output window straddles
+# the two sides and the union needs no re-aggregation. At 100 TB the
+# refresh is the streaming ingest appending each newly closed hour
+# (same foreachBatch seam as the silver sink); the query cost is
+# O(materialized hours read + tail events), not O(history).
+# The oracle is the PLAIN hourly rollup over all events — proving
+# materialized + tail composes to exactly the direct answer.
+
+CAGG_SPLIT = "2024-01-24 00:00:00"
+
+_CAGG_BUILT: set[str] = set()
+
+
+def _cagg_path(sf_dir: str) -> str:
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"{tempfile.gettempdir()}/dp2025_gold/{key}/events_hourly_cagg"
+
+
+def _hourly(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+    )
+
+
+_ORACLE_Q75 = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value_d
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register(
+    "q75_continuous_aggregate",
+    oracle=_ORACLE_Q75,
+    doc="Continuous-aggregate pattern: materialized hourly rollup "
+    "(gold parquet partitioned by day) for history + query-time "
+    "aggregation of the live tail only, hour-aligned split — the "
+    "union equals the direct rollup exactly (oracle-proved).",
+    tags=("events", "gold", "continuous-aggregate"),
+)
+def q75_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.gold import read_gold, write_gold
+
+    cat = Catalog(spark, sf_dir)
+    split = F.lit(CAGG_SPLIT).cast("timestamp")
+    path = _cagg_path(sf_dir)
+    if path not in _CAGG_BUILT:
+        hist = _hourly(cat.events.where(F.col("ts") < split)).withColumn(
+            "day", F.to_date("window_start")
+        )
+        write_gold(hist, path, partition_by=("day",))
+        _CAGG_BUILT.add(path)
+    materialized = read_gold(spark, path).drop("day")
+    tail = _hourly(cat.events.where(F.col("ts") >= split))
+    return materialized.unionByName(tail).orderBy("window_start", "event_type")
