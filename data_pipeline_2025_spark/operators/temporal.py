@@ -136,3 +136,101 @@ def q54_price_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double(F.col("eff")).alias("eff_d"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ------------------------------------------- bucketized range join
+#
+# Point-in-interval (range) join, the non-equi join Spark has no
+# fast builtin for: a naive `probe.d BETWEEN from AND to` join plans
+# as a broadcast-nested-loop / cartesian refine. The scale pattern:
+# explode each interval into the WEEK buckets it covers (bounded by
+# the probe range), give each probe its own week key, equi-join on
+# (store, barcode, week) — shuffle-hash territory — then refine the
+# exact timestamp bounds. Bucket fan-out per interval is
+# O(interval length / bucket width), probes map to exactly one
+# bucket, and intervals per key are disjoint so each probe matches
+# at most one interval. The oracle is the naive BETWEEN join.
+
+SNAP_START = "1996-01-01"
+SNAP_END = "1996-03-31"
+
+_ORACLE_Q76 = domain_sql(f""",{_OBS_CTE.replace("probes AS", "probes_unused AS")},
+iv AS (
+    SELECT supermarket_id, barcode,
+           collected_at AS valid_from,
+           lead(collected_at) OVER w AS valid_to,
+           eff
+    FROM obs
+    WINDOW w AS (PARTITION BY supermarket_id, barcode ORDER BY collected_at)
+),
+pairs AS (SELECT DISTINCT supermarket_id, barcode FROM iv),
+grid AS (
+    SELECT p.supermarket_id, p.barcode, CAST(g.d AS DATE) AS snapshot_date
+    FROM pairs p, UNNEST(generate_series(DATE '{SNAP_START}',
+                                         DATE '{SNAP_END}',
+                                         INTERVAL 1 DAY)) AS g(d)
+)
+SELECT g.supermarket_id, g.barcode, g.snapshot_date,
+       CAST(i.eff AS DOUBLE) AS eff_d
+FROM grid g
+JOIN iv i
+  ON i.supermarket_id = g.supermarket_id
+ AND i.barcode = g.barcode
+ AND i.valid_from <= CAST(g.snapshot_date AS TIMESTAMP)
+ AND (i.valid_to IS NULL OR CAST(g.snapshot_date AS TIMESTAMP) < i.valid_to)
+ORDER BY g.supermarket_id, g.barcode, g.snapshot_date
+""")
+
+
+@register(
+    "q76_interval_snapshot_join",
+    oracle=_ORACLE_Q76,
+    doc="Bucketized range join: daily price snapshots reconstructed "
+    "from SCD2 validity intervals — intervals explode into covered "
+    "week buckets, probes equi-join on (store, barcode, week), exact "
+    "bounds refined after; oracle is the naive BETWEEN join.",
+    tags=("temporal", "range-join", "scd2"),
+)
+def q76_interval_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = q54_price_validity_intervals(spark, sf_dir).select(
+        "supermarket_id",
+        "barcode",
+        "valid_from",
+        "valid_to",
+        F.col("eff_d"),
+    )
+    start = F.lit(SNAP_START).cast("date")
+    end = F.lit(SNAP_END).cast("date")
+
+    def wk(c):  # week bucket key (days since epoch // 7)
+        return F.floor(F.unix_date(c) / 7).cast("bigint")
+
+    # interval -> covered week buckets, clamped to the probe range
+    lo = F.greatest(F.to_date("valid_from"), start)
+    hi = F.least(F.coalesce(F.to_date("valid_to"), end), end)
+    weeks = F.when(lo <= hi, F.sequence(wk(lo), wk(hi))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    iv_b = iv.select(
+        "supermarket_id", "barcode", "valid_from", "valid_to", "eff_d",
+        F.explode(weeks).alias("week"),
+    )
+
+    pairs = iv.select("supermarket_id", "barcode").distinct()
+    grid = pairs.select(
+        "supermarket_id",
+        "barcode",
+        F.explode(F.sequence(start, end)).alias("snapshot_date"),
+    ).withColumn("week", wk(F.col("snapshot_date")))
+
+    d_ts = F.col("snapshot_date").cast("timestamp")
+    refined = (
+        grid.join(iv_b, ["supermarket_id", "barcode", "week"])
+        .where(
+            (F.col("valid_from") <= d_ts)
+            & (F.col("valid_to").isNull() | (d_ts < F.col("valid_to")))
+        )
+    )
+    return refined.select(
+        "supermarket_id", "barcode", "snapshot_date", "eff_d"
+    ).orderBy("supermarket_id", "barcode", "snapshot_date")

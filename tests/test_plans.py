@@ -151,3 +151,12 @@ def test_tfidf_scalar_is_broadcast_not_cartesian(spark, sf_smoke):
     plan = plan_of(spark, "q71_tfidf_keywords", sf_smoke, mode="simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_smoke):
+    """q76: the bucketized interval join must plan as an EQUI join
+    (hash/sort-merge on store+barcode+week) — never the
+    nested-loop/cartesian refine a naive BETWEEN join degrades to."""
+    plan = plan_of(spark, "q76_interval_snapshot_join", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
