@@ -887,3 +887,117 @@ def q70_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------- KMV sketch
+#
+# K-minimum-values distinct-count sketch (Bar-Yossef et al.): keep
+# the K smallest hash values of a set; estimate |set| as (K-1)/u_K
+# where u_K is the K-th smallest hash mapped into [0,1). The sketch
+# is tiny (K doubles), MERGEABLE (union = K smallest of the merged
+# lists — the property that makes distributed COUNT DISTINCT cheap:
+# partial sketches combine on the map side like any aggregate), and
+# here fully DETERMINISTIC: md5-derived 48-bit hashes, ties broken
+# by the shingle text, the estimate a single IEEE division — so the
+# sketch itself is oracle-checked, not just its error bound.
+# Substrate: distinct word-trigram shingles per source (the corpus
+# vocabulary is tiny; shingles give a real cardinality to estimate).
+
+KMV_K = 64
+_KMV_DENOM = float(1 << 48)
+
+_SRC_SHINGLES_SQL = f"""
+stoks AS (
+    SELECT source, {TOKENS_SQL} AS toks FROM documents
+),
+src_shingles AS (
+    SELECT DISTINCT source,
+           unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                   for i in range(1, len(toks) - 1)]) AS sh
+    FROM stoks
+    WHERE len(toks) >= 3
+)"""
+
+_ORACLE_Q77 = f"""
+WITH {_SRC_SHINGLES_SQL},
+hashed AS (
+    SELECT source, sh,
+           CAST(('0x' || substr(md5(sh), 1, 12))::BIGINT AS DOUBLE)
+               / {_KMV_DENOM} AS u
+    FROM src_shingles
+),
+ranked AS (
+    SELECT source, u,
+           row_number() OVER (PARTITION BY source ORDER BY u, sh) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM hashed
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS exact_distinct,
+       CASE WHEN MAX(n) < {KMV_K} THEN CAST(MAX(n) AS DOUBLE)
+            ELSE ({KMV_K} - 1) / MAX(CASE WHEN rn = {KMV_K} THEN u END)
+       END AS kmv_estimate,
+       ABS(CASE WHEN MAX(n) < {KMV_K} THEN CAST(MAX(n) AS DOUBLE)
+                ELSE ({KMV_K} - 1) / MAX(CASE WHEN rn = {KMV_K} THEN u END)
+           END - MAX(n)) / MAX(n) AS rel_err
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q77_kmv_distinct_sketch",
+    oracle=_ORACLE_Q77,
+    doc="KMV distinct-count sketch per source over the shingle "
+    "universe: (K-1)/u_K estimate vs the exact distinct count, "
+    "deterministic md5 hashes so the sketch itself is oracle-checked "
+    "— the mergeable scale path for COUNT DISTINCT.",
+    tags=("dedup", "sketch", "kmv"),
+)
+def q77_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    shingle_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    src_sh = (
+        fan_out(cat.documents)
+        .select("source", F.explode(shingle_arr).alias("sh"))
+        .distinct()
+    )
+    u = (
+        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").cast("double")
+        / F.lit(_KMV_DENOM)
+    )
+    hashed = src_sh.select("source", "sh", u.alias("u"))
+    wr = Window.partitionBy("source").orderBy("u", "sh")
+    wn = Window.partitionBy("source")
+    ranked = hashed.select(
+        "source",
+        "u",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    est = F.when(
+        F.max("n") < KMV_K, F.max("n").cast("double")
+    ).otherwise(
+        (KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("u")))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("exact_distinct"),
+            est.alias("kmv_estimate"),
+            (F.abs(est - F.max("n")) / F.max("n")).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
