@@ -1001,3 +1001,185 @@ def q77_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- KMV sketch MERGE
+#
+# The property that makes sketches worth carrying at 100 TB:
+# sketches of two sets MERGE (union sketch = K smallest of the
+# concatenated value lists) without touching the raw sets again.
+# q78 estimates pairwise source-vocabulary Jaccard from merged KMV
+# sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B) — next to the exact
+# pairwise Jaccard, all-deterministic so the whole comparison is
+# hash-checked. Exact pairwise overlap is the O(pairs · vocab)
+# computation the sketch path replaces with O(pairs · K).
+
+_ORACLE_Q78 = f"""
+WITH {_SRC_SHINGLES_SQL},
+hashed AS (
+    SELECT source, sh,
+           CAST(('0x' || substr(md5(sh), 1, 12))::BIGINT AS DOUBLE)
+               / {_KMV_DENOM} AS u
+    FROM src_shingles
+),
+per_src AS (
+    SELECT source, u,
+           row_number() OVER (PARTITION BY source ORDER BY u, sh) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM hashed
+),
+est_src AS (
+    SELECT source,
+           MAX(n) AS n,
+           CASE WHEN MAX(n) < {KMV_K} THEN CAST(MAX(n) AS DOUBLE)
+                ELSE ({KMV_K} - 1) / MAX(CASE WHEN rn = {KMV_K} THEN u END)
+           END AS est
+    FROM per_src GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM hashed),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+    FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY src_a, src_b
+),
+merged AS (
+    SELECT p.src_a, p.src_b, h.sh, MIN(h.u) AS u
+    FROM pairs p
+    JOIN hashed h ON h.source = p.src_a OR h.source = p.src_b
+    GROUP BY p.src_a, p.src_b, h.sh
+),
+ranked_m AS (
+    SELECT src_a, src_b, u,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY u, sh) AS rn,
+           COUNT(*) OVER (PARTITION BY src_a, src_b) AS n_union
+    FROM merged
+),
+est_u AS (
+    SELECT src_a, src_b,
+           MAX(n_union) AS n_union,
+           CASE WHEN MAX(n_union) < {KMV_K} THEN CAST(MAX(n_union) AS DOUBLE)
+                ELSE ({KMV_K} - 1) / MAX(CASE WHEN rn = {KMV_K} THEN u END)
+           END AS est_union
+    FROM ranked_m GROUP BY src_a, src_b
+)
+SELECT e.src_a, e.src_b,
+       CAST(COALESCE(i.i, 0) AS DOUBLE) / e.n_union AS exact_jaccard,
+       (ea.est + eb.est - e.est_union) / e.est_union AS kmv_jaccard
+FROM est_u e
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+JOIN est_src ea ON ea.source = e.src_a
+JOIN est_src eb ON eb.source = e.src_b
+ORDER BY e.src_a, e.src_b
+"""
+
+
+@register(
+    "q78_kmv_sketch_merge",
+    oracle=_ORACLE_Q78,
+    doc="KMV sketch MERGE: pairwise source-vocabulary Jaccard "
+    "estimated from merged sketches (est A + est B - est A∪B over "
+    "est A∪B) beside the exact pairwise Jaccard — mergeability is "
+    "what replaces O(pairs · vocab) with O(pairs · K).",
+    tags=("dedup", "sketch", "kmv", "merge"),
+)
+def q78_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    shingle_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    hashed = (
+        fan_out(cat.documents)
+        .select("source", F.explode(shingle_arr).alias("sh"))
+        .distinct()
+        .withColumn(
+            "u",
+            F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(_KMV_DENOM),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy("u", "sh")
+    wn = Window.partitionBy("source")
+    per_src = hashed.select(
+        "source", "u",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    est_expr = F.when(
+        F.max("n") < KMV_K, F.max("n").cast("double")
+    ).otherwise((KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("u"))))
+    est_src = per_src.groupBy("source").agg(est_expr.alias("est"))
+
+    srcs = hashed.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            srcs.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    ha = hashed.select(F.col("source").alias("src_a"), F.col("sh").alias("sh_a"))
+    hb = hashed.select(
+        F.col("source").alias("src_b"), F.col("sh").alias("sh_b")
+    )
+    inter = (
+        ha.join(hb, (F.col("sh_a") == F.col("sh_b")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # sketch merge: pair × member-source equi-joins (no OR-join —
+    # that would plan as a nested loop), dedup shared shingles
+    m_a = pairs.join(hashed.select(F.col("source").alias("src_a"), "sh", "u"), "src_a")
+    m_b = pairs.join(hashed.select(F.col("source").alias("src_b"), "sh", "u"), "src_b")
+    merged = (
+        m_a.select("src_a", "src_b", "sh", "u")
+        .unionByName(m_b.select("src_a", "src_b", "sh", "u"))
+        .groupBy("src_a", "src_b", "sh")
+        .agg(F.min("u").alias("u"))
+    )
+    wrm = Window.partitionBy("src_a", "src_b").orderBy("u", "sh")
+    wnm = Window.partitionBy("src_a", "src_b")
+    ranked_m = merged.select(
+        "src_a", "src_b", "u",
+        F.row_number().over(wrm).alias("rn"),
+        F.count(F.lit(1)).over(wnm).alias("n_union"),
+    )
+    est_u_expr = F.when(
+        F.max("n_union") < KMV_K, F.max("n_union").cast("double")
+    ).otherwise((KMV_K - 1) / F.max(F.when(F.col("rn") == KMV_K, F.col("u"))))
+    est_u = ranked_m.groupBy("src_a", "src_b").agg(
+        F.max("n_union").alias("n_union"), est_u_expr.alias("est_union")
+    )
+    ea = est_src.select(F.col("source").alias("src_a"), F.col("est").alias("ea"))
+    eb = est_src.select(F.col("source").alias("src_b"), F.col("est").alias("eb"))
+    return (
+        est_u.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.coalesce("i", F.lit(0)).cast("double") / F.col("n_union")
+            ).alias("exact_jaccard"),
+            (
+                (F.col("ea") + F.col("eb") - F.col("est_union"))
+                / F.col("est_union")
+            ).alias("kmv_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
