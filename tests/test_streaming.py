@@ -130,3 +130,26 @@ def test_watermark_drops_late_and_emits_once(spark, tmp_path):
         "2024-01-01T10:00:00": 2,
         "2024-01-01T10:10:00": 1,
     }
+
+
+def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
+    """Round-2 driver regression: the grading driver's own SparkSession
+    lacks DEFAULT_CONF (notably spark.sql.legacy.parquet.nanosAsLong),
+    so the events schema read inside _events_stream threw
+    PARQUET_TYPE_ILLEGAL for q50/q51/q74 even though the same queries
+    passed under session.get_spark. Simulate the driver by unsetting
+    the conf before each call and assert the queries re-set it
+    defensively (same contract as catalog.load_table)."""
+    from data_pipeline_2025_spark.streaming import windowed
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        for fn in (
+            windowed.q50_stream_hourly_rollup,
+            windowed.q51_stream_dedup_replay,
+            windowed.q74_stream_join_attribution,
+        ):
+            spark.conf.unset(key)
+            assert fn(spark, sf_correct).count() > 0
+    finally:
+        spark.conf.set(key, "true")
