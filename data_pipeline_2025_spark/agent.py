@@ -173,22 +173,18 @@ def run_shopping_session(
             ctx["compare"] = call("compare_results", {"barcode": hits[0]["barcode"]})
     elif products:
         ctx["plan"] = "basket"
-        # Resolve each product to its best-hit barcode via ONE search
-        # round (the reference searches per product inside
-        # find_best_basket itself, mcp.py:379-419 — our basket tool
-        # takes barcodes, so terms that ARE barcodes pass through).
-        barcodes = [p if p.isdigit() else None for p in products]
-        if not all(barcodes):
-            found = call("search_product", {"term": products[0]})
-            barcodes = [b for b in barcodes if b] + [
-                h["barcode"] for h in found[: len(products)]
-            ]
-        basket = call("find_best_basket", {"barcodes": [b for b in barcodes if b]})
+        # The reference passes the parsed name terms straight to
+        # find_best_basket, which resolves EACH term to its own best
+        # search hit inside the tool (simple-proxy.js:1443;
+        # mcp.py:308-352) — so "חלב, לחם וביצים" prices milk AND
+        # bread AND eggs, not three milk offers. Mirror that: the
+        # whole term list goes down in one tool round (terms that
+        # are all-digits pass through as barcodes), savings in a
+        # second — the 3-round budget holds for any basket size.
+        basket = call("find_best_basket", {"barcodes": products})
         ctx["basket"] = basket
         if basket.get("complete_baskets", 0) >= 2:
-            ctx["savings"] = call(
-                "calculate_savings", {"barcodes": [b for b in barcodes if b]}
-            )
+            ctx["savings"] = call("calculate_savings", {"barcodes": products})
     else:
         ctx["plan"] = "none"
 

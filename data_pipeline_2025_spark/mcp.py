@@ -52,8 +52,9 @@ TOOL_SCHEMAS: dict[str, dict[str, Any]] = {
     "find_best_basket": {
         "name": "find_best_basket",
         "description": "Cheapest complete basket: per-store totals for "
-        "a list of barcodes, stores carrying every item, best/worst "
-        "summary.",
+        "a list of products (barcodes or name terms — names resolve to "
+        "their best search hit, as in the reference tool), stores "
+        "carrying every item, best/worst summary.",
         "inputSchema": {
             "type": "object",
             "properties": {"barcodes": _STR_ARRAY},

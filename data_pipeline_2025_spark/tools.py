@@ -86,6 +86,54 @@ def compare_results(spark: SparkSession, sf_dir: str, barcode: str) -> dict[str,
     }
 
 
+def resolve_basket_terms(
+    spark: SparkSession, sf_dir: str, terms: list[str]
+) -> tuple[list[str], list[str]]:
+    """Resolve mixed barcode/name basket terms to barcodes.
+
+    The reference's basket tool accepts product NAMES and resolves
+    each one by re-running the product search (mcp.py:308-352); its
+    "best match" rule — first hit whose name contains the term —
+    always selects the ilike-search's top result, i.e. the cheapest
+    matching offer. That is ``min_by((effective, product_id))`` per
+    term, so the whole list resolves in ONE Spark job here instead
+    of a search per term: explode each product row into the terms it
+    matches, then a tiny groupBy on ≤|terms| keys.
+
+    Returns (barcodes in term order, deduped; unresolved terms).
+    All-digit terms are treated as already-barcodes (pass-through).
+    """
+    name_terms = sorted({t for t in terms if not t.isdigit()})
+    resolved: dict[str, str] = {}
+    if name_terms:
+        prods, _ = _offers(spark, sf_dir)
+        terms_arr = F.array(*[F.lit(t) for t in name_terms])
+        hits = prods.select(
+            "barcode",
+            "product_id",
+            effective().alias("_eff"),
+            F.explode(
+                F.filter(
+                    terms_arr,
+                    lambda t: F.lower(F.col("canonical_name")).contains(F.lower(t)),
+                )
+            ).alias("term"),
+        )
+        top = hits.groupBy("term").agg(
+            F.min_by("barcode", F.struct("_eff", "product_id")).alias("barcode")
+        )
+        resolved = {r["term"]: r["barcode"] for r in top.collect()}
+    barcodes: list[str] = []
+    unresolved: list[str] = []
+    for t in terms:
+        b = t if t.isdigit() else resolved.get(t)
+        if b is None:
+            unresolved.append(t)
+        elif b not in barcodes:
+            barcodes.append(b)
+    return barcodes, unresolved
+
+
 def _basket_totals(spark: SparkSession, sf_dir: str, barcodes: list[str]):
     from .domain import basket_store_totals
 
@@ -105,7 +153,17 @@ def find_best_basket(
     spark: SparkSession, sf_dir: str, barcodes: list[str]
 ) -> dict[str, Any]:
     """Cheapest complete basket (mcp.py:319-447): per-store totals,
-    complete filter (A7), ascending rank, best/worst summary."""
+    complete filter (A7), ascending rank, best/worst summary.
+    Entries may be barcodes OR name terms — names are resolved the
+    way the reference's tool resolves them (mcp.py:320-352)."""
+    barcodes, unresolved = resolve_basket_terms(spark, sf_dir, barcodes)
+    if not barcodes:
+        return {
+            "requested_products": 0,
+            "complete_baskets": 0,
+            "stores": [],
+            "unresolved": unresolved,
+        }
     totals = _basket_totals(spark, sf_dir, barcodes)
     complete = (
         totals.where(F.col("product_count") == len(barcodes))
@@ -128,6 +186,8 @@ def find_best_basket(
         "complete_baskets": len(stores),
         "stores": stores,
     }
+    if unresolved:
+        out["unresolved"] = unresolved
     if stores:
         best, worst = stores[0], stores[-1]
         out["best_store"] = best["supermarket_name"]
@@ -142,7 +202,10 @@ def find_most_expensive_basket(
     spark: SparkSession, sf_dir: str, barcodes: list[str]
 ) -> dict[str, Any]:
     """The JS layer's descending variant (simple-proxy.js:1079-1110),
-    top-5 slice (O3)."""
+    top-5 slice (O3). Accepts barcodes or name terms."""
+    barcodes, _ = resolve_basket_terms(spark, sf_dir, barcodes)
+    if not barcodes:
+        return {"stores": []}
     totals = _basket_totals(spark, sf_dir, barcodes)
     rows = (
         totals.where(F.col("product_count") == len(barcodes))
@@ -166,7 +229,11 @@ def calculate_savings(
     spark: SparkSession, sf_dir: str, barcodes: list[str]
 ) -> dict[str, Any]:
     """Cheapest vs most expensive complete basket: amount, pct
-    (1-decimal string), recommendation (simple-proxy.js:625-703)."""
+    (1-decimal string), recommendation (simple-proxy.js:625-703).
+    Accepts barcodes or name terms."""
+    barcodes, _ = resolve_basket_terms(spark, sf_dir, barcodes)
+    if not barcodes:
+        return {"comparable": False, "complete_baskets": 0}
     totals = _basket_totals(spark, sf_dir, barcodes)
     complete = (
         totals.where(F.col("product_count") == len(barcodes))

@@ -71,6 +71,43 @@ def test_basket_plan_uses_basket_tools(spark, sf_smoke):
         assert res["basket"]["best_store"] in res["answer"]
 
 
+def test_basket_plan_resolves_each_name_term(spark, sf_smoke):
+    """The reference's worked example ('milk, bread and eggs')
+    prices N DIFFERENT products — each term must resolve to ITS OWN
+    best search hit, not to N hits of the first term."""
+    from data_pipeline_2025_spark import tools
+
+    # expected resolution = top search hit per term, per the
+    # reference's best-match rule (mcp.py:322-347)
+    terms = ["widget", "bolt", "rod"]
+    expected = [tools.search_product(spark, sf_smoke, t)[0]["barcode"] for t in terms]
+    assert len(set(expected)) == 3, "fixture terms must hit distinct products"
+
+    res = run_shopping_session(spark, sf_smoke, "i need widget, bolt and rod")
+    assert res["plan"] == "basket"
+    tools_used = [c["tool"] for c in res["tool_calls"]]
+    assert tools_used[0] == "find_best_basket"
+    assert len(res["tool_calls"]) <= MAX_ITERATIONS
+    basket = res["basket"]
+    assert basket["requested_products"] == 3
+    assert "unresolved" not in basket
+    # the basket the agent priced is the basket of the 3 resolved
+    # barcodes — byte-identical to calling the tool on them directly
+    direct = tools.find_best_basket(spark, sf_smoke, expected)
+    assert basket == direct
+
+
+def test_resolve_basket_terms_mixed_and_unresolved(spark, sf_smoke):
+    from data_pipeline_2025_spark import tools
+
+    top_widget = tools.search_product(spark, sf_smoke, "widget")[0]["barcode"]
+    barcodes, unresolved = tools.resolve_basket_terms(
+        spark, sf_smoke, ["7", "widget", "zzz-no-such-product"]
+    )
+    assert barcodes == ["7", top_widget]
+    assert unresolved == ["zzz-no-such-product"]
+
+
 def test_no_products_is_graceful(spark, sf_smoke):
     res = run_shopping_session(spark, sf_smoke, "איפה הכי זול לקנות?")
     assert res["plan"] == "none"
