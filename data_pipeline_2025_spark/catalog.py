@@ -43,20 +43,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # Defensive: events.ts is TIMESTAMP(NANOS); any session that
-        # didn't come from session.get_spark (e.g. the grading
-        # driver's own) would fail the read without this runtime conf.
+        # Defensive confs for sessions that didn't come from
+        # session.get_spark (e.g. the grading driver's own):
+        # nanosAsLong makes a TIMESTAMP(NANOS) ts readable (older
+        # generator versions); UTC makes the NTZ→LTZ cast below
+        # epoch-exact and renders timestamps identically to DuckDB's
+        # timezone-naive values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as TIMESTAMP(NANOS) → long nanos under
-        # nanosAsLong (session.py); truncate to µs exactly like
-        # DuckDB's ns→µs conversion so both engines see one value.
+        # Normalize ts to TIMESTAMP whatever the generator wrote:
+        # - TIMESTAMP(NANOS) → long nanos under nanosAsLong →
+        #   truncate to µs exactly like DuckDB's ns→µs conversion;
+        # - timestamp[us] without tz → TIMESTAMP_NTZ → reinterpret
+        #   the wall clock as UTC (session tz pinned above), which is
+        #   bit-identical to what DuckDB reads into its naive
+        #   TIMESTAMP. Downstream epoch math (unix_micros, windows,
+        #   watermarks) requires the LTZ type.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -143,6 +143,7 @@ def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
     from data_pipeline_2025_spark.streaming import windowed
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
+    tz = "spark.sql.session.timeZone"
     try:
         for fn in (
             windowed.q50_stream_hourly_rollup,
@@ -150,6 +151,12 @@ def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
             windowed.q74_stream_join_attribution,
         ):
             spark.conf.unset(key)
+            # A bare session may also run in a non-UTC zone; the
+            # queries must pin UTC so the NTZ→LTZ reinterpretation
+            # matches DuckDB's naive timestamps.
+            spark.conf.set(tz, "America/New_York")
             assert fn(spark, sf_correct).count() > 0
+            assert spark.conf.get(tz) == "UTC"
     finally:
         spark.conf.set(key, "true")
+        spark.conf.set(tz, "UTC")
