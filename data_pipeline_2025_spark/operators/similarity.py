@@ -136,15 +136,43 @@ assign AS (
     ) WHERE rn = 1
 )"""
 
+_ORACLE_Q46 = f"""
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+n AS (SELECT vec_id, mv, list_dot_product(mv, mv) AS n2 FROM m),
+q AS (SELECT vec_id AS query_id, mv AS qv, n2 AS qn2 FROM n
+      WHERE vec_id IN ({_QIDS_SQL})),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, c.mv)
+                 / (sqrt(c.n2) * sqrt(q.qn2)), 6) AS cos_r
+    FROM q JOIN n c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_r, CAST(rn AS INTEGER) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+    ) AS rn
+    FROM pairs
+)
+WHERE rn <= {TOP_K}
+"""
+
+
 @register(
     "q46_ann_pandas_vectorized",
-    oracle=None,  # numpy's pairwise/SIMD summation is not
-    # bit-identical to a sequential SQL fold; correctness of the
-    # math is covered by q40's exact oracle — this entry proves the
-    # Arrow-vectorized scale path (rows-only check).
+    oracle=_ORACLE_Q46,
     doc="Brute-force cosine top-k via an Arrow-batched pandas UDF "
     "(numpy matmul per batch) — the high-throughput path for wide "
-    "fan-out scoring.",
+    "fan-out scoring. Embeddings are quantized to integers "
+    "(floor(x*1e6), the q44 trick) so every dot product and partial "
+    "sum is an exact integer < 2^53: numpy's pairwise/SIMD matmul, "
+    "a SQL fold, and IEEE sqrt/divide then agree bit-for-bit, which "
+    "is what lets the vectorized path carry a value-hash oracle.",
     tags=("similarity", "ann", "pandas-udf"),
 )
 def q46_ann_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,19 +180,27 @@ def q46_ann_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n = _vec_norms(spark, sf_dir)
+
+    def quant(mat: "np.ndarray") -> "np.ndarray":
+        return np.floor(mat * 1_000_000.0).astype(np.int64)
+
     queries = [
         (int(r["vec_id"]), np.asarray(r["v"], dtype=np.float64))
         for r in n.where(F.col("vec_id").isin(*QUERY_IDS)).collect()
     ]
-    qmat = np.stack([q[1] for q in queries])
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qmat = quant(np.stack([q[1] for q in queries]))
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
     qids = [q[0] for q in queries]
 
     def score(batches):
         for pdf in batches:
-            cmat = np.stack(pdf["v"].apply(np.asarray).values).astype(np.float64)
-            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-            sims = (cmat @ qmat.T) / (cnorm[:, None] * qnorm[None, :])
+            cmat = quant(np.stack(pdf["v"].apply(np.asarray).values))
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+            # int64 matmul: exact (|dot| ≤ 64·1e12 ≪ 2^63, and every
+            # value is < 2^53 so the float conversion is exact too).
+            sims = (cmat @ qmat.T).astype(np.float64) / (
+                cnorm[:, None] * qnorm[None, :]
+            )
             out = []
             for qi, qid in enumerate(qids):
                 out.append(
