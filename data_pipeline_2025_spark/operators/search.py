@@ -311,11 +311,20 @@ def update_trigram_index(
     directories are never rewritten (asserted in tests). Returns the
     number of newly indexed names.
 
-    Crash consistency: postings and manifest are two parquet appends;
-    a crash between them re-appends those postings on retry. In a
-    deployment both writes become one Delta transaction (or the
-    manifest write goes first, making retries drop the batch) — the
-    partition-bounded shape is unchanged."""
+    Crash consistency WITHOUT Delta: postings append first, manifest
+    second. A crash between the two appends leaves orphan postings
+    whose names are not yet in the manifest, so the retry re-derives
+    the same fresh set and re-appends them — and duplicate postings
+    are HARMLESS because the read side aggregates with
+    countDistinct(tg) (search_trigram_index), never raw counts. The
+    opposite order (manifest first) would turn a crash into names
+    that are "known" but have no postings — a permanent silent gap.
+    tests/test_ingest.py::test_index_update_crash_between_writes
+    injects a crash between the appends and proves a retry converges
+    to the same search results as a cleanly built index. In a
+    deployment both appends become one Delta MERGE and the orphan
+    postings disappear; here a periodic compaction (rewrite postings
+    distinct per tg1 partition) bounds the garbage."""
     from ..sources.gold import write_gold
 
     known = spark.read.parquet(_manifest_path(path)).select("name")
@@ -374,8 +383,12 @@ def search_trigram_index(
         F.col("tg1").isin(sorted({t[0] for t in term_tgs}))
         & F.col("tg").isin(term_tgs)
     )
+    # countDistinct, not count: postings may contain duplicates after
+    # a crash-retry of update_trigram_index (see its docstring) and
+    # the sim score must not inflate. Identical on a clean index —
+    # _postings_frame emits each (name, tg) once.
     scored = postings.groupBy("name").agg(
-        F.count(F.lit(1)).alias("shared"), F.max("n_name").alias("n_name")
+        F.countDistinct("tg").alias("shared"), F.max("n_name").alias("n_name")
     )
     sim = F.col("shared").cast("double") / (
         F.col("n_name") + F.lit(n_term) - F.col("shared")

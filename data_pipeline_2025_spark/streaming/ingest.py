@@ -90,6 +90,18 @@ def start_price_ingest(
             PARTITION_COL, F.to_date("price_update_date")
         )
         spark_ = batch.sparkSession
+        # Index names come from the PRE-anti-join batch: if a crash
+        # lands between the sink append and the index update, the
+        # replayed batch is fully absorbed by the anti-join below, so
+        # a post-anti-join names frame would be empty and those names
+        # would NEVER be indexed. Re-posting already-indexed names is
+        # a no-op via the index's name manifest, so the wider frame
+        # costs nothing on the happy path.
+        index_names = (
+            batch.select(F.col("item_name").alias("name"))
+            .where(F.col("name").isNotNull())
+            .distinct()
+        )
         if os.path.exists(sink_dir):
             # One row per event date in the micro-batch — bounded by
             # the replay window, tiny driver-side list.
@@ -114,15 +126,10 @@ def start_price_ingest(
                 update_trigram_index,
             )
 
-            names = (
-                batch.select(F.col("item_name").alias("name"))
-                .where(F.col("name").isNotNull())
-                .distinct()
-            )
             if os.path.exists(_manifest_path(index_dir)):
-                update_trigram_index(spark_, index_dir, names)
+                update_trigram_index(spark_, index_dir, index_names)
             else:
-                build_trigram_index_at(spark_, names, index_dir)
+                build_trigram_index_at(spark_, index_names, index_dir)
 
     return (
         silver.writeStream.foreachBatch(write_batch)

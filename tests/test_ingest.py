@@ -270,3 +270,50 @@ def test_ingest_maintains_trigram_index(spark, price_dir, tmp_path):
     # fuzzy search over the maintained index (misspelled probe)
     hits = search_trigram_index(spark, idx, "פריט 10", threshold=0.2).collect()
     assert any(r["name"] == "פריט 100" for r in hits)
+
+
+def test_index_update_crash_between_writes(spark, tmp_path):
+    """Crash-injection for update_trigram_index: the crash window is
+    'postings appended, manifest append lost'. A retry after restart
+    must converge to the same search results as a cleanly built
+    index — duplicate postings must not inflate sim scores (the read
+    side aggregates countDistinct(tg)) and the manifest must end up
+    with each name exactly once."""
+    from data_pipeline_2025_spark.operators.search import (
+        _manifest_path,
+        _postings_frame,
+        build_trigram_index_at,
+        search_trigram_index,
+        update_trigram_index,
+    )
+    from data_pipeline_2025_spark.sources.gold import write_gold
+
+    idx = str(tmp_path / "tg_idx")
+    base = spark.createDataFrame([("alpha bread",), ("beta milk",)], ["name"])
+    build_trigram_index_at(spark, base, idx)
+
+    new = spark.createDataFrame([("gamma eggs",), ("alpha bread",)], ["name"])
+    # Reproduce the crash state exactly: the fresh postings landed,
+    # the manifest append did not.
+    known = spark.read.parquet(_manifest_path(idx)).select("name")
+    fresh = new.select("name").distinct().join(known, "name", "left_anti")
+    write_gold(_postings_frame(fresh), idx, partition_by=("tg1",), mode="append")
+
+    # Retry after restart: re-derives the same fresh set (manifest
+    # didn't advance), re-appends postings, lands the manifest.
+    assert update_trigram_index(spark, idx, new) == 1
+    assert update_trigram_index(spark, idx, new) == 0  # now a no-op
+
+    clean = str(tmp_path / "tg_clean")
+    build_trigram_index_at(
+        spark, base.unionByName(new).distinct(), clean
+    )
+    got = search_trigram_index(spark, idx, "gama eggs", threshold=0.05).collect()
+    want = search_trigram_index(spark, clean, "gama eggs", threshold=0.05).collect()
+    assert [(r["name"], r["sim"]) for r in got] == [
+        (r["name"], r["sim"]) for r in want
+    ]
+    counts = (
+        spark.read.parquet(_manifest_path(idx)).groupBy("name").count().collect()
+    )
+    assert counts and all(r["count"] == 1 for r in counts)
