@@ -96,10 +96,9 @@ _SILVER_BUILT: set[str] = set()
 
 
 def silver_products_path(sf_dir: str) -> str:
-    import tempfile
+    from .artifacts import artifact_path
 
-    key = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/dp2025_gold/{key}/products_silver"
+    return artifact_path(sf_dir, "products_silver")
 
 
 def products(cat: Catalog, materialized: bool = True) -> DataFrame:
@@ -117,7 +116,12 @@ def products(cat: Catalog, materialized: bool = True) -> DataFrame:
         return _products_expr(cat)
     path = silver_products_path(cat.sf_dir)
     if path not in _SILVER_BUILT:
-        _products_expr(cat).write.mode("overwrite").parquet(path)
+        from .artifacts import publish
+
+        # Atomic symlink-swap publish: a concurrent process mid-read
+        # keeps its resolved version; overwrite-in-place would delete
+        # files under it (artifacts.py).
+        publish(_products_expr(cat), path)
         _SILVER_BUILT.add(path)
     return cat.spark.read.parquet(path)
 

@@ -194,10 +194,9 @@ _CAGG_BUILT: set[str] = set()
 
 
 def _cagg_path(sf_dir: str) -> str:
-    import tempfile
+    from ..artifacts import artifact_path
 
-    key = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/dp2025_gold/{key}/events_hourly_cagg"
+    return artifact_path(sf_dir, "events_hourly_cagg")
 
 
 def _hourly(df: DataFrame) -> DataFrame:
@@ -233,7 +232,8 @@ ORDER BY window_start, event_type
     tags=("events", "gold", "continuous-aggregate"),
 )
 def q75_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.gold import read_gold, write_gold
+    from ..artifacts import publish
+    from ..sources.gold import read_gold
 
     cat = Catalog(spark, sf_dir)
     split = F.lit(CAGG_SPLIT).cast("timestamp")
@@ -242,7 +242,9 @@ def q75_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist = _hourly(cat.events.where(F.col("ts") < split)).withColumn(
             "day", F.to_date("window_start")
         )
-        write_gold(hist, path, partition_by=("day",))
+        # Atomic symlink-swap publish (artifacts.py) — same layout
+        # write_gold would produce, safe under concurrent readers.
+        publish(hist, path, partition_by=("day",))
         _CAGG_BUILT.add(path)
     materialized = read_gold(spark, path).drop("day")
     tail = _hourly(cat.events.where(F.col("ts") >= split))

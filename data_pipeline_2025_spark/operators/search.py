@@ -261,10 +261,15 @@ _INDEX_CACHE: set[str] = set()
 
 
 def trigram_index_path(sf_dir: str) -> str:
-    import tempfile
+    # Hardened scratch location (md5 key, per-uid 0700 root —
+    # artifacts.py). The index itself stays a real directory rather
+    # than a symlink-swapped artifact because update_trigram_index
+    # APPENDS into its tg1 partitions; the rare concurrent initial
+    # build is last-writer-wins over identical deterministic content
+    # (inputs are immutable per sf_dir).
+    from ..artifacts import artifact_path
 
-    key = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/dp2025_gold/{key}/trigram_index"
+    return artifact_path(sf_dir, "trigram_index")
 
 
 def _postings_frame(names: DataFrame) -> DataFrame:
