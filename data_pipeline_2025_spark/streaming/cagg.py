@@ -1,0 +1,123 @@
+"""Streaming continuous aggregate over the events stream — the end-
+to-end version of q75's pattern (operators/events.py): a
+materialized hourly rollup that updates INCREMENTALLY as micro-
+batches land, touching only the day partitions the batch contains.
+
+The reference's analog is the "prices per hour"-style rollup served
+from Postgres tables kept fresh by the consumer container (SURVEY.md
+§2.9 T7, §3.2); TimescaleDB calls the shape a continuous aggregate.
+
+Shape per micro-batch (foreachBatch):
+
+1. idempotent append of the batch's events into a silver table
+   partitioned by event day — the same partition-bounded anti-join
+   upsert as the price ingest (streaming/ingest.py), so duplicate
+   file delivery / checkpoint replay never duplicates rows;
+2. recompute the hourly rollup FOR THE TOUCHED DAYS ONLY from
+   silver, and dynamic-partition-overwrite exactly those day
+   partitions of the rollup table.
+
+Recompute-from-silver (rather than merging batch partials into the
+rollup) is what makes a crash-replayed batch idempotent: step 1
+absorbs the replay, step 2 then rewrites the touched partitions to
+the same content. Both steps read/write O(touched days), never
+O(history) — at 100 TB the rollup maintenance cost tracks the
+arrival window, not the table size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.money import dec, money_out
+
+DAY_COL = "day"
+
+
+def _hourly_partial(events: DataFrame) -> DataFrame:
+    """Exact-decimal hourly rollup (stored form; money_out at serve)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+        .withColumn(DAY_COL, F.to_date("window_start"))
+    )
+
+
+def start_events_cagg(
+    spark: SparkSession,
+    source_dir: str,
+    silver_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain silver events + the hourly rollup from a parquet file
+    stream (AvailableNow: drain-and-stop for tests/backfills; swap
+    the trigger for a cadence to mirror the reference's poller)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark_ = batch.sparkSession
+        batch = batch.withColumn(DAY_COL, F.to_date("ts"))
+        touched = [
+            r[DAY_COL] for r in batch.select(DAY_COL).distinct().collect()
+        ]
+        if not touched:
+            return
+        # 1. idempotent silver append, scoped to touched partitions
+        if os.path.exists(silver_dir):
+            existing = (
+                spark_.read.parquet(silver_dir)
+                .where(F.col(DAY_COL).isin(touched))
+                .select("event_id")
+            )
+            batch = batch.join(existing, "event_id", "left_anti")
+        batch.write.mode("append").partitionBy(DAY_COL).parquet(silver_dir)
+        # 2. recompute rollup for touched days from silver, replace
+        # exactly those day partitions (dynamic partition overwrite)
+        fresh = _hourly_partial(
+            spark_.read.parquet(silver_dir).where(F.col(DAY_COL).isin(touched))
+        )
+        (
+            fresh.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DAY_COL)
+            .parquet(rollup_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def serve_hourly(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """The serving view over the maintained rollup (same output
+    schema as q75 / q50): reads ONLY the materialized table — no
+    touch of the raw events."""
+    return (
+        spark.read.parquet(rollup_dir)
+        .select(
+            "window_start",
+            "event_type",
+            "n",
+            money_out(F.col("total_dec")).alias("total_value_d"),
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -160,3 +160,84 @@ def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
     finally:
         spark.conf.set(key, "true")
         spark.conf.set(tz, "UTC")
+
+
+def test_events_cagg_incremental_end_to_end(spark, tmp_path):
+    """q75's continuous-aggregate pattern wired to actual streaming
+    ingest (streaming/cagg.py): each micro-batch idempotently appends
+    events silver and recomputes the hourly rollup for ONLY the
+    touched day partitions. Asserts (1) the served rollup equals the
+    direct batch aggregation after every pass, (2) a pass touching
+    day-2 leaves day-1's rollup partition files physically untouched,
+    (3) replaying a chunk changes nothing."""
+    import os
+    import shutil
+
+    from data_pipeline_2025_spark.streaming.cagg import (
+        serve_hourly,
+        start_events_cagg,
+    )
+    from data_pipeline_2025_spark.functions.money import dec, money_out
+
+    src = str(tmp_path / "events_src")
+    silver = str(tmp_path / "events_silver")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def chunk(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, ts STRING, event_type STRING, value DOUBLE"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def groundtruth():
+        return {
+            (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["total_value_d"])
+            for r in (
+                spark.read.parquet(src)
+                .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), money_out(F.sum(dec("value"))).alias("total_value_d"))
+                .collect()
+            )
+        }
+
+    def served():
+        return {
+            (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["total_value_d"])
+            for r in serve_hourly(spark, rollup).collect()
+        }
+
+    chunk("c1", [
+        (1, "2024-01-01 10:05:00", "view", 1.5),
+        (2, "2024-01-01 11:20:00", "view", 2.5),
+        (3, "2024-01-01 11:40:00", "purchase", 10.0),
+    ])
+    start_events_cagg(spark, src, silver, rollup, ckpt).awaitTermination()
+    assert served() == groundtruth()
+
+    day1 = os.path.join(rollup, "day=2024-01-01")
+    sig_before = sorted(
+        (f, os.path.getmtime(os.path.join(day1, f)))
+        for f in os.listdir(day1) if f.endswith(".parquet")
+    )
+
+    # second chunk touches only day 2 → day-1 partition untouched
+    chunk("c2", [
+        (4, "2024-01-02 09:10:00", "view", 3.0),
+        (5, "2024-01-02 09:15:00", "purchase", 7.0),
+    ])
+    start_events_cagg(spark, src, silver, rollup, ckpt).awaitTermination()
+    assert served() == groundtruth()
+    sig_after = sorted(
+        (f, os.path.getmtime(os.path.join(day1, f)))
+        for f in os.listdir(day1) if f.endswith(".parquet")
+    )
+    assert sig_after == sig_before
+
+    # replay: recopy an already-processed source file under a new
+    # name → anti-join absorbs every row, rollup values unchanged
+    before = served()
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(src, files[0]), os.path.join(src, "replay_" + files[0]))
+    start_events_cagg(spark, src, silver, rollup, ckpt).awaitTermination()
+    assert served() == before
