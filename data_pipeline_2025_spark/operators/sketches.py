@@ -1,0 +1,301 @@
+"""Corpus profiling sketches over the `documents` table — the
+streaming-sketch layer a 100 TB training-data pipeline needs next to
+its KMV distinct-count sketch (dedup.py q77/q78):
+
+- count-min sketch heavy hitters (q79): a d×w grid of counters,
+  mergeable and map-side combinable, whose point estimates
+  upper-bound true frequencies — frequency tracking whose state is
+  O(d·w), independent of vocabulary size;
+- exact distributed quantiles (q80): per-group discrete quantiles
+  via row_number + integer index arithmetic — one shuffle, no
+  percentile builtin (whose interpolation is float-order fragile
+  across engines);
+- bigram collocation mining (q81): PMI-style lift over adjacent
+  token pairs, computed in pure integer ratios (no log), the
+  phrase-detection pass used before tokenizer/vocab training.
+
+Everything is deterministic column algebra (md5-derived hashes, the
+dedup.py idiom) so each sketch carries a DuckDB value-hash oracle.
+Reference basis: frequency/statistics SQL surface of the serving
+routes (salim/app/server/routes/products.py price-stats family);
+the sketches are the at-scale generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog, fan_out
+from ..registry import register
+from .text import TOKENS_SQL, tokens_col
+
+# --------------------------------------------------- q79: count-min
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+TOP_HITTERS = 20
+
+
+def _cms_bucket(tok: Column, row: int) -> Column:
+    """Row-i CMS bucket: md5-derived 48-bit int mod width (the
+    cross-engine dedup.py hash idiom — identical bits in DuckDB)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), tok))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % CMS_WIDTH).alias(
+        f"b{row}"
+    )
+
+
+def _cms_bucket_sql(tok: str, row: int) -> str:
+    return f"(('0x' || substr(md5('{row}:' || {tok}), 1, 12))::BIGINT % {CMS_WIDTH})"
+
+
+_ORACLE_Q79 = f"""
+WITH tok AS (
+    SELECT unnest({TOKENS_SQL}) AS t FROM documents
+),
+sketch AS (
+    SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r,
+               unnest([{", ".join(_cms_bucket_sql("t", r) for r in range(CMS_DEPTH))}]) AS b
+        FROM tok
+    )
+    GROUP BY r, b
+),
+exact AS (
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM tok GROUP BY t
+    ORDER BY exact_n DESC, token
+    LIMIT {TOP_HITTERS}
+),
+est AS (
+    SELECT e.token, e.exact_n, MIN(s.cnt) AS cms_est
+    FROM (
+        SELECT token, exact_n,
+               unnest([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r,
+               unnest([{", ".join(_cms_bucket_sql("token", r) for r in range(CMS_DEPTH))}]) AS b
+        FROM exact
+    ) e
+    JOIN sketch s ON s.r = e.r AND s.b = e.b
+    GROUP BY e.token, e.exact_n
+)
+SELECT token, exact_n, cms_est FROM est
+ORDER BY exact_n DESC, token
+"""
+
+
+@register(
+    "q79_cms_heavy_hitters",
+    oracle=_ORACLE_Q79,
+    doc="Count-min sketch heavy hitters: a 4×64 counter grid built "
+    "in one pass (map-side combinable — the whole sketch is 256 "
+    "cells regardless of vocabulary), point estimates min-over-rows "
+    "for the top-20 exact tokens; CMS >= exact always (one-sided "
+    "error), equality at this scale shows the grid is wide enough.",
+    tags=("sketch", "cms", "text"),
+)
+def q79_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    tok = (
+        fan_out(cat.documents, "doc_id")
+        .select(F.explode(tokens_col()).alias("t"))
+    )
+    # one pass → (row, bucket) cells; inline explode of the d rows
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket(F.col("t"), r).alias("b")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = cells.groupBy("rb.r", "rb.b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(TOP_HITTERS)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("token"), r).alias("b"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_n", F.col("rb.r").alias("pr"), F.col("rb.b").alias("pb"))
+    est = (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("pr") == F.col("r")) & (F.col("pb") == F.col("b")),
+        )
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.orderBy(F.col("exact_n").desc(), "token")
+
+
+# ------------------------------------------- q80: exact quantiles
+QUANTILES = ((1, 2, "p50_chars"), (9, 10, "p90_chars"), (99, 100, "p99_chars"))
+
+_Q80_IDX_SQL = ", ".join(
+    f"MAX(CASE WHEN rn = (({num} * n + {den} - 1) // {den}) THEN n_chars END) AS {name}"
+    for num, den, name in QUANTILES
+)
+
+_ORACLE_Q80 = f"""
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+    FROM documents
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, {_Q80_IDX_SQL}
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q80_group_quantiles",
+    oracle=_ORACLE_Q80,
+    doc="Exact distributed discrete quantiles per group (p50/p90/"
+    "p99 of document length): row_number + pure integer index "
+    "arithmetic ceil(p·n) — one shuffle on the group key, engine-"
+    "stable where float percentile interpolation is not.",
+    tags=("sketch", "quantile", "window"),
+)
+def q80_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = cat.documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer ceil: (num*n + den-1) div den — Spark's `/` is float
+    # division, so use expr div for exact integer semantics
+    aggs = [F.max("n").alias("n_docs")] + [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"),
+                F.col("n_chars"),
+            )
+        ).alias(name)
+        for num, den, name in QUANTILES
+    ]
+    return ranked.groupBy("source").agg(*aggs).orderBy("source")
+
+
+# -------------------------------------- q81: bigram collocations
+MIN_SUPPORT = 5
+TOP_COLLOCATIONS = 20
+
+_ORACLE_Q81 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS ts FROM documents
+),
+bigrams AS (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+),
+bg AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+    FROM bigrams GROUP BY w1, w2
+),
+uni AS (
+    SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+),
+tot AS (
+    SELECT CAST(SUM(len(ts)) AS BIGINT) AS t_uni,
+           CAST(SUM(len(ts) - 1) AS BIGINT) AS t_bg
+    FROM toks
+)
+SELECT w1, w2, n_xy,
+       round(CAST(n_xy AS DOUBLE) * t_uni * t_uni
+             / (CAST(t_bg AS DOUBLE) * u1.c * u2.c), 6) AS lift
+FROM bg
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+CROSS JOIN tot
+WHERE n_xy >= {MIN_SUPPORT}
+ORDER BY lift DESC, w1, w2
+LIMIT {TOP_COLLOCATIONS}
+"""
+
+
+@register(
+    "q81_bigram_collocations",
+    oracle=_ORACLE_Q81,
+    doc="Collocation mining: PMI-style lift of adjacent token pairs "
+    "p(xy)/(p(x)p(y)) in pure integer ratios (no log — engine-"
+    "stable), min-support pruned; the phrase-detection pass before "
+    "tokenizer/vocab training. Unigram side joins are broadcastable "
+    "dictionaries at any corpus size.",
+    tags=("sketch", "text", "collocation"),
+)
+def q81_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = fan_out(cat.documents, "doc_id").select(
+        "doc_id", tokens_col().alias("ts")
+    )
+    # guard size>=2: Spark's sequence(1, 0) is DESCENDING, not empty
+    bigrams = (
+        toks.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = toks.agg(
+        F.sum(F.size("ts")).alias("t_uni"),
+        F.sum(F.size("ts") - 1).alias("t_bg"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # identical left-assoc a*b*c/(d*e*f) shape as the oracle: every
+    # intermediate is an exact integer in double (< 2^53), so the
+    # single rounding point is the final division in both engines
+    lift = F.round(
+        F.col("n_xy").cast("double")
+        * F.col("t_uni")
+        * F.col("t_uni")
+        / (F.col("t_bg").cast("double") * F.col("c1") * F.col("c2")),
+        6,
+    )
+    return (
+        bg.where(F.col("n_xy") >= MIN_SUPPORT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_xy", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(TOP_COLLOCATIONS)
+    )

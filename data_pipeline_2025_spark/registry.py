@@ -53,7 +53,9 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.streaming.windowed",  # q50/q51/q74 fix
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
-    # NEW round-3 modules/queries go here, inside the cap:
+    # NEW round-3 modules/queries, inside the cap:
+    "data_pipeline_2025_spark.operators.sketches",  # q79/q80/q81 new
+    "data_pipeline_2025_spark.operators.similarity",  # q46 new oracle
     # (rest — driver-green in r1 or r2; rotation keeps re-checking)
     "data_pipeline_2025_spark.operators.pricing",
     "data_pipeline_2025_spark.operators.compare",
@@ -65,7 +67,6 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.events",
     "data_pipeline_2025_spark.operators.scalars",
     "data_pipeline_2025_spark.operators.analytics",
-    "data_pipeline_2025_spark.operators.similarity",
     "data_pipeline_2025_spark.operators.multimodal",
     "data_pipeline_2025_spark.operators.curation",  # pulls in text+dedup
     "data_pipeline_2025_spark.operators.dedup",

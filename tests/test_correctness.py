@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 77
+EXPECTED_QUERY_COUNT = 80
 
 
 def test_registry_complete():
@@ -82,5 +82,9 @@ def test_priority_queries_inside_driver_cap():
         "q76_interval_snapshot_join",
         # rows-only in rounds 1-2, oracle added this round
         "q46_ann_pandas_vectorized",
+        # new this round (sketches module)
+        "q79_cms_heavy_hitters",
+        "q80_group_quantiles",
+        "q81_bigram_collocations",
     }
     assert must_lead <= first_50, must_lead - first_50
