@@ -558,3 +558,181 @@ def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "scanned", "hits", "recall_at_k")
         .orderBy("query_id")
     )
+
+
+# ------------------- q82: deterministic k-means Lloyd refinement --
+#
+# The iterative-algorithm shape (SURVEY custom-operator rule (a)):
+# one full Lloyd step — assign to seed centroids, recompute centroids
+# as member means, reassign — with every quantity INTEGER so both
+# engines agree bit-for-bit: vectors quantized to floor(x*1e6)
+# (the q44/q46 trick), distances expanded to integer dot products
+# (n2_v - 2*v.c + n2_c), and refined centroids floor-averaged
+# per dimension. floor(s/cnt) computed via double division is exact
+# here: |s| <= 5e8 and cnt <= 500, so the quotient's double error
+# (~5e-8) can never cross an integer boundary (non-integer rationals
+# with denominator <= 500 sit >= 1/500 from any integer). Multi-round
+# Lloyd at scale = this step iterated with localCheckpoint lineage
+# truncation, exactly like q70's connected components.
+_Q82_SQL = f"""
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+n AS (SELECT vec_id, mv, list_dot_product(mv, mv) AS n2 FROM m),
+c0 AS (SELECT vec_id AS cid, mv AS cv FROM n WHERE vec_id < {N_CENTROIDS}),
+a0 AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c0.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.n2 - 2 * list_dot_product(n.mv, c0.cv)
+                            + list_dot_product(c0.cv, c0.cv), c0.cid
+               ) AS rn
+        FROM n CROSS JOIN c0
+    ) WHERE rn = 1
+),
+mem AS (
+    SELECT a0.cid, i.i AS pos, n.mv[i.i] AS val
+    FROM a0 JOIN n USING (vec_id), UNNEST(range(1, {EMB_DIM} + 1)) AS i(i)
+),
+sums AS (
+    SELECT cid, pos, CAST(SUM(val) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM mem GROUP BY cid, pos
+),
+c1 AS (
+    SELECT cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+                ORDER BY pos) AS cv
+    FROM sums GROUP BY cid
+),
+a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c1.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.n2 - 2 * list_dot_product(n.mv, c1.cv)
+                            + list_dot_product(c1.cv, c1.cv), c1.cid
+               ) AS rn
+        FROM n CROSS JOIN c1
+    ) WHERE rn = 1
+),
+n0 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_before FROM a0 GROUP BY cid),
+n1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_after FROM a1 GROUP BY cid),
+arr AS (
+    SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS arrivals
+    FROM a1 JOIN a0 USING (vec_id)
+    WHERE a1.cid <> a0.cid GROUP BY a1.cid
+)
+SELECT c0.cid AS centroid_id,
+       CAST(COALESCE(n0.n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(n1.n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(arr.arrivals, 0) AS BIGINT) AS arrivals
+FROM c0
+LEFT JOIN n0 ON n0.cid = c0.cid
+LEFT JOIN n1 ON n1.cid = c0.cid
+LEFT JOIN arr ON arr.cid = c0.cid
+ORDER BY centroid_id
+"""
+
+
+def _int_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, mv: array<bigint>, n2: bigint) quantized vectors."""
+    cat = Catalog(spark, sf_dir)
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    e = fan_out(cat.embeddings, "vec_id").select("vec_id", m.alias("mv"))
+    return e.withColumn("n2", _idot(F.col("mv"), F.col("mv")))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid) nearest-centroid assignment, integer distances,
+    ties broken by centroid id. Centroids are broadcast — the only
+    join in a Lloyd step at any scale."""
+    d2 = (
+        F.col("n2")
+        - 2 * _idot(F.col("mv"), F.col("cv"))
+        + _idot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "mv", "n2")
+    )
+
+
+@register(
+    "q82_kmeans_refine",
+    oracle=_Q82_SQL,
+    doc="One deterministic Lloyd step over quantized embeddings: "
+    "assign to seed centroids, floor-average members per dimension "
+    "into integer refined centroids, reassign. All-integer distance "
+    "algebra makes the iterative algorithm value-hash checkable; "
+    "scale shape: centroids broadcast, per-dimension sums are one "
+    "map-side-combinable groupBy, rounds iterate with checkpointed "
+    "lineage like q70's connected components.",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def q82_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _int_vecs(spark, sf_dir)
+    c0 = vecs.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("mv").alias("cv")
+    )
+    a0 = _nearest(vecs, c0)
+    # refined centroids: per-dimension integer floor-average
+    sums = (
+        a0.select("cid", F.posexplode("mv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    c1 = (
+        sums.withColumn(
+            "cval",
+            F.floor(F.col("s").cast("double") / F.col("cnt")).cast("bigint"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda x: x["cval"],
+            ).alias("cv")
+        )
+    )
+    a1 = _nearest(vecs, c1)
+    n0 = a0.groupBy("cid").agg(F.count(F.lit(1)).alias("n_before"))
+    n1 = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_after"))
+    arr = (
+        a1.select("vec_id", F.col("cid").alias("c_new"))
+        .join(a0.select("vec_id", F.col("cid").alias("c_old")), "vec_id")
+        .where(F.col("c_new") != F.col("c_old"))
+        .groupBy(F.col("c_new").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("arrivals"))
+    )
+    out = (
+        c0.select("cid")
+        .join(n0, "cid", "left")
+        .join(n1, "cid", "left")
+        .join(arr, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("arrivals", F.lit(0)).cast("bigint").alias("arrivals"),
+        )
+    )
+    return out.orderBy("centroid_id")
