@@ -58,12 +58,19 @@ def start_events_cagg(
     silver_dir: str,
     rollup_dir: str,
     checkpoint_dir: str,
+    glob: str | None = None,
 ) -> StreamingQuery:
     """Maintain silver events + the hourly rollup from a parquet file
     stream (AvailableNow: drain-and-stop for tests/backfills; swap
-    the trigger for a cadence to mirror the reference's poller)."""
-    schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    the trigger for a cadence to mirror the reference's poller).
+    ``glob`` narrows a mixed directory to one table's files (the
+    file source wants a directory, not a file path)."""
+    schema_src = source_dir if glob is None else os.path.join(source_dir, glob)
+    schema = spark.read.parquet(schema_src).schema
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(source_dir)
     ts_type = dict(stream.dtypes)["ts"]
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -121,3 +128,59 @@ def serve_hourly(spark: SparkSession, rollup_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# Registered query: the whole maintenance loop end-to-end, oracle-
+# checked. Runs the actual stream (AvailableNow) into fresh scratch
+# dirs, then serves from the materialized rollup ONLY — so the
+# value-hash compares "rollup maintained incrementally by streaming
+# ingest" against "batch SQL over the raw events". Strongest
+# possible evidence the serving table equals the source of truth.
+_ORACLE_Q83 = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value_d
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def q83_stream_cagg_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..artifacts import artifact_path
+
+    run = uuid.uuid4().hex[:12]
+    silver = artifact_path(sf_dir, f"cagg_run/{run}/silver")
+    rollup = artifact_path(sf_dir, f"cagg_run/{run}/rollup")
+    ckpt = artifact_path(sf_dir, f"cagg_run/{run}/ckpt")
+    # same defensive confs as the other streaming queries: a bare
+    # session must read the events parquet and render timestamps
+    # UTC-naively like DuckDB
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    start_events_cagg(
+        spark, sf_dir, silver, rollup, ckpt, glob="events.parquet"
+    ).awaitTermination()
+    return serve_hourly(spark, rollup)
+
+
+def _register() -> None:
+    from ..registry import register
+
+    register(
+        "q83_stream_cagg_serving",
+        oracle=_ORACLE_Q83,
+        doc="Continuous aggregate maintained END-TO-END by the real "
+        "streaming ingest (foreachBatch: idempotent silver append + "
+        "touched-day rollup recompute), then served from the "
+        "materialized table only — hash-checked against batch SQL "
+        "over the raw events (T7 + the reference's consumer-keeps-"
+        "serving-tables-fresh pattern).",
+        tags=("streaming", "continuous-aggregate", "gold"),
+    )(q83_stream_cagg_serving)
+
+
+_register()

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 81
+EXPECTED_QUERY_COUNT = 82
 
 
 def test_registry_complete():
@@ -87,5 +87,6 @@ def test_priority_queries_inside_driver_cap():
         "q80_group_quantiles",
         "q81_bigram_collocations",
         "q82_kmeans_refine",
+        "q83_stream_cagg_serving",
     }
     assert must_lead <= first_50, must_lead - first_50
