@@ -13,6 +13,8 @@ plan's total order enables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -340,6 +342,35 @@ def update_trigram_index(
     write_gold(_postings_frame(fresh), path, partition_by=("tg1",), mode="append")
     fresh.write.mode("append").parquet(_manifest_path(path))
     return n_fresh
+
+
+def compact_trigram_index(spark: SparkSession, path: str) -> int:
+    """Rewrite the posting list distinct per (name, tg) — the
+    periodic compaction that bounds the garbage crash-retries of
+    update_trigram_index can leave behind (duplicate postings are
+    read-harmless via countDistinct, but they cost scan bytes).
+    Runs in the index's own maintenance loop — same single-writer
+    assumption as the appends themselves, so the directory swap
+    needs no cross-process lock. Returns postings removed."""
+    import shutil
+
+    from ..sources.gold import write_gold
+
+    idx = spark.read.parquet(path)
+    before = idx.count()
+    deduped = idx.dropDuplicates(["name", "tg"]).cache()
+    after = deduped.count()
+    if after == before:
+        deduped.unpersist()
+        return 0
+    tmp = f"{path}.compact-{os.getpid()}"
+    write_gold(deduped, tmp, partition_by=("tg1",))
+    deduped.unpersist()
+    old = f"{path}.old-{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before - after
 
 
 def build_trigram_index(spark: SparkSession, sf_dir: str) -> str:

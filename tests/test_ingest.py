@@ -317,3 +317,17 @@ def test_index_update_crash_between_writes(spark, tmp_path):
         spark.read.parquet(_manifest_path(idx)).groupBy("name").count().collect()
     )
     assert counts and all(r["count"] == 1 for r in counts)
+
+    # compaction: removes the crash-retry duplicates, search results
+    # and posting distinctness unchanged afterwards
+    from data_pipeline_2025_spark.operators.search import compact_trigram_index
+
+    removed = compact_trigram_index(spark, idx)
+    assert removed > 0
+    assert compact_trigram_index(spark, idx) == 0  # idempotent
+    got2 = search_trigram_index(spark, idx, "gama eggs", threshold=0.05).collect()
+    assert [(r["name"], r["sim"]) for r in got2] == [
+        (r["name"], r["sim"]) for r in want
+    ]
+    postings = spark.read.parquet(idx)
+    assert postings.count() == postings.dropDuplicates(["name", "tg"]).count()

@@ -160,3 +160,41 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_smoke):
     plan = plan_of(spark, "q76_interval_snapshot_join", sf_smoke, mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_join_is_broadcast(spark, sf_smoke):
+    """q79: the 256-cell sketch joins the probe rows via broadcast —
+    shuffling the token stream against a constant-size grid would be
+    a scale bug."""
+    plan = plan_of(spark, "q79_cms_heavy_hitters", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_collocation_dictionaries_broadcast(spark, sf_smoke):
+    """q81: unigram dictionaries and the totals scalar ride the
+    broadcast path onto the bigram aggregate; the bigram groupBy
+    itself must map-side combine."""
+    plan = plan_of(spark, "q81_bigram_collocations", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_broadcast(spark, sf_smoke):
+    """q82: both Lloyd assignment passes stream vectors against
+    BROADCAST centroids (K rows) — never a shuffled cartesian."""
+    plan = plan_of(spark, "q82_kmeans_refine", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantiles_reuse_one_hash_partitioning(spark, sf_smoke):
+    """q80: the rank window, the per-group count window, and the
+    final aggregation all share ONE hash shuffle on the group key —
+    a second hashpartitioning exchange would mean the window output
+    got re-shuffled for the groupBy."""
+    import re
+
+    plan = plan_of(spark, "q80_group_quantiles", sf_smoke, mode="simple")
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
