@@ -136,6 +136,29 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_persist("shingles", spark, sf_dir, build)
 
 
+def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signatures — persisted once per
+    (session, sf_dir) like shingles_df; q36/q61/q70 all read it, and
+    the LSH self-join reads it twice, so materializing is the same
+    "build the signature table once" move a 100 TB dedup run makes."""
+
+    def build() -> DataFrame:
+        sh = shingles_df(spark, sf_dir)
+        hashed = sh.select("doc_id", F.md5("sh").alias("h")).select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("a"),
+            F.conv(F.substring("h", 17, 12), 16, 10).cast("bigint").alias("b"),
+        )
+        return hashed.groupBy("doc_id").agg(
+            *[
+                F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+
+    return _cached_persist("minhash", spark, sf_dir, build)
+
+
 JACCARD_THRESHOLD = 0.8
 
 # Document-frequency cap on the shingle universe: a shingle appearing
@@ -309,35 +332,26 @@ WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) >= {LSH_VERIFY_THRESHOLD
 )
 def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id", F.md5("sh").alias("h")
-    ).select(
-        "doc_id",
-        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("a"),
-        F.conv(F.substring("h", 17, 12), 16, 10).cast("bigint").alias("b"),
-    )
-    minhash = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")
-            for i in range(NUM_HASHES)
-        ]
-    )
+    minhash = minhash_df(spark, sf_dir)
     rows = NUM_HASHES // NUM_BANDS
-    band_frames = []
-    for bnd in range(NUM_BANDS):
-        key = F.concat_ws(
-            "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
+    # One scan of the cached signatures, bands via explode — the
+    # previous union-of-4-projections (x2 join sides) recomputed the
+    # signature aggregation ~8x per run (24 HashAggregates in the
+    # plan; now 4).
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
+                )
+            ).alias("bkey"),
         )
-        band_frames.append(
-            minhash.select(
-                "doc_id",
-                F.lit(bnd).alias("band"),
-                F.md5(key).alias("bkey"),
-            )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+        for bnd in range(NUM_BANDS)
+    ]
+    bands = minhash.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
