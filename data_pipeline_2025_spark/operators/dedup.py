@@ -200,6 +200,28 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
 """
 
 
+def rare_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped shingles (hot boilerplate dropped) — persisted once
+    per (session, sf_dir): q35 reads it three times (sizes + both
+    self-join sides), and without the cache each read re-runs the
+    hot-shingle aggregation and anti-join."""
+
+    def build() -> DataFrame:
+        sh = shingles_df(spark, sf_dir)
+        # Hot-shingle list is tiny (≤ total_shingles/CAP values can
+        # exceed the cap) → broadcast the anti side; the surviving
+        # stream never shuffles for the filter.
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > SHINGLE_DF_CAP)
+            .select("sh")
+        )
+        return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+    return _cached_persist("rare_sh", spark, sf_dir, build)
+
+
 @register(
     "q35_ngram_jaccard_pairs",
     oracle=_ORACLE_Q35,
@@ -210,17 +232,7 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
     tags=("dedup", "jaccard"),
 )
 def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(spark, sf_dir)
-    # Hot-shingle list is tiny (≤ total_shingles/CAP values can
-    # exceed the cap) → broadcast the anti side; the surviving
-    # stream never shuffles for the filter.
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > SHINGLE_DF_CAP)
-        .select("sh")
-    )
-    rare_sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    rare_sh = rare_shingles_df(spark, sf_dir)
     sizes = rare_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = rare_sh.alias("a")
     b = rare_sh.alias("b")
