@@ -249,3 +249,81 @@ def q75_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized = read_gold(spark, path).drop("day")
     tail = _hourly(cat.events.where(F.col("ts") >= split))
     return materialized.unionByName(tail).orderBy("window_start", "event_type")
+
+
+# ------------------------------------------------- q84: ordered funnel
+#
+# Ordered funnel conversion: signup → first view AFTER the signup →
+# first purchase AFTER that view, per user. Three conditional-min
+# aggregations all keyed by user_id, so Catalyst reuses ONE hash
+# shuffle end-to-end (same plan discipline as q80); the stage-k
+# timestamp feeds stage k+1 as a rejoin-free chained aggregate.
+_ORACLE_Q84 = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+    SELECT e.user_id, MIN(e.ts) AS v_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'view' AND e.ts > s.s_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signed_up,
+       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after,
+       round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s), 6) AS conversion
+"""
+
+
+@register(
+    "q84_event_funnel",
+    oracle=_ORACLE_Q84,
+    doc="Ordered funnel: signup → first view after it → first "
+    "purchase after that, per user; stage counts + end-to-end "
+    "conversion. Stage-chained conditional mins, all keyed by "
+    "user_id — one logical shuffle key through the whole funnel.",
+    tags=("events", "funnel", "agg"),
+)
+def q84_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    e = cat.events.select("user_id", "event_type", "ts")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signed_up"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+    return counts.select(
+        "n_signed_up",
+        "n_viewed_after",
+        "n_purchased_after",
+        F.round(
+            F.col("n_purchased_after").cast("double") / F.col("n_signed_up"), 6
+        ).alias("conversion"),
+    )

@@ -56,7 +56,8 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:
     "data_pipeline_2025_spark.operators.sketches",  # q79/q80/q81 new
-    "data_pipeline_2025_spark.operators.similarity",  # q46 new oracle
+    "data_pipeline_2025_spark.operators.events",  # q84 new
+    "data_pipeline_2025_spark.operators.similarity",  # q46 new oracle, q82 new
     # (rest — driver-green in r1 or r2; rotation keeps re-checking)
     "data_pipeline_2025_spark.operators.pricing",
     "data_pipeline_2025_spark.operators.compare",
@@ -65,7 +66,6 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.history",
     "data_pipeline_2025_spark.operators.stats",
     "data_pipeline_2025_spark.operators.joins",
-    "data_pipeline_2025_spark.operators.events",
     "data_pipeline_2025_spark.operators.scalars",
     "data_pipeline_2025_spark.operators.analytics",
     "data_pipeline_2025_spark.operators.multimodal",
