@@ -151,3 +151,63 @@ def test_salted_agg_equals_direct(spark, vals):
     )
     got = {(r["event_type"]): (r["n"], r["s"]) for r in salted.collect()}
     assert got == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    tokens=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "gg", "hhh", "iii"]),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_cms_never_underestimates(spark, tokens):
+    """Count-min property (q79's core): the sketch's point estimate
+    is an UPPER bound of the true frequency for every token, on any
+    corpus — one-sided error is what makes CMS usable for
+    heavy-hitter screening."""
+    from data_pipeline_2025_spark.operators.sketches import CMS_DEPTH, _cms_bucket
+
+    tok = spark.createDataFrame([(t,) for t in tokens], "t string")
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _cms_bucket(F.col("t"), r).alias("b"))
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = {
+        (row["r"], row["b"]): row["cnt"]
+        for row in cells.groupBy("rb.r", "rb.b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    probes = tok.groupBy(F.col("t").alias("token")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    buckets = {
+        row["token"]: (row["exact_n"], [row[f"b{r}"] for r in range(CMS_DEPTH)])
+        for row in probes.select(
+            "token",
+            "exact_n",
+            *[_cms_bucket(F.col("token"), r).alias(f"b{r}") for r in range(CMS_DEPTH)],
+        ).collect()
+    }
+    for token, (exact, bs) in buckets.items():
+        est = min(sketch[(r, b)] for r, b in enumerate(bs))
+        assert est >= exact, token
+
+
+def test_quantile_indices_monotone_and_bounded():
+    """q80's integer ceil(p·n) index arithmetic: for every group size
+    the three quantile indices are within [1, n] and ordered — the
+    discrete-quantile contract, engine-independent."""
+    from data_pipeline_2025_spark.operators.sketches import QUANTILES
+
+    for n in range(1, 5000):
+        idxs = [(num * n + den - 1) // den for num, den, _ in QUANTILES]
+        assert all(1 <= i <= n for i in idxs), (n, idxs)
+        assert idxs == sorted(idxs), (n, idxs)
