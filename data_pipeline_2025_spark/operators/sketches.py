@@ -299,3 +299,58 @@ def q81_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(TOP_COLLOCATIONS)
     )
+
+
+# ----------------------------------- q85: BPE pair counting (merge 1)
+_ORACLE_Q85 = f"""
+WITH tok AS (
+    SELECT unnest({TOKENS_SQL}) AS t FROM documents
+),
+words AS (
+    SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wn FROM tok GROUP BY t
+),
+pairs AS (
+    SELECT wn, u.p
+    FROM words, UNNEST(list_transform(range(1, length(w)),
+                                      i -> substr(w, i, 2))) AS u(p)
+    WHERE length(w) >= 2
+)
+SELECT p AS pair, CAST(SUM(wn) AS BIGINT) AS weighted_n
+FROM pairs GROUP BY p
+ORDER BY weighted_n DESC, pair
+LIMIT {TOP_HITTERS}
+"""
+
+
+@register(
+    "q85_bpe_pair_counts",
+    oracle=_ORACLE_Q85,
+    doc="Byte-pair-encoding training, iteration one: adjacent symbol "
+    "pairs weighted by word frequency; the top row is the first "
+    "merge a BPE tokenizer would learn. Pair counting runs over the "
+    "DISTINCT-word table (vocabulary-sized, not corpus-sized — the "
+    "standard BPE trick), so each merge round is a cheap aggregate "
+    "however large the corpus.",
+    tags=("sketch", "text", "bpe"),
+)
+def q85_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    tok = (
+        fan_out(cat.documents, "doc_id")
+        .select(F.explode(tokens_col()).alias("t"))
+    )
+    words = tok.groupBy(F.col("t").alias("w")).agg(
+        F.count(F.lit(1)).alias("wn")
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        "wn",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("weighted_n"))
+        .orderBy(F.col("weighted_n").desc(), "pair")
+        .limit(TOP_HITTERS)
+    )
