@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:
+    "data_pipeline_2025_spark.operators.chunking",  # q86/q87/q88 new
     "data_pipeline_2025_spark.operators.sketches",  # q79/q80/q81 new
     "data_pipeline_2025_spark.operators.events",  # q84 new
     "data_pipeline_2025_spark.operators.similarity",  # q46 new oracle, q82 new

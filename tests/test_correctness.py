@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 84
+EXPECTED_QUERY_COUNT = 87
 
 
 def test_registry_complete():
@@ -90,5 +90,9 @@ def test_priority_queries_inside_driver_cap():
         "q83_stream_cagg_serving",
         "q84_event_funnel",
         "q85_bpe_pair_counts",
+        # new this session (chunking module)
+        "q86_context_chunks",
+        "q87_sequence_packing",
+        "q88_filter_funnel",
     }
     assert must_lead <= first_50, must_lead - first_50
