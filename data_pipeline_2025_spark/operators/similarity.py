@@ -736,3 +736,67 @@ def q82_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("centroid_id")
+
+
+# ------------------------------------------- q90: coreset per cell
+#
+# Diversity / coreset sampling: keep the R most central NON-SEED
+# members of every IVF cell — the cheap distributed stand-in for
+# facility-location coresets when a 100 TB corpus must shrink to a
+# representative sample. The per-cell ranking shares the one
+# assignment shuffle; R rows per cell leave the cluster, so the
+# coreset is O(K·R) however large the corpus. Seed vectors are
+# excluded (they'd trivially win their own cell at d2 = 0).
+
+CORESET_R = 3
+
+_ORACLE_Q90 = f"""
+WITH {_IVF_CTE},
+members AS (
+    SELECT a.centroid_id, a.vec_id, a.label, a.d2_r
+    FROM assign a WHERE a.vec_id >= {N_CENTROIDS}
+),
+r AS (
+    SELECT centroid_id, vec_id, label, d2_r,
+           row_number() OVER (
+               PARTITION BY centroid_id ORDER BY d2_r, vec_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY centroid_id) AS members
+    FROM members
+)
+SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+       CAST(rn AS BIGINT)          AS rep_rank,
+       CAST(vec_id AS BIGINT)      AS rep_vec_id,
+       CAST(label AS BIGINT)       AS rep_label,
+       d2_r                        AS rep_d2_r,
+       CAST(members AS BIGINT)     AS members
+FROM r WHERE rn <= {CORESET_R}
+"""
+
+
+@register(
+    "q90_ivf_coreset",
+    oracle=_ORACLE_Q90,
+    doc=f"Coreset sampling: the {CORESET_R} most-central non-seed "
+    "members per IVF cell (deterministic d2/vec_id ranking) plus "
+    "cell population — O(K·R) output regardless of corpus size, "
+    "sharing the single assignment shuffle.",
+    tags=("similarity", "ivf", "curation"),
+)
+def q90_ivf_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = _ivf_assign(spark, sf_dir).where(F.col("vec_id") >= N_CENTROIDS)
+    w = Window.partitionBy("centroid_id").orderBy("d2_r", "vec_id")
+    wc = Window.partitionBy("centroid_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") <= CORESET_R)
+        .select(
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            F.col("rn").cast("bigint").alias("rep_rank"),
+            F.col("vec_id").cast("bigint").alias("rep_vec_id"),
+            F.col("label").cast("bigint").alias("rep_label"),
+            F.col("d2_r").alias("rep_d2_r"),
+            F.col("members").cast("bigint").alias("members"),
+        )
+    )

@@ -56,6 +56,8 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:
     "data_pipeline_2025_spark.operators.chunking",  # q86/q87/q88 new
+    "data_pipeline_2025_spark.operators.bloomjoin",  # q89 new
+    "data_pipeline_2025_spark.operators.graph",  # q91 new (imports similarity q90)
     "data_pipeline_2025_spark.operators.sketches",  # q79/q80/q81 new
     "data_pipeline_2025_spark.operators.events",  # q84 new
     "data_pipeline_2025_spark.operators.similarity",  # q46 new oracle, q82 new

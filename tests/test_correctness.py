@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 87
+EXPECTED_QUERY_COUNT = 90
 
 
 def test_registry_complete():
@@ -94,5 +94,8 @@ def test_priority_queries_inside_driver_cap():
         "q86_context_chunks",
         "q87_sequence_packing",
         "q88_filter_funnel",
+        "q89_bloom_prune_join",
+        "q90_ivf_coreset",
+        "q91_rank_propagation",
     }
     assert must_lead <= first_50, must_lead - first_50
