@@ -198,3 +198,33 @@ def test_quantiles_reuse_one_hash_partitioning(spark, sf_smoke):
 
     plan = plan_of(spark, "q80_group_quantiles", sf_smoke, mode="simple")
     assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+
+
+def test_bloom_probe_is_broadcast(spark, sf_smoke):
+    """q89: the bloom word table and the candidate sets must reach
+    the fact side as broadcasts — a shuffled join would defeat the
+    runtime-filter point."""
+    plan = plan_of(spark, "q89_bloom_prune_join", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_uses_one_shard_shuffle(spark, sf_smoke):
+    """q87: the per-shard window and the per-shard aggregation must
+    share ONE hash partitioning on the shard key — a second exchange
+    would re-shuffle the corpus for nothing."""
+    plan = plan_of(spark, "q87_sequence_packing", sf_smoke, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chunking_has_no_aggregation_shuffle(spark, sf_smoke):
+    """q86 is a pure per-row expansion: no window, no aggregate, no
+    hash-partition exchange beyond the conditional fan_out of the
+    narrow scan (a round-robin repartition)."""
+    plan = plan_of(spark, "q86_context_chunks", sf_smoke, mode="simple")
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+    exchanges = plan.count("Exchange ")
+    assert exchanges <= 1, plan
+    if exchanges:  # only the explicit fan_out repartition
+        assert "REPARTITION_BY_NUM" in plan

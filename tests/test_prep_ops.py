@@ -1,0 +1,127 @@
+"""Invariant tests for the training-sequence-prep / pruning operators
+(q86-q91) — the guarantees the oracle hash can't state directly:
+bloom filters never produce false NEGATIVES, packing conserves
+tokens, chunking covers every token exactly per the stride contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_2025_spark import registry
+from data_pipeline_2025_spark.operators.chunking import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    PACK_CTX,
+)
+
+SPECS = registry.load_all()
+
+
+def test_chunks_cover_every_token(spark, sf_smoke):
+    """Per doc: chunk count == ceil(n/stride), the last chunk ends at
+    the last token, and no chunk exceeds CHUNK_SIZE."""
+    chunks = SPECS["q86_context_chunks"].spark_fn(spark, sf_smoke)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.col("start_tok") + F.col("chunk_len")).alias("covered"),
+            F.max("chunk_len").alias("max_len"),
+        )
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert per_doc
+    for r in per_doc:
+        n = docs[r["doc_id"]]
+        assert r["n_chunks"] == math.ceil(n / CHUNK_STRIDE)
+        assert r["covered"] == n  # last chunk reaches the final token
+        assert r["max_len"] <= CHUNK_SIZE
+
+
+def test_packing_conserves_tokens(spark, sf_smoke):
+    """Per shard: tokens fit in sequences*CTX, fill <= 1, boundary
+    docs can't exceed doc count, and total tokens across shards equal
+    the corpus token count."""
+    rows = SPECS["q87_sequence_packing"].spark_fn(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["fill_ratio"] <= 1.0
+        assert r["tokens"] <= r["sequences"] * PACK_CTX
+        assert 0 <= r["boundary_docs"] <= r["docs"]
+    total = sum(r["tokens"] for r in rows)
+    corpus = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select(F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == corpus
+
+
+def test_funnel_is_monotone(spark, sf_smoke):
+    """Cumulative survivors never increase along the rule chain, and
+    each rule's cumulative drop is bounded by its solo drop + prior."""
+    rows = {
+        r["rule"]: r
+        for r in SPECS["q88_filter_funnel"].spark_fn(spark, sf_smoke).collect()
+    }
+    order = sorted(rows)  # 0_total, 1_..., 5_...
+    kept = [rows[k]["kept"] for k in order]
+    assert all(a >= b for a, b in zip(kept, kept[1:]))
+    total = rows["0_total"]["kept"]
+    for k in order[1:]:
+        assert 0 <= rows[k]["fail_solo"] <= total
+
+
+def test_bloom_has_no_false_negatives(spark, sf_smoke):
+    """The defining bloom guarantee: every true key passes the filter
+    (candidates >= truth, pruned rows >= true rows), and the filter
+    actually prunes relative to the full fact."""
+    r = SPECS["q89_bloom_prune_join"].spark_fn(spark, sf_smoke).collect()[0]
+    assert r["bloom_pass_keys"] >= r["true_keys"]
+    assert r["false_positives"] == r["bloom_pass_keys"] - r["true_keys"]
+    assert r["fact_rows_after_prune"] >= r["fact_rows_true"]
+    assert r["fact_rows_after_prune"] <= r["fact_rows_total"]
+
+
+def test_coreset_ranks_and_population(spark, sf_smoke):
+    """Ranks are 1..R per cell without gaps, and reps are at most
+    `members` per cell."""
+    rows = SPECS["q90_ivf_coreset"].spark_fn(spark, sf_smoke).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["centroid_id"], []).append(r)
+    assert by_cell
+    for reps in by_cell.values():
+        ranks = sorted(r["rep_rank"] for r in reps)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(reps) <= reps[0]["members"]
+
+
+def test_rank_propagation_conserves_mass(spark, sf_smoke):
+    """Integer PageRank step: each node's sent mass is SCALE//deg per
+    edge, so every rank is >= BASE and the damped total stays within
+    the floor-division slack of N*SCALE."""
+    from data_pipeline_2025_spark.operators.graph import (
+        ALPHA_MILLI,
+        RANK_BASE,
+        RANK_SCALE,
+    )
+
+    rows = SPECS["q91_rank_propagation"].spark_fn(spark, sf_smoke).collect()
+    assert rows
+    n = len(rows)
+    total = sum(r["rank_ppm"] for r in rows)
+    assert all(r["rank_ppm"] >= RANK_BASE for r in rows)
+    # floor divisions only ever lose mass: the damped sum is bounded
+    # above by the exact-arithmetic total.
+    assert total <= n * RANK_SCALE
