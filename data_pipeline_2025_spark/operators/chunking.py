@@ -338,3 +338,66 @@ def q88_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.rule", "r.fail_solo", "r.kept")
+
+
+# --------------------------------------- q92: stratified sampling
+#
+# Deterministic per-stratum uniform sampling: keep the K documents
+# with the SMALLEST md5(doc_id) per source — the KMV trick (q77)
+# applied to sampling. Because md5 is uniform on doc ids, the K
+# minima are a uniform random K-subset of each stratum, yet the
+# selection is a pure function of the data: any engine, any
+# partitioning, any re-run draws the SAME sample (no RNG state, no
+# seed plumbing). One shuffle on the stratum key; at 100 TB each
+# task keeps a K-element heap per stratum (partial top-K combine),
+# so driver output is O(strata * K).
+
+STRAT_K = 10
+
+_ORACLE_Q92 = f"""
+WITH h AS (
+    SELECT source, doc_id, n_chars,
+           md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+),
+r AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY hk, doc_id
+           ) AS sample_rank
+    FROM h
+)
+SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank,
+       doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE sample_rank <= {STRAT_K}
+"""
+
+
+@register(
+    "q92_stratified_sample",
+    oracle=_ORACLE_Q92,
+    doc=f"Deterministic stratified sampling: the {STRAT_K} smallest "
+    "md5(doc_id) per source form a uniform, RNG-free, re-run-stable "
+    "K-sample per stratum (the KMV idea applied to sampling); "
+    "rank()-limited window = partial top-K per task at scale.",
+    tags=("curation", "sampling"),
+)
+def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    h = cat.documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= STRAT_K)
+        .select(
+            "source",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

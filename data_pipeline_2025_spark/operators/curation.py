@@ -394,3 +394,4 @@ def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flagged"),
     )
+

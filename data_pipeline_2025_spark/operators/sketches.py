@@ -354,3 +354,101 @@ def q85_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weighted_n").desc(), "pair")
         .limit(TOP_HITTERS)
     )
+
+
+# --------------------------------------- q93: robust outlier counts
+#
+# Median/MAD outlier detection per event type — the robust anomaly
+# screen (|x - median| > 3·MAD) a pipeline runs over metric streams
+# where mean/stddev would be dragged by the very outliers it hunts.
+# Built on the q80 exact-quantile machinery: row_number + integer
+# lower-median index, so the statistic is engine-stable (no float
+# percentile interpolation). Every window partitions on the SAME
+# key (event_type) and the final aggregation groups on it too, so
+# the whole query is ONE hash shuffle + in-partition sorts.
+
+MAD_K = 3  # flag |x - med| > MAD_K * mad
+
+_ORACLE_Q93 = f"""
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM events
+),
+med AS (
+    SELECT *,
+           MAX(CASE WHEN rn = ((n + 1) // 2) THEN value END)
+               OVER (PARTITION BY event_type) AS med
+    FROM ranked
+),
+dev AS (
+    SELECT event_type, event_id, value, n, med,
+           abs(value - med) AS d,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(value - med), event_id
+           ) AS drn
+    FROM med
+),
+mad AS (
+    SELECT *,
+           MAX(CASE WHEN drn = ((n + 1) // 2) THEN d END)
+               OVER (PARTITION BY event_type) AS mad
+    FROM dev
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT)   AS n_events,
+       MAX(med)                 AS median_v,
+       MAX(mad)                 AS mad_v,
+       CAST(SUM(CASE WHEN d > {MAD_K} * mad THEN 1 ELSE 0 END) AS BIGINT)
+                                AS outliers
+FROM mad
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q93_robust_outliers",
+    oracle=_ORACLE_Q93,
+    doc="Median/MAD robust outlier counts per event type (lower "
+    "median via the q80 integer index; flag |x-med| > 3*MAD): all "
+    "windows and the final aggregation share one hash shuffle on "
+    "event_type.",
+    tags=("sketch", "quantile", "events"),
+)
+def q93_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    wp = Window.partitionBy("event_type")
+    w_rank = wp.orderBy("value", "event_id")
+    ranked = cat.events.select("event_type", "event_id", "value").withColumns(
+        {
+            "rn": F.row_number().over(w_rank),
+            "n": F.count(F.lit(1)).over(wp).cast("bigint"),
+        }
+    )
+    med_idx = F.expr("(n + 1) div 2")
+    med = ranked.withColumn(
+        "med", F.max(F.when(F.col("rn") == med_idx, F.col("value"))).over(wp)
+    )
+    w_drank = wp.orderBy(F.abs(F.col("value") - F.col("med")), "event_id")
+    dev = med.withColumns(
+        {"d": F.abs(F.col("value") - F.col("med")), "drn": F.row_number().over(w_drank)}
+    )
+    mad = dev.withColumn(
+        "mad", F.max(F.when(F.col("drn") == med_idx, F.col("d"))).over(wp)
+    )
+    return (
+        mad.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("med").alias("median_v"),
+            F.max("mad").alias("mad_v"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 90
+EXPECTED_QUERY_COUNT = 92
 
 
 def test_registry_complete():
@@ -97,5 +97,7 @@ def test_priority_queries_inside_driver_cap():
         "q89_bloom_prune_join",
         "q90_ivf_coreset",
         "q91_rank_propagation",
+        "q92_stratified_sample",
+        "q93_robust_outliers",
     }
     assert must_lead <= first_50, must_lead - first_50
