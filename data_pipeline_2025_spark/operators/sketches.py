@@ -452,3 +452,185 @@ def q93_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------ q95: sampled quantiles (vs exact)
+#
+# The scale path for quantiles: a deterministic uniform sample — the
+# K smallest md5(doc_id) per stratum, the KMV/q92 trick — estimates
+# the per-source median, and the query REPORTS its own error against
+# the exact q80-style median. Mergeability is the point: K minima
+# merge like any KMV sketch (map-side top-K, O(K) state), so at
+# 100 TB the estimate costs one narrow pass while the exact path
+# costs a full shuffle; the err column is the accuracy budget you
+# buy with that saving.
+
+SAMPLE_K = 16
+
+_ORACLE_Q95 = f"""
+WITH h AS (
+    SELECT source, doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+),
+samp AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS sr
+    FROM h
+),
+sq AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars, sr) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS k
+    FROM samp WHERE sr <= {SAMPLE_K}
+),
+est AS (
+    SELECT source, MAX(CASE WHEN rn = ((k + 1) // 2) THEN n_chars END) AS est_p50
+    FROM sq GROUP BY source
+),
+ex AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+    FROM h
+),
+exact AS (
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = ((n + 1) // 2) THEN n_chars END) AS exact_p50
+    FROM ex GROUP BY source
+)
+SELECT e.source, x.n_docs,
+       CAST(e.est_p50 AS BIGINT)   AS est_p50,
+       CAST(x.exact_p50 AS BIGINT) AS exact_p50,
+       CAST(abs(e.est_p50 - x.exact_p50) AS BIGINT) AS abs_err
+FROM est e JOIN exact x ON x.source = e.source
+ORDER BY e.source
+"""
+
+
+@register(
+    "q95_sampled_quantile_error",
+    oracle=_ORACLE_Q95,
+    doc=f"Sample-based median per source from the {SAMPLE_K} "
+    "smallest-md5 docs (mergeable KMV-style sample, O(K) state) "
+    "with self-reported error vs the exact q80-style median — the "
+    "accuracy-vs-shuffle tradeoff made measurable.",
+    tags=("sketch", "quantile", "sampling"),
+)
+def q95_sampled_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    h = cat.documents.select(
+        "source", "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    wp = Window.partitionBy("source")
+    samp = h.withColumn(
+        "sr", F.row_number().over(wp.orderBy("hk", "doc_id"))
+    ).where(F.col("sr") <= SAMPLE_K)
+    sq = samp.withColumns(
+        {
+            "rn": F.row_number().over(wp.orderBy("n_chars", "sr")),
+            "k": F.count(F.lit(1)).over(wp),
+        }
+    )
+    est = sq.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(k + 1) div 2"), F.col("n_chars"))
+        ).alias("est_p50")
+    )
+    ex = h.withColumns(
+        {
+            "rn": F.row_number().over(wp.orderBy("n_chars", "doc_id")),
+            "n": F.count(F.lit(1)).over(wp).cast("bigint"),
+        }
+    )
+    exact = ex.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_chars"))
+        ).alias("exact_p50"),
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("est_p50").cast("bigint").alias("est_p50"),
+            F.col("exact_p50").cast("bigint").alias("exact_p50"),
+            F.abs(F.col("est_p50") - F.col("exact_p50")).cast("bigint").alias("abs_err"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------- q96: temperature-scaled mixture
+#
+# Multilingual/multi-source mixing with temperature tau=2: sampling
+# weights proportional to sqrt(share) — the standard way to boost
+# low-resource strata without drowning high-resource ones. All
+# arithmetic is integer ppm except one IEEE sqrt (correctly rounded,
+# so bit-identical in both engines); state is O(#sources), two
+# cheap aggregations.
+
+_ORACLE_Q96 = """
+WITH t AS (
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+               AS tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM t),
+s AS (
+    SELECT t.source, t.tokens, tot.total,
+           (t.tokens * 1000000) // tot.total AS share_ppm,
+           CAST(floor(sqrt(CAST((t.tokens * 1000000) // tot.total AS DOUBLE) * 1000000)) AS BIGINT)
+               AS sq_scaled
+    FROM t, tot
+),
+z AS (SELECT CAST(SUM(sq_scaled) AS BIGINT) AS zsum FROM s)
+SELECT s.source, s.tokens, CAST(s.share_ppm AS BIGINT) AS share_ppm,
+       CAST((s.sq_scaled * 1000000) // z.zsum AS BIGINT) AS weight_ppm,
+       CAST((s.total * ((s.sq_scaled * 1000000) // z.zsum)) // 1000000 AS BIGINT)
+           AS planned_tokens
+FROM s, z
+ORDER BY s.source
+"""
+
+
+@register(
+    "q96_temperature_mixture",
+    oracle=_ORACLE_Q96,
+    doc="Temperature tau=2 source mixing: weights proportional to "
+    "sqrt(token share), normalized in integer ppm — the standard "
+    "low-resource boost; O(#sources) state, broadcastable scalars.",
+    tags=("curation", "mixture"),
+)
+def q96_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    t = (
+        fan_out(cat.documents, "doc_id")
+        .select("source", F.size(tokens_col()).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("tokens"))
+    )
+    tot = t.agg(F.sum("tokens").cast("bigint").alias("total"))
+    s = t.crossJoin(F.broadcast(tot)).withColumns(
+        {
+            "share_ppm": F.expr("(tokens * 1000000) div total"),
+            "sq_scaled": F.floor(
+                F.sqrt(F.expr("CAST((tokens * 1000000) div total AS DOUBLE)") * F.lit(1000000.0))
+            ).cast("bigint"),
+        }
+    )
+    z = s.agg(F.sum("sq_scaled").cast("bigint").alias("zsum"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "tokens",
+            F.col("share_ppm").cast("bigint").alias("share_ppm"),
+            F.expr("(sq_scaled * 1000000) div zsum").cast("bigint").alias("weight_ppm"),
+            F.expr("(total * ((sq_scaled * 1000000) div zsum)) div 1000000")
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -228,3 +228,14 @@ def test_chunking_has_no_aggregation_shuffle(spark, sf_smoke):
     assert exchanges <= 1, plan
     if exchanges:  # only the explicit fan_out repartition
         assert "REPARTITION_BY_NUM" in plan
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_smoke):
+    """q94: both sides bucketed on the join key means the scan
+    satisfies the join distribution — no Exchange feeds the
+    SortMergeJoin; the only exchange in the plan is the final
+    aggregation's (different keys)."""
+    plan = plan_of(spark, "q94_bucketed_colocated_join", sf_smoke, mode="simple")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
