@@ -52,6 +52,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.streaming.windowed",  # q50/q51/q74 fix
     "data_pipeline_2025_spark.streaming.cagg",  # q83 new
+    "data_pipeline_2025_spark.streaming.cms",  # q97 new
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:

@@ -241,3 +241,91 @@ def test_events_cagg_incremental_end_to_end(spark, tmp_path):
     shutil.copy(os.path.join(src, files[0]), os.path.join(src, "replay_" + files[0]))
     start_events_cagg(spark, src, silver, rollup, ckpt).awaitTermination()
     assert served() == before
+
+
+def test_events_cms_incremental_end_to_end(spark, tmp_path):
+    """q97's streaming-maintained count-min sketch (streaming/cms.py):
+    per micro-batch the touched days' partial grids are recomputed
+    from idempotent silver. Asserts (1) the merged day-partials equal
+    the one-pass batch grid after every pass, (2) a pass touching
+    only day-2 leaves day-1's sketch partition physically untouched,
+    (3) full checkpoint-loss replay changes nothing."""
+    import os
+    import shutil
+
+    from data_pipeline_2025_spark.operators.sketches import CMS_DEPTH, _cms_bucket
+    from data_pipeline_2025_spark.streaming.cms import (
+        merged_sketch,
+        start_events_cms,
+    )
+
+    src = str(tmp_path / "events_src")
+    silver = str(tmp_path / "cms_silver")
+    sketch = str(tmp_path / "cms_sketch")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def chunk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, ts STRING, user_id LONG"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def batch_grid():
+        cells = spark.read.parquet(src).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("user_id").cast("string"), r).alias("b"),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("rb")
+        )
+        return {
+            (r["r"], r["b"]): r["cnt"]
+            for r in cells.groupBy("rb.r", "rb.b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    def served_grid():
+        return {
+            (r["r"], r["b"]): r["cnt"] for r in merged_sketch(spark, sketch).collect()
+        }
+
+    chunk([
+        (1, "2024-01-01 10:05:00", 7),
+        (2, "2024-01-01 11:20:00", 7),
+        (3, "2024-01-01 11:40:00", 9),
+    ])
+    start_events_cms(spark, src, silver, sketch, ckpt).awaitTermination()
+    assert served_grid() == batch_grid()
+
+    day1 = os.path.join(sketch, "day=2024-01-01")
+    sig_before = sorted(
+        (f, os.path.getmtime(os.path.join(day1, f)))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    )
+
+    chunk([
+        (4, "2024-01-02 09:00:00", 7),
+        (5, "2024-01-02 09:30:00", 11),
+    ])
+    start_events_cms(spark, src, silver, sketch, ckpt).awaitTermination()
+    assert served_grid() == batch_grid()
+    sig_after = sorted(
+        (f, os.path.getmtime(os.path.join(day1, f)))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    )
+    assert sig_after == sig_before  # day-1 partials physically untouched
+
+    # checkpoint loss → full source replay; silver anti-join absorbs
+    # every duplicate, partials recompute to identical content
+    shutil.rmtree(ckpt)
+    start_events_cms(spark, src, silver, sketch, ckpt).awaitTermination()
+    assert served_grid() == batch_grid()
