@@ -49,6 +49,12 @@ DOC_QUERIES = (
     "q69_duplicated_span_ratio",
     "q70_neardup_components",
     "q71_tfidf_keywords",
+    "q86_context_chunks",
+    "q87_sequence_packing",
+    "q88_filter_funnel",
+    "q92_stratified_sample",
+    "q95_sampled_quantile_error",
+    "q96_temperature_mixture",
 )
 
 EMB_QUERIES = (
@@ -101,6 +107,11 @@ def test_doc_queries_survive_empty_corpus(spark, empty_sf, name):
         # sum — SUM over zero rows is NULL in both engines)
         assert len(rows) == 1
         assert rows[0]["input_docs"] == 0
+    elif name == "q88_filter_funnel":
+        # report query: one row per rule with zero/NULL counters
+        # (SUM over zero rows is NULL in both engines)
+        assert len(rows) == 6
+        assert {r["rule"] for r in rows} >= {"0_total"}
     else:
         assert rows == []
 
@@ -182,3 +193,31 @@ def test_hot_shingle_cap_on_boilerplate_corpus(spark, tmp_path_factory):
     # signatures), but verification must reject them all — capped or
     # not, these docs are < 0.8 Jaccard.
     assert SPECS["q36_minhash_lsh_dedup"].spark_fn(spark, sf).count() == 0
+
+
+def test_chunking_oracle_at_stride_boundaries(spark, tmp_path_factory):
+    """q86/q87 hash-match their oracles on documents whose token
+    counts sit exactly on the stride/window/ctx boundaries (1, 31,
+    32, 33, 64, 65 tokens) — where off-by-one slicing or floor-div
+    bugs would live."""
+    import duckdb
+
+    from tests.oracle import _canon_rows, run_spark
+
+    path = str(tmp_path_factory.mktemp("sf_boundary"))
+    docs = []
+    for i, n in enumerate((1, 31, 32, 33, 64, 65)):
+        text = " ".join(f"t{j}" for j in range(n))
+        docs.append((i, text, "en", f"src{i % 2}", len(text)))
+    _write_sf(spark, path, docs, [])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    for name in ("q86_context_chunks", "q87_sequence_packing"):
+        s_cols, s_rows = run_spark(SPECS[name], spark, path)
+        cur = con.execute(SPECS[name].oracle)
+        o_cols = [d[0] for d in cur.description]
+        o_rows = cur.fetchall()
+        assert _canon_rows(s_cols, s_rows) == _canon_rows(o_cols, o_rows), name
