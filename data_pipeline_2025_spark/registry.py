@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.chunking",  # q86/q87/q88 new
     "data_pipeline_2025_spark.operators.bloomjoin",  # q89 new
     "data_pipeline_2025_spark.operators.bucketed",  # q94 new
+    "data_pipeline_2025_spark.operators.quality",  # q98 new
     "data_pipeline_2025_spark.operators.graph",  # q91 new (imports similarity q90)
     "data_pipeline_2025_spark.operators.sketches",  # q79/q80/q81 new
     "data_pipeline_2025_spark.operators.events",  # q84 new

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 96
+EXPECTED_QUERY_COUNT = 97
 
 
 def test_registry_complete():
@@ -103,5 +103,6 @@ def test_priority_queries_inside_driver_cap():
         "q95_sampled_quantile_error",
         "q96_temperature_mixture",
         "q97_stream_cms_serving",
+        "q98_data_quality_audit",
     }
     assert must_lead <= first_50, must_lead - first_50
