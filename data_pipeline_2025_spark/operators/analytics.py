@@ -282,3 +282,85 @@ def q29_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ------------------------------------------- q102: equi-width histogram
+#
+# Distribution profiling as a first-class operator: an equi-width
+# histogram of lineitem extended price in exact integer cents
+# ($5,000 buckets), with per-bucket share and cumulative share in
+# integral ppm. Scale shape: ONE map-side-combinable groupBy on the
+# bucket id (a pure function of the row — no pre-shuffle), output
+# bounded by the value range, and the share/cumulative window runs
+# over that tiny grouped frame. The same shape serves any numeric
+# profiling pass (token counts, doc lengths, price spreads) at
+# 100 TB: the scan is embarrassingly parallel, the state is O(buckets).
+
+_BUCKET_CENTS = 500_000  # $5,000 per bucket
+
+_ORACLE_Q102 = f"""
+WITH b AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           // {_BUCKET_CENTS} AS bucket
+    FROM lineitem
+),
+h AS (
+    SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT)                                   AS bucket,
+       CAST(bucket * {_BUCKET_CENTS} AS DOUBLE) / 100           AS lo_d,
+       CAST((bucket + 1) * {_BUCKET_CENTS} AS DOUBLE) / 100     AS hi_d,
+       CAST(n AS BIGINT)                                        AS n,
+       CAST((n * 1000000) // SUM(n) OVER () AS BIGINT)          AS share_ppm,
+       CAST((SUM(n) OVER (ORDER BY bucket) * 1000000)
+            // SUM(n) OVER () AS BIGINT)                        AS cum_share_ppm
+FROM h
+ORDER BY bucket
+"""
+
+
+@register(
+    "q102_price_histogram",
+    oracle=_ORACLE_Q102,
+    doc="Equi-width histogram of l_extendedprice in exact integer "
+    "cents ($5k buckets): counts, share and cumulative share in "
+    "integral ppm. One map-side-combinable groupBy; O(buckets) "
+    "state; the generic numeric-profiling shape.",
+    tags=("histogram", "profiling", "lineitem"),
+)
+def q102_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    h = (
+        cat.lineitem.select(cents.alias("_cents"))
+        .select(F.expr(f"CAST(_cents DIV {_BUCKET_CENTS} AS BIGINT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    wcum = Window.partitionBy().orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.select(
+            "bucket",
+            ((F.col("bucket") * _BUCKET_CENTS).cast("double") / 100).alias("lo_d"),
+            (((F.col("bucket") + 1) * _BUCKET_CENTS).cast("double") / 100).alias(
+                "hi_d"
+            ),
+            "n",
+            F.sum("n").over(wall).alias("_tot"),
+            F.sum("n").over(wcum).alias("_cum"),
+        )
+        .select(
+            "bucket",
+            "lo_d",
+            "hi_d",
+            "n",
+            F.expr("CAST((n * 1000000) DIV _tot AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST((_cum * 1000000) DIV _tot AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -634,6 +634,104 @@ def q73_span_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- q101: novelty curve (dedup pressure)
+#
+# How much NEW text does each slice of the corpus contribute, in
+# ingest order? A span is "novel" in the document where it FIRST
+# appears (min doc_id over its occurrences); a document's novelty is
+# the share of its distinct 8-gram spans it introduced. Bucketing
+# docs into deciles of the doc_id range yields the curve curation
+# teams watch: novelty decays as the corpus grows, and a flat-low
+# tail says additional ingest is mostly duplication. Scale shape:
+# identical to q69 — ONE groupBy on the span hash (min doc_id is
+# partial-aggregatable) and an equi-join back; no pair explosion.
+# The decile uses the max doc_id, a one-row broadcast scalar. All
+# ratios are exact integral ppm (DIV / //).
+
+_ORACLE_Q101 = f"""
+WITH {_SPANS_SQL},
+dg AS (
+    SELECT DISTINCT doc_id, g FROM spans
+),
+firsts AS (
+    SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g
+),
+perdoc AS (
+    SELECT d.doc_id,
+           COUNT(*) AS spans,
+           SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS novel
+    FROM dg d JOIN firsts f USING (g)
+    GROUP BY d.doc_id
+),
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+SELECT CAST((p.doc_id * 10) // mx.m AS BIGINT)           AS decile,
+       CAST(COUNT(*) AS BIGINT)                          AS docs,
+       CAST(SUM(p.spans) AS BIGINT)                      AS spans,
+       CAST(SUM(p.novel) AS BIGINT)                      AS novel_spans,
+       CAST((SUM(p.novel) * 1000000) // SUM(p.spans) AS BIGINT)
+                                                         AS novelty_ppm
+FROM perdoc p, mx
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register(
+    "q101_novelty_curve",
+    oracle=_ORACLE_Q101,
+    doc="Corpus novelty curve: share of each document's distinct "
+    "8-gram spans that FIRST appear in it (min doc_id per span), "
+    "pooled per doc_id decile in exact integer ppm — the "
+    "dedup-pressure-over-ingest-order signal. Same single "
+    "span-hash shuffle as q69; no pair join.",
+    tags=("dedup", "spans", "curation"),
+)
+def q101_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, SPAN_N), " ")),
+    )
+    dg = (
+        fan_out(cat.documents, "doc_id")
+        .where(F.size(toks) >= SPAN_N)
+        .select("doc_id", F.explode(F.when(F.size(toks) >= SPAN_N, gram)).alias("g"))
+        .distinct()
+    )
+    firsts = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = (
+        dg.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("spans"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    mx = cat.documents.agg((F.max("doc_id") + 1).alias("m"))
+    return (
+        perdoc.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("CAST((doc_id * 10) DIV m AS BIGINT)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("spans").cast("bigint").alias("spans"),
+            F.sum("novel").cast("bigint").alias("novel_spans"),
+        )
+        .select(
+            "decile",
+            "docs",
+            "spans",
+            "novel_spans",
+            F.expr("CAST((novel_spans * 1000000) DIV spans AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 32

@@ -327,3 +327,148 @@ def q84_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchased_after").cast("double") / F.col("n_signed_up"), 6
         ).alias("conversion"),
     )
+
+
+# ------------------------------------------------ q99: cohort retention
+#
+# Classic retention triangle: users cohorted by first-active day,
+# retention at day offsets 0..7. Scale shape: ONE shuffle on user_id
+# produces both the cohort assignment (min day) and the distinct
+# active days; the per-(cohort, offset) rollup then shuffles the
+# already user-deduplicated day grid — O(users x active days), never
+# O(events) — and the output is bounded by days x 8. Both count
+# aggregations are partial-aggregatable.
+_ORACLE_Q99 = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_day
+),
+act AS (
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, d.day) AS offset_days,
+           COUNT(DISTINCT d.user_id) AS active_users
+    FROM days d JOIN cohort c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, d.day) <= 7
+    GROUP BY 1, 2
+)
+SELECT a.cohort_day,
+       CAST(a.offset_days AS BIGINT)  AS offset_days,
+       CAST(a.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_size AS BIGINT)  AS cohort_size,
+       round(CAST(a.active_users AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM act a JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, offset_days
+"""
+
+
+@register(
+    "q99_cohort_retention",
+    oracle=_ORACLE_Q99,
+    doc="Retention triangle: users cohorted by first-active day, "
+    "distinct-user retention at offsets 0..7 with cohort sizes and "
+    "ratios. One user_id shuffle feeds cohorting and activity; the "
+    "rollup works on the deduplicated user-day grid, not raw events.",
+    tags=("events", "cohort", "agg"),
+)
+def q99_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    days = cat.events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        days.join(cohort, "user_id")
+        .withColumn(
+            "offset_days", F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint")
+        )
+        .where(F.col("offset_days") <= 7)
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        act.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_days",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+# --------------------------------------- q100: event transition matrix
+#
+# First-order Markov transition counts over each user's ordered event
+# stream: lag() pairs (prev -> next), counted globally, with the
+# conditional probability in exact integer ppm (n*1e6 DIV row-total —
+# integral division, so both engines compute the identical integer;
+# no float division in the hot path). Scale shape: the lag window
+# shuffles once on user_id (same key every per-user op here uses);
+# the pair count is map-side combinable into an O(|types|^2) output,
+# and the per-prev totals are a window over that tiny grouped frame.
+_ORACLE_Q100 = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, COUNT(*) AS n
+    FROM pairs WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS p_ppm
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "q100_event_transitions",
+    oracle=_ORACLE_Q100,
+    doc="First-order Markov transition matrix over per-user ordered "
+    "event streams: lag() pairing, global pair counts, conditional "
+    "probability in exact integer ppm. One user_id shuffle; "
+    "O(|types|^2) output.",
+    tags=("events", "window", "markov"),
+)
+def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = cat.events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").alias("_n6"),
+        tot.alias("_tot"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("CAST(_n6 DIV _tot AS BIGINT)").alias("p_ppm"),
+    ).orderBy("prev_type", "next_type")

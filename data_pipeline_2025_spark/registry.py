@@ -100,8 +100,52 @@ def register(
     return deco
 
 
+# Query-level priority override: these names are emitted FIRST by
+# load_all (in this order), ahead of module registration order. This
+# decouples "which queries the driver's 50-cap re-verifies this
+# round" from which module a query happens to live in — late
+# additions to an existing module (q99/q100 in events, q101 in
+# dedup, q102 in analytics) would otherwise land past the cap.
+# Everything listed is either new this round or was never
+# driver-checked before; the remaining ~20 slots fall through to
+# module order (already-green rotation re-checks).
+_PRIORITY = (
+    "q50_stream_hourly_rollup",
+    "q51_stream_dedup_replay",
+    "q74_stream_join_attribution",
+    "q83_stream_cagg_serving",
+    "q97_stream_cms_serving",
+    "q67_trigram_index_search",
+    "q76_interval_snapshot_join",
+    "q46_ann_pandas_vectorized",
+    "q79_cms_heavy_hitters",
+    "q80_group_quantiles",
+    "q81_bigram_collocations",
+    "q82_kmeans_refine",
+    "q84_event_funnel",
+    "q85_bpe_pair_counts",
+    "q86_context_chunks",
+    "q87_sequence_packing",
+    "q88_filter_funnel",
+    "q89_bloom_prune_join",
+    "q90_ivf_coreset",
+    "q91_rank_propagation",
+    "q92_stratified_sample",
+    "q93_robust_outliers",
+    "q94_bucketed_colocated_join",
+    "q95_sampled_quantile_error",
+    "q96_temperature_mixture",
+    "q98_data_quality_audit",
+    "q99_cohort_retention",
+    "q100_event_transitions",
+    "q101_novelty_curve",
+    "q102_price_histogram",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module (idempotent) and return the registry."""
+    """Import every operator module (idempotent) and return the
+    registry, priority names first (see _PRIORITY)."""
     for mod in _OPERATOR_MODULES:
         try:
             importlib.import_module(mod)
@@ -112,7 +156,9 @@ def load_all() -> dict[str, QuerySpec]:
             # must fail loudly, not silently drop its queries.
             if exc.name != mod:
                 raise
-    return dict(_REGISTRY)
+    out = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    out.update(_REGISTRY)
+    return out
 
 
 def get(name: str) -> QuerySpec:

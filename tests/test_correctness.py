@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 97
+EXPECTED_QUERY_COUNT = 101
 
 
 def test_registry_complete():
@@ -104,5 +104,11 @@ def test_priority_queries_inside_driver_cap():
         "q96_temperature_mixture",
         "q97_stream_cms_serving",
         "q98_data_quality_audit",
+        # new this session — late additions to existing modules,
+        # surfaced by the registry's query-level _PRIORITY override
+        "q99_cohort_retention",
+        "q100_event_transitions",
+        "q101_novelty_curve",
+        "q102_price_histogram",
     }
     assert must_lead <= first_50, must_lead - first_50
