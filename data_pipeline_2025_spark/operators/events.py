@@ -472,3 +472,57 @@ def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(_n6 DIV _tot AS BIGINT)").alias("p_ppm"),
     ).orderBy("prev_type", "next_type")
+
+
+# -------------------------------------- q105: hopping (sliding) windows
+#
+# Overlapping time windows as a first-class batch operator: 1-hour
+# windows hopping every 15 minutes (each event lands in exactly 4
+# windows). The Spark side is the NATIVE F.window(ts, '1 hour',
+# '15 minutes') — the same operator Structured Streaming uses for
+# windowed aggregations (q50), here oracle-checked in batch. The
+# oracle expands each event to its 4 covering slots with exact
+# integer epoch-microsecond arithmetic — 900s divides 1h, so both
+# engines' epoch-aligned slots coincide. Scale shape: constant 4x
+# fan-out (a projection, not a join), then one map-side-combinable
+# groupBy on the slot; state O(active windows).
+_ORACLE_Q105 = """
+WITH slots AS (
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+               AS window_start,
+           user_id, value
+    FROM events, range(4) t(k)
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT)                AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                                               AS total_value_d
+FROM slots
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "q105_hopping_windows",
+    oracle=_ORACLE_Q105,
+    doc="Hopping-window rollup: native F.window(1 hour, 15 min) — "
+    "each event in exactly 4 epoch-aligned windows; counts, distinct "
+    "users, exact money sum per window. Constant fan-out projection "
+    "+ one combinable shuffle; the same operator the streaming path "
+    "uses, oracle-checked in batch.",
+    tags=("events", "window", "time"),
+)
+def q105_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "users", "total_value_d")
+        .orderBy("window_start")
+    )

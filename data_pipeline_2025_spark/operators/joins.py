@@ -294,3 +294,82 @@ def q20_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("partkey")
     )
+
+
+# ------------------------------------ q104: co-purchase lift (top-20)
+#
+# Market-basket pair mining — the A-priori first pass as one job:
+# distinct (order, part) pairs self-joined WITHIN each order (fan-out
+# bounded by basket size, ~C(7,2) pairs per order — never a corpus
+# cross join), pair counts map-side combinable, and lift computed
+# against per-part order frequencies in exact integral ppm:
+# lift = P(a,b)/(P(a)P(b)) = (n_ab * N * 1e6) DIV (n_a * n_b).
+# The frequency dimension is per-part counts — a broadcast-sized
+# table at any corpus scale (bounded by the part dictionary). Output
+# is top-20 by lift with full deterministic tie-breaks.
+_ORACLE_Q104 = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+freq AS (SELECT l_partkey, COUNT(*) AS nf FROM op GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+)
+SELECT CAST(p.part_a AS BIGINT) AS part_a,
+       CAST(p.part_b AS BIGINT) AS part_b,
+       CAST(p.n_ab AS BIGINT)   AS n_ab,
+       CAST((p.n_ab * o.n * 1000000) // (fa.nf * fb.nf) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n_orders o
+ORDER BY lift_ppm DESC, n_ab DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register(
+    "q104_copurchase_lift",
+    oracle=_ORACLE_Q104,
+    doc="Market-basket co-purchase mining: within-order pair "
+    "generation (fan-out bounded by basket size), map-side "
+    "combinable pair counts, lift vs per-part frequencies in exact "
+    "integral ppm; top-20 with deterministic tie-breaks.",
+    tags=("join", "basket-mining", "lineitem"),
+)
+def q104_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    op = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n"))
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("nf"))
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("nf").alias("nf_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("nf").alias("nf_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            "n_ab",
+            F.expr("CAST((n_ab * n * 1000000) DIV (nf_a * nf_b) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(
+            F.col("lift_ppm").desc(), F.col("n_ab").desc(), "part_a", "part_b"
+        )
+        .limit(20)
+    )

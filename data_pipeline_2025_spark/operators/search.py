@@ -463,3 +463,117 @@ def q05_recent_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supermarket_id")
     )
+
+
+# ----------------------- q103: trigram similarity JOIN (pg_trgm %) --
+#
+# The reference's pg_trgm surface is not only point lookups: the `%`
+# similarity operator JOINS dirty names to canonical names (the
+# cross-chain product matching problem its barcode compare sidesteps,
+# salim/tables.sql:48). Spark-first shape — the classic blocked
+# fuzzy join:
+#   1. postings: explode each name's distinct trigram set;
+#   2. document-frequency cap (TG_DF_CAP, q35's SHINGLE_DF_CAP idea
+#      at character level): trigrams shared by more than CAP names
+#      generate no candidates — near-identical pairs always share
+#      rare trigrams too, and the cap bounds per-trigram fan-out to
+#      CAP^2 regardless of corpus size;
+#   3. candidates: self-equi-join of the capped postings on the
+#      trigram (name_a < name_b), deduplicated;
+#   4. verify: join the full trigram sets back, exact Jaccard
+#      shared/(n1+n2-shared) >= threshold.
+# No all-pairs product anywhere; the oracle mirrors the cap so the
+# candidate semantics are part of the checked contract.
+
+TG_DF_CAP = 64
+TG_SIM_THRESHOLD = 0.5
+
+_TG_SETS_SQL = """
+names AS (SELECT DISTINCT p_name AS name FROM part),
+tg AS (
+    SELECT name,
+           list_distinct([substr(padded, i, 3)
+                          for i in range(1, length(padded) - 1)]) AS tgs
+    FROM (SELECT name, '  ' || lower(name) || ' ' AS padded FROM names)
+)"""
+
+_ORACLE_Q103 = f"""
+WITH {_TG_SETS_SQL},
+post AS (SELECT name, unnest(tgs) AS t FROM tg),
+df AS (SELECT t, COUNT(*) AS c FROM post GROUP BY t),
+rare AS (SELECT p.t, p.name FROM post p JOIN df USING (t)
+         WHERE df.c <= {TG_DF_CAP}),
+cand AS (
+    SELECT DISTINCT a.name AS name_a, b.name AS name_b
+    FROM rare a JOIN rare b USING (t)
+    WHERE a.name < b.name
+),
+ver AS (
+    SELECT name_a, name_b,
+           len(list_filter(ta.tgs, x -> list_contains(tb.tgs, x))) AS shared,
+           len(ta.tgs) AS n1, len(tb.tgs) AS n2
+    FROM cand
+    JOIN tg ta ON ta.name = cand.name_a
+    JOIN tg tb ON tb.name = cand.name_b
+)
+SELECT name_a, name_b,
+       CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS sim
+FROM ver
+WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= {TG_SIM_THRESHOLD}
+ORDER BY sim DESC, name_a, name_b
+"""
+
+
+def _tg_sets(cat: Catalog) -> DataFrame:
+    names = cat.part.select(F.col("p_name").alias("name")).distinct()
+    return names.withColumn(
+        "padded", F.concat(F.lit("  "), F.lower("name"), F.lit(" "))
+    ).withColumn(
+        "tgs",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(padded) - 2),"
+                " i -> substring(padded, i, 3))"
+            )
+        ),
+    ).select("name", "tgs")
+
+
+@register(
+    "q103_trigram_similarity_join",
+    oracle=_ORACLE_Q103,
+    doc="pg_trgm %-style similarity JOIN: DF-capped trigram postings "
+    "generate candidate name pairs (bounded per-trigram fan-out), "
+    "exact Jaccard verification keeps pairs >= 0.5 — the blocked "
+    "entity-resolution join (tables.sql:48 analog, q35's cap idea "
+    "at character level).",
+    tags=("search", "fuzzy", "join", "trigram"),
+)
+def q103_trigram_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    tg = _tg_sets(cat)
+    post = tg.select("name", F.explode("tgs").alias("t"))
+    df_counts = post.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    rare = post.join(df_counts.where(F.col("c") <= TG_DF_CAP), "t")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "t")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    ta = tg.select(F.col("name").alias("name_a"), F.col("tgs").alias("tgs_a"))
+    tb = tg.select(F.col("name").alias("name_b"), F.col("tgs").alias("tgs_b"))
+    shared = F.size(F.array_intersect("tgs_a", "tgs_b"))
+    sim = shared.cast("double") / (
+        F.size("tgs_a") + F.size("tgs_b") - shared
+    )
+    return (
+        cand.join(F.broadcast(ta), "name_a")
+        .join(F.broadcast(tb), "name_b")
+        .select("name_a", "name_b", sim.alias("sim"))
+        .where(F.col("sim") >= TG_SIM_THRESHOLD)
+        .orderBy(F.col("sim").desc(), "name_a", "name_b")
+    )

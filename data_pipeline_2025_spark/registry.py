@@ -140,6 +140,9 @@ _PRIORITY = (
     "q100_event_transitions",
     "q101_novelty_curve",
     "q102_price_histogram",
+    "q103_trigram_similarity_join",
+    "q104_copurchase_lift",
+    "q105_hopping_windows",
 )
 
 
