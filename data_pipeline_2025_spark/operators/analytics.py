@@ -364,3 +364,78 @@ def q102_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------- q106: native session windows (batch)
+#
+# The same gap-based sessionization as q29, but via Spark's NATIVE
+# session_window operator — the one the streaming path can run with
+# watermarked state — oracle-checked in batch. Semantics note vs
+# q29: session_window starts a NEW session when the gap is >= the
+# timeout (the session covers [ts, ts+gap)); q29's hand-rolled lag
+# splits only when gap > timeout. The oracle mirrors the >= rule.
+# Scale shape: one shuffle on user_id; per-session merge state is
+# bounded by the gap (exactly what streaming needs to expire state).
+
+_SESSION_GAP_MIN = 30
+
+_ORACLE_Q106 = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        >= {_SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                                          AS session_start,
+       MAX(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE      AS session_end,
+       CAST(COUNT(*) AS BIGINT)                         AS events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                                                        AS total_value_d
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "q106_session_window_native",
+    oracle=_ORACLE_Q106,
+    doc="Gap-based sessionization via Spark's NATIVE session_window "
+    "(30-min gap, >=-split semantics mirrored in the oracle): "
+    "session bounds, event counts, exact money sums. One user_id "
+    "shuffle; the operator shape streaming runs with bounded, "
+    "expirable state.",
+    tags=("events", "window", "session"),
+)
+def q106_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "events",
+            "total_value_d",
+        )
+        .orderBy("user_id", "session_start")
+    )

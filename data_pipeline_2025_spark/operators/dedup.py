@@ -1307,3 +1307,105 @@ def q78_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# -------------------- q107: triangles / clustering coefficient ------
+#
+# Graph-metric pass over the verified SimHash near-dup graph (q38's
+# edges): triangle count via the oriented 3-way self-join (every
+# edge stored a < b, so each triangle a<b<c is enumerated exactly
+# once — the standard distributed triangle-counting orientation;
+# at real scale the orientation is by DEGREE, which caps the wedge
+# fan-out at sqrt(m) per node), wedge count from the symmetrized
+# degree distribution (deg*(deg-1) DIV 2 — integer-exact), and the
+# global clustering coefficient 3*triangles/wedges in integral ppm.
+# Dup clusters are near-cliques, so cc close to 1e6 is itself a
+# dedup-quality signal: low cc means the LSH verify threshold is
+# admitting chains, not clusters.
+
+_ORACLE_Q107 = f"""
+WITH {_simhash_cte_sql()},
+bands AS (
+    SELECT doc_id, b AS band, (simhash >> (b * 8)) & 255 AS bkey
+    FROM simhash, UNNEST(range(0, 4)) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN simhash sa ON c.doc_a = sa.doc_id
+    JOIN simhash sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAMMING_MAX}
+),
+deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT doc_a AS v FROM edges
+        UNION ALL
+        SELECT doc_b AS v FROM edges
+    ) GROUP BY v
+),
+tri AS (
+    SELECT COUNT(*) AS t
+    FROM edges e1
+    JOIN edges e2 ON e2.doc_a = e1.doc_b
+    JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT)            AS n_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT)              AS n_vertices,
+       CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT)                     AS n_triangles,
+       CAST((SELECT t FROM tri) * 3000000
+            // (SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+                                                               AS global_cc_ppm
+"""
+
+
+@register(
+    "q107_neardup_triangles",
+    oracle=_ORACLE_Q107,
+    doc="Triangle count + global clustering coefficient over the "
+    "verified SimHash near-dup graph: oriented 3-way self-join "
+    "(each triangle once), wedge count from symmetrized degrees, "
+    "cc in integral ppm — low cc flags an LSH threshold admitting "
+    "chains instead of dup clusters.",
+    tags=("dedup", "graph", "triangles"),
+)
+def q107_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q38_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionAll(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.expr("CAST(SUM(d * (d - 1) DIV 2) AS BIGINT)").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            F.expr("CAST(n_triangles * 3000000 DIV n_wedges AS BIGINT)").alias(
+                "global_cc_ppm"
+            ),
+        )
+    )

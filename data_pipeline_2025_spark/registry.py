@@ -143,6 +143,8 @@ _PRIORITY = (
     "q103_trigram_similarity_join",
     "q104_copurchase_lift",
     "q105_hopping_windows",
+    "q106_session_window_native",
+    "q107_neardup_triangles",
 )
 
 
