@@ -377,25 +377,35 @@ ORDER BY cohort_day, offset_days
     tags=("events", "cohort", "agg"),
 )
 def q99_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One events scan, two data-sized exchanges. The cohort day is a
+    # min-window over the deduplicated user-day grid (REUSES the
+    # grid's user_id hash partitioning — no extra exchange, no
+    # second scan to build a cohort dimension); the cohort size
+    # needs no separate subtree either: every user is active at
+    # offset 0, so size == active_users(offset 0), lifted with a
+    # max-window over the O(days x 8) rollup. Each user contributes
+    # at most one row per (cohort, offset), so a plain count
+    # replaces count-distinct (no Expand).
     cat = Catalog(spark, sf_dir)
     days = cat.events.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
-    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sizes = cohort.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    wuser = Window.partitionBy("user_id")
     act = (
-        days.join(cohort, "user_id")
+        days.withColumn("cohort_day", F.min("day").over(wuser))
         .withColumn(
             "offset_days", F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint")
         )
         .where(F.col("offset_days") <= 7)
         .groupBy("cohort_day", "offset_days")
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )
+    wcohort = Window.partitionBy("cohort_day")
+    size = F.max(
+        F.when(F.col("offset_days") == 0, F.col("active_users"))
+    ).over(wcohort)
     return (
-        act.join(sizes, "cohort_day")
+        act.withColumn("cohort_size", size)
         .select(
             "cohort_day",
             "offset_days",

@@ -239,3 +239,79 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_smoke):
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_reuses_user_partitioning(spark, sf_smoke):
+    """q99: ONE events scan; the cohort-day min-window reuses the
+    user-day grid's user_id partitioning, and the cohort size comes
+    from the offset-0 rollup row — so exactly two data-sized hash
+    exchanges (grid dedup, rollup) and no join at all."""
+    plan = plan_of(spark, "q99_cohort_retention", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    # grid dedup (map-side combined), user window, rollup, size
+    # window — the last two run over the O(days x 8) frame.
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_transitions_single_user_shuffle_then_tiny_window(spark, sf_smoke):
+    """q100: one user_id exchange feeds the lag window; the pair
+    count is map-side combinable; the per-prev total runs over the
+    O(|types|^2) grouped frame, never the raw events."""
+    plan = plan_of(spark, "q100_event_transitions", sf_smoke)
+    assert "partial_count" in plan  # map-side combine on pair counts
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_is_one_combinable_aggregation(spark, sf_smoke):
+    """q102: bucket id is a pure row function — the only data-sized
+    operation is ONE partial+final count aggregation; the share /
+    cumulative windows run over the O(buckets) frame."""
+    plan = plan_of(spark, "q102_price_histogram", sf_smoke)
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_join_verify_is_broadcast(spark, sf_smoke):
+    """q103: candidate generation is an equi-join on the trigram;
+    the verification joins against the (bounded-dictionary) trigram
+    sets must be broadcasts, not shuffles."""
+    plan = plan_of(spark, "q103_trigram_similarity_join", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_join_is_equi_on_order(spark, sf_smoke):
+    """q104: the pair generator must be an equi-join on l_orderkey
+    (fan-out bounded by basket size) — never a cartesian; the only
+    nested-loop join allowed is the single-row N-orders scalar."""
+    plan = plan_of(spark, "q104_copurchase_lift", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_hopping_windows_no_join_combinable(spark, sf_smoke):
+    """q105: the 4x window expansion is a projection (explode), not a
+    join; the rollup must partial-aggregate before the shuffle."""
+    plan = plan_of(spark, "q105_hopping_windows", sf_smoke)
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_session_window_single_user_exchange(spark, sf_smoke):
+    """q106: the native session_window aggregation must shuffle ONCE
+    on the session key (user_id) — merging sessions is sort-local
+    within that partition."""
+    plan = plan_of(spark, "q106_session_window_native", sf_smoke, mode="simple")
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangle_join_is_oriented_equi(spark, sf_smoke):
+    """q107: triangle enumeration must be equi-joins over the
+    oriented edge list; the only nested-loop joins are the
+    single-row metric combinations at the top."""
+    plan = plan_of(spark, "q107_neardup_triangles", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
