@@ -145,6 +145,7 @@ _PRIORITY = (
     "q105_hopping_windows",
     "q106_session_window_native",
     "q107_neardup_triangles",
+    "q108_stream_session_windows",
 )
 
 

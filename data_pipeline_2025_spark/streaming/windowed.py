@@ -224,3 +224,68 @@ def q74_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "signup_event", "purchase_event")
     )
+
+
+_ORACLE_Q108 = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        >= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                        AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+       CAST(COUNT(*) AS BIGINT)       AS events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                                      AS total_value_d
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "q108_stream_session_windows",
+    oracle=_ORACLE_Q108,
+    doc="Sessionization as a STREAMING stateful aggregation: the "
+    "native session_window operator under Structured Streaming "
+    "(AvailableNow -> memory sink, complete mode so every merged "
+    "session is emitted), hash-checked against the batch lag-based "
+    "SQL — the same answer q106 computes in batch. Per-user session "
+    "state merges incrementally and is expirable by watermark in a "
+    "live deployment (T7 stateful windows).",
+    tags=("streaming", "window", "session"),
+)
+def q108_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+    )
+    name = f"stream_sessions_{next(_COUNTER)}"
+    _run_to_memory(
+        agg.select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "events",
+            "total_value_d",
+        ),
+        name,
+    )
+    return spark.table(name).orderBy("user_id", "session_start")

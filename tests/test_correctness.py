@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 106
+EXPECTED_QUERY_COUNT = 107
 
 
 def test_registry_complete():
@@ -115,5 +115,6 @@ def test_priority_queries_inside_driver_cap():
         "q105_hopping_windows",
         "q106_session_window_native",
         "q107_neardup_triangles",
+        "q108_stream_session_windows",
     }
     assert must_lead <= first_50, must_lead - first_50

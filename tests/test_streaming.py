@@ -149,6 +149,7 @@ def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
             windowed.q50_stream_hourly_rollup,
             windowed.q51_stream_dedup_replay,
             windowed.q74_stream_join_attribution,
+            windowed.q108_stream_session_windows,
         ):
             spark.conf.unset(key)
             # A bare session may also run in a non-UTC zone; the
