@@ -439,3 +439,70 @@ def q106_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ----------------------------------- q109: skyline (Pareto frontier)
+#
+# Skyline query: the Pareto-optimal parts under (minimize retail
+# price, maximize size). The ORACLE states the naive O(n^2)
+# NOT-EXISTS domination definition; the Spark plan computes the same
+# frontier the scalable way — one price-keyed aggregation (max size
+# per price, map-side combinable over the full table), then a
+# running-max window over the O(|distinct prices|) grouped frame
+# (bounded dictionary — same tiny-frame window as q102's cumulative
+# share), and one equi-join back. A point survives iff it has the
+# max size at its price AND strictly beats the best size among all
+# cheaper prices. Prices compare as exact decimals so the two
+# engines agree on every <=.
+
+_ORACLE_Q109 = """
+WITH pts AS (
+    SELECT p_partkey,
+           CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+           p_size AS sz
+    FROM part
+)
+SELECT CAST(p.p_partkey AS BIGINT) AS partkey,
+       CAST(p.price AS DOUBLE)     AS price_d,
+       CAST(p.sz AS BIGINT)        AS size
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price <= p.price AND q.sz >= p.sz
+      AND (q.price < p.price OR q.sz > p.sz)
+)
+ORDER BY partkey
+"""
+
+
+@register(
+    "q109_pareto_frontier",
+    oracle=_ORACLE_Q109,
+    doc="Skyline / Pareto frontier (min price, max size): oracle is "
+    "the O(n^2) NOT-EXISTS domination definition; the plan is the "
+    "scalable sort-based frontier — per-price max aggregation, "
+    "running-max window over the bounded price dictionary, one "
+    "equi-join back.",
+    tags=("skyline", "window", "part"),
+)
+def q109_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    pts = cat.part.select(
+        "p_partkey", dec("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    )
+    groups = pts.groupBy("price").agg(F.max("sz").alias("pmax"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    groups = groups.withColumn("prevmax", F.max("pmax").over(w))
+    return (
+        pts.join(groups, "price")
+        .where(
+            (F.col("sz") == F.col("pmax"))
+            & (F.col("prevmax").isNull() | (F.col("sz") > F.col("prevmax")))
+        )
+        .select(
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            to_double(F.col("price")).alias("price_d"),
+            F.col("sz").cast("bigint").alias("size"),
+        )
+        .orderBy("partkey")
+    )

@@ -536,3 +536,88 @@ def q105_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "users", "total_value_d")
         .orderBy("window_start")
     )
+
+
+# ----------------------------- q110: time-decayed (EWMA-style) value
+#
+# Exponentially time-decayed per-user value with a 1-day half-life,
+# in EXACT dyadic arithmetic: weight(age) = 2^(HORIZON-age) for
+# age <= HORIZON days (older events weigh 0 — a documented cutoff),
+# so every weighted cent is a bigint and the per-user sum is exact.
+# The final scaling divides by 2^HORIZON — a pure exponent shift,
+# IEEE-exact after one deterministic bigint→double rounding — so no
+# float accumulates anywhere. Scale shape: the reference day is a
+# one-row broadcast scalar; the weight is a row-local function; ONE
+# map-side-combinable groupBy on user_id. This is the standard
+# decayed-counter trick with a fixed rebase time (a serving system
+# re-bases periodically instead of multiplying per read).
+
+DECAY_HORIZON_DAYS = 20
+
+
+_ORACLE_Q110 = f"""
+WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+w AS (
+    SELECT user_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           date_diff('day', CAST(ts AS DATE), ref.ref_day) AS age
+    FROM events, ref
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN age <= {DECAY_HORIZON_DAYS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recent,
+       CAST(SUM(cents * (CASE WHEN age <= {DECAY_HORIZON_DAYS}
+                              THEN CAST(1 AS BIGINT) << ({DECAY_HORIZON_DAYS} - age)
+                              ELSE 0 END)) AS BIGINT) AS decayed_num,
+       CAST(SUM(cents * (CASE WHEN age <= {DECAY_HORIZON_DAYS}
+                              THEN CAST(1 AS BIGINT) << ({DECAY_HORIZON_DAYS} - age)
+                              ELSE 0 END)) AS DOUBLE)
+           / {1 << DECAY_HORIZON_DAYS} AS decayed_cents_d
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "q110_time_decayed_value",
+    oracle=_ORACLE_Q110,
+    doc="Per-user exponentially time-decayed value (1-day half-life, "
+    "20-day horizon) in exact dyadic integer arithmetic — weighted "
+    "cents are bigints, the final 2^-20 scale is an IEEE-exact "
+    "exponent shift. One combinable user_id groupBy; broadcast "
+    "scalar reference day.",
+    tags=("events", "decay", "agg"),
+)
+def q110_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ref = cat.events.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    h = DECAY_HORIZON_DAYS
+    age = F.datediff(F.col("ref_day"), F.to_date("ts"))
+    wgt = F.when(
+        age <= h,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({h} - datediff(ref_day, to_date(ts)) AS INT))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    cents = (dec("value") * 100).cast("bigint")
+    return (
+        cat.events.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (age <= h).cast("bigint").alias("recent"),
+            (cents * wgt).alias("wcents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("recent").alias("n_recent"),
+            F.sum("wcents").alias("decayed_num"),
+        )
+        .select(
+            "user_id",
+            "n_recent",
+            "decayed_num",
+            (F.col("decayed_num").cast("double") / F.lit(float(1 << h))).alias(
+                "decayed_cents_d"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -146,6 +146,8 @@ _PRIORITY = (
     "q106_session_window_native",
     "q107_neardup_triangles",
     "q108_stream_session_windows",
+    "q109_pareto_frontier",
+    "q110_time_decayed_value",
 )
 
 

@@ -315,3 +315,22 @@ def test_triangle_join_is_oriented_equi(spark, sf_smoke):
     plan = plan_of(spark, "q107_neardup_triangles", sf_smoke, mode="simple")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_skyline_window_runs_on_bounded_frame(spark, sf_smoke):
+    """q109: the only global-order window runs over the per-price
+    grouped frame (bounded dictionary), never the raw part table —
+    the table-sized ops are one combinable aggregation and one
+    equi-join back."""
+    plan = plan_of(spark, "q109_pareto_frontier", sf_smoke)
+    assert "partial_max" in plan  # per-price max combines map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_decay_is_single_combinable_groupby(spark, sf_smoke):
+    """q110: the reference day is a single-row broadcast; the decayed
+    sum must partial-aggregate before its one user_id shuffle."""
+    plan = plan_of(spark, "q110_time_decayed_value", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
