@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.streaming.windowed",  # q50/q51/q74 fix
     "data_pipeline_2025_spark.streaming.cagg",  # q83 new
     "data_pipeline_2025_spark.streaming.cms",  # q97 new
+    "data_pipeline_2025_spark.streaming.stateful",  # q111 (round 3)
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:
@@ -148,6 +149,7 @@ _PRIORITY = (
     "q108_stream_session_windows",
     "q109_pareto_frontier",
     "q110_time_decayed_value",
+    "q111_stream_stateful_sessions",
 )
 
 

@@ -69,3 +69,157 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------- q111: the stateful sessionizer, driver-verified --
+#
+# applyInPandasWithState emits only CLOSED sessions by design (the
+# trailing open session per user survives in state across
+# micro-batches). To make the operator oracle-checkable end-to-end,
+# the query streams from a prepared directory = the events file plus
+# a SENTINEL file holding one far-future event per user (2x the gap
+# past the corpus max ts). Every real session then closes and is
+# emitted; each sentinel opens its own one-event session that stays
+# in state — so filtering is unnecessary on the emitted side, but we
+# keep a guard anyway (session_start below the sentinel horizon).
+# The oracle is the batch lag-based sessionization with the SAME
+# strict-> gap rule the state machine uses. Scale shape: state is
+# one (start, last, n) triple per user; each micro-batch touches
+# only keys present in it.
+
+
+def _sentinel_stream_dir(spark, sf_dir: str) -> tuple[str, int]:
+    """Build (once per sf_dir) a stream dir with events + sentinels;
+    returns (dir, sentinel_horizon_us). The sentinel file carries the
+    SAME raw ts physical type as the events file (long nanos or NTZ
+    micros), so one inferred schema reads both."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..artifacts import artifact_path
+    from ..catalog import table_path
+
+    path = artifact_path(sf_dir, "stateful_session_src")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # long nanoseconds
+        ts_us = F.expr("ts div 1000")
+        mk_sentinel_ts = lambda us: (F.lit(us) * 1000).cast("bigint")  # noqa: E731
+    else:  # timestamp_ntz micros (or plain timestamp)
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        mk_sentinel_ts = lambda us: F.timestamp_micros(F.lit(us)).cast(  # noqa: E731
+            dict(raw.dtypes)["ts"]
+        )
+    horizon_us = raw.agg(F.max(ts_us)).collect()[0][0] + 2 * 30 * 60 * 1_000_000
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        src = os.path.abspath(table_path(sf_dir, "events"))
+        link = os.path.join(path, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        sentinels = (
+            raw.select("user_id")
+            .distinct()
+            .select(
+                (F.lit(-1) - F.col("user_id")).alias("event_id"),
+                mk_sentinel_ts(horizon_us).alias("ts"),
+                "user_id",
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        # The file source lists only top-level files — land the
+        # sentinel rows as a FLAT file, not a Spark output directory.
+        tmp_out = os.path.join(path, "_sentinels_build")
+        sentinels.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(
+            f for f in os.listdir(tmp_out)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(tmp_out, part), os.path.join(path, "sentinels.parquet")
+        )
+        open(done, "w").close()
+    return path, horizon_us
+
+
+_ORACLE_Q111 = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                  AS session_start,
+       MAX(ts)                  AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q111_stream_stateful_sessions(spark, sf_dir: str) -> DataFrame:
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from .windowed import _COUNTER
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_dir, horizon_us = _sentinel_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(src_dir, "sentinels.parquet")).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = sessionize_stream(stream.select("user_id", "ts"), gap_minutes=30)
+    name = f"stateful_sessions_{next(_COUNTER)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.unix_micros("session_start") < horizon_us)
+        .orderBy("user_id", "session_start")
+    )
+
+
+import os  # noqa: E402  (used inside q111; kept at bottom near its user)
+
+from ..registry import register as _register  # noqa: E402
+
+_register(
+    "q111_stream_stateful_sessions",
+    oracle=_ORACLE_Q111,
+    doc="CUSTOM stateful streaming operator driver-verified: "
+    "applyInPandasWithState sessionizer (per-user (start,last,n) "
+    "state machine, closed sessions emitted append-mode) run over "
+    "the events stream plus per-user sentinel events that flush "
+    "every real session; hash-matches the batch lag-based "
+    "sessionization SQL (T7 arbitrary stateful ops).",
+    tags=("streaming", "stateful", "session"),
+)(q111_stream_stateful_sessions)

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 109
+EXPECTED_QUERY_COUNT = 110
 
 
 def test_registry_complete():
@@ -118,5 +118,6 @@ def test_priority_queries_inside_driver_cap():
         "q108_stream_session_windows",
         "q109_pareto_frontier",
         "q110_time_decayed_value",
+        "q111_stream_stateful_sessions",
     }
     assert must_lead <= first_50, must_lead - first_50
