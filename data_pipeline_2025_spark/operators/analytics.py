@@ -506,3 +506,150 @@ def q109_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# ---------------------------- q112: decorrelated per-group threshold
+# The TPC-H Q17 shape (reference analog: "items priced below X% of
+# their product's average", the per-key-threshold filter every
+# curation pipeline runs). The textbook plan runs the fact twice —
+# once to build per-part averages, once to probe — i.e. two shuffles
+# on l_partkey plus a join. Here the per-part mean and the threshold
+# test ride ONE window over ONE exchange on l_partkey: at 100 TB
+# that halves the dominant shuffle and removes the join entirely.
+# The threshold compare is exact integer arithmetic
+# (5*qty*cnt < sum_qty ⇔ qty < 0.2*avg; quantities are integral),
+# so both engines agree bit-for-bit — no float-mean epsilon.
+_ORACLE_Q112 = """
+WITH stats AS (
+    SELECT l_partkey,
+           CAST(l_quantity AS BIGINT)  AS qty,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sum_qty,
+           COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+    FROM lineitem
+)
+SELECT p.p_brand,
+       COUNT(*) AS small_lines,
+       CAST(ROUND(SUM(s.price), 2) AS DOUBLE) AS small_revenue_d
+FROM stats s
+JOIN part p ON s.l_partkey = p.p_partkey
+WHERE 5 * s.qty * s.cnt < s.sum_qty
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register(
+    "q112_small_qty_revenue",
+    oracle=_ORACLE_Q112,
+    doc="Per-part below-20-percent-of-average quantity filter (TPC-H Q17 "
+    "shape) as ONE window over ONE l_partkey exchange — no second "
+    "fact scan, no fact-to-aggregate join; part dim broadcast; "
+    "threshold compared in exact integers.",
+    tags=("agg", "window", "join", "decorrelation"),
+)
+def q112_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("l_partkey")
+    stats = cat.lineitem.select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        dec("l_extendedprice").alias("price"),
+    ).select(
+        "l_partkey",
+        "qty",
+        "price",
+        F.sum("qty").over(w).alias("sum_qty"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    small = stats.where(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return (
+        small.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("small_lines"),
+            money_out(F.sum("price")).alias("small_revenue_d"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ------------------------------ q113: gaps-and-islands activity streaks
+# Consecutive-active-day streaks per user — the classic
+# gaps-and-islands operator (engagement/retention reporting). The
+# island key is day_index - dense_rank (pure integer arithmetic on
+# the epoch-day), so islands fall out of ONE window + ONE groupBy,
+# both on user_id: a single exchange end-to-end, no self-join, no
+# sequence generation. Output is bounded by (users x streaks), and
+# only top streaks per user survive.
+_ORACLE_Q113 = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+    FROM events
+),
+isl AS (
+    SELECT user_id, d,
+           d - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT) AS grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS start_d, MAX(d) AS end_d
+    FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(len AS BIGINT) AS streak_days,
+       DATE '1970-01-01' + CAST(start_d AS INTEGER) AS streak_start,
+       DATE '1970-01-01' + CAST(end_d AS INTEGER) AS streak_end
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_d) AS rk
+    FROM streaks
+)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "q113_activity_streaks",
+    oracle=_ORACLE_Q113,
+    doc="Longest consecutive-active-day streak per user: "
+    "gaps-and-islands via day_index - dense_rank — one user_id "
+    "exchange shared by the distinct-grid, both windows, and the "
+    "island groupBy; no self-join, no calendar generation.",
+    tags=("events", "window", "gaps-islands"),
+)
+def q113_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    days = cat.events.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.col("d") - F.dense_rank().over(wd).cast("bigint")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("d").alias("start_d"),
+        F.max("d").alias("end_d"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("start_d")
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        streaks.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_add(epoch, F.col("start_d").cast("int")).alias("streak_start"),
+            F.date_add(epoch, F.col("end_d").cast("int")).alias("streak_end"),
+        )
+        .orderBy("user_id")
+    )

@@ -1409,3 +1409,91 @@ def q107_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------- q115: asymmetric containment (sub-document dup)
+#
+# Jaccard (q35) misses the commonest real-world duplication mode: a
+# small document embedded verbatim inside a much larger one (quoted
+# articles, boilerplate-wrapped reposts) — the union term dilutes
+# the score below threshold. Containment C = |A∩B| / min(|A|,|B|)
+# is the standard fix (Broder's "containment" from the original
+# resemblance paper). This reports pairs a Jaccard dedup would KEEP
+# that containment flags: C >= 0.9 but J < 0.8.
+#
+# Same candidate generator and scale bound as q35: one equi-join on
+# the DF-capped shingle frame (per-shingle fan-out <= SHINGLE_DF_CAP),
+# one groupBy — thresholds compared in exact integers (inter*10 vs
+# 9*min / 8*union), the division only in the reported column.
+CONTAIN_THRESHOLD_X10 = 9  # containment >= 0.9
+
+_ORACLE_Q115 = f"""
+WITH {SHINGLES_SQL},
+hot AS (
+    SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}
+),
+rare_sh AS (
+    SELECT s.doc_id, s.sh FROM shingles s ANTI JOIN hot h ON s.sh = h.sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare_sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM rare_sh a
+    JOIN rare_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, inter,
+       sa.n AS na, sb.n AS nb,
+       CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 10 >= {CONTAIN_THRESHOLD_X10} * least(sa.n, sb.n)
+  AND inter * 10 <  8 * (sa.n + sb.n - inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q115_shingle_containment",
+    oracle=_ORACLE_Q115,
+    doc="Asymmetric containment dedup: pairs with C=|A∩B|/min >= 0.9 "
+    "but Jaccard < 0.8 — sub-document duplication Jaccard misses. "
+    "Same DF-capped shingle equi-join bound as q35; thresholds in "
+    "exact integer arithmetic.",
+    tags=("dedup", "containment"),
+)
+def q115_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rare_sh = rare_shingles_df(spark, sf_dir)
+    sizes = rare_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare_sh.alias("a")
+    b = rare_sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter10 = F.col("inter") * 10
+    mn = F.least(F.col("na"), F.col("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (inter10 >= CONTAIN_THRESHOLD_X10 * mn) & (inter10 < 8 * union)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "na",
+            "nb",
+            (F.col("inter").cast("double") / mn).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -800,3 +800,113 @@ def q90_ivf_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("members").cast("bigint").alias("members"),
         )
     )
+
+
+# ------------------------- q114: product quantization (PQ) encoding
+#
+# The memory half of ANN at 100 TB: IVF (q41/q42/q90) prunes the
+# SEARCH, PQ shrinks the STORAGE — a 64-dim float vector becomes 4
+# one-byte codes (one per 16-dim subspace) plus a shared codebook,
+# a 64x compression that is what makes billion-vector indexes fit
+# in RAM (Jegou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). Codebook = the N_CENTROIDS seed vectors'
+# sub-vectors (the same deterministic seeding as IVF/k-means here;
+# a real deployment runs q82's Lloyd step per subspace first).
+#
+# Scale shape: the codebook is ONE broadcast row (arrays of
+# sub-centroids); encoding is then pure per-row array algebra —
+# zero shuffles, embarrassingly parallel, exactly how a 100 TB
+# encode pass must run. All distances are exact integers over the
+# quantized vectors, so the assignment AND the reconstruction error
+# are bit-stable across engines.
+PQ_SUB = 4
+PQ_SUB_DIM = EMB_DIM // PQ_SUB  # 16
+
+_SUB_SQL = ", ".join(str(s) for s in range(PQ_SUB))
+
+_Q114_SQL = f"""
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < {N_CENTROIDS}),
+d AS (
+    SELECT m.vec_id, s.s AS sub, cb.cid,
+           list_dot_product(list_slice(m.mv, s.s * {PQ_SUB_DIM} + 1, (s.s + 1) * {PQ_SUB_DIM}),
+                            list_slice(m.mv, s.s * {PQ_SUB_DIM} + 1, (s.s + 1) * {PQ_SUB_DIM}))
+         - 2 * list_dot_product(list_slice(m.mv, s.s * {PQ_SUB_DIM} + 1, (s.s + 1) * {PQ_SUB_DIM}),
+                                list_slice(cb.cv, s.s * {PQ_SUB_DIM} + 1, (s.s + 1) * {PQ_SUB_DIM}))
+         + list_dot_product(list_slice(cb.cv, s.s * {PQ_SUB_DIM} + 1, (s.s + 1) * {PQ_SUB_DIM}),
+                            list_slice(cb.cv, s.s * {PQ_SUB_DIM} + 1, (s.s + 1) * {PQ_SUB_DIM})) AS d2
+    FROM m
+    CROSS JOIN (SELECT UNNEST([{_SUB_SQL}]) AS s) s
+    CROSS JOIN cb
+),
+best AS (
+    SELECT vec_id, sub, cid, d2,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+    FROM d
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code0,
+       CAST(MAX(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code1,
+       CAST(MAX(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code2,
+       CAST(MAX(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code3,
+       CAST(SUM(d2) AS BIGINT) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+def _il2(x: Column, y: Column) -> Column:
+    """Exact integer squared L2 distance between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "q114_pq_quantization",
+    oracle=_Q114_SQL,
+    doc="Product-quantization encode: 64-dim vector -> 4 subspace "
+    "codes + exact integer reconstruction error. Codebook joins as "
+    "ONE broadcast row; encoding is per-row array algebra — zero "
+    "shuffles, the only shape a 100 TB encode pass can take.",
+    tags=("similarity", "pq", "compression"),
+)
+def q114_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _int_vecs(spark, sf_dir)
+    # Codebook as one row of parallel arrays (cids sorted ascending,
+    # cvs aligned) — argmin by array_position then picks the LOWEST
+    # cid on distance ties, matching the oracle's ORDER BY d2, cid.
+    cb = (
+        vecs.where(F.col("vec_id") < N_CENTROIDS)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "mv"))).alias("cb"))
+        .select(
+            F.transform("cb", lambda x: x["vec_id"]).alias("cids"),
+            F.transform("cb", lambda x: x["mv"]).alias("cvs"),
+        )
+    )
+    rows = vecs.crossJoin(F.broadcast(cb))
+    cols = [F.col("vec_id")]
+    total = None
+    def _sub_dists(s: int, sub: Column) -> Column:
+        def dist(c: Column) -> Column:
+            return _il2(sub, F.slice(c, s * PQ_SUB_DIM + 1, PQ_SUB_DIM))
+
+        return F.transform("cvs", dist)
+
+    for s in range(PQ_SUB):
+        sub = F.slice("mv", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        dists = _sub_dists(s, sub)
+        best = F.array_min(dists)
+        idx = F.array_position(dists, best).cast("int")
+        cols.append(F.element_at("cids", idx).cast("bigint").alias(f"code{s}"))
+        total = best if total is None else total + best
+    cols.append(total.cast("bigint").alias("recon_err"))
+    return rows.select(*cols).orderBy("vec_id")

@@ -150,6 +150,10 @@ _PRIORITY = (
     "q109_pareto_frontier",
     "q110_time_decayed_value",
     "q111_stream_stateful_sessions",
+    "q112_small_qty_revenue",
+    "q113_activity_streaks",
+    "q114_pq_quantization",
+    "q115_shingle_containment",
 )
 
 

@@ -334,3 +334,49 @@ def test_decay_is_single_combinable_groupby(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_small_qty_one_fact_exchange(spark, sf_smoke):
+    """q112: the TPC-H Q17 shape must NOT scan the fact twice or
+    join fact-to-aggregate — one l_partkey exchange feeds the
+    window, the part dim is broadcast, and the only other hash
+    exchange is the O(brands) final aggregation."""
+    plan = plan_of(spark, "q112_small_qty_revenue", sf_smoke, mode="simple")
+    assert plan.count("FileScan parquet") == 2, plan  # lineitem + part, once each
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_streaks_no_join_group_limit(spark, sf_smoke):
+    """q113: gaps-and-islands must be join-free (no self-join, no
+    calendar cross join); the top-streak pick must hit
+    WindowGroupLimit; the island groupBy reuses the user_id
+    partitioning (no exchange between window and aggregate)."""
+    plan = plan_of(spark, "q113_activity_streaks", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_smoke):
+    """q114: PQ encoding must be pure per-row array algebra against
+    a broadcast codebook — no plan-required hash shuffle. The only
+    hash exchanges allowed are the explicit fan_out repartitions
+    (REPARTITION_BY_NUM — a deliberate narrow-scan parallelizer,
+    not a semantic requirement); the output sort is the one range
+    partition."""
+    plan = plan_of(spark, "q114_pq_quantization", sf_smoke, mode="simple")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "REPARTITION_BY_NUM" in line, line
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_reuses_capped_shingle_join(spark, sf_smoke):
+    """q115: containment pairs come from the same DF-capped shingle
+    equi-join as q35 — equi hash/sort-merge only, never a cartesian
+    pair enumeration."""
+    plan = plan_of(spark, "q115_shingle_containment", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
