@@ -1497,3 +1497,154 @@ def q115_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------- q119: MinHash estimator accuracy vs exact Jaccard
+#
+# The sketch-accuracy report for the LSH path (the q72/q95 pattern
+# applied to MinHash): for every band-candidate pair, the MinHash
+# ESTIMATE (matching hashes / 16) next to the EXACT shingle Jaccard,
+# with the error. This is the tuning artifact for NUM_HASHES /
+# banding: at 100 TB you decide "are 16 hashes enough at my 0.8
+# threshold" from exactly this table, computed on a sample — and
+# every column here is engine-exact (match count is an integer;
+# est = mh/16 has a power-of-two denominator so the double is exact;
+# the exact Jaccard is one correctly-rounded division).
+# Scale shape: candidates only from LSH buckets (never all pairs);
+# the signature compare is a row-local integer sum after two
+# signature-table joins on doc id.
+_ORACLE_Q119 = f"""
+WITH {SHINGLES_SQL},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+mh AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(f"(CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES))} AS BIGINT) AS matches
+    FROM cand c
+    JOIN minhash ma ON ma.doc_id = c.doc_a
+    JOIN minhash mb ON mb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+exact AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.matches,
+       CAST(COALESCE(e.inter, 0) AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - COALESCE(e.inter, 0) AS BIGINT) AS unions,
+       CAST(m.matches AS DOUBLE) / {NUM_HASHES} AS est_jaccard,
+       CAST(COALESCE(e.inter, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(e.inter, 0)) AS exact_jaccard,
+       abs(CAST(m.matches AS DOUBLE) / {NUM_HASHES}
+           - CAST(COALESCE(e.inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(e.inter, 0))) AS abs_err
+FROM mh m
+LEFT JOIN exact e ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+JOIN sizes sa ON m.doc_a = sa.doc_id
+JOIN sizes sb ON m.doc_b = sb.doc_id
+ORDER BY m.doc_a, m.doc_b
+"""
+
+
+@register(
+    "q119_minhash_accuracy",
+    oracle=_ORACLE_Q119,
+    doc="MinHash estimate vs exact Jaccard for every LSH-candidate "
+    "pair, with absolute error — the NUM_HASHES/banding tuning "
+    "table. Match count is a row-local integer sum; est = k/16 is "
+    "an exact power-of-two double; candidates come only from LSH "
+    "buckets.",
+    tags=("dedup", "minhash", "accuracy"),
+)
+def q119_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    minhash = minhash_df(spark, sf_dir)
+    rows = NUM_HASHES // NUM_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
+                )
+            ).alias("bkey"),
+        )
+        for bnd in range(NUM_BANDS)
+    ]
+    bands = minhash.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = minhash.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)]
+    )
+    mb = minhash.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)]
+    )
+    match_sum = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    mh = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", match_sum.cast("bigint").alias("matches"))
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    exact = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("bigint")
+    unions = (F.col("na") + F.col("nb") - inter).cast("bigint")
+    est = F.col("matches").cast("double") / NUM_HASHES
+    exact_j = inter.cast("double") / unions
+    return (
+        mh.join(exact, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            inter.alias("inter"),
+            unions.alias("unions"),
+            est.alias("est_jaccard"),
+            exact_j.alias("exact_jaccard"),
+            F.abs(est - exact_j).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

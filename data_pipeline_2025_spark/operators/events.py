@@ -621,3 +621,72 @@ def q110_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------- q117: new vs returning daily activity split
+#
+# The daily-growth report: DAU split into first-ever-day users vs
+# returning, plus the cumulative user count — q99's cohort machinery
+# pointed at the other standard dashboard. Same scale shape as q99:
+# ONE events scan, the user-day grid deduplicated on the user_id
+# partitioning that the first-day min-window then reuses (no second
+# exchange, no self-join against a "first seen" dimension); the day
+# rollup is map-side combinable and the cumulative sum runs over the
+# O(days) frame.
+_ORACLE_Q117 = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+),
+fs AS (
+    SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day
+    FROM ud
+),
+byday AS (
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users
+    FROM fs GROUP BY day
+)
+SELECT day, dau, new_users,
+       dau - new_users AS returning_users,
+       CAST(SUM(new_users) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM byday
+ORDER BY day
+"""
+
+
+@register(
+    "q117_new_vs_returning",
+    oracle=_ORACLE_Q117,
+    doc="Daily active users split new vs returning + cumulative "
+    "reach: dedup grid and first-day min-window share one user_id "
+    "partitioning; day rollup map-side combinable; cumsum over the "
+    "O(days) frame.",
+    tags=("events", "window", "growth"),
+)
+def q117_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ud = cat.events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first_day = F.min("day").over(Window.partitionBy("user_id"))
+    byday = (
+        ud.withColumn("is_new", (F.col("day") == first_day).cast("bigint"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum("is_new").alias("new_users"),
+        )
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        "day",
+        "dau",
+        "new_users",
+        (F.col("dau") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(wd).alias("cumulative_users"),
+    ).orderBy("day")

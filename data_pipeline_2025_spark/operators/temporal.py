@@ -234,3 +234,78 @@ def q76_interval_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refined.select(
         "supermarket_id", "barcode", "snapshot_date", "eff_d"
     ).orderBy("supermarket_id", "barcode", "snapshot_date")
+
+
+# ----------------- q116: sweep-line interval concurrency (in-flight)
+#
+# "How many orders were in flight on each day" — the interval-
+# concurrency count behind backlog dashboards and capacity reports.
+# The naive plan is a calendar×orders range join (O(days·orders) —
+# dead at scale); the scalable shape is the SWEEP-LINE: each interval
+# emits +1 at its start day and -1 the day after it ends, deltas
+# aggregate per day (map-side combinable), and the running sum over
+# the O(days) frame reconstructs the concurrency curve. Two bounded
+# shuffles total: the per-order interval rollup (orderkey — a
+# fact⋈fact co-key join, the q94 bucketing candidate at 100 TB) and
+# the O(days) day aggregation; the cumulative window runs over a
+# few-thousand-row frame regardless of data scale.
+_ORACLE_Q116 = """
+WITH iv AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS sd,
+           CAST(MAX(l.l_shipdate) AS DATE) AS ed
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT sd AS day, CAST(1 AS BIGINT) AS d FROM iv
+    UNION ALL
+    SELECT ed + 1 AS day, CAST(-1 AS BIGINT) AS d FROM iv
+),
+byday AS (SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day)
+SELECT day, delta,
+       CAST(SUM(delta) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS in_flight
+FROM byday
+ORDER BY day
+"""
+
+
+@register(
+    "q116_orders_in_flight",
+    oracle=_ORACLE_Q116,
+    doc="Interval concurrency by sweep-line: per-order "
+    "[orderdate, last shipdate] emits +1/-1 deltas, aggregated per "
+    "day (map-side combinable) and prefix-summed over the O(days) "
+    "frame — never a calendar-range join.",
+    tags=("temporal", "sweep-line", "window"),
+)
+def q116_orders_in_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    iv = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("ed"))
+        .join(
+            cat.orders.select("o_orderkey", F.to_date("o_orderdate").alias("sd")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sd").alias("day"), F.lit(1).cast("bigint").alias("d")),
+                F.struct(
+                    F.date_add("ed", 1).alias("day"),
+                    F.lit(-1).cast("bigint").alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    byday = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    # O(days) frame: the single-partition cumulative window is over a
+    # few thousand rows at ANY corpus scale — not a data-sized sort.
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        "day", "delta", F.sum("delta").over(wd).alias("in_flight")
+    ).orderBy("day")

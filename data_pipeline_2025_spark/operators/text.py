@@ -12,7 +12,7 @@ pass with no shuffle except the final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog, fan_out
@@ -415,3 +415,72 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TFIDF_TOP_K)
         .select("doc_id", "keyword", "rn", "score")
     )
+
+
+# -------------------- q118: per-source token-count Gini coefficient
+#
+# Distribution-inequality profiling for curation: a source whose
+# token mass sits in a few giant documents behaves very differently
+# under packing (q87) and sampling (q92) than a uniform one. Gini
+# via the exact rank formula G = (2*S1 - (n+1)*S0) / (n*S0) with
+# S1 = sum(rank_i * x_i): every term is integer arithmetic over a
+# deterministic (tokens, doc_id) rank, reported in integral ppm
+# (DIV), so both engines produce the identical integer. Tie
+# permutations cannot change S1 (equal x under permuted ranks sum
+# identically). Scale shape: ONE shuffle on source; the rank window
+# and the final aggregation reuse the same partitioning; per-source
+# sort is the only superlinear cost (the classic Gini lower bound).
+_ORACLE_Q118 = f"""
+WITH d AS (
+    SELECT doc_id, source, CAST(len({TOKENS_SQL}) AS BIGINT) AS ntok
+    FROM documents
+),
+r AS (
+    SELECT source, ntok,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY ntok, doc_id
+           ) AS BIGINT) AS rk
+    FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST((1000000 * (2 * SUM(rk * ntok) - (COUNT(*) + 1) * SUM(ntok)))
+            // (COUNT(*) * SUM(ntok)) AS BIGINT) AS gini_ppm
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q118_token_gini",
+    oracle=_ORACLE_Q118,
+    doc="Per-source Gini coefficient of document token counts in "
+    "exact integral ppm — inequality profiling for packing/sampling "
+    "decisions. One source shuffle shared by the rank window and "
+    "the aggregation.",
+    tags=("text", "profiling", "window"),
+)
+def q118_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "doc_id", "source", F.size(tokens_col()).cast("bigint").alias("ntok")
+    )
+    wr = Window.partitionBy("source").orderBy("ntok", "doc_id")
+    r = d.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ntok").alias("s0"),
+        F.sum(F.col("rk") * F.col("ntok")).alias("s1"),
+    )
+    # numerator is >= 0 (ascending-rank Gini), so Spark's truncating
+    # `div` equals DuckDB's floor `//` — exact integer arithmetic.
+    return agg.select(
+        "source",
+        "docs",
+        F.col("s0").alias("total_tokens"),
+        F.expr(
+            "(1000000 * (2 * s1 - (docs + 1) * s0)) div (docs * s0)"
+        ).alias("gini_ppm"),
+    ).orderBy("source")

@@ -154,6 +154,10 @@ _PRIORITY = (
     "q113_activity_streaks",
     "q114_pq_quantization",
     "q115_shingle_containment",
+    "q116_orders_in_flight",
+    "q117_new_vs_returning",
+    "q118_token_gini",
+    "q119_minhash_accuracy",
 )
 
 

@@ -380,3 +380,38 @@ def test_containment_reuses_capped_shingle_join(spark, sf_smoke):
     plan = plan_of(spark, "q115_shingle_containment", sf_smoke, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sweepline_no_range_join(spark, sf_smoke):
+    """q116: interval concurrency must be sweep-line deltas — never
+    a calendar×orders range join (no nested-loop/cartesian); the
+    cumulative window runs over the O(days) frame AFTER the day
+    aggregation."""
+    plan = plan_of(spark, "q116_orders_in_flight", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_returning_single_grid_partitioning(spark, sf_smoke):
+    """q117: one events scan; the first-day min-window reuses the
+    dedup grid's user_id hash partitioning (q99's trick) — no join
+    against a first-seen dimension."""
+    plan = plan_of(spark, "q117_new_vs_returning", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_gini_one_source_exchange(spark, sf_smoke):
+    """q118: the rank window and the aggregation must share ONE
+    source hash exchange — Gini adds no join and no second scan."""
+    plan = plan_of(spark, "q118_token_gini", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_accuracy_equi_only(spark, sf_smoke):
+    """q119: estimate-vs-exact accuracy must draw candidates from
+    LSH buckets (equi joins only) — never an all-pairs compare."""
+    plan = plan_of(spark, "q119_minhash_accuracy", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
