@@ -445,8 +445,10 @@ r AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS docs,
        CAST(SUM(ntok) AS BIGINT) AS total_tokens,
-       CAST((1000000 * (2 * SUM(rk * ntok) - (COUNT(*) + 1) * SUM(ntok)))
-            // (COUNT(*) * SUM(ntok)) AS BIGINT) AS gini_ppm
+       CASE WHEN SUM(ntok) > 0 THEN
+           CAST((1000000 * (2 * SUM(rk * ntok) - (COUNT(*) + 1) * SUM(ntok)))
+                // (COUNT(*) * SUM(ntok)) AS BIGINT)
+       END AS gini_ppm
 FROM r
 GROUP BY source
 ORDER BY source
@@ -481,6 +483,7 @@ def q118_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs",
         F.col("s0").alias("total_tokens"),
         F.expr(
-            "(1000000 * (2 * s1 - (docs + 1) * s0)) div (docs * s0)"
+            "CASE WHEN s0 > 0 THEN "
+            "(1000000 * (2 * s1 - (docs + 1) * s0)) div (docs * s0) END"
         ).alias("gini_ppm"),
     ).orderBy("source")

@@ -55,6 +55,9 @@ DOC_QUERIES = (
     "q92_stratified_sample",
     "q95_sampled_quantile_error",
     "q96_temperature_mixture",
+    "q115_shingle_containment",
+    "q118_token_gini",  # all-empty-text source: 0-token sum -> NULL gini (div 0), must not raise
+    "q119_minhash_accuracy",
 )
 
 EMB_QUERIES = (
@@ -64,6 +67,7 @@ EMB_QUERIES = (
     "q43_embedding_neardup",
     "q44_rp_lsh_buckets",
     "q72_ann_recall",
+    "q114_pq_quantization",  # empty codebook row (collect_list over zero vecs) must not raise
 )
 
 
