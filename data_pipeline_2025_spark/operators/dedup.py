@@ -107,31 +107,75 @@ def _cached_persist(kind: str, spark: SparkSession, sf_dir: str, build) -> DataF
     return df
 
 
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct word-trigram shingles of ANY
+    (doc_id, text) frame — shared by the batch path (shingles_df)
+    and the streaming dedup gate (streaming/dedupgate.py), so both
+    compute bit-identical features."""
+    toks = tokens_col()
+    # array_distinct BEFORE the explode: per-doc uniqueness is a
+    # local (no-shuffle) operation; a global .distinct() after the
+    # explode would shuffle the entire shingle stream for nothing.
+    shingle_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    return docs.select("doc_id", F.explode(shingle_arr).alias("sh"))
+
+
+def doc_minhash(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signatures of a (doc_id, sh) frame
+    — the affine-hash family over md5, identical for batch and
+    streaming callers."""
+    hashed = sh.select("doc_id", F.md5("sh").alias("h")).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring("h", 17, 12), 16, 10).cast("bigint").alias("b"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+
+
+def band_keys(minhash: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys from a signature frame —
+    one scan, bands via explode (no union-of-projections re-running
+    the signature aggregation)."""
+    rows = NUM_HASHES // NUM_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
+                )
+            ).alias("bkey"),
+        )
+        for bnd in range(NUM_BANDS)
+    ]
+    return minhash.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) distinct word-trigram shingles (persisted once
     per (session, sf_dir) — see _cached_persist)."""
 
     def build() -> DataFrame:
         cat = Catalog(spark, sf_dir)
-        toks = tokens_col()
-        # array_distinct BEFORE the explode: per-doc uniqueness is a
-        # local (no-shuffle) operation; a global .distinct() after the
-        # explode would shuffle the entire shingle stream for nothing.
-        shingle_arr = F.array_distinct(
-            F.when(
-                F.size(toks) >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda i: F.array_join(F.slice(toks, i, 3), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
         # fan_out BEFORE the shingle expansion: the narrow documents
         # scan is one partition per input file; exploding there would
         # serialize the whole shingle build on one core.
-        return fan_out(cat.documents, "doc_id").select(
-            "doc_id", F.explode(shingle_arr).alias("sh")
-        )
+        return doc_shingles(fan_out(cat.documents, "doc_id"))
 
     return _cached_persist("shingles", spark, sf_dir, build)
 
@@ -143,18 +187,7 @@ def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "build the signature table once" move a 100 TB dedup run makes."""
 
     def build() -> DataFrame:
-        sh = shingles_df(spark, sf_dir)
-        hashed = sh.select("doc_id", F.md5("sh").alias("h")).select(
-            "doc_id",
-            F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("a"),
-            F.conv(F.substring("h", 17, 12), 16, 10).cast("bigint").alias("b"),
-        )
-        return hashed.groupBy("doc_id").agg(
-            *[
-                F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")
-                for i in range(NUM_HASHES)
-            ]
-        )
+        return doc_minhash(shingles_df(spark, sf_dir))
 
     return _cached_persist("minhash", spark, sf_dir, build)
 
@@ -345,25 +378,11 @@ WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) >= {LSH_VERIFY_THRESHOLD
 def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
     minhash = minhash_df(spark, sf_dir)
-    rows = NUM_HASHES // NUM_BANDS
     # One scan of the cached signatures, bands via explode — the
     # previous union-of-4-projections (x2 join sides) recomputed the
     # signature aggregation ~8x per run (24 HashAggregates in the
     # plan; now 4).
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
-                )
-            ).alias("bkey"),
-        )
-        for bnd in range(NUM_BANDS)
-    ]
-    bands = minhash.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    bands = band_keys(minhash)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -1572,21 +1591,7 @@ ORDER BY m.doc_a, m.doc_b
 def q119_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
     minhash = minhash_df(spark, sf_dir)
-    rows = NUM_HASHES // NUM_BANDS
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{bnd * rows + r}") for r in range(rows)]
-                )
-            ).alias("bkey"),
-        )
-        for bnd in range(NUM_BANDS)
-    ]
-    bands = minhash.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    bands = band_keys(minhash)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -330,3 +330,69 @@ def test_events_cms_incremental_end_to_end(spark, tmp_path):
     shutil.rmtree(ckpt)
     start_events_cms(spark, src, silver, sketch, ckpt).awaitTermination()
     assert served_grid() == batch_grid()
+
+
+def test_dedup_gate_end_to_end(spark, tmp_path):
+    """q120's streaming dedup gate (streaming/dedupgate.py): two
+    ascending micro-batches of documents against a persistent
+    signature store. Asserts (1) an exact duplicate arriving in a
+    LATER batch is rejected (cross-batch blocking via the store),
+    (2) a duplicate of a REJECTED doc is itself rejected (rejected
+    signatures still block), (3) originals and unrelated docs are
+    kept, (4) checkpoint-loss replay appends nothing (idempotent
+    verdicts + store)."""
+    import os
+
+    from data_pipeline_2025_spark.streaming.dedupgate import start_dedup_gate
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "gate_store")
+    verdicts = str(tmp_path / "gate_verdicts")
+    ckpt = str(tmp_path / "gate_ckpt")
+    ckpt2 = str(tmp_path / "gate_ckpt2")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+
+    def chunk(name, rows, mtime):
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        tmp = str(tmp_path / f"_w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        import shutil
+
+        os.makedirs(src, exist_ok=True)
+        (pf,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(pf, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    import time
+
+    t0 = time.time()
+    # batch 1: original (0), its dup (1) — rejected in-batch
+    chunk("b000", [(0, base), (1, base)], t0)
+    # batch 2: dup of 0 (10) — store blocks; dup of REJECTED 1 (11)
+    # — still blocked (rejected sigs stored); unrelated (12) — kept
+    chunk("b001", [(10, base), (11, base), (12, other)], t0 + 1)
+
+    start_dedup_gate(spark, src, store, verdicts, ckpt).awaitTermination()
+    got = {
+        r["doc_id"]: (r["is_kept"], r["blockers"])
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert got[0] == (True, 0)
+    assert got[1][0] is False and got[1][1] >= 1
+    assert got[10][0] is False and got[10][1] >= 2  # blocked by 0 AND 1
+    assert got[11][0] is False
+    assert got[12] == (True, 0)
+    n_verdicts = spark.read.parquet(verdicts).count()
+    n_store = spark.read.parquet(store).count()
+    assert n_verdicts == 5
+    assert n_store == 5  # rejected docs' signatures ARE stored
+
+    # checkpoint loss: full replay must be absorbed by the anti-joins
+    start_dedup_gate(spark, src, store, verdicts, ckpt2).awaitTermination()
+    assert spark.read.parquet(verdicts).count() == n_verdicts
+    assert spark.read.parquet(store).count() == n_store
