@@ -653,3 +653,91 @@ def q113_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -------- q122: per-priority ship-lag quantiles via bounded histogram
+#
+# Exact p50/p90/p99 of order→ship lag per order priority. The
+# naive exact plan windows over each priority group — 5 giant
+# partitions at 100 TB (the classic low-cardinality-group quantile
+# trap). The scalable exact shape for an INTEGER-VALUED metric with
+# bounded range (lag in days): aggregate to (priority, lag) counts —
+# one map-side-combinable shuffle into an O(priorities × lags) frame
+# — then read quantiles off cumulative counts with the q80
+# ceil(p·n) integer index. No per-group sort of fact rows, ever.
+_ORACLE_Q122 = """
+WITH lag AS (
+    SELECT o.o_orderpriority AS priority,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS d
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+hist AS (
+    SELECT priority, d, COUNT(*) AS c FROM lag GROUP BY priority, d
+),
+cum AS (
+    SELECT priority, d, c,
+           SUM(c) OVER (PARTITION BY priority ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+           SUM(c) OVER (PARTITION BY priority) AS n
+    FROM hist
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cc * 2  >= n      THEN d END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cc * 10 >= n * 9  THEN d END) AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN cc * 100 >= n * 99 THEN d END) AS BIGINT) AS p99_days
+FROM cum
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register(
+    "q122_ship_lag_quantiles",
+    oracle=_ORACLE_Q122,
+    doc="Exact per-priority ship-lag p50/p90/p99 via the bounded "
+    "integer histogram: one combinable (priority, lag) aggregation, "
+    "quantile indices read off cumulative counts over the tiny "
+    "frame — no per-group sort of fact rows.",
+    tags=("agg", "quantiles", "histogram"),
+)
+def q122_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lag = cat.orders.select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    ).join(
+        cat.lineitem.select("l_orderkey", "l_shipdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "priority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+    )
+    hist = lag.groupBy("priority", "d").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "d",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("d")))
+            .cast("bigint")
+            .alias("p50_days"),
+            F.min(F.when(F.col("cc") * 10 >= F.col("n") * 9, F.col("d")))
+            .cast("bigint")
+            .alias("p90_days"),
+            F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("d")))
+            .cast("bigint")
+            .alias("p99_days"),
+        )
+        .orderBy("priority")
+    )

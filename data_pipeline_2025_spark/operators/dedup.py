@@ -1653,3 +1653,98 @@ def q119_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------- q121: dedup threshold sensitivity (one-pass sweep)
+#
+# "How much of the corpus disappears if I set the Jaccard bar at
+# 0.5 / 0.6 / 0.7 / 0.8 / 0.9?" — the report that decides the
+# threshold BEFORE a 100 TB dedup run commits to one. One pass over
+# the same DF-capped pair frame as q35: per threshold, conditional
+# sums count qualifying pairs and distinct blocked docs (doc_b of a
+# qualifying pair, the min-id-keeps policy). Thresholds compared in
+# exact integers (inter*10 >= t*union); no extra shuffle per
+# threshold — five report rows from ONE candidate generation.
+_THRESHOLDS_X10 = (5, 6, 7, 8, 9)
+
+_ORACLE_Q121 = f"""
+WITH {SHINGLES_SQL},
+hot AS (
+    SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}
+),
+rare_sh AS (
+    SELECT s.doc_id, s.sh FROM shingles s ANTI JOIN hot h ON s.sh = h.sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare_sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM rare_sh a
+    JOIN rare_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+scored AS (
+    SELECT p.doc_a, p.doc_b, p.inter, sa.n + sb.n - p.inter AS unions
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+),
+t AS (SELECT UNNEST([{", ".join(str(t) for t in _THRESHOLDS_X10)}]) AS t10)
+SELECT t.t10,
+       CAST(COUNT(CASE WHEN s.inter * 10 >= t.t10 * s.unions THEN 1 END) AS BIGINT)
+           AS qualifying_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN s.inter * 10 >= t.t10 * s.unions
+                                THEN s.doc_b END) AS BIGINT) AS blocked_docs
+FROM t CROSS JOIN scored s
+GROUP BY t.t10
+ORDER BY t.t10
+"""
+
+
+@register(
+    "q121_threshold_sweep",
+    oracle=_ORACLE_Q121,
+    doc="Dedup threshold sensitivity: qualifying pairs and blocked "
+    "docs at Jaccard 0.5-0.9 from ONE DF-capped candidate pass — "
+    "integer-exact threshold tests, O(thresholds) output.",
+    tags=("dedup", "tuning"),
+)
+def q121_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rare_sh = rare_shingles_df(spark, sf_dir)
+    sizes = rare_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare_sh.alias("a")
+    b = rare_sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("unions"),
+        )
+    )
+    # thresholds as an exploded tiny dimension — the pair frame is
+    # scanned once; the per-threshold conditionals are row-local
+    hits = scored.select(
+        "doc_b",
+        "inter",
+        "unions",
+        F.explode(F.array(*[F.lit(t) for t in _THRESHOLDS_X10])).alias("t10"),
+    )
+    qual = F.col("inter") * 10 >= F.col("t10") * F.col("unions")
+    return (
+        hits.groupBy("t10")
+        .agg(
+            F.count(F.when(qual, 1)).alias("qualifying_pairs"),
+            F.countDistinct(F.when(qual, F.col("doc_b"))).alias("blocked_docs"),
+        )
+        .orderBy("t10")
+    )

@@ -487,3 +487,70 @@ def q118_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * (2 * s1 - (docs + 1) * s0)) div (docs * s0) END"
         ).alias("gini_ppm"),
     ).orderBy("source")
+
+
+# ------------------ q123: Lorenz curve of token mass (q118's twin)
+#
+# The Gini number (q118) says HOW unequal; the Lorenz curve says
+# WHERE the mass sits ("docs up to 40 tokens are 12% of documents
+# but 2% of tokens"). Exact, with the same bounded-histogram trick
+# as q122: token counts are small integers, so the curve is the
+# cumulative distribution over the O(distinct ntok) frame — one
+# map-side-combinable groupBy on ntok, windows over the tiny frame,
+# shares in exact integral ppm.
+_ORACLE_Q123 = f"""
+WITH d AS (
+    SELECT CAST(len({TOKENS_SQL}) AS BIGINT) AS ntok FROM documents
+),
+hist AS (SELECT ntok, COUNT(*) AS docs, SUM(ntok) AS toks FROM d GROUP BY ntok),
+cum AS (
+    SELECT ntok, docs,
+           SUM(docs) OVER w AS cum_docs,
+           SUM(toks) OVER w AS cum_toks,
+           SUM(docs) OVER () AS all_docs,
+           SUM(toks) OVER () AS all_toks
+    FROM hist
+    WINDOW w AS (ORDER BY ntok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ntok,
+       CAST(docs AS BIGINT) AS docs,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST((cum_docs * 1000000) // all_docs AS BIGINT) AS cum_docs_ppm,
+       CAST((cum_toks * 1000000) // all_toks AS BIGINT) AS cum_tokens_ppm
+FROM cum
+ORDER BY ntok
+"""
+
+
+@register(
+    "q123_token_lorenz_curve",
+    oracle=_ORACLE_Q123,
+    doc="Exact Lorenz curve of token mass over document size: "
+    "bounded ntok histogram (one combinable shuffle), cumulative "
+    "doc/token shares in exact integral ppm over the tiny frame — "
+    "q118's Gini, resolved pointwise.",
+    tags=("text", "profiling", "histogram"),
+)
+def q123_token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(F.size(tokens_col()).cast("bigint").alias("ntok"))
+    hist = d.groupBy("ntok").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("ntok").alias("toks")
+    )
+    w = Window.orderBy("ntok").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "ntok",
+        "docs",
+        F.sum("docs").over(w).alias("cum_docs"),
+        F.sum("toks").over(w).alias("cum_toks"),
+        F.sum("docs").over(wall).alias("all_docs"),
+        F.sum("toks").over(wall).alias("all_toks"),
+    )
+    return cum.select(
+        "ntok",
+        "docs",
+        "cum_docs",
+        F.expr("(cum_docs * 1000000) div all_docs").alias("cum_docs_ppm"),
+        F.expr("(cum_toks * 1000000) div all_toks").alias("cum_tokens_ppm"),
+    ).orderBy("ntok")

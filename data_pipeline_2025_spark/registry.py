@@ -160,6 +160,12 @@ _PRIORITY = (
     "q118_token_gini",
     "q119_minhash_accuracy",
     "q120_stream_dedup_gate",
+    "q121_threshold_sweep",
+    "q122_ship_lag_quantiles",
+    # NOTE: the priority list has now reached the driver's ~50-query
+    # cap; q123+ additions fall to next-round rotation (the local
+    # full-registry sweep remains the required gate for them).
+    "q123_token_lorenz_curve",
 )
 
 

@@ -58,6 +58,8 @@ DOC_QUERIES = (
     "q115_shingle_containment",
     "q118_token_gini",  # all-empty-text source: 0-token sum -> NULL gini (div 0), must not raise
     "q119_minhash_accuracy",
+    "q121_threshold_sweep",
+    "q123_token_lorenz_curve",
 )
 
 EMB_QUERIES = (

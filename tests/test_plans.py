@@ -415,3 +415,35 @@ def test_minhash_accuracy_equi_only(spark, sf_smoke):
     plan = plan_of(spark, "q119_minhash_accuracy", sf_smoke, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_sweep_single_pair_pass(spark, sf_smoke):
+    """q121: five thresholds from ONE candidate generation — the
+    threshold dimension explodes the scored pair frame, it never
+    re-joins or rescans shingles per threshold."""
+    plan = plan_of(spark, "q121_threshold_sweep", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    # the 5-threshold dimension rides a row-local explode — no join
+    # keyed on the threshold column anywhere in the plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "t10" not in line, line
+
+
+def test_lag_quantiles_no_fact_sort(spark, sf_smoke):
+    """q122: the quantile windows must run AFTER the bounded
+    (priority, lag) histogram aggregation — never a per-priority
+    sort of fact rows (the low-cardinality-group quantile trap)."""
+    plan = plan_of(spark, "q122_ship_lag_quantiles", sf_smoke, mode="simple")
+    assert "partial_count" in plan  # map-side combined histogram
+    # the Window must consume the HashAggregate output, so in tree
+    # order (output-first) Window appears ABOVE the aggregate
+    assert plan.index("Window") < plan.index("partial_count"), plan
+
+
+def test_lorenz_single_hist_shuffle(spark, sf_smoke):
+    """q123: one combinable ntok-histogram exchange; the cumulative
+    windows run over the O(distinct ntok) frame."""
+    plan = plan_of(spark, "q123_token_lorenz_curve", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
