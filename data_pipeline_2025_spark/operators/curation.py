@@ -395,3 +395,213 @@ def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flagged"),
     )
 
+
+
+# ----------------- q124: the composed corpus-curation pipeline
+#
+# The whole 100 TB curation job as ONE query: LSH dedup gate →
+# Gopher-style quality chain → deterministic split, reported as a
+# stage funnel with doc and token counts. Every stage reuses an
+# already-verified operator's exact semantics (dedup gate policy =
+# q120's batch oracle; quality rules = q88's chain; split = q62's
+# md5 buckets), so the composition itself is what this query
+# verifies — the engine can run the end-to-end job, not just its
+# pieces. One documents scan + the cached signature frame; all
+# stage/split counters are conditional sums in a single aggregation
+# (partial-aggregatable, bytes of state), unpivoted to the 6-row
+# report.
+_GATE_MATCHES = 12  # = streaming/dedupgate.GATE_MATCHES (est >= 0.75)
+
+
+def _q124_oracle() -> str:
+    from .chunking import (
+        MAX_AVG_WL,
+        MAX_WORDS,
+        MIN_AVG_WL,
+        MIN_UNIQ,
+        MIN_WORDS,
+    )
+    from .dedup import NUM_HASHES, _band_keys_sql, _minhash_select_sql
+
+    stop_sql = ", ".join(f"'{w}'" for w in __import__(
+        "data_pipeline_2025_spark.operators.text", fromlist=["STOPWORDS"]
+    ).STOPWORDS)
+    matches = " + ".join(
+        f"(CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {SHINGLES_SQL},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+blocked AS (
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM cand c
+    JOIN minhash ma ON ma.doc_id = c.doc_a
+    JOIN minhash mb ON mb.doc_id = c.doc_b
+    WHERE {matches} >= {_GATE_MATCHES}
+),
+d AS (
+    SELECT doc_id,
+           {TOKENS_SQL} AS toks,
+           length(replace(text, ' ', '')) AS chars_ns,
+           {_BUCKET_SQL} AS bucket
+    FROM documents
+),
+f AS (
+    SELECT d.doc_id,
+           CAST(len(toks) AS BIGINT) AS words,
+           CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS pass_dedup,
+           CASE WHEN len(toks) >= {MIN_WORDS} AND len(toks) <= {MAX_WORDS}
+                 AND CAST(chars_ns AS DOUBLE) / len(toks) >= {MIN_AVG_WL}
+                 AND CAST(chars_ns AS DOUBLE) / len(toks) <= {MAX_AVG_WL}
+                 AND len(list_filter(toks, x -> x IN ({stop_sql}))) >= 1
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= {MIN_UNIQ}
+                THEN 1 ELSE 0 END AS pass_quality,
+           CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                WHEN bucket < {VAL_PCT}   THEN 'val'
+                ELSE 'test' END AS split
+    FROM d LEFT JOIN blocked b ON b.doc_id = d.doc_id
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS d1, CAST(SUM(words) AS BIGINT) AS t1,
+           CAST(SUM(pass_dedup) AS BIGINT) AS d2,
+           CAST(SUM(pass_dedup * words) AS BIGINT) AS t2,
+           CAST(SUM(pass_dedup * pass_quality) AS BIGINT) AS d3,
+           CAST(SUM(pass_dedup * pass_quality * words) AS BIGINT) AS t3,
+           CAST(SUM(CASE WHEN split = 'train' THEN pass_dedup * pass_quality ELSE 0 END) AS BIGINT) AS dtr,
+           CAST(SUM(CASE WHEN split = 'train' THEN pass_dedup * pass_quality * words ELSE 0 END) AS BIGINT) AS ttr,
+           CAST(SUM(CASE WHEN split = 'val' THEN pass_dedup * pass_quality ELSE 0 END) AS BIGINT) AS dva,
+           CAST(SUM(CASE WHEN split = 'val' THEN pass_dedup * pass_quality * words ELSE 0 END) AS BIGINT) AS tva,
+           CAST(SUM(CASE WHEN split = 'test' THEN pass_dedup * pass_quality ELSE 0 END) AS BIGINT) AS dte,
+           CAST(SUM(CASE WHEN split = 'test' THEN pass_dedup * pass_quality * words ELSE 0 END) AS BIGINT) AS tte
+    FROM f
+)
+SELECT '1_input' AS stage, d1 AS docs, t1 AS tokens FROM agg
+UNION ALL SELECT '2_after_dedup', d2, t2 FROM agg
+UNION ALL SELECT '3_after_quality', d3, t3 FROM agg
+UNION ALL SELECT '4_train', dtr, ttr FROM agg
+UNION ALL SELECT '5_val', dva, tva FROM agg
+UNION ALL SELECT '6_test', dte, tte FROM agg
+"""
+
+
+@register(
+    "q124_corpus_pipeline",
+    oracle=_q124_oracle(),
+    doc="The composed curation job: LSH dedup gate (q120 batch "
+    "policy) -> quality chain (q88 rules) -> deterministic split "
+    "(q62 buckets), reported as a 6-row stage funnel of doc/token "
+    "counts — one documents scan + the cached signature frame, all "
+    "counters conditional sums in a single aggregation.",
+    tags=("curation", "pipeline", "dedup"),
+)
+def q124_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import NUM_HASHES, band_keys, minhash_df
+
+    sigs = minhash_df(spark, sf_dir)
+    bands = band_keys(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    match_sum = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    blocked = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(match_sum >= _GATE_MATCHES)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_blocked", F.lit(1))
+    )
+    from .chunking import MAX_WORDS, MIN_AVG_WL, MIN_UNIQ, MIN_WORDS, MAX_AVG_WL
+    from .text import STOPWORDS
+
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    d = cat.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("chars_ns"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).alias("stops"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("uniq"),
+        split_col().alias("split"),
+    ).join(blocked, "doc_id", "left")
+    # try_divide: zero-token docs yield NULL ratios -> the predicate
+    # is not-true -> fail the chain, matching DuckDB (0 >= MIN_WORDS
+    # short-circuits the AND there; ANSI Spark would throw instead)
+    awl = F.try_divide(F.col("chars_ns").cast("double"), F.col("words"))
+    pass_dedup = F.when(F.col("is_blocked").isNull(), 1).otherwise(0)
+    pass_quality = (
+        F.when(
+            (F.col("words") >= MIN_WORDS)
+            & (F.col("words") <= MAX_WORDS)
+            & (awl >= MIN_AVG_WL)
+            & (awl <= MAX_AVG_WL)
+            & (F.col("stops") >= 1)
+            & (F.try_divide(F.col("uniq").cast("double"), F.col("words")) >= MIN_UNIQ),
+            1,
+        ).otherwise(0)
+    )
+    f = d.select(
+        "words",
+        pass_dedup.alias("pd"),
+        pass_quality.alias("pq"),
+        "split",
+    )
+    kept = F.col("pd") * F.col("pq")
+    agg = f.agg(
+        F.count(F.lit(1)).alias("d1"),
+        F.sum("words").alias("t1"),
+        F.sum("pd").alias("d2"),
+        F.sum(F.col("pd") * F.col("words")).alias("t2"),
+        F.sum(kept).alias("d3"),
+        F.sum(kept * F.col("words")).alias("t3"),
+        F.sum(F.when(F.col("split") == "train", kept).otherwise(0)).alias("dtr"),
+        F.sum(F.when(F.col("split") == "train", kept * F.col("words")).otherwise(0)).alias("ttr"),
+        F.sum(F.when(F.col("split") == "val", kept).otherwise(0)).alias("dva"),
+        F.sum(F.when(F.col("split") == "val", kept * F.col("words")).otherwise(0)).alias("tva"),
+        F.sum(F.when(F.col("split") == "test", kept).otherwise(0)).alias("dte"),
+        F.sum(F.when(F.col("split") == "test", kept * F.col("words")).otherwise(0)).alias("tte"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_input").alias("stage"), F.col("d1").alias("docs"), F.col("t1").alias("tokens")),
+                F.struct(F.lit("2_after_dedup").alias("stage"), F.col("d2").alias("docs"), F.col("t2").alias("tokens")),
+                F.struct(F.lit("3_after_quality").alias("stage"), F.col("d3").alias("docs"), F.col("t3").alias("tokens")),
+                F.struct(F.lit("4_train").alias("stage"), F.col("dtr").alias("docs"), F.col("ttr").alias("tokens")),
+                F.struct(F.lit("5_val").alias("stage"), F.col("dva").alias("docs"), F.col("tva").alias("tokens")),
+                F.struct(F.lit("6_test").alias("stage"), F.col("dte").alias("docs"), F.col("tte").alias("tokens")),
+            )
+        ).alias("r")
+    ).select("r.stage", "r.docs", "r.tokens")

@@ -59,6 +59,7 @@ DOC_QUERIES = (
     "q118_token_gini",  # all-empty-text source: 0-token sum -> NULL gini (div 0), must not raise
     "q119_minhash_accuracy",
     "q121_threshold_sweep",
+    "q124_corpus_pipeline",
     "q123_token_lorenz_curve",
 )
 
@@ -113,6 +114,11 @@ def test_doc_queries_survive_empty_corpus(spark, empty_sf, name):
         # sum — SUM over zero rows is NULL in both engines)
         assert len(rows) == 1
         assert rows[0]["input_docs"] == 0
+    elif name == "q124_corpus_pipeline":
+        # stage-funnel report: 6 rows of zero/NULL docs (COUNT over
+        # zero rows is 0, SUM over zero rows is NULL in both engines)
+        assert len(rows) == 6
+        assert all((r["docs"] or 0) == 0 for r in rows)
     elif name == "q88_filter_funnel":
         # report query: one row per rule with zero/NULL counters
         # (SUM over zero rows is NULL in both engines)
