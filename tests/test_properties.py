@@ -211,3 +211,71 @@ def test_quantile_indices_monotone_and_bounded():
         idxs = [(num * n + den - 1) // den for num, den, _ in QUANTILES]
         assert all(1 <= i <= n for i in idxs), (n, idxs)
         assert idxs == sorted(idxs), (n, idxs)
+
+
+def test_round3_late_invariants(spark, sf_smoke):
+    """Cheap cross-query invariants for the q112-q124 family —
+    mathematical facts that hold on ANY corpus, checked at smoke
+    scale (the oracle sweep pins exact values; these pin meaning)."""
+    from data_pipeline_2025_spark import registry
+
+    specs = registry.load_all()
+
+    # q116 sweep-line: concurrency never negative; every +1 is
+    # matched by a -1, so the final running value is exactly 0.
+    rows = specs["q116_orders_in_flight"].spark_fn(spark, sf_smoke).collect()
+    assert all(r["in_flight"] >= 0 for r in rows)
+    assert rows[-1]["in_flight"] == 0
+
+    # q118/q123: Gini is in [0, 1e6) ppm; the Lorenz curve's last
+    # point reaches exactly 100% of docs and tokens.
+    gini = specs["q118_token_gini"].spark_fn(spark, sf_smoke).collect()
+    assert all(
+        r["gini_ppm"] is None or 0 <= r["gini_ppm"] < 1_000_000 for r in gini
+    )
+    lorenz = specs["q123_token_lorenz_curve"].spark_fn(spark, sf_smoke).collect()
+    assert lorenz[-1]["cum_docs_ppm"] == 1_000_000
+    assert lorenz[-1]["cum_tokens_ppm"] == 1_000_000
+
+    # q114: PQ codes address the 8-centroid codebook; seed vectors
+    # (vec_id < 8) reconstruct themselves in their own subspaces.
+    pq = specs["q114_pq_quantization"].spark_fn(spark, sf_smoke).collect()
+    for r in pq:
+        for c in ("code0", "code1", "code2", "code3"):
+            assert 0 <= r[c] < 8, r
+        if r["vec_id"] < 8:
+            assert r["recon_err"] == 0 and r["code0"] == r["vec_id"], r
+
+    # q117: dau = new + returning; cumulative_users is monotone and
+    # ends at the total distinct-user count.
+    growth = specs["q117_new_vs_returning"].spark_fn(spark, sf_smoke).collect()
+    assert all(r["dau"] == r["new_users"] + r["returning_users"] for r in growth)
+    cums = [r["cumulative_users"] for r in growth]
+    assert cums == sorted(cums)
+
+    # q121: both counters are monotone non-increasing in the
+    # threshold (a stricter bar can only block fewer).
+    sweep = specs["q121_threshold_sweep"].spark_fn(spark, sf_smoke).collect()
+    qp = [r["qualifying_pairs"] for r in sweep]
+    bd = [r["blocked_docs"] for r in sweep]
+    assert qp == sorted(qp, reverse=True)
+    assert bd == sorted(bd, reverse=True)
+
+    # q124: the funnel only shrinks, and the splits partition the
+    # final stage exactly (docs AND tokens).
+    funnel = {r["stage"]: r for r in specs["q124_corpus_pipeline"].spark_fn(spark, sf_smoke).collect()}
+    assert funnel["1_input"]["docs"] >= funnel["2_after_dedup"]["docs"] >= funnel["3_after_quality"]["docs"]
+    assert (
+        funnel["4_train"]["docs"] + funnel["5_val"]["docs"] + funnel["6_test"]["docs"]
+        == funnel["3_after_quality"]["docs"]
+    )
+    assert (
+        (funnel["4_train"]["tokens"] or 0)
+        + (funnel["5_val"]["tokens"] or 0)
+        + (funnel["6_test"]["tokens"] or 0)
+        == (funnel["3_after_quality"]["tokens"] or 0)
+    )
+
+    # q122: quantiles are ordered p50 <= p90 <= p99 per priority.
+    qs = specs["q122_ship_lag_quantiles"].spark_fn(spark, sf_smoke).collect()
+    assert all(r["p50_days"] <= r["p90_days"] <= r["p99_days"] for r in qs)
