@@ -554,3 +554,111 @@ def q123_token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum_docs * 1000000) div all_docs").alias("cum_docs_ppm"),
         F.expr("(cum_toks * 1000000) div all_toks").alias("cum_tokens_ppm"),
     ).orderBy("ntok")
+
+
+# --------------------------- q125: BM25 ranked retrieval (top-20)
+#
+# The search-engine scoring operator (Robertson's BM25, k1=1.2,
+# b=0.75) in EXACT integer arithmetic, per this repo's ppm
+# convention. Eliminating floats: with k1=6/5, b=3/4 and corpus
+# totals N (docs), T (total tokens), per-doc length L, per-term
+# tf and df —
+#   tf_norm = 44·T·tf / (20·T·tf + 6·T + 18·L·N)
+#   idf     = (2N − 2df + 1) / (2df + 1)   (the log-free rational
+#             idf, monotone in the classic one — q71's trick)
+# so each term's score is one integer ratio, quantized to ppm by
+# integral division; the document score is the exact integer sum of
+# term ppms. Cross-engine bit-identity needs no float ever.
+# Scale shape: tf/L are row-local array ops; df/N/T is ONE global
+# aggregation broadcast back as a single row; ranking is
+# TakeOrderedAndProject (parallel partial top-k). At 100 TB the
+# intermediate products stay under 2^63 for corpora ≤ ~10^12 tokens
+# per partition of the score computation; past that the same
+# formula runs in DECIMAL(38,0).
+BM25_TERMS = ("stream", "merge", "scan")
+
+_Q125_TERMS_SQL = {
+    t: f"len(list_filter(toks, x -> x = '{t}'))" for t in BM25_TERMS
+}
+
+_ORACLE_Q125 = f"""
+WITH d AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS L,
+           {", ".join(f"CAST({sql} AS BIGINT) AS tf_{t}" for t, sql in _Q125_TERMS_SQL.items())}
+    FROM d
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(L) AS BIGINT) AS T,
+           {", ".join(f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in BM25_TERMS)}
+    FROM m
+),
+s AS (
+    SELECT m.doc_id,
+           {" + ".join(
+               f"(CASE WHEN m.tf_{t} > 0 THEN "
+               f"((2*g.N - 2*g.df_{t} + 1) * 44 * g.T * m.tf_{t} * 1000000) // "
+               f"((2*g.df_{t} + 1) * (20*g.T*m.tf_{t} + 6*g.T + 18*m.L*g.N)) "
+               f"ELSE 0 END)" for t in BM25_TERMS)} AS score_ppm
+    FROM m CROSS JOIN g
+)
+SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm
+FROM s
+ORDER BY score_ppm DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "q125_bm25_topk",
+    oracle=_ORACLE_Q125,
+    doc="BM25 top-20 retrieval for a fixed term set in exact "
+    "integer ppm (rational idf, integral normalization — no float "
+    "anywhere): tf/length are row-local array ops, corpus stats are "
+    "ONE broadcast aggregate row, ranking is a parallel partial "
+    "top-k.",
+    tags=("text", "search", "ranking"),
+)
+def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    def tf_of(t: str) -> Column:
+        def eq(x: Column) -> Column:
+            return x == F.lit(t)
+
+        return F.size(F.filter(toks, eq)).cast("bigint").alias(f"tf_{t}")
+
+    m = cat.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("L"),
+        *[tf_of(t) for t in BM25_TERMS],
+    )
+    g = m.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("L").alias("T"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = m.crossJoin(F.broadcast(g))
+    term_ppm = [
+        F.when(
+            F.col(f"tf_{t}") > 0,
+            F.expr(
+                f"((2*N - 2*df_{t} + 1) * 44 * T * tf_{t} * 1000000) div "
+                f"((2*df_{t} + 1) * (20*T*tf_{t} + 6*T + 18*L*N))"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for t in BM25_TERMS
+    ]
+    total = term_ppm[0]
+    for p in term_ppm[1:]:
+        total = total + p
+    return (
+        scored.select("doc_id", total.cast("bigint").alias("score_ppm"))
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(20)
+    )

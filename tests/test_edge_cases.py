@@ -60,6 +60,7 @@ DOC_QUERIES = (
     "q119_minhash_accuracy",
     "q121_threshold_sweep",
     "q124_corpus_pipeline",
+    "q125_bm25_topk",
     "q123_token_lorenz_curve",
 )
 

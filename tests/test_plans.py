@@ -447,3 +447,13 @@ def test_lorenz_single_hist_shuffle(spark, sf_smoke):
     plan = plan_of(spark, "q123_token_lorenz_curve", sf_smoke, mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bm25_broadcast_stats_partial_topk(spark, sf_smoke):
+    """q125: corpus stats join every row as ONE broadcast row (never
+    a shuffled cartesian) and the ranking compiles to
+    TakeOrderedAndProject (parallel partial top-k)."""
+    plan = plan_of(spark, "q125_bm25_topk", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
