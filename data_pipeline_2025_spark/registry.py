@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.streaming.cms",  # q97 new
     "data_pipeline_2025_spark.streaming.stateful",  # q111 (round 3)
     "data_pipeline_2025_spark.streaming.dedupgate",  # q120 (round 3)
+    "data_pipeline_2025_spark.streaming.ivf",  # q126 (round 3)
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:

@@ -396,3 +396,52 @@ def test_dedup_gate_end_to_end(spark, tmp_path):
     start_dedup_gate(spark, src, store, verdicts, ckpt2).awaitTermination()
     assert spark.read.parquet(verdicts).count() == n_verdicts
     assert spark.read.parquet(store).count() == n_store
+
+
+def test_ivf_indexer_end_to_end(spark, tmp_path):
+    """q126's streaming IVF indexer: vectors assigned on arrival
+    against a frozen codebook; replay with a fresh checkpoint
+    appends nothing (idempotent inverted lists)."""
+    import os
+
+    from data_pipeline_2025_spark.streaming.ivf import (
+        load_centroids,
+        start_ivf_indexer,
+    )
+
+    src = str(tmp_path / "emb_src")
+    index = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    ckpt2 = str(tmp_path / "ivf_ckpt2")
+
+    def chunk(name, rows):
+        df = spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+        )
+        tmp = str(tmp_path / f"_w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        import shutil
+
+        os.makedirs(src, exist_ok=True)
+        (pf,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(pf, os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    # seed vectors 0..7 are the codebook; 20/21 land nearest 0/1
+    base = [(i, [float(i)] * 64, i) for i in range(8)]
+    chunk("b000", base)
+    chunk("b001", [(20, [0.1] * 64, 0), (21, [1.1] * 64, 1)])
+
+    cent = load_centroids(spark, src)
+    start_ivf_indexer(spark, src, index, ckpt, cent).awaitTermination()
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(index).collect()
+    }
+    assert len(got) == 10
+    assert all(got[i] == i for i in range(8))  # seeds self-assign
+    assert got[20] == 0 and got[21] == 1
+
+    start_ivf_indexer(spark, src, index, ckpt2, cent).awaitTermination()
+    assert spark.read.parquet(index).count() == 10  # replay absorbed
