@@ -690,3 +690,166 @@ def q117_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dau") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(wd).alias("cumulative_users"),
     ).orderBy("day")
+
+
+# ------------- q127: trailing 7-day RANGE-frame rolling aggregate
+#
+# The time-based window frame (RANGE BETWEEN 6 DAYS PRECEDING AND
+# CURRENT ROW) — a different operator from row-count frames (q22)
+# and from hop/session windows (q105/q106): each user-day's value
+# depends on a VARIABLE number of preceding rows selected by
+# time distance. Computed over the deduplicated user-day grid
+# (events pre-aggregated per day first, so the frame scans O(7)
+# grid rows, not O(events)); integer epoch-day ordering makes the
+# range predicate exact in both engines. One user_id exchange
+# shared by the grid dedup and the window.
+_ORACLE_Q127 = """
+WITH byday AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, d
+)
+SELECT user_id,
+       DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+       n,
+       CAST(SUM(n) OVER (
+           PARTITION BY user_id ORDER BY d
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_7d
+FROM byday
+ORDER BY user_id, day
+"""
+
+
+@register(
+    "q127_trailing_range_window",
+    oracle=_ORACLE_Q127,
+    doc="Trailing 7-day rolling count per user via a RANGE frame "
+    "over integer epoch-days — computed on the pre-aggregated "
+    "user-day grid (frame scans O(7) grid rows, never raw events); "
+    "one user_id exchange end-to-end.",
+    tags=("events", "window", "range-frame"),
+)
+def q127_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    byday = (
+        cat.events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d").rangeBetween(-6, 0)
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        byday.select(
+            "user_id",
+            F.date_add(epoch, F.col("d").cast("int")).alias("day"),
+            "n",
+            F.sum("n").over(w).alias("trailing_7d"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ----------------------- q128: calendar gapfill + LOCF interpolation
+#
+# The time-series "gapfill" operator (TimescaleDB's
+# time_bucket_gapfill + locf): a DENSE calendar spine per event
+# type, missing days filled by carrying the last observation
+# forward, plus the staleness age. Scale shape: the spine is
+# types × days — generated from ONE broadcast min/max row, never a
+# range join; the LOCF is last_value(ignorenulls) over the spine
+# ordered by day (O(days) frame per type); the daily observations
+# aggregate map-side first. The carried metric is the day's max
+# event_id — an exact integer "level" both engines agree on.
+_ORACLE_Q128 = """
+WITH obs AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(MAX(event_id) AS BIGINT) AS level
+    FROM events
+    GROUP BY event_type, d
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+spine AS (
+    SELECT t.event_type, g.d
+    FROM (SELECT DISTINCT event_type FROM obs) t
+    CROSS JOIN (SELECT UNNEST(range((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds) + 1)) AS d) g
+),
+filled AS (
+    SELECT s.event_type, s.d, o.level,
+           MAX(CASE WHEN o.level IS NOT NULL THEN s.d END) OVER (
+               PARTITION BY s.event_type ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_obs_d,
+           last_value(o.level IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_level
+    FROM spine s LEFT JOIN obs o ON o.event_type = s.event_type AND o.d = s.d
+)
+SELECT event_type,
+       DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+       CAST(level AS BIGINT) AS observed_level,
+       CAST(locf_level AS BIGINT) AS locf_level,
+       CAST(d - last_obs_d AS BIGINT) AS staleness_days
+FROM filled
+WHERE locf_level IS NOT NULL
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "q128_gapfill_locf",
+    oracle=_ORACLE_Q128,
+    doc="Dense calendar gapfill + last-observation-carried-forward "
+    "with staleness age (the time_bucket_gapfill/locf hypertable "
+    "operator): spine from ONE broadcast bounds row (never a range "
+    "join), LOCF via last_value(ignorenulls) over the O(days) "
+    "spine; daily observations pre-aggregated map-side.",
+    tags=("events", "timeseries", "gapfill"),
+)
+def q128_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    obs = (
+        cat.events.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+            "event_id",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.max("event_id").alias("level"))
+    )
+    bounds = obs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    types = obs.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+    )
+    filled = spine.join(obs, ["event_type", "d"], "left")
+    wloc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_obs_d = F.max(
+        F.when(F.col("level").isNotNull(), F.col("d"))
+    ).over(wloc)
+    locf = F.last("level", ignorenulls=True).over(wloc)
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        filled.select(
+            "event_type",
+            F.date_add(epoch, F.col("d").cast("int")).alias("day"),
+            F.col("level").alias("observed_level"),
+            locf.alias("locf_level"),
+            (F.col("d") - last_obs_d).cast("bigint").alias("staleness_days"),
+        )
+        .where(F.col("locf_level").isNotNull())
+        .orderBy("event_type", "day")
+    )

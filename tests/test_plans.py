@@ -457,3 +457,23 @@ def test_bm25_broadcast_stats_partial_topk(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_window_on_grid_not_events(spark, sf_smoke):
+    """q127: the RANGE frame must consume the pre-aggregated
+    user-day grid (partial+final count below the Window), so the
+    frame scans O(7) grid rows — in tree order (output-first) the
+    Window sits ABOVE the combined aggregation."""
+    plan = plan_of(spark, "q127_trailing_range_window", sf_smoke, mode="simple")
+    assert "partial_count" in plan
+    assert plan.index("Window") < plan.index("partial_count"), plan
+    assert "Join" not in plan
+
+
+def test_gapfill_spine_is_broadcast_bounds(spark, sf_smoke):
+    """q128: the calendar spine comes from ONE broadcast bounds row
+    (sequence + explode) — never a range join or cartesian against
+    a generated calendar table."""
+    plan = plan_of(spark, "q128_gapfill_locf", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds join
