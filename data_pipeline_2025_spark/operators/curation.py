@@ -605,3 +605,207 @@ def q124_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.stage", "r.docs", "r.tokens")
+
+
+# ------------------------- q130: per-source dataset card
+#
+# The "datasheet for datasets" summary row every corpus release
+# ships: per source — volume, token mass, language mix, quality
+# pass rate, near-dup rate. Composition of already-verified pieces
+# (q88 chain, q124's blocked set, q31-style lang mode) into the
+# release artifact; all rates in exact integral ppm, the one mean
+# as a single rounded division. One documents scan + the cached
+# signature frame; the lang mode runs on the O(sources × langs)
+# grouped frame.
+def _q130_oracle() -> str:
+    from .chunking import (
+        MAX_AVG_WL,
+        MAX_WORDS,
+        MIN_AVG_WL,
+        MIN_UNIQ,
+        MIN_WORDS,
+    )
+    from .dedup import NUM_HASHES, _band_keys_sql, _minhash_select_sql
+    from .text import STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    matches = " + ".join(
+        f"(CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {SHINGLES_SQL},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+blocked AS (
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM cand c
+    JOIN minhash ma ON ma.doc_id = c.doc_a
+    JOIN minhash mb ON mb.doc_id = c.doc_b
+    WHERE {matches} >= {_GATE_MATCHES}
+),
+d AS (
+    SELECT doc_id, source, lang,
+           {TOKENS_SQL} AS toks,
+           length(replace(text, ' ', '')) AS chars_ns
+    FROM documents
+),
+f AS (
+    SELECT d.source, d.lang,
+           CAST(len(toks) AS BIGINT) AS words,
+           CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+           CASE WHEN len(toks) >= {MIN_WORDS} AND len(toks) <= {MAX_WORDS}
+                 AND CAST(chars_ns AS DOUBLE) / len(toks) >= {MIN_AVG_WL}
+                 AND CAST(chars_ns AS DOUBLE) / len(toks) <= {MAX_AVG_WL}
+                 AND len(list_filter(toks, x -> x IN ({stop_sql}))) >= 1
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= {MIN_UNIQ}
+                THEN 1 ELSE 0 END AS pass_q
+    FROM d LEFT JOIN blocked b ON b.doc_id = d.doc_id
+),
+per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(words) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(words) AS DOUBLE) / COUNT(*), 6) AS mean_tokens_r,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+           CAST((SUM(pass_q) * 1000000) // COUNT(*) AS BIGINT) AS quality_pass_ppm,
+           CAST((SUM(is_dup) * 1000000) // COUNT(*) AS BIGINT) AS dup_blocked_ppm
+    FROM f GROUP BY source
+),
+lang_mode AS (
+    SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY COUNT(*) DESC, lang
+               ) AS rk
+        FROM f GROUP BY source, lang
+    ) WHERE rk = 1
+)
+SELECT p.source, p.docs, p.total_tokens, p.mean_tokens_r, p.langs,
+       l.top_lang, p.quality_pass_ppm, p.dup_blocked_ppm
+FROM per_source p JOIN lang_mode l ON l.source = p.source
+ORDER BY p.source
+"""
+
+
+@register(
+    "q130_dataset_card",
+    oracle=_q130_oracle(),
+    doc="Per-source dataset card: volume, token mass, language mix "
+    "(modal lang), quality pass rate and near-dup rate in exact "
+    "integral ppm — the release datasheet composed from verified "
+    "pieces (q88 chain, q124 blocked set); one scan + cached "
+    "signatures, lang mode over the O(sources × langs) frame.",
+    tags=("curation", "report"),
+)
+def q130_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .chunking import MAX_AVG_WL, MAX_WORDS, MIN_AVG_WL, MIN_UNIQ, MIN_WORDS
+    from .dedup import NUM_HASHES, band_keys, minhash_df
+    from .text import STOPWORDS
+
+    sigs = minhash_df(spark, sf_dir)
+    bands = band_keys(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    match_sum = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        match_sum = term if match_sum is None else match_sum + term
+    blocked = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(match_sum >= _GATE_MATCHES)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup_f", F.lit(1))
+    )
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    d = cat.documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).cast("bigint").alias("words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("chars_ns"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).alias("stops"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("uniq"),
+    ).join(blocked, "doc_id", "left")
+    awl = F.try_divide(F.col("chars_ns").cast("double"), F.col("words"))
+    pass_q = F.when(
+        (F.col("words") >= MIN_WORDS)
+        & (F.col("words") <= MAX_WORDS)
+        & (awl >= MIN_AVG_WL)
+        & (awl <= MAX_AVG_WL)
+        & (F.col("stops") >= 1)
+        & (F.try_divide(F.col("uniq").cast("double"), F.col("words")) >= MIN_UNIQ),
+        1,
+    ).otherwise(0)
+    f = d.select(
+        "source",
+        "lang",
+        "words",
+        F.when(F.col("is_dup_f").isNull(), 0).otherwise(1).alias("is_dup"),
+        pass_q.alias("pass_q"),
+    )
+    per_source = f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("words").alias("total_tokens"),
+        F.round(
+            F.sum("words").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_tokens_r"),
+        F.countDistinct("lang").alias("langs"),
+        F.expr("(sum(pass_q) * 1000000) div count(1)").alias("quality_pass_ppm"),
+        F.expr("(sum(is_dup) * 1000000) div count(1)").alias("dup_blocked_ppm"),
+    )
+    wl = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    lang_mode = (
+        f.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(lang_mode, "source")
+        .select(
+            "source",
+            "docs",
+            "total_tokens",
+            "mean_tokens_r",
+            "langs",
+            "top_lang",
+            "quality_pass_ppm",
+            "dup_blocked_ppm",
+        )
+        .orderBy("source")
+    )

@@ -634,3 +634,125 @@ def q96_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------- q129: skip-gram co-occurrence (window ±2)
+#
+# The SGNS/word2vec training-pair generator: ordered (center,
+# context) pairs for every context within distance 2 — the
+# co-occurrence statistic embedding trainers and PMI matrices
+# consume (q81 is the adjacency-only special case). Same scale
+# shape as q81: pair generation is a row-local double transform
+# (4L−6 pairs per L-token doc), the count is one map-side
+# combinable groupBy, unigram dictionaries broadcast, and the lift
+# is the identical left-assoc integer-in-double ratio with ONE
+# rounding point.
+SKIP_WINDOW = 2
+
+_ORACLE_Q129 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS ts FROM documents
+),
+pairs AS (
+    SELECT ts[i] AS w1, ts[i + o] AS w2
+    FROM toks, UNNEST(range(1, {SKIP_WINDOW} + 1)) AS oo(o),
+         UNNEST(range(1, len(ts))) AS r(i)
+    WHERE i + o <= len(ts)
+    UNION ALL
+    SELECT ts[i + o] AS w1, ts[i] AS w2
+    FROM toks, UNNEST(range(1, {SKIP_WINDOW} + 1)) AS oo(o),
+         UNNEST(range(1, len(ts))) AS r(i)
+    WHERE i + o <= len(ts)
+),
+pg AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+    FROM pairs GROUP BY w1, w2
+),
+uni AS (
+    SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+),
+tot AS (
+    SELECT CAST(SUM(len(ts)) AS BIGINT) AS t_uni,
+           CAST(SUM(CASE WHEN len(ts) >= 2
+                         THEN 4 * len(ts) - 6 ELSE 0 END) AS BIGINT) AS t_ctx
+    FROM toks
+)
+SELECT w1, w2, n_xy,
+       round(CAST(n_xy AS DOUBLE) * t_uni * t_uni
+             / (CAST(t_ctx AS DOUBLE) * u1.c * u2.c), 6) AS lift
+FROM pg
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+CROSS JOIN tot
+WHERE n_xy >= {MIN_SUPPORT}
+ORDER BY lift DESC, w1, w2
+LIMIT {TOP_COLLOCATIONS}
+"""
+
+
+@register(
+    "q129_skipgram_cooccurrence",
+    oracle=_ORACLE_Q129,
+    doc="SGNS-style (center, context) co-occurrence within window "
+    "±2 with PMI-style lift — the embedding-training pair "
+    "generator; row-local pair expansion (4L−6 per doc), one "
+    "combinable count, broadcast unigram dictionaries, one "
+    "rounding point.",
+    tags=("sketch", "text", "cooccurrence"),
+)
+def q129_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = fan_out(cat.documents, "doc_id").select(
+        "doc_id", tokens_col().alias("ts")
+    )
+    # sequence(1, 0) is DESCENDING in Spark (the q81 gotcha), so each
+    # offset guards size > o with an explicit empty-array branch
+    pair_exprs = []
+    empty = "array()"
+    for o in range(1, SKIP_WINDOW + 1):
+        fwd = (
+            f"transform(sequence(1, size(ts) - {o}),"
+            f" i -> struct(ts[i-1] AS w1, ts[i+{o}-1] AS w2))"
+        )
+        bwd = (
+            f"transform(sequence(1, size(ts) - {o}),"
+            f" i -> struct(ts[i+{o}-1] AS w1, ts[i-1] AS w2))"
+        )
+        pair_exprs.append(f"(case when size(ts) > {o} then {fwd} else {empty} end)")
+        pair_exprs.append(f"(case when size(ts) > {o} then {bwd} else {empty} end)")
+    pairs = (
+        toks.where(F.size("ts") >= 2)
+        .select(
+            F.explode(F.expr("concat(" + ", ".join(pair_exprs) + ")")).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = toks.agg(
+        F.sum(F.size("ts")).alias("t_uni"),
+        F.sum(
+            F.when(F.size("ts") >= 2, 4 * F.size("ts") - 6).otherwise(0)
+        ).alias("t_ctx"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = F.round(
+        F.col("n_xy").cast("double")
+        * F.col("t_uni")
+        * F.col("t_uni")
+        / (F.col("t_ctx").cast("double") * F.col("c1") * F.col("c2")),
+        6,
+    )
+    return (
+        pg.where(F.col("n_xy") >= MIN_SUPPORT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_xy", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(TOP_COLLOCATIONS)
+    )

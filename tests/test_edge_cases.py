@@ -61,6 +61,8 @@ DOC_QUERIES = (
     "q121_threshold_sweep",
     "q124_corpus_pipeline",
     "q125_bm25_topk",
+    "q129_skipgram_cooccurrence",
+    "q130_dataset_card",
     "q123_token_lorenz_curve",
 )
 
