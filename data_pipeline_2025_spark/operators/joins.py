@@ -373,3 +373,140 @@ def q104_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ------------------- q131: TPC-H Q3 shape — top unshipped revenue
+#
+# The classic "shipping priority" query: BUILDING-segment orders
+# placed before a date whose lineitems ship after it, top-10 by
+# revenue. Scale shape: both date filters PUSH to the scans (the
+# fact never leaves the row groups it needs), customer is a
+# broadcast semi-filter, the orderkey rollup is the one fact⋈fact
+# exchange (bucketing candidate, q94), and the top-10 is
+# TakeOrderedAndProject — no global sort.
+_CUTOFF = "1995-03-15"
+
+_ORACLE_Q131 = f"""
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
+            AS DOUBLE) AS revenue_d,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_CUTOFF} 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '{_CUTOFF} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_d DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q131_shipping_priority",
+    oracle=_ORACLE_Q131,
+    doc="TPC-H Q3 shape: segment-filtered unshipped-order revenue "
+    "top-10 — date filters pushed to both scans, customer as a "
+    "broadcast filter, one orderkey exchange, TakeOrderedAndProject "
+    "for the top-k.",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q131_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    cust = cat.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = cat.orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = cat.lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey",
+        (
+            dec("l_extendedprice")
+            * (dec_lit("1.0000") - dec("l_discount", 6, 4))
+        ).alias("rev"),
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(lines, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_out(F.sum("rev")).alias("revenue_d"))
+        .select("l_orderkey", "revenue_d", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_d").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------- q132: TPC-H Q10 shape — returned-revenue ranking
+#
+# "Which customers returned the most revenue last quarter" — the
+# returns-analysis join: returnflag-filtered lineitems rolled up to
+# customers with their nation, top-20. Scale shape: the returnflag +
+# date predicates push to the scans; nation broadcasts; the
+# customer rollup is one exchange on custkey; top-20 is a partial
+# top-k.
+_ORACLE_Q132 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
+            AS DOUBLE) AS lost_revenue_d,
+       CAST(COUNT(*) AS BIGINT) AS returned_lines
+FROM customer c
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue_d DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q132_returned_revenue",
+    oracle=_ORACLE_Q132,
+    doc="TPC-H Q10 shape: returned-lineitem revenue per customer "
+    "with nation, top-20 — returnflag predicate pushed to the fact "
+    "scan, nation broadcast, one custkey rollup exchange, partial "
+    "top-k.",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q132_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    returned = cat.lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            dec("l_extendedprice")
+            * (dec_lit("1.0000") - dec("l_discount", 6, 4))
+        ).alias("rev"),
+    )
+    # Roll up to custkey BEFORE touching the customer dim: customer
+    # is order-of-rows-proportional (not a broadcastable dim at
+    # 100 TB), so the name join runs custkey-co-keyed against the
+    # already-aggregated O(customers) frame; only nation broadcasts.
+    per_cust = (
+        returned.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            money_out(F.sum("rev")).alias("lost_revenue_d"),
+            F.count(F.lit(1)).alias("returned_lines"),
+        )
+    )
+    return (
+        per_cust.join(
+            cat.customer.select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "lost_revenue_d", "returned_lines")
+        .orderBy(F.col("lost_revenue_d").desc(), "c_custkey")
+        .limit(20)
+    )
