@@ -375,70 +375,6 @@ def q104_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------- q131: TPC-H Q3 shape — top unshipped revenue
-#
-# The classic "shipping priority" query: BUILDING-segment orders
-# placed before a date whose lineitems ship after it, top-10 by
-# revenue. Scale shape: both date filters PUSH to the scans (the
-# fact never leaves the row groups it needs), customer is a
-# broadcast semi-filter, the orderkey rollup is the one fact⋈fact
-# exchange (bucketing candidate, q94), and the top-10 is
-# TakeOrderedAndProject — no global sort.
-_CUTOFF = "1995-03-15"
-
-_ORACLE_Q131 = f"""
-SELECT l.l_orderkey,
-       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-                      (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
-            AS DOUBLE) AS revenue_d,
-       o.o_orderdate,
-       o.o_orderpriority
-FROM customer c
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '{_CUTOFF} 00:00:00'
-  AND l.l_shipdate  > TIMESTAMP '{_CUTOFF} 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue_d DESC, l.l_orderkey
-LIMIT 10
-"""
-
-
-@register(
-    "q131_shipping_priority",
-    oracle=_ORACLE_Q131,
-    doc="TPC-H Q3 shape: segment-filtered unshipped-order revenue "
-    "top-10 — date filters pushed to both scans, customer as a "
-    "broadcast filter, one orderkey exchange, TakeOrderedAndProject "
-    "for the top-k.",
-    tags=("join", "agg", "topk", "tpch"),
-)
-def q131_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cat = Catalog(spark, sf_dir)
-    cutoff = F.lit(_CUTOFF).cast("timestamp")
-    cust = cat.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = cat.orders.where(F.col("o_orderdate") < cutoff).select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
-    )
-    lines = cat.lineitem.where(F.col("l_shipdate") > cutoff).select(
-        "l_orderkey",
-        (
-            dec("l_extendedprice")
-            * (dec_lit("1.0000") - dec("l_discount", 6, 4))
-        ).alias("rev"),
-    )
-    return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(lines, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money_out(F.sum("rev")).alias("revenue_d"))
-        .select("l_orderkey", "revenue_d", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue_d").desc(), "l_orderkey")
-        .limit(10)
-    )
-
-
 # --------------- q132: TPC-H Q10 shape — returned-revenue ranking
 #
 # "Which customers returned the most revenue last quarter" — the
@@ -509,4 +445,82 @@ def q132_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "n_name", "lost_revenue_d", "returned_lines")
         .orderBy(F.col("lost_revenue_d").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+# ---------------- q133: TPC-H Q22 shape — global-avg + anti-join
+#
+# "Positive-balance customers above the average balance who never
+# ordered" — the classic correlated-subquery pair Catalyst must
+# DECORRELATE: a scalar aggregate subquery (the global average)
+# and a NOT EXISTS. Scale shape: the scalar avg is ONE broadcast
+# row against the customer scan (never a self-join); the NOT
+# EXISTS is a left-anti on custkey against the orders key stream;
+# output is a per-prefix rollup (O(prefixes) rows). Exact decimal
+# average: compare c_acctbal·count > sum (integer-decimal cross
+# multiply) instead of dividing — no float mean anywhere.
+_ORACLE_Q133 = """
+WITH pos AS (
+    SELECT c_custkey, c_name,
+           substr(c_name, 10, 1) AS prefix,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+    FROM customer WHERE c_acctbal > 0
+),
+tot AS (
+    SELECT CAST(SUM(bal) AS DECIMAL(20,2)) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos
+),
+rich AS (
+    SELECT p.prefix, p.c_custkey, p.bal
+    FROM pos p CROSS JOIN tot t
+    WHERE p.bal * t.n > t.s
+),
+never AS (
+    SELECT r.* FROM rich r
+    ANTI JOIN orders o ON o.o_custkey = r.c_custkey
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS total_bal_d
+FROM never
+GROUP BY prefix
+ORDER BY prefix
+"""
+
+
+@register(
+    "q133_rich_never_ordered",
+    oracle=_ORACLE_Q133,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "orders, rolled up by name prefix — scalar-avg subquery as ONE "
+    "broadcast row (exact decimal cross-multiply, no float mean), "
+    "NOT EXISTS as a left-anti on custkey.",
+    tags=("join", "anti", "decorrelation", "tpch"),
+)
+def q133_rich_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    pos = cat.customer.where(F.col("c_acctbal") > 0).select(
+        "c_custkey",
+        F.substring("c_name", 10, 1).alias("prefix"),
+        dec("c_acctbal").alias("bal"),
+    )
+    tot = pos.agg(
+        F.sum("bal").cast("decimal(20,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rich = pos.crossJoin(F.broadcast(tot)).where(
+        F.col("bal") * F.col("n") > F.col("s")
+    )
+    never = rich.join(
+        cat.orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        never.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_out(F.sum("bal")).alias("total_bal_d"),
+        )
+        .orderBy("prefix")
     )

@@ -479,18 +479,6 @@ def test_gapfill_spine_is_broadcast_bounds(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds join
 
 
-def test_q3_shape_pushes_both_date_filters(spark, sf_smoke):
-    """q131: the order-date and ship-date predicates must reach
-    their parquet scans (PushedFilters), customer rides the
-    broadcast path, and the top-10 is TakeOrderedAndProject."""
-    plan = plan_of(spark, "q131_shipping_priority", sf_smoke)
-    assert plan.count("PushedFilters: [IsNotNull") >= 2
-    assert "LessThan(o_orderdate" in plan
-    assert "GreaterThan(l_shipdate" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "TakeOrderedAndProject" in plan
-
-
 def test_q10_shape_aggregates_before_customer_join(spark, sf_smoke):
     """q132: the custkey rollup must run BELOW the customer join
     (customer is not a broadcastable dim at scale) — in tree order
