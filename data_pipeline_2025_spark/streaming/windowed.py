@@ -289,3 +289,46 @@ def q108_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
     )
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+_ORACLE_Q134 = """
+SELECT c.c_mktsegment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value_d
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+@register(
+    "q134_stream_static_enrich",
+    oracle=_ORACLE_Q134,
+    doc="NATIVE stream-static enrichment join (the commonest "
+    "production streaming join): the events stream joins the static "
+    "customer dimension INSIDE the streaming query — Spark "
+    "broadcasts/rescans the static side per micro-batch, no "
+    "foreachBatch plumbing — then rolls up per (segment, type). "
+    "Hash-checked against the batch join. At 100 TB the static side "
+    "is a slowly-changing dim snapshot; the stream side never "
+    "accumulates join state (static side is not watermarked).",
+    tags=("streaming", "join", "enrichment"),
+)
+def q134_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import Catalog
+
+    stream = _events_stream(spark, sf_dir)
+    dim = Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(dim, stream["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+    )
+    name = f"stream_enrich_{next(_COUNTER)}"
+    _run_to_memory(agg, name)
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
