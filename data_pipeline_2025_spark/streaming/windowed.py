@@ -332,3 +332,55 @@ def q134_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_enrich_{next(_COUNTER)}"
     _run_to_memory(agg, name)
     return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+_ORACLE_Q135 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS min_event,
+       CAST(MAX(event_id) AS BIGINT) AS max_event
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q135_stream_dedup_watermarked",
+    oracle=_ORACLE_Q135,
+    doc="Production-bounded effectively-once: dropDuplicates"
+    "WithinWatermark on event_id — unlike q51's plain "
+    "dropDuplicates (state grows with ALL keys forever), dedup "
+    "state here is evicted once the event-time watermark passes a "
+    "key (redeliveries arrive within the delay at any real source). "
+    "Duplicate delivery simulated by a self-union; counts restored "
+    "to exactly-once, hash-checked against batch.",
+    tags=("streaming", "dedup", "watermark"),
+)
+def q135_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    # Redelivered copies arrive in the SAME AvailableNow batch here,
+    # so a short delay suffices; at a real source the delay bounds
+    # how late a redelivery may arrive and thereby the state size.
+    replayed = s1.unionByName(s2).withWatermark("ts", "10 minutes")
+    deduped = replayed.dropDuplicatesWithinWatermark(["event_id"])
+    raw_name = f"stream_wmdedup_raw_{next(_COUNTER)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(raw_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(raw_name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
