@@ -496,3 +496,61 @@ def test_compaction_preserves_rows_and_skips_healthy_partitions(spark, tmp_path)
     assert os.path.getmtime(healthy) == healthy_mtime  # untouched
 
     assert compact_partitioned_table(spark, table, min_files=4) == {}
+
+
+def test_dedup_gate_crash_between_verdicts_and_store(spark, tmp_path):
+    """q120's two-write window: the gate writes verdicts BEFORE
+    signatures. Simulate a crash exactly between the writes (first
+    batch's verdicts present, store missing), then replay from a
+    fresh checkpoint: the replay must re-append the missing
+    signatures WITHOUT duplicating verdicts, and a later duplicate
+    doc must still be blocked by the recovered store."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from data_pipeline_2025_spark.streaming.dedupgate import start_dedup_gate
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "gate_store")
+    verdicts = str(tmp_path / "gate_verdicts")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def chunk(name, rows, mtime):
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        tmp = str(tmp_path / f"_w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        (pf,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(pf, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = time.time()
+    chunk("b000", [(0, base)], t0)
+    # run batch 1 normally, then CRASH: delete the store but keep
+    # verdicts + forget the checkpoint (worst-case torn state)
+    start_dedup_gate(
+        spark, src, store, verdicts, str(tmp_path / "ck1")
+    ).awaitTermination()
+    shutil.rmtree(store)
+    assert spark.read.parquet(verdicts).count() == 1
+
+    # recovery replay sees doc 0 already in verdicts (skipped there)
+    # but missing from the store (re-appended); then batch 2's dup
+    # of doc 0 must be blocked by the recovered signature
+    chunk("b001", [(10, base)], t0 + 1)
+    start_dedup_gate(
+        spark, src, store, verdicts, str(tmp_path / "ck2")
+    ).awaitTermination()
+    got = {
+        r["doc_id"]: (r["is_kept"], r["blockers"])
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert got[0] == (True, 0)
+    assert got[10][0] is False and got[10][1] >= 1
+    assert spark.read.parquet(verdicts).count() == 2  # no dup verdicts
+    assert spark.read.parquet(store).count() == 2  # store recovered
