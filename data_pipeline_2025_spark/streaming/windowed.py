@@ -384,3 +384,57 @@ def q135_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+_ORACLE_Q136 = """
+WITH wm AS (
+    SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events
+),
+agg AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY window_start, event_type
+)
+SELECT a.window_start, a.event_type, a.n
+FROM agg a CROSS JOIN wm
+WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+ORDER BY a.window_start, a.event_type
+"""
+
+
+@register(
+    "q136_stream_chained_stateful",
+    oracle=_ORACLE_Q136,
+    doc="TWO stateful operators chained in ONE append-mode streaming "
+    "query (Spark 3.4+ capability): watermarked dedup of a "
+    "duplicate-delivery union, THEN an hourly tumbling aggregation. "
+    "Append mode only emits windows the watermark has closed — the "
+    "oracle mirrors that emission rule EXACTLY (window_end <= "
+    "max(ts) - delay), so the classic tail-withholding is a checked "
+    "semantic, not a silent drop.",
+    tags=("streaming", "watermark", "stateful"),
+)
+def q136_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"stream_chained_{next(_COUNTER)}"
+    q = (
+        agg.select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
