@@ -266,3 +266,4 @@ def _register() -> None:
 
 
 _register()
+

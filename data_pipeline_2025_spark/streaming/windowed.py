@@ -438,3 +438,125 @@ def q136_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+# -------- q137: late-data DROP accounting (the watermark contract)
+#
+# q136 checks the EMISSION half of the watermark contract (windows
+# held until closed); this checks the DROP half: rows arriving
+# after the watermark passed their window are discarded from the
+# aggregation — the deliberate, bounded data loss that buys bounded
+# state. The fixture makes lateness deterministic: the events table
+# is split at its midpoint timestamp; the UPPER half arrives first
+# (advancing the watermark to max_ts - delay, far past the
+# midpoint), the LOWER half arrives second — entirely late, every
+# row dropped. The oracle encodes both halves of the contract
+# exactly: counts over the on-time half only, windows emitted iff
+# window_end <= max_ts - delay.
+def _split_events_by_time(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Three ascending-mtime files: (0) the on-time upper half minus
+    its max-ts rows, (1) the max-ts rows — a second on-time batch,
+    needed because a window finalizes (emit + evict) only at the end
+    of the batch AFTER the watermark passes it (measured, not
+    assumed: a late row arriving in the finalization batch itself is
+    still absorbed), (2) the lower half — now strictly later than
+    every finalized window, hence dropped."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    row = events.agg(
+        F.expr(
+            "timestamp_micros((unix_micros(max(cast(ts as timestamp))) "
+            "+ unix_micros(min(cast(ts as timestamp)))) div 2)"
+        ).alias("m"),
+        F.max(F.col("ts").cast("timestamp")).alias("mx"),
+    ).collect()[0]
+    mid, mx = row["m"], row["mx"]
+    os.makedirs(out_dir, exist_ok=True)
+    now = time.time()
+    ts = F.col("ts").cast("timestamp")
+    frames = (
+        events.where((ts >= F.lit(mid)) & (ts < F.lit(mx))),
+        events.where(ts == F.lit(mx)),
+        events.where(ts < F.lit(mid)),
+    )
+    for i, frame in enumerate(frames):
+        tmp = os.path.join(out_dir, f"_tmp{i:03d}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (pf,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(out_dir, f"part{i:03d}.parquet")
+        shutil.move(pf, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + i, now + i))
+
+
+_ORACLE_Q137 = """
+WITH b AS (
+    SELECT ts, event_type,
+           make_timestamp((epoch_us(MAX(ts) OVER ()) + epoch_us(MIN(ts) OVER ())) // 2) AS mid,
+           MAX(ts) OVER () - INTERVAL 10 MINUTE AS wm
+    FROM events
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b
+WHERE ts >= mid                                      -- on-time half only
+GROUP BY window_start, event_type
+HAVING window_start + INTERVAL 1 HOUR <= MAX(wm)     -- emission rule
+ORDER BY window_start, event_type
+"""
+
+
+@register(
+    "q137_late_data_drops",
+    oracle=_ORACLE_Q137,
+    doc="The DROP half of the watermark contract, made deterministic "
+    "and hash-checked: the on-time upper half of events arrives "
+    "first (watermark advances past the midpoint), the lower half "
+    "arrives entirely late and is dropped; the oracle counts the "
+    "on-time half only under the exact emission rule "
+    "window_end <= max(ts) - delay.",
+    tags=("streaming", "watermark", "late-data"),
+)
+def q137_late_data_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..artifacts import artifact_path
+
+    run = uuid.uuid4().hex[:12]
+    src = artifact_path(sf_dir, f"late_run/{run}/in")
+    ckpt = artifact_path(sf_dir, f"late_run/{run}/ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _split_events_by_time(spark, sf_dir, src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_late_{next(_COUNTER)}"
+    q = (
+        agg.select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
