@@ -333,3 +333,13 @@ def test_round3_streaming_family_invariants(spark, sf_smoke):
     }
     assert set(chained) <= set(full)
     assert all(full[k] == v for k, v in chained.items())
+
+    # q137 emits a subset of q50's windows with counts <= the full
+    # batch's (late lower-half rows are DROPPED, never added).
+    late = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in specs["q137_late_data_drops"].spark_fn(spark, sf_smoke).collect()
+    }
+    assert set(late) <= set(full)
+    assert all(full[k] >= v for k, v in late.items())
+    assert sum(late.values()) < sum(full.values())  # something WAS dropped
