@@ -488,3 +488,25 @@ def test_q10_shape_aggregates_before_customer_join(spark, sf_smoke):
     assert "EqualTo(l_returnflag,R)" in plan_of(spark, "q132_returned_revenue", sf_smoke)
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pipeline_single_scan_conditional_sums(spark, sf_smoke):
+    """q124: the stage funnel must be conditional sums over ONE
+    documents scan (plus the cached signature frames) — a per-stage
+    rescan would multiply the dominant cost at 100 TB."""
+    plan = plan_of(spark, "q124_corpus_pipeline", sf_smoke, mode="simple")
+    # signature side rides the shared persisted frames (cache scans
+    # present; their InMemoryRelation lineage still PRINTS the
+    # original FileScans, so scan-count is not assertable here)
+    assert "InMemoryTableScan" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dataset_card_no_rescan_per_metric(spark, sf_smoke):
+    """q130: volume/quality/dup metrics fold into one aggregation
+    over one scan; the lang mode runs on the grouped
+    O(sources × langs) frame."""
+    plan = plan_of(spark, "q130_dataset_card", sf_smoke, mode="simple")
+    assert "InMemoryTableScan" in plan  # shared signature frames
+    assert "CartesianProduct" not in plan
