@@ -741,3 +741,175 @@ def q122_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# -------- q138: percentile_cont with exact integer interpolation
+#
+# The INTERPOLATED quantile (SQL percentile_cont), the semantic the
+# exact-index family (q80/q122) deliberately avoids because naive
+# float interpolation breaks cross-engine bit-identity. Here it is
+# exact: order totals are integer cents, the quartile positions are
+# p·(n−1) with p ∈ {¼,½,¾} — denominator 4 — so the interpolated
+# value is (v_k·(4−r) + v_{k+1}·r) / 400 dollars with every term an
+# integer and ONE final division. Both engines run the identical
+# explicit formula (the oracle does NOT trust DuckDB's native
+# percentile_cont, which interpolates in floats).
+# Scale caveat (documented, fundamental): exact continuous
+# quantiles of an UNBOUNDED metric need per-group order statistics
+# — a per-segment sort. When the metric is bounded-integer use
+# q122's histogram; when approximation is acceptable use q95's
+# mergeable sample. This operator is the exact-answer fallback.
+_ORACLE_Q138 = """
+WITH v AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+r AS (
+    SELECT seg, cents,
+           CAST(row_number() OVER (PARTITION BY seg ORDER BY cents) AS BIGINT) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+    FROM v
+),
+parts AS (
+    SELECT seg, n, p.p4,
+           (p.p4 * (n - 1)) // 4 AS k,
+           (p.p4 * (n - 1)) % 4  AS frac4,
+           MAX(CASE WHEN rk = (p.p4 * (n - 1)) // 4 + 1 THEN cents END) AS v_lo,
+           MAX(CASE WHEN rk = (p.p4 * (n - 1)) // 4 + 2 THEN cents END) AS v_hi
+    FROM r CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS p4) p
+    GROUP BY seg, n, p.p4
+)
+SELECT seg,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN p4 = 1 THEN (v_lo * (4 - frac4) + COALESCE(v_hi, 0) * frac4) END)
+            AS DOUBLE) / 400 AS p25_d,
+       CAST(MAX(CASE WHEN p4 = 2 THEN (v_lo * (4 - frac4) + COALESCE(v_hi, 0) * frac4) END)
+            AS DOUBLE) / 400 AS p50_d,
+       CAST(MAX(CASE WHEN p4 = 3 THEN (v_lo * (4 - frac4) + COALESCE(v_hi, 0) * frac4) END)
+            AS DOUBLE) / 400 AS p75_d
+FROM parts
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+@register(
+    "q138_percentile_cont_exact",
+    oracle=_ORACLE_Q138,
+    doc="SQL percentile_cont quartiles of order totals per segment "
+    "with EXACT integer interpolation (cents × quarter positions — "
+    "one final division, bit-identical cross-engine; the oracle "
+    "runs the same explicit formula, not DuckDB's float-"
+    "interpolating native).",
+    tags=("agg", "quantiles", "interpolation"),
+)
+def q138_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    v = cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("seg").orderBy("cents")
+    wn = Window.partitionBy("seg")
+    r = v.select(
+        "seg",
+        "cents",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    parts = r.select(
+        "seg",
+        "n",
+        "rk",
+        "cents",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("p4"),
+    ).select(
+        "seg",
+        "n",
+        "p4",
+        F.expr("(p4 * (n - 1)) div 4").alias("k"),
+        ((F.col("p4") * (F.col("n") - 1)) % 4).alias("frac4"),
+        "rk",
+        "cents",
+    )
+    grouped = parts.groupBy("seg", "n", "p4", "k", "frac4").agg(
+        F.max(F.when(F.col("rk") == F.col("k") + 1, F.col("cents"))).alias("v_lo"),
+        F.max(F.when(F.col("rk") == F.col("k") + 2, F.col("cents"))).alias("v_hi"),
+    )
+    interp = (
+        F.col("v_lo") * (F.lit(4) - F.col("frac4"))
+        + F.coalesce(F.col("v_hi"), F.lit(0)) * F.col("frac4")
+    ).cast("double") / 400
+    return (
+        grouped.groupBy("seg")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("p4") == 1, interp)).alias("p25_d"),
+            F.max(F.when(F.col("p4") == 2, interp)).alias("p50_d"),
+            F.max(F.when(F.col("p4") == 3, interp)).alias("p75_d"),
+        )
+        .orderBy("seg")
+    )
+
+
+# -------------------- q139: explicit GROUPING SETS (not rollup/cube)
+#
+# The third grouping-set form: an EXPLICIT set list — per-region
+# totals and per-priority totals in ONE pass, WITHOUT the pairwise
+# combinations CUBE would add or the hierarchy ROLLUP implies. The
+# shape matters at scale: grouping-set expansion multiplies the
+# aggregation input by the number of sets (2 here), each partial-
+# aggregatable — one shuffle, no second scan.
+_ORACLE_Q139 = """
+SELECT r_name, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_d,
+       GROUPING(r_name)::BIGINT * 2 + GROUPING(o_orderpriority)::BIGINT AS gl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+ORDER BY gl, r_name, o_orderpriority
+"""
+
+
+@register(
+    "q139_grouping_sets",
+    oracle=_ORACLE_Q139,
+    doc="Explicit GROUPING SETS ((region), (priority)) — two "
+    "independent rollups in one pass/one shuffle, neither CUBE's "
+    "cross products nor ROLLUP's hierarchy; dims broadcast.",
+    tags=("agg", "grouping-sets"),
+)
+def q139_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "o_orderpriority", dec("o_totalprice").alias("tp"))
+    )
+    return (
+        joined.groupingSets(
+            [[F.col("r_name")], [F.col("o_orderpriority")]],
+            "r_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_out(F.sum("tp")).alias("total_d"),
+            (
+                F.grouping("r_name").cast("bigint") * 2
+                + F.grouping("o_orderpriority").cast("bigint")
+            ).alias("gl"),
+        )
+        .orderBy("gl", "r_name", "o_orderpriority")
+    )
