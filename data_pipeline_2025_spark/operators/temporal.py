@@ -309,3 +309,84 @@ def q116_orders_in_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byday.select(
         "day", "delta", F.sum("delta").over(wd).alias("in_flight")
     ).orderBy("day")
+
+
+# ----------- q140: NEAREST-observation as-of join (both directions)
+#
+# q53 is the backward as-of ("price in effect at t"); this is the
+# NEAREST variant — the sensor-alignment semantic (match each probe
+# to the closest observation in EITHER direction, ties to the
+# earlier one) that DuckDB's native ASOF JOIN cannot express (it is
+# >= only), so the oracle is the explicit argmin-over-|Δt| window,
+# byte-identical to the Spark composition. Distance in exact
+# integer epoch-µs. Scale shape identical to q53: probes × bounded
+# per-key observation lists, one (store, barcode) shuffle, rank
+# window with WindowGroupLimit.
+_ORACLE_Q140 = domain_sql(f""",{_OBS_CTE}
+SELECT supermarket_id, barcode, probe_t, nearest_ts,
+       CAST(d_us AS BIGINT) AS dist_us,
+       CAST(eff AS DOUBLE) AS nearest_price_d
+FROM (
+    SELECT p.supermarket_id, p.barcode, p.t AS probe_t,
+           o.collected_at AS nearest_ts, o.eff,
+           abs(epoch_us(p.t) - epoch_us(o.collected_at)) AS d_us,
+           row_number() OVER (
+               PARTITION BY p.supermarket_id, p.barcode, p.t
+               ORDER BY abs(epoch_us(p.t) - epoch_us(o.collected_at)),
+                        o.collected_at
+           ) AS rn
+    FROM probes p
+    JOIN obs o ON o.supermarket_id = p.supermarket_id
+              AND o.barcode = p.barcode
+)
+WHERE rn = 1
+""")
+
+
+@register(
+    "q140_nearest_asof",
+    oracle=_ORACLE_Q140,
+    doc="Nearest-observation as-of join (both directions, ties to "
+    "the earlier observation) — the sensor-alignment semantic "
+    "DuckDB's native ASOF (>= only) cannot express; exact integer "
+    "epoch-us distances, rank window per probe.",
+    tags=("temporal", "asof", "window"),
+)
+def q140_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..mapping import effective
+
+    df = products(Catalog(spark, sf_dir)).where(
+        F.col("barcode").isin(*ASOF_BARCODES)
+    )
+    obs = df.groupBy("supermarket_id", "barcode", "collected_at").agg(
+        F.min(effective()).alias("eff")
+    )
+    times = F.explode(
+        F.array(*[F.lit(t).cast("timestamp") for t in PROBE_TIMES])
+    ).alias("t")
+    probes = obs.select("supermarket_id", "barcode").distinct().select(
+        "supermarket_id", "barcode", times
+    )
+    joined = probes.join(obs, ["supermarket_id", "barcode"])
+    # collected_at is TIMESTAMP_NTZ (session pinned UTC) — cast for
+    # unix_micros; epoch-identical to DuckDB's naive epoch_us
+    d_us = F.abs(
+        F.unix_micros(F.col("t"))
+        - F.unix_micros(F.col("collected_at").cast("timestamp"))
+    )
+    w = Window.partitionBy("supermarket_id", "barcode", "t").orderBy(
+        d_us.asc(), F.col("collected_at").asc()
+    )
+    return (
+        joined.withColumn("d_us", d_us)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "supermarket_id",
+            "barcode",
+            F.col("t").alias("probe_t"),
+            F.col("collected_at").alias("nearest_ts"),
+            F.col("d_us").cast("bigint").alias("dist_us"),
+            to_double(F.col("eff")).alias("nearest_price_d"),
+        )
+    )
