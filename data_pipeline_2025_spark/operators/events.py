@@ -853,3 +853,71 @@ def q128_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("locf_level").isNotNull())
         .orderBy("event_type", "day")
     )
+
+
+# ------------------ q141: schema-evolution read (mergeSchema)
+#
+# The lakehouse schema-evolution story: a sink written over time by
+# producers on DIFFERENT schema versions (v1 lacks the `props`
+# column, v2 has it) must still read as ONE table — Spark's
+# mergeSchema unions the file schemas and null-fills the missing
+# column for v1 files. The fixture is deterministic (even event_ids
+# written without props, odd with), so the oracle reproduces the
+# same semantics from the original table: props visible only for
+# odd ids. The aggregation proves the null-filling is real, not
+# just schema cosmetics. Scale note: mergeSchema's footer-union
+# costs one extra listing pass; production pins the merged schema
+# in a catalog after the first read (here: read once, supply
+# explicitly).
+_ORACLE_Q141 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 AND props IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS with_props,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v1_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q141_schema_evolution_read",
+    oracle=_ORACLE_Q141,
+    doc="Schema evolution: a sink written by two producer versions "
+    "(v1 without `props`, v2 with) read as ONE table via "
+    "mergeSchema — v1 rows null-filled, proven by aggregation "
+    "against semantics reproduced from the original table.",
+    tags=("source", "schema-evolution"),
+)
+def q141_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..artifacts import artifact_path
+    from ..catalog import Catalog
+
+    run = uuid.uuid4().hex[:12]
+    sink = artifact_path(sf_dir, f"evo_run/{run}/sink")
+    events = Catalog(spark, sf_dir).events
+    # producer v1: no props column; producer v2: full schema
+    events.where(F.col("event_id") % 2 == 0).drop("props").write.mode(
+        "append"
+    ).parquet(sink)
+    events.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(sink)
+    merged = spark.read.option("mergeSchema", "true").parquet(sink)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("event_id") % 2 == 1) & F.col("props").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("with_props"),
+            F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias(
+                "v1_rows"
+            ),
+        )
+        .orderBy("event_type")
+    )
