@@ -913,3 +913,82 @@ def q139_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gl", "r_name", "o_orderpriority")
     )
+
+
+# ----------------- q143: equi-DEPTH histogram (exact decile buckets)
+#
+# The partner of q102's equi-WIDTH histogram: 10 buckets holding
+# (as nearly as possible) equal row counts, boundaries at the exact
+# deciles. The integer trick that avoids any quantile lookup: for a
+# distinct value v with cb rows strictly below it, the number of
+# already-complete deciles is floor(10·cb / n) — so bucket_id =
+# least((10·cb) div n, 9), pure integer arithmetic over the
+# (value, count) frame. Scale shape: one combinable (cents, count)
+# aggregation; the cumulative window and bucket rollup run over the
+# O(distinct cents) frame — bounded by the PRICE DOMAIN, not the
+# row count (the same domain-bounded argument as q122; an unbounded
+# continuous metric would use q138's order statistics instead).
+_ORACLE_Q143 = """
+WITH h AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY cents
+),
+c AS (
+    SELECT cents, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                AS BIGINT) AS cb,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n
+    FROM h
+)
+SELECT CAST(least((10 * cb) // n, 9) AS BIGINT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS rows_in_bucket,
+       CAST(MIN(cents) AS DOUBLE) / 100 AS lo_d,
+       CAST(MAX(cents) AS DOUBLE) / 100 AS hi_d
+FROM c
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q143_equidepth_histogram",
+    oracle=_ORACLE_Q143,
+    doc="Exact equi-depth decile histogram of order totals: "
+    "bucket_id = (10·rows_below) div n over the (cents, count) "
+    "frame — pure integer arithmetic, one combinable aggregation, "
+    "windows over the domain-bounded distinct-value frame.",
+    tags=("agg", "histogram", "quantiles"),
+)
+def q143_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    h = (
+        cat.orders.select(
+            (dec("o_totalprice") * 100).cast("bigint").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = h.select(
+        "cents",
+        "cnt",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cb"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return (
+        c.select(
+            F.least(F.expr("(10 * cb) div n"), F.lit(9)).alias("bucket"),
+            "cnt",
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("rows_in_bucket"),
+            (F.min("cents").cast("double") / 100).alias("lo_d"),
+            (F.max("cents").cast("double") / 100).alias("hi_d"),
+        )
+        .orderBy("bucket")
+    )

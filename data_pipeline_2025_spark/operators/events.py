@@ -921,3 +921,101 @@ def q141_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------- q142: TIME-CONSTRAINED funnel (convert within 7 days)
+#
+# q84's ordered funnel with the constraint real funnel reports
+# carry: each stage must happen WITHIN 7 days of the previous one
+# (the ClickHouse windowFunnel semantic). Same one-key scale shape
+# — stage-chained conditional mins per user_id — with the bound as
+# an exact integer epoch-µs comparison; per-cohort-week output so
+# the result is a small table, not one row.
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+_ORACLE_Q142 = f"""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+    SELECT e.user_id, MIN(e.ts) AS v_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'view' AND e.ts > s.s_ts
+      AND epoch_us(e.ts) - epoch_us(s.s_ts) <= {_FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      AND epoch_us(e.ts) - epoch_us(v.v_ts) <= {_FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+)
+SELECT CAST(date_trunc('week', s.s_ts) AS TIMESTAMP) AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+       CAST(COUNT(v.user_id) AS BIGINT) AS n_viewed_in_window,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_purchased_in_window,
+       CAST((COUNT(p.user_id) * 1000000) // COUNT(*) AS BIGINT)
+           AS conversion_ppm
+FROM s
+LEFT JOIN v ON v.user_id = s.user_id
+LEFT JOIN p ON p.user_id = s.user_id
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
+@register(
+    "q142_windowed_funnel",
+    oracle=_ORACLE_Q142,
+    doc="Time-constrained funnel (the windowFunnel semantic): each "
+    "stage within 7 days of the previous, per signup cohort week — "
+    "stage-chained conditional mins on one user_id key, bounds as "
+    "exact integer epoch-us comparisons, conversion in integral "
+    "ppm.",
+    tags=("events", "funnel", "window"),
+)
+def q142_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    e = cat.events.select("user_id", "event_type", "ts")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(
+            (F.col("ts") > F.col("s_ts"))
+            & (us("ts") - us("s_ts") <= _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("v_ts"))
+            & (us("ts") - us("v_ts") <= _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(v.select("user_id", F.lit(1).alias("hit_v")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("hit_p")), "user_id", "left")
+        .groupBy(F.date_trunc("week", "s_ts").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count("hit_v").alias("n_viewed_in_window"),
+            F.count("hit_p").alias("n_purchased_in_window"),
+            F.expr("(count(hit_p) * 1000000) div count(1)").alias(
+                "conversion_ppm"
+            ),
+        )
+        .orderBy("cohort_week")
+    )
