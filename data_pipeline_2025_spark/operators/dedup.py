@@ -23,7 +23,7 @@ Scale design (the reason each shape was chosen):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog, fan_out
@@ -1747,4 +1747,130 @@ def q121_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.when(qual, F.col("doc_b"))).alias("blocked_docs"),
         )
         .orderBy("t10")
+    )
+
+
+# ----------- q144: prefix-filtered similarity join (AllPairs/PPJoin)
+#
+# The THIRD classic candidate-pruning principle, alongside the
+# DF-cap (q35) and LSH banding (q36): PREFIX FILTERING (Bayardo's
+# AllPairs / PPJoin). Order every document's (DF-capped) shingles
+# rarest-first; for Jaccard >= 1/2 a document with n shingles needs
+# only its first p = n - ceil(n/2) + 1 shingles indexed — any
+# qualifying pair MUST collide inside both prefixes (if two sets
+# disagree on all prefix elements, their overlap is too small to
+# reach the threshold). Candidates therefore come from an equi-join
+# of PREFIX postings only — far smaller than the full inverted
+# index — and are then verified exactly. Every step is integer /
+# deterministic: global order = (df, shingle), prefix lengths by
+# integer ceil, the threshold test 3·inter >= na + nb.
+PREFIX_JACCARD_X2 = 1  # threshold 1/2
+
+_ORACLE_Q144 = f"""
+WITH {SHINGLES_SQL},
+hot AS (
+    SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}
+),
+rare_sh AS (
+    SELECT s.doc_id, s.sh FROM shingles s ANTI JOIN hot h ON s.sh = h.sh
+),
+df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM rare_sh GROUP BY sh),
+ranked AS (
+    SELECT r.doc_id, r.sh,
+           CAST(row_number() OVER (
+               PARTITION BY r.doc_id ORDER BY d.df, r.sh
+           ) AS BIGINT) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY r.doc_id) AS BIGINT) AS n
+    FROM rare_sh r JOIN df d ON d.sh = r.sh
+),
+prefix AS (
+    SELECT doc_id, sh, n FROM ranked
+    WHERE rk <= n - (n + 1) // 2 + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM prefix a JOIN prefix b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rare_sh GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM cand c
+    JOIN rare_sh a ON a.doc_id = c.doc_a
+    JOIN rare_sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b, v.inter,
+       sa.n + sb.n - v.inter AS unions,
+       CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) AS jaccard
+FROM verified v
+JOIN sizes sa ON v.doc_a = sa.doc_id
+JOIN sizes sb ON v.doc_b = sb.doc_id
+WHERE 3 * v.inter >= sa.n + sb.n
+ORDER BY v.doc_a, v.doc_b
+"""
+
+
+@register(
+    "q144_prefix_filter_join",
+    oracle=_ORACLE_Q144,
+    doc="AllPairs/PPJoin prefix filtering: rarest-first shingle "
+    "order, only the first n-ceil(n/2)+1 shingles per doc indexed; "
+    "Jaccard >= 1/2 pairs MUST collide inside both prefixes, so "
+    "candidates come from the tiny prefix-posting join, verified "
+    "exactly (3·inter >= na+nb). The third candidate-pruning "
+    "principle next to the DF-cap (q35) and LSH bands (q36).",
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def q144_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rare_sh = rare_shingles_df(spark, sf_dir)
+    df = rare_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "sh")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        rare_sh.join(df, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+    ).select("doc_id", "sh")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = rare_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = rare_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = rare_sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    unions = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.lit(3) * F.col("inter") >= F.col("na") + F.col("nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            unions.alias("unions"),
+            (F.col("inter").cast("double") / unions).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

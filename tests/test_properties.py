@@ -343,3 +343,22 @@ def test_round3_streaming_family_invariants(spark, sf_smoke):
     assert set(late) <= set(full)
     assert all(full[k] >= v for k, v in late.items())
     assert sum(late.values()) < sum(full.values())  # something WAS dropped
+
+
+def test_prefix_filter_complete_vs_higher_threshold(spark, sf_smoke):
+    """q144 (prefix-filtered Jaccard >= 0.5) must contain every q35
+    pair (Jaccard >= 0.8 over the same DF-capped sets) — the
+    completeness guarantee of prefix filtering cross-validated on
+    real data, not just by construction."""
+    from data_pipeline_2025_spark import registry
+
+    specs = registry.load_all()
+    hi = {
+        (r["doc_a"], r["doc_b"])
+        for r in specs["q35_ngram_jaccard_pairs"].spark_fn(spark, sf_smoke).collect()
+    }
+    lo = {
+        (r["doc_a"], r["doc_b"])
+        for r in specs["q144_prefix_filter_join"].spark_fn(spark, sf_smoke).collect()
+    }
+    assert hi <= lo
