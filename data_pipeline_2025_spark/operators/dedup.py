@@ -1874,3 +1874,109 @@ def q144_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -------- q145: KMV join-cardinality estimation (optimizer sketch)
+#
+# The optimizer-side use of the KMV sketch (q77/q78): estimate a
+# join's key overlap WITHOUT running the join — the cardinality
+# estimate a cost-based planner needs to pick broadcast vs shuffle.
+# Method (Beyer et al.): keep the K smallest hash values of the
+# KEY UNION with per-key membership flags; Jaccard_est = (members
+# of both sets among those K) / K, |A∪B|_est = (K−1)/u_K,
+# |A∩B|_est = J_est · |A∪B|_est. Everything deterministic: md5
+# hashes, ties by key, matches an integer, K = 64 a power of two
+# (matches/K exact in double). The report carries exact values +
+# relative error — the sketch grades itself. Scale shape: the
+# flagged key union is one combinable groupBy; the K smallest are
+# a partial top-K (here a rank over the O(distinct) frame); sketch
+# state is K rows per side, mergeable exactly like q78.
+_ORACLE_Q145 = f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+u AS (
+    SELECT COALESCE(a.k, b.k) AS k,
+           CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS in_b,
+           CAST(('0x' || substr(md5(CAST(COALESCE(a.k, b.k) AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+               / {_KMV_DENOM} AS h
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+),
+r AS (
+    SELECT k, in_a, in_b, h,
+           row_number() OVER (ORDER BY h, k) AS rn
+    FROM u
+)
+SELECT CAST((SELECT SUM(in_a) FROM u) AS BIGINT) AS exact_a,
+       CAST((SELECT SUM(in_b) FROM u) AS BIGINT) AS exact_b,
+       CAST((SELECT SUM(in_a * in_b) FROM u) AS BIGINT) AS exact_inter,
+       CAST((SELECT SUM(in_a * in_b) FROM r WHERE rn <= {KMV_K}) AS BIGINT)
+           AS sketch_matches,
+       ({KMV_K} - 1) / (SELECT MAX(h) FROM r WHERE rn <= {KMV_K}) AS union_est,
+       CAST((SELECT SUM(in_a * in_b) FROM r WHERE rn <= {KMV_K}) AS DOUBLE)
+           / {KMV_K}
+           * (({KMV_K} - 1) / (SELECT MAX(h) FROM r WHERE rn <= {KMV_K}))
+           AS inter_est
+"""
+
+
+@register(
+    "q145_kmv_join_cardinality",
+    oracle=_ORACLE_Q145,
+    doc="Join-cardinality estimation from KMV sketches (the "
+    "cost-based-optimizer use): K smallest union hashes with "
+    "membership flags give Jaccard and intersection estimates "
+    "WITHOUT running the join; exact values + the estimates in one "
+    "deterministic row. Sketch state is K rows per side, mergeable "
+    "(q78); the K-min selection is a partial top-K at scale.",
+    tags=("sketch", "kmv", "optimizer"),
+)
+def q145_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    a = cat.orders.select(F.col("o_custkey").alias("k")).distinct().withColumn(
+        "in_a", F.lit(1)
+    )
+    b = (
+        cat.customer.where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+        .withColumn("in_b", F.lit(1))
+    )
+    u = (
+        a.join(b, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / _KMV_DENOM,
+        )
+    )
+    w = Window.orderBy("h", "k")
+    r = u.withColumn("rn", F.row_number().over(w))
+    exact = u.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+    )
+    sk = r.where(F.col("rn") <= KMV_K).agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("sketch_matches"),
+        F.max("h").alias("u_k"),
+    )
+    return exact.crossJoin(sk).select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        "sketch_matches",
+        ((F.lit(KMV_K) - 1) / F.col("u_k")).alias("union_est"),
+        (
+            F.col("sketch_matches").cast("double")
+            / KMV_K
+            * ((F.lit(KMV_K) - 1) / F.col("u_k"))
+        ).alias("inter_est"),
+    )
