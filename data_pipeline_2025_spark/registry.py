@@ -47,10 +47,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ordering below only decides which rows the DRIVER re-verifies:
 # round 3 front-loads (a) the q50/q51/q74 nanos-conf fix
 # (streaming.windowed), (b) the two never-driver-checked queries
-# q67 (search) and q76 (temporal), and (c) every query NEW this
-# round (q79-q97: streaming cagg/cms, chunking/packing/funnel,
-# bloom prune, bucketed join, sketches, similarity additions);
-# everything else is already driver-green in r1 or r2.
+# q67 (search) and q76 (temporal), and (c) the round-3 queries up
+# to the cap (q79-q122 fit; the cap filled there, so q123-q145 —
+# all equally new and locally hash-verified at both tiers — wait
+# for next round's rotation); everything else is already
+# driver-green in r1 or r2.
 # tests/test_correctness.py::test_priority_queries_inside_driver_cap
 # asserts the must-check set sits inside the first 50.
 _OPERATOR_MODULES = (
