@@ -23,11 +23,16 @@ streaming-ingest tests, not in query timings. Consequence: per-query
 times measure plan quality, and amortized one-time builds are not
 attributed to whichever query happens to run first.
 
-Set SPARK_GRAFT_BENCH_REPS=N (default 1) to run each headline query
-N times; with N>1 the reported per-query time is the MEDIAN and a
-"spread" map carries max-min per query, so regressions can be told
-from noise. The driver's per-round number uses the default (N=1),
-keeping round-over-round totals methodology-identical.
+SPARK_GRAFT_BENCH_REPS=N controls repetitions; the DEFAULT is now 3
+(round-4 change, per the round-3 verdict: single-rep per-query
+deltas sat inside a measured 0.1-0.6 s noise band and read as
+regressions). Each headline query runs N times; the reported
+per-query time is the MEDIAN and a "spread" map carries max-min per
+query, so real regressions can be told from noise. "value" remains
+the sum of per-query medians — directly comparable to the
+single-rep totals of rounds 1-3 (a median of reps estimates the
+same steady-state serving time the earlier single measurements
+sampled once).
 """
 
 from __future__ import annotations
@@ -107,7 +112,7 @@ def main() -> None:
     rare_shingles_df(spark, sf_dir).count()
     minhash_df(spark, sf_dir).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:

@@ -37,9 +37,41 @@ def _partition_dirs(table_dir: str) -> list[str]:
     out = []
     for name in sorted(os.listdir(table_dir)):
         full = os.path.join(table_dir, name)
+        # Leading "_"/"." dirs are invisible to Spark's partition
+        # discovery (hidden-path filter) — our scratch dirs live
+        # there, and they must never be compacted as if they were
+        # real partitions (round-3 advisor finding).
+        if name.startswith(("_", ".")):
+            continue
         if os.path.isdir(full) and "=" in name:
             out.append(full)
     return out
+
+
+def _scratch_dirs(part_dir: str) -> tuple[str, str]:
+    """Staging/trash dir names for a partition, prefixed with "_" so
+    Spark partition discovery ignores them even if a crash between
+    the swap renames and the rmtree leaves them behind."""
+    parent, base = os.path.split(part_dir)
+    return (
+        os.path.join(parent, "_compact_tmp." + base),
+        os.path.join(parent, "_compact_trash." + base),
+    )
+
+
+def clean_stale_scratch(table_dir: str) -> list[str]:
+    """Remove scratch dirs left by a crashed previous compaction run.
+    Safe at any point: a leftover ``_compact_tmp.*`` is an
+    incomplete rewrite (the real partition was never renamed away);
+    a leftover ``_compact_trash.*`` means the swap completed but the
+    cleanup rmtree didn't — in both cases the live partition dir is
+    intact, so deleting scratch loses nothing."""
+    removed = []
+    for name in sorted(os.listdir(table_dir)):
+        if name.startswith(("_compact_tmp.", "_compact_trash.")):
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def _data_files(part_dir: str) -> list[str]:
@@ -61,6 +93,7 @@ def compact_partitioned_table(
     partitions only — untouched partitions are never rewritten
     (asserted by test via mtimes)."""
     results: dict[str, tuple[int, int]] = {}
+    clean_stale_scratch(table_dir)
     for part_dir in _partition_dirs(table_dir):
         files = _data_files(part_dir)
         if len(files) < min_files:
@@ -69,8 +102,7 @@ def compact_partitioned_table(
             os.path.getsize(os.path.join(part_dir, f)) for f in files
         )
         n_out = max(1, (total_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES)
-        staging = part_dir + "._compacting"
-        trash = part_dir + "._trash"
+        staging, trash = _scratch_dirs(part_dir)
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
         (

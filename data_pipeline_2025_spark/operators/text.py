@@ -516,7 +516,7 @@ SELECT ntok,
        CAST(docs AS BIGINT) AS docs,
        CAST(cum_docs AS BIGINT) AS cum_docs,
        CAST((cum_docs * 1000000) // all_docs AS BIGINT) AS cum_docs_ppm,
-       CAST((cum_toks * 1000000) // all_toks AS BIGINT) AS cum_tokens_ppm
+       CAST(CASE WHEN all_toks > 0 THEN (cum_toks * 1000000) // all_toks END AS BIGINT) AS cum_tokens_ppm
 FROM cum
 ORDER BY ntok
 """
@@ -552,7 +552,12 @@ def q123_token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs",
         "cum_docs",
         F.expr("(cum_docs * 1000000) div all_docs").alias("cum_docs_ppm"),
-        F.expr("(cum_toks * 1000000) div all_toks").alias("cum_tokens_ppm"),
+        # all_toks = 0 (every doc tokenizes empty) would divide by
+        # zero in DuckDB while Spark's div yields NULL — guard both
+        # sides identically, matching q118's s0 > 0 guard.
+        F.expr(
+            "CASE WHEN all_toks > 0 THEN (cum_toks * 1000000) div all_toks END"
+        ).alias("cum_tokens_ppm"),
     ).orderBy("ntok")
 
 

@@ -114,60 +114,64 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
+    # ROUND 4 ROTATION: the 22 round-3 queries q123-q145 registered
+    # past the driver's 50-cap last round (judge-verified at sf0.01
+    # but never driver-checked) go FIRST so they all get official
+    # CORRECTNESS_r4 rows.
+    "q123_token_lorenz_curve",
+    "q124_corpus_pipeline",
+    "q125_bm25_topk",
+    "q126_stream_ivf_indexing",
+    "q127_trailing_range_window",
+    "q128_gapfill_locf",
+    "q129_skipgram_cooccurrence",
+    "q130_dataset_card",
+    "q132_returned_revenue",
+    "q133_rich_never_ordered",
+    "q134_stream_static_enrich",
+    "q135_stream_dedup_watermarked",
+    "q136_stream_chained_stateful",
+    "q137_late_data_drops",
+    "q138_percentile_cont_exact",
+    "q139_grouping_sets",
+    "q140_nearest_asof",
+    "q141_schema_evolution_read",
+    "q142_windowed_funnel",
+    "q143_equidepth_histogram",
+    "q144_prefix_filter_join",
+    "q145_kmv_join_cardinality",
+    # NEW round-4 queries (never driver-checked) — keep inside cap:
+    "q147_ivf_multiprobe_recall",
+    "q148_simhash_hamming_join",
+    "q149_url_dedup_canonical",
+    "q150_repetition_quality",
+    "q151_doc_language_id",
+    "q152_cdc_scd2_merge",
+    "q153_topic_tfidf_sample",
+    "q154_window_dedup_rank",
+    "q155_stream_hybrid_serving",
+    "q156_semantic_scaffold_join",
+    # Rotation re-checks (already driver-green r1-r3) fill the
+    # remaining slots up to the 50-cap; anything past the cap is
+    # harmless (green history + local full sweep still covers it).
+    "q01_pricing_summary",
+    "q07_cheapest_per_store",
+    "q12_price_trend",
+    "q17_revenue_by_nation",
+    "q35_ngram_jaccard_pairs",
+    "q36_minhash_lsh_dedup",
+    "q40_ann_bruteforce",
+    "q46_ann_pandas_vectorized",
     "q50_stream_hourly_rollup",
     "q51_stream_dedup_replay",
+    "q63_decontamination",
+    "q72_ann_recall",
     "q74_stream_join_attribution",
-    "q83_stream_cagg_serving",
-    "q97_stream_cms_serving",
-    "q67_trigram_index_search",
-    "q76_interval_snapshot_join",
-    "q46_ann_pandas_vectorized",
-    "q79_cms_heavy_hitters",
-    "q80_group_quantiles",
-    "q81_bigram_collocations",
-    "q82_kmeans_refine",
-    "q84_event_funnel",
-    "q85_bpe_pair_counts",
-    "q86_context_chunks",
     "q87_sequence_packing",
-    "q88_filter_funnel",
-    "q89_bloom_prune_join",
-    "q90_ivf_coreset",
-    "q91_rank_propagation",
-    "q92_stratified_sample",
-    "q93_robust_outliers",
     "q94_bucketed_colocated_join",
-    "q95_sampled_quantile_error",
-    "q96_temperature_mixture",
-    "q98_data_quality_audit",
-    "q99_cohort_retention",
-    "q100_event_transitions",
-    "q101_novelty_curve",
-    "q102_price_histogram",
-    "q103_trigram_similarity_join",
-    "q104_copurchase_lift",
-    "q105_hopping_windows",
-    "q106_session_window_native",
-    "q107_neardup_triangles",
-    "q108_stream_session_windows",
-    "q109_pareto_frontier",
-    "q110_time_decayed_value",
     "q111_stream_stateful_sessions",
-    "q112_small_qty_revenue",
-    "q113_activity_streaks",
-    "q114_pq_quantization",
-    "q115_shingle_containment",
-    "q116_orders_in_flight",
-    "q117_new_vs_returning",
-    "q118_token_gini",
     "q119_minhash_accuracy",
     "q120_stream_dedup_gate",
-    "q121_threshold_sweep",
-    "q122_ship_lag_quantiles",
-    # NOTE: the priority list has now reached the driver's ~50-query
-    # cap; q123+ additions fall to next-round rotation (the local
-    # full-registry sweep remains the required gate for them).
-    "q123_token_lorenz_curve",
 )
 
 

@@ -225,12 +225,12 @@ _register(
 )(q111_stream_stateful_sessions)
 
 
-# ------- q137: transformWithStateInPandas (the Spark 4 state API)
+# ------- q146: transformWithStateInPandas (the Spark 4 state API)
 #
 # The NEW arbitrary-stateful-processing API (StatefulProcessor +
 # typed state handles over the RocksDB state store) that supersedes
 # applyInPandasWithState — both are kept as first-class checked
-# operators: q111 proves the legacy API, q137 the Spark-4 one, so a
+# operators: q111 proves the legacy API, q146 the Spark-4 one, so a
 # user migrating custom operators has a verified example of each.
 # Per-user running totals in a ValueState (n, sum of event ids —
 # exact integers, no float anywhere); update mode emits each key's
@@ -290,7 +290,7 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
-_ORACLE_Q137 = """
+_ORACLE_Q146 = """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(event_id) AS BIGINT) AS sum_event_id
@@ -300,7 +300,7 @@ ORDER BY user_id
 """
 
 
-def q137_stream_transform_with_state(spark, sf_dir: str) -> DataFrame:
+def q146_stream_transform_with_state(spark, sf_dir: str) -> DataFrame:
     import itertools
 
     from .windowed import _events_stream
@@ -312,7 +312,7 @@ def q137_stream_transform_with_state(spark, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     out = running_totals_stream(_events_stream(spark, sf_dir))
-    name = f"tws_totals_{next(_Q137_COUNTER)}"
+    name = f"tws_totals_{next(_Q146_COUNTER)}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -328,7 +328,7 @@ def q137_stream_transform_with_state(spark, sf_dir: str) -> DataFrame:
 
 import itertools as _it  # noqa: E402
 
-_Q137_COUNTER = _it.count()
+_Q146_COUNTER = _it.count()
 
 
 def _tws_available() -> bool:
@@ -338,7 +338,9 @@ def _tws_available() -> bool:
     registered query MUST run in the grading driver's session).
     tests/test_stateful.py carries the skipif-gated end-to-end
     check; on a protobuf-equipped cluster, flip the registration on
-    by calling register_q137()."""
+    by calling register_q146(). Registration is EXPLICIT-ONLY —
+    a protobuf-equipped environment must not silently change the
+    registry size (round-3 advisor finding)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -347,12 +349,12 @@ def _tws_available() -> bool:
         return False
 
 
-def register_q137() -> None:
+def register_q146() -> None:
     from ..registry import register
 
     register(
-        "q137_stream_transform_with_state",
-        oracle=_ORACLE_Q137,
+        "q146_stream_transform_with_state",
+        oracle=_ORACLE_Q146,
         doc="The Spark 4 transformWithStateInPandas API as a checked "
         "operator (typed ValueState over RocksDB, StatefulProcessor "
         "lifecycle): per-user exact-integer running totals, update "
@@ -360,8 +362,11 @@ def register_q137() -> None:
         "the global totals, hash-matched against batch SQL. The "
         "legacy applyInPandasWithState twin is q111.",
         tags=("streaming", "stateful", "tws"),
-    )(q137_stream_transform_with_state)
+    )(q146_stream_transform_with_state)
 
 
-if _tws_available():  # pragma: no cover - environment-dependent
-    register_q137()
+# NOTE: no import-time auto-registration — register_q146() is the
+# only way this query enters the registry, so load_all() yields the
+# same 143 queries on every environment, protobuf or not.
+# _tws_available() remains the gate for the e2e test in
+# tests/test_stateful.py.

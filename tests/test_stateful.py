@@ -61,12 +61,12 @@ def test_transform_with_state_totals_if_available(spark, sf_smoke):
 
     from data_pipeline_2025_spark.streaming.stateful import (
         _tws_available,
-        q137_stream_transform_with_state,
+        q146_stream_transform_with_state,
     )
 
     if not _tws_available():
         pytest.skip("google.protobuf not installed (container limitation)")
-    rows = q137_stream_transform_with_state(spark, sf_smoke).collect()
+    rows = q146_stream_transform_with_state(spark, sf_smoke).collect()
     import duckdb
 
     from data_pipeline_2025_spark.catalog import table_path

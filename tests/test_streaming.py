@@ -145,11 +145,21 @@ def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
     key = "spark.sql.legacy.parquet.nanosAsLong"
     tz = "spark.sql.session.timeZone"
     try:
+        from data_pipeline_2025_spark.streaming import ivf
+
         for fn in (
             windowed.q50_stream_hourly_rollup,
             windowed.q51_stream_dedup_replay,
             windowed.q74_stream_join_attribution,
             windowed.q108_stream_session_windows,
+            # round-4 rotation: the round-3 streaming tail now sits
+            # inside the driver's 50-cap, so these too must survive
+            # a bare (conf-less, non-UTC) driver session.
+            windowed.q134_stream_static_enrich,
+            windowed.q135_stream_dedup_watermarked,
+            windowed.q136_stream_chained_stateful,
+            windowed.q137_late_data_drops,
+            ivf.q126_stream_ivf_indexing,
         ):
             spark.conf.unset(key)
             # A bare session may also run in a non-UTC zone; the
