@@ -15,6 +15,17 @@ foreachBatch body becomes a single MERGE. The replay test in
 tests/test_ingest.py proves duplicate file delivery does not
 duplicate rows.
 
+The sink append is TRANSACTIONAL (streaming/txn.py): each
+micro-batch is staged invisibly and published by one atomic manifest
+swap, so a crash mid-batch leaves readers on the previous snapshot —
+old-or-new, never partial (the reference's Postgres transaction
+boundary, rabbitmq-to-postgres/app.py:158-176). Crucially, the
+idempotence anti-join reads the COMMITTED snapshot: orphaned files
+from a crashed batch are invisible to it, so the replayed batch
+re-appends those rows instead of being wrongly absorbed —
+partial-visibility data loss is structurally impossible
+(tests/test_ingest.py::test_silver_publish_crash_never_partial).
+
 The sink is PARTITIONED BY event date (ingest_date =
 date(price_update_date)) and the idempotence anti-join reads ONLY
 the partitions present in the micro-batch — the MERGE-shaped,
@@ -34,13 +45,25 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.bronze import explode_items, normalize_price_payload
 from ..sources.silver import dedupe_price_items, normalize_items
+from . import txn
 
 DEDUP_KEY = ["chain_id", "store_id", "item_code", "price_update_date", "raw_hash"]
 PARTITION_COL = "ingest_date"
 
 
+def read_silver(spark: SparkSession, sink_dir: str) -> DataFrame | None:
+    """The serving read of the silver sink: the committed snapshot
+    when the sink is transactional (crash orphans invisible), the
+    plain directory read for legacy/externally-written sinks."""
+    if txn.is_transactional(sink_dir):
+        return txn.read_committed(spark, sink_dir)
+    if os.path.exists(sink_dir):
+        return spark.read.parquet(sink_dir)
+    return None
+
+
 def scoped_existing_keys(
-    spark: SparkSession, sink_dir: str, touched_dates: list
+    existing: DataFrame, touched_dates: list
 ) -> DataFrame:
     """Existing-key frame restricted to the sink partitions a batch
     touches. The IN-list predicate on the partition column prunes at
@@ -52,7 +75,14 @@ def scoped_existing_keys(
     pred = F.col(PARTITION_COL).isin(dates) if dates else F.lit(False)
     if any(d is None for d in touched_dates):
         pred = pred | F.col(PARTITION_COL).isNull()
-    return spark.read.parquet(sink_dir).where(pred).select(*DEDUP_KEY)
+    return existing.where(pred).select(*DEDUP_KEY)
+
+
+def _publish_silver(sink_dir: str, new_files: list[str]) -> None:
+    """The commit point of a micro-batch — module-level so the
+    crash-injection test can fail HERE (after the data files moved
+    into place, before any reader can see them)."""
+    txn.commit_append(sink_dir, new_files)
 
 
 def start_price_ingest(
@@ -102,14 +132,15 @@ def start_price_ingest(
             .where(F.col("name").isNotNull())
             .distinct()
         )
-        if os.path.exists(sink_dir):
+        committed = read_silver(spark_, sink_dir)
+        if committed is not None:
             # One row per event date in the micro-batch — bounded by
             # the replay window, tiny driver-side list.
             touched = [
                 r[PARTITION_COL]
                 for r in batch.select(PARTITION_COL).distinct().collect()
             ]
-            existing = scoped_existing_keys(spark_, sink_dir, touched)
+            existing = scoped_existing_keys(committed, touched)
             # eqNullSafe: a NULL key column (e.g. malformed
             # PriceUpdateDate) must still match its replayed twin, or
             # every replay re-appends those rows.
@@ -118,7 +149,10 @@ def start_price_ingest(
                 c = batch[k].eqNullSafe(existing[k])
                 cond = c if cond is None else cond & c
             batch = batch.join(existing, cond, "left_anti")
-        batch.write.mode("append").partitionBy(PARTITION_COL).parquet(sink_dir)
+        # stage invisibly, then publish atomically — the transaction
+        # boundary (see module docstring).
+        new_files = txn.stage_append(batch, sink_dir, (PARTITION_COL,))
+        _publish_silver(sink_dir, new_files)
         if index_dir is not None:
             from ..operators.search import (
                 _manifest_path,

@@ -1,0 +1,162 @@
+"""Transactional append for partitioned parquet sinks — the
+reference's Postgres transaction analog, without Delta.
+
+The reference's consumer gets multi-write atomicity for free from
+Postgres (`BEGIN ... ON CONFLICT DO NOTHING ... COMMIT`,
+examples/rabbitmq-to-postgres/app.py:158-176): a crash mid-batch
+leaves NOTHING visible. A plain `df.write.mode("append")` parquet
+sink has no such boundary — Spark's job commit moves task files into
+the destination one by one, so a crash mid-commit leaves a SUBSET of
+the batch's files visible, and (worse for this pipeline) the ingest
+idempotence anti-join would then see those orphaned rows, absorb the
+replayed batch, and the missing rows would never land: partial
+visibility converts a transient crash into permanent data loss.
+
+Fix: a manifest commit log, the minimal slice of the Delta/Iceberg
+design that restores the transaction boundary on any filesystem with
+atomic rename:
+
+1. the micro-batch is written to a hidden staging dir
+   (``<sink>/_txn/staging-*`` — leading underscore, invisible to
+   Spark's partition discovery);
+2. its data files are MOVED into their partition directories under
+   collision-free names — still invisible, because committed readers
+   go through the manifest;
+3. one manifest file listing every committed data file is written
+   and published by an atomic symlink swap (``os.replace`` of a
+   symlink — the same primitive as artifacts.publish).
+
+Readers resolve the symlink once and read exactly that snapshot:
+old-or-new, never partial (snapshot isolation; superseded files are
+never deleted except by vacuum). A crash between (2) and (3) leaves
+orphaned data files that no manifest references — invisible to every
+reader, re-written by the replayed batch (the checkpoint re-delivers
+it), and reclaimed by :func:`vacuum`.
+
+Scale note (100 TB): the manifest is a full listing, O(total files)
+per commit — fine for a bounded replay window with periodic
+compaction, and exactly the point where a real deployment swaps this
+module for Delta/Iceberg (whose log + checkpoint files amortize the
+listing). The READ path is unchanged in spirit: ``option("basePath")``
+keeps hive partition columns, so partition pruning on ``ingest_date``
+still skips unlisted files.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+TXN_DIR = "_txn"
+LATEST = "LATEST"
+
+
+def _txn_dir(sink_dir: str) -> str:
+    return os.path.join(sink_dir, TXN_DIR)
+
+
+def _latest_path(sink_dir: str) -> str:
+    return os.path.join(_txn_dir(sink_dir), LATEST)
+
+
+def is_transactional(sink_dir: str) -> bool:
+    return os.path.lexists(_latest_path(sink_dir))
+
+
+def committed_files(sink_dir: str) -> list[str]:
+    """Relative paths of the data files in the current committed
+    snapshot (empty list for a sink with no commits yet). Resolves
+    the LATEST symlink once — concurrent publishes after this call
+    don't tear the listing (snapshot isolation)."""
+    latest = _latest_path(sink_dir)
+    if not os.path.lexists(latest):
+        return []
+    version_file = os.path.realpath(latest)
+    with open(version_file, encoding="utf-8") as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame | None:
+    """DataFrame over exactly the committed snapshot, or None when no
+    data has ever been committed. ``basePath`` recovers the hive
+    partition columns so downstream partition-column filters still
+    prune (they filter the file list, same as directory reads)."""
+    files = committed_files(sink_dir)
+    if not files:
+        return None
+    return (
+        spark.read.option("basePath", sink_dir)
+        .parquet(*[os.path.join(sink_dir, f) for f in files])
+    )
+
+
+def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) -> list[str]:
+    """Write ``df`` into the sink's partition layout WITHOUT making
+    it visible: parquet into a hidden staging dir, then rename each
+    data file into its partition directory under a collision-free
+    name. Returns the new files' sink-relative paths — pass them to
+    :func:`commit_append` to publish. A crash anywhere in here (or
+    before the commit) leaves only manifest-invisible garbage."""
+    os.makedirs(_txn_dir(sink_dir), exist_ok=True)
+    staging = os.path.join(_txn_dir(sink_dir), f"staging-{uuid.uuid4().hex[:12]}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    batch_tag = uuid.uuid4().hex[:12]
+    new_files: list[str] = []
+    for root, _dirs, files in os.walk(staging):
+        for fname in files:
+            if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            dest_dir = sink_dir if rel_dir == "." else os.path.join(sink_dir, rel_dir)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest_name = f"{batch_tag}-{fname}"
+            os.rename(os.path.join(root, fname), os.path.join(dest_dir, dest_name))
+            new_files.append(os.path.relpath(os.path.join(dest_dir, dest_name), sink_dir))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return sorted(new_files)
+
+
+def commit_append(sink_dir: str, new_files: list[str]) -> None:
+    """Publish a new snapshot = current snapshot + ``new_files`` via
+    one atomic symlink swap. Writers are serialized by the streaming
+    checkpoint (one micro-batch at a time), so read-modify-write of
+    the listing is safe here; a multi-writer deployment needs the
+    Delta/Iceberg log this module deliberately stops short of."""
+    txn = _txn_dir(sink_dir)
+    os.makedirs(txn, exist_ok=True)
+    listing = committed_files(sink_dir) + list(new_files)
+    version_file = os.path.join(txn, f"v-{uuid.uuid4().hex[:12]}.txt")
+    with open(version_file, "w", encoding="utf-8") as f:
+        f.write("\n".join(listing) + ("\n" if listing else ""))
+    tmp_link = version_file + ".lnk"
+    os.symlink(version_file, tmp_link)
+    os.replace(tmp_link, _latest_path(sink_dir))  # atomic publish
+
+
+def vacuum(sink_dir: str) -> list[str]:
+    """Delete data files no manifest-committed snapshot references —
+    the garbage a crash between stage and commit leaves behind.
+    Returns the removed relative paths. Safe while readers run ONLY
+    for crash orphans (nothing can hold a handle to a file that was
+    never published); a deployment that also retires superseded
+    snapshots needs a retention window, i.e. Delta's VACUUM."""
+    committed = set(committed_files(sink_dir))
+    removed: list[str] = []
+    for root, dirs, files in os.walk(sink_dir):
+        # never descend into the txn/staging machinery
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), sink_dir)
+            if rel not in committed:
+                os.remove(os.path.join(root, fname))
+                removed.append(rel)
+    return sorted(removed)

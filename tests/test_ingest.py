@@ -207,16 +207,17 @@ def test_upsert_reads_only_touched_partitions(spark, tmp_path):
     )
     df.write.mode("append").partitionBy("ingest_date").parquet(sink)
 
-    scoped = scoped_existing_keys(spark, sink, [datetime.date(2025, 8, 21)])
+    existing = spark.read.parquet(sink)
+    scoped = scoped_existing_keys(existing, [datetime.date(2025, 8, 21)])
     assert scoped.count() == 10  # one of three date partitions
     plan = scoped._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "ingest_date" in plan.split("PartitionFilters")[1].split("]")[0]
 
     # null event date → only the null partition (plus nothing else)
-    assert scoped_existing_keys(spark, sink, [None]).count() == 0
+    assert scoped_existing_keys(existing, [None]).count() == 0
     both = scoped_existing_keys(
-        spark, sink, [None, datetime.date(2025, 8, 20)]
+        existing, [None, datetime.date(2025, 8, 20)]
     )
     assert both.count() == 10
 
@@ -240,6 +241,104 @@ def test_streaming_ingest_replay_effectively_once(spark, price_dir, tmp_path):
     q2.awaitTermination()
     after = spark.read.parquet(sink).count()
     assert after == first  # content-key anti-join absorbed the replay
+
+
+def test_silver_publish_crash_never_partial(spark, price_dir, tmp_path, monkeypatch):
+    """The silver sink's transaction boundary (streaming/txn.py): a
+    crash between the data-file moves and the manifest publish must
+    leave readers on the PREVIOUS snapshot — old-or-new, never
+    partial — and the checkpointed replay must converge to exactly
+    the clean-run content, with vacuum reclaiming the orphans. This
+    is the reference's Postgres BEGIN/COMMIT semantics
+    (rabbitmq-to-postgres/app.py:158-176) without Delta."""
+    import glob
+
+    from data_pipeline_2025_spark.streaming import ingest, txn
+    from data_pipeline_2025_spark.streaming.ingest import (
+        read_silver,
+        start_price_ingest,
+    )
+
+    sink = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    # ---- batch 1 commits cleanly: the "old" snapshot
+    start_price_ingest(spark, price_dir, sink, ckpt).awaitTermination()
+    old = read_silver(spark, sink)
+    assert old is not None and old.count() == 4
+    old_rows = {tuple(r) for r in old.select(*ingest.DEDUP_KEY).collect()}
+    files_after_b1 = set(txn.committed_files(sink))
+    assert files_after_b1  # transactional from the first commit
+
+    # ---- batch 2 CRASHES at the commit point (files moved, manifest
+    # not yet swapped)
+    import shutil
+
+    shutil.copy(f"{price_dir}/f2.json", f"{price_dir}/f3_new_content.json")
+    # make it genuinely new content, not a replay twin
+    txt = open(f"{price_dir}/f3_new_content.json").read().replace('"400"', '"500"')
+    open(f"{price_dir}/f3_new_content.json", "w").write(txt)
+
+    real_publish = ingest._publish_silver
+
+    def boom(sink_dir, new_files):
+        raise RuntimeError("injected crash before manifest publish")
+
+    monkeypatch.setattr(ingest, "_publish_silver", boom)
+    q = start_price_ingest(spark, price_dir, sink, ckpt)
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream should have failed")
+    except Exception as exc:  # StreamingQueryException wraps the injection
+        assert "injected crash" in str(exc)
+
+    # orphaned data files exist on disk, but every reader going
+    # through the committed snapshot still sees exactly the old rows
+    on_disk = {
+        f
+        for f in glob.glob(f"{sink}/**/*.parquet", recursive=True)
+        if "/_txn/" not in f
+    }
+    assert len(on_disk) > len(files_after_b1)  # partial write happened...
+    mid = read_silver(spark, sink)
+    assert {tuple(r) for r in mid.select(*ingest.DEDUP_KEY).collect()} == old_rows
+    assert set(txn.committed_files(sink)) == files_after_b1  # ...but invisible
+
+    # ---- retry with the SAME checkpoint: replay re-appends and
+    # commits; content equals a clean one-shot run
+    monkeypatch.setattr(ingest, "_publish_silver", real_publish)
+    start_price_ingest(spark, price_dir, sink, ckpt).awaitTermination()
+    final = read_silver(spark, sink)
+    assert final.count() == 5  # 4 old + the genuinely-new item
+
+    clean_sink = str(tmp_path / "silver_clean")
+    start_price_ingest(
+        spark, price_dir, clean_sink, str(tmp_path / "ckpt_clean")
+    ).awaitTermination()
+    clean = read_silver(spark, clean_sink)
+    key_cols = ingest.DEDUP_KEY
+    assert {tuple(r) for r in final.select(*key_cols).collect()} == {
+        tuple(r) for r in clean.select(*key_cols).collect()
+    }
+
+    # ---- vacuum reclaims exactly the crash orphans; committed
+    # content is untouched and disk now holds only committed files
+    removed = txn.vacuum(sink)
+    assert removed  # the orphans from the crashed batch
+    still = read_silver(spark, sink)
+    assert {tuple(r) for r in still.select(*key_cols).collect()} == {
+        tuple(r) for r in clean.select(*key_cols).collect()
+    }
+    on_disk_after = {
+        f
+        for f in glob.glob(f"{sink}/**/*.parquet", recursive=True)
+        if "/_txn/" not in f
+    }
+    import os as _os
+
+    assert on_disk_after == {
+        _os.path.join(sink, rel) for rel in txn.committed_files(sink)
+    }
 
 
 def test_ingest_maintains_trigram_index(spark, price_dir, tmp_path):
@@ -331,3 +430,7 @@ def test_index_update_crash_between_writes(spark, tmp_path):
     ]
     postings = spark.read.parquet(idx)
     assert postings.count() == postings.dropDuplicates(["name", "tg"]).count()
+    # steady state: after crash-retry + compaction the index is
+    # byte-for-byte the same SIZE as one built cleanly in one shot —
+    # retries add zero permanent garbage.
+    assert postings.count() == spark.read.parquet(clean).count()
