@@ -401,3 +401,84 @@ def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+# ---------------- q151: length-bucketed batching (padding overhead)
+#
+# The pad-vs-pack decision, quantified: dynamic-batching trainers
+# that DON'T pack (q87) group sequences into power-of-two length
+# buckets and pad each sequence to its bucket edge. This query
+# reports, per bucket, how many tokens that padding wastes — the
+# number you compare against q87's packing efficiency to choose a
+# batching strategy. Bucket edges are a fixed literal ladder (16 ..
+# 1024, clamp above) written as the same CASE cascade in both
+# engines — no log2()/float anywhere, so the bucketing is exact.
+# Scale shape: one map-side-combinable groupBy on a tiny key domain
+# (<= 8 buckets); the scan is the only full pass.
+BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} <= {e} THEN {e}" for e in BUCKET_EDGES
+    )
+    return f"CASE {cases} ELSE {BUCKET_EDGES[-1]} END"
+
+
+_ORACLE_Q151 = f"""
+WITH d AS (
+    SELECT CAST(len({TOKENS_SQL}) AS BIGINT) AS n FROM documents
+),
+b AS (
+    SELECT CAST({_bucket_sql('n')} AS BIGINT) AS bucket, n
+    FROM d WHERE n > 0
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT)      AS docs,
+       CAST(MAX(n) AS BIGINT)        AS max_len,
+       CAST(SUM(n) AS BIGINT)        AS sum_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(((COUNT(*) * bucket - SUM(n)) * 1000000)
+            // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q151_length_bucketing",
+    oracle=_ORACLE_Q151,
+    doc="Length-bucketed batching audit: documents grouped into "
+    "power-of-two token-length buckets (exact CASE ladder, no "
+    "floats), per-bucket padded-token waste in ppm — the padding "
+    "cost you weigh against q87's packing efficiency when choosing "
+    "a training batching strategy.",
+    tags=("sequences", "training-prep", "histogram"),
+)
+def q151_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        F.size(tokens_col()).cast("bigint").alias("n")
+    ).where(F.col("n") > 0)
+    b = d.select(F.expr(_bucket_sql("n")).cast("bigint").alias("bucket"), "n")
+    padded = F.count(F.lit(1)) * F.col("bucket")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.max("n").alias("max_len"),
+            F.sum("n").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "docs",
+            "max_len",
+            "sum_tokens",
+            (F.col("docs") * F.col("bucket")).alias("padded_tokens"),
+            F.expr(
+                "((docs * bucket - sum_tokens) * 1000000) div (docs * bucket)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -809,3 +809,130 @@ def q130_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------- q152: tombstone purge (deletion propagation)
+#
+# The right-to-be-forgotten / takedown sweep every production corpus
+# needs: given a delete list of doc_ids, purge the document AND every
+# derived artifact keyed by it — embeddings and context chunks here —
+# and report per-table before/tombstoned/after counts (the audit
+# artifact a deletion request requires). The delete list is a
+# deterministic stand-in (docs whose md5(text) starts with hex '0',
+# ~1/16 of the corpus) so the sweep is oracle-checkable.
+#
+# Scale shape: the delete list is tiny relative to the corpus →
+# broadcast left-anti joins against each table (no shuffle of the
+# big side); chunk counts come from q86's closed-form windows-per-doc
+# arithmetic, not a materialized chunk table, so the audit itself is
+# three scans + one 3-row union. With Delta this becomes DELETE WHERE
+# + VACUUM; the txn.py manifest gives the same old-or-new visibility
+# here.
+_Q152_DELETES = "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%'"
+
+_ORACLE_Q152 = f"""
+WITH del AS ({_Q152_DELETES}),
+docs AS (
+    SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0
+                WHEN n <= 64 THEN 1
+                ELSE 1 + CAST(ceil((n - 64) / 32.0) AS BIGINT) END AS n_chunks
+    FROM docs
+),
+t AS (
+    SELECT 'documents' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM del))
+                AS BIGINT) AS tombstoned
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE vec_id IN (SELECT doc_id FROM del))
+                AS BIGINT)
+    FROM embeddings
+    UNION ALL
+    SELECT 'chunks',
+           CAST(SUM(n_chunks) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM del)
+                         THEN n_chunks ELSE 0 END) AS BIGINT)
+    FROM chunks
+)
+SELECT table_name, rows_before, tombstoned,
+       rows_before - tombstoned AS rows_after
+FROM t
+ORDER BY table_name
+"""
+
+
+@register(
+    "q152_tombstone_purge",
+    oracle=_ORACLE_Q152,
+    doc="Deletion-propagation audit (right-to-be-forgotten): a "
+    "broadcast delete list swept across documents, embeddings, and "
+    "the derived chunk counts via left-anti/semi joins; per-table "
+    "before/tombstoned/after — the compliance artifact. Delta's "
+    "DELETE WHERE analog over the txn.py manifest sink.",
+    tags=("curation", "compliance", "anti-join"),
+)
+def q152_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .chunking import CHUNK_SIZE, CHUNK_STRIDE
+
+    cat = Catalog(spark, sf_dir)
+    deletes = (
+        cat.documents.where(F.md5("text").like("0%"))
+        .select("doc_id")
+    )
+    n = F.size(tokens_col()).cast("bigint")
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= CHUNK_SIZE, F.lit(1))
+        .otherwise(
+            1 + F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast("bigint")
+        )
+    )
+    docs = cat.documents.select("doc_id", n_chunks.alias("n_chunks"))
+
+    def audit(df: DataFrame, key: str, weight, name: str) -> DataFrame:
+        marked = df.join(
+            F.broadcast(deletes.withColumn("is_del", F.lit(True))),
+            df[key] == deletes["doc_id"],
+            "left",
+        )
+        return marked.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(weight).cast("bigint").alias("rows_before"),
+            F.sum(F.when(F.col("is_del"), weight).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tombstoned"),
+        )
+
+    one = F.lit(1)
+    out = (
+        audit(docs.select(F.col("doc_id").alias("k")), "k", one, "documents")
+        .unionByName(
+            audit(
+                cat.embeddings.select(F.col("vec_id").alias("k")),
+                "k",
+                one,
+                "embeddings",
+            )
+        )
+        .unionByName(
+            audit(
+                docs.select(F.col("doc_id").alias("k"), "n_chunks"),
+                "k",
+                F.col("n_chunks"),
+                "chunks",
+            )
+        )
+    )
+    return out.select(
+        "table_name",
+        "rows_before",
+        "tombstoned",
+        (F.col("rows_before") - F.col("tombstoned")).alias("rows_after"),
+    ).orderBy("table_name")

@@ -910,3 +910,188 @@ def q114_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = best if total is None else total + best
     cols.append(total.cast("bigint").alias("recon_err"))
     return rows.select(*cols).orderBy("vec_id")
+
+
+# --------------------- q147: multi-probe IVF recall/cost curve ----
+#
+# Production ANN raises recall not by adding centroids but by probing
+# the nprobe NEAREST buckets per query instead of one (FAISS's nprobe
+# knob; q72 is the nprobe=1 point of this curve). One frame reports
+# recall@k AND candidate count per (query, nprobe) for nprobe in
+# {1,2,4} — the recall/cost trade-off you tune against at 100 TB,
+# where each probed bucket is ~1/K of the corpus.
+#
+# Scale shape: queries x centroids is a broadcast cross of two tiny
+# frames (Q x K rows); candidates come from an equi-join of that
+# probe list against the bucket assignment on centroid_id — never an
+# all-pairs scan. The three nprobe levels share ONE candidate pass:
+# each candidate carries the probe rank of its bucket, and a
+# broadcast 3-row level frame replicates it only into the levels
+# that include it (bucket_rank <= nprobe).
+NPROBES = (1, 2, 4)
+
+_NPROBE_SQL = ", ".join(f"({p})" for p in NPROBES)
+
+_ORACLE_Q147 = f"""
+WITH {_IVF_CTE},
+q AS (SELECT vec_id, v, n2 FROM n WHERE vec_id IN ({_QIDS_SQL})),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v)
+                                  / (sqrt(q.n2) * sqrt(c.n2)), 6) DESC,
+                            c.vec_id
+               ) AS rn
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+),
+qrank AS (
+    SELECT query_id, centroid_id, brank FROM (
+        SELECT q.vec_id AS query_id, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id ORDER BY
+                   round(q.n2 + cent.cn2 - 2 * list_dot_product(q.v, cent.cv), 6),
+                   cent.centroid_id
+               ) AS brank
+        FROM q CROSS JOIN cent
+    ) WHERE brank <= {max(NPROBES)}
+),
+cand AS (
+    SELECT qr.query_id, a.vec_id AS neighbor_id, qr.brank,
+           round(list_dot_product(nq.v, nc.v)
+                 / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos_r
+    FROM qrank qr
+    JOIN assign a ON a.centroid_id = qr.centroid_id
+                 AND a.vec_id <> qr.query_id
+    JOIN n nq ON nq.vec_id = qr.query_id
+    JOIN n nc ON nc.vec_id = a.vec_id
+),
+lev AS (SELECT * FROM (VALUES {_NPROBE_SQL}) AS t(nprobe)),
+probe AS (
+    SELECT c.query_id, l.nprobe, c.neighbor_id, c.cos_r
+    FROM cand c JOIN lev l ON c.brank <= l.nprobe
+),
+ivf AS (
+    SELECT query_id, nprobe, neighbor_id FROM (
+        SELECT query_id, nprobe, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id, nprobe
+                   ORDER BY cos_r DESC, neighbor_id
+               ) AS rn
+        FROM probe
+    ) WHERE rn <= {TOP_K}
+),
+scanned AS (
+    SELECT query_id, nprobe, COUNT(*) AS scanned
+    FROM probe GROUP BY query_id, nprobe
+)
+SELECT e.query_id,
+       CAST(s.nprobe AS BIGINT)                       AS nprobe,
+       s.scanned,
+       CAST(COUNT(i.neighbor_id) AS BIGINT)           AS hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM exact e
+JOIN scanned s ON s.query_id = e.query_id
+LEFT JOIN ivf i ON i.query_id = e.query_id
+               AND i.nprobe = s.nprobe
+               AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id, s.nprobe, s.scanned
+ORDER BY e.query_id, nprobe
+"""
+
+
+@register(
+    "q147_ivf_multiprobe_recall",
+    oracle=_ORACLE_Q147,
+    doc="Multi-probe IVF recall/cost curve: recall@k and candidates "
+    "scanned per (query, nprobe) for nprobe in {1,2,4} — one shared "
+    "candidate pass (each candidate tagged with its bucket's probe "
+    "rank, replicated into levels by a broadcast 3-row join). q72 "
+    "is this curve's nprobe=1 point.",
+    tags=("similarity", "ann", "ivf", "eval"),
+)
+def q147_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q40_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    n = _vec_norms(spark, sf_dir)
+    cent = n.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    q = n.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    d2 = F.round(
+        F.col("qn2") + F.col("cn2") - 2 * _dot(F.col("qv"), F.col("cv")), 6
+    )
+    wb = Window.partitionBy("query_id").orderBy("d2_r", "centroid_id")
+    qrank = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d2_r", d2)
+        .withColumn("brank", F.row_number().over(wb))
+        .where(F.col("brank") <= max(NPROBES))
+        .select("query_id", "centroid_id", "brank", "qv", "qn2")
+    )
+    assign = _ivf_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id"),
+    )
+    nc = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("n2").alias("cn22"),
+    )
+    cand = (
+        F.broadcast(qrank)
+        .join(assign, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "brank",
+            F.round(
+                _dot(F.col("qv"), F.col("cv2"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn22"))),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    lev = spark.createDataFrame([(p,) for p in NPROBES], "nprobe INT")
+    probe = cand.join(
+        F.broadcast(lev), F.col("brank") <= F.col("nprobe")
+    ).select("query_id", "nprobe", "neighbor_id", "cos_r")
+    wk = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.col("cos_r").desc(), "neighbor_id"
+    )
+    ivf = (
+        probe.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "nprobe", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    scanned = probe.groupBy("query_id", "nprobe").agg(
+        F.count(F.lit(1)).alias("scanned")
+    )
+    return (
+        exact.join(F.broadcast(scanned), "query_id")
+        .join(ivf, ["query_id", "nprobe", "neighbor_id"], "left")
+        .groupBy("query_id", "nprobe", "scanned")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+        .select(
+            "query_id",
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            "scanned",
+            "hits",
+            "recall_at_k",
+        )
+        .orderBy("query_id", "nprobe")
+    )

@@ -667,3 +667,272 @@ def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------- q148: vocabulary growth curve (Heaps' law)
+#
+# Tokenizer planning at corpus scale: how fast does NEW vocabulary
+# appear as the corpus grows? The classic curve (Heaps' law) needs a
+# running distinct count over an ordered corpus — quadratic if done
+# naively. The scalable reformulation: bucket the corpus into ten
+# ordered deciles by doc_id, tag every token with the FIRST decile it
+# appears in (one min-aggregate per token), and the vocabulary at
+# decile k is then just the cumulative count of tokens with
+# first_decile <= k — ONE combinable groupBy over tokens plus
+# windows over a 10-row frame. No quadratic self-join, no state.
+# All-integer output, bit-identical across engines.
+_ORACLE_Q148 = f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+d AS (
+    SELECT doc_id,
+           CAST(doc_id * 10 // nn.n AS BIGINT) AS decile,
+           {TOKENS_SQL} AS toks
+    FROM documents, nn
+),
+tok AS (
+    SELECT t.tok, MIN(d.decile) AS first_dec
+    FROM d, unnest(d.toks) AS t(tok)
+    GROUP BY t.tok
+),
+vg AS (
+    SELECT first_dec AS decile, COUNT(*) AS new_tokens
+    FROM tok GROUP BY first_dec
+),
+ds AS (
+    SELECT decile, COUNT(*) AS docs, SUM(len(toks)) AS toks
+    FROM d GROUP BY decile
+)
+SELECT ds.decile,
+       CAST(ds.docs AS BIGINT)  AS docs,
+       CAST(SUM(ds.toks) OVER w AS BIGINT)               AS cum_tokens,
+       CAST(COALESCE(vg.new_tokens, 0) AS BIGINT)        AS new_vocab,
+       CAST(SUM(COALESCE(vg.new_tokens, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM ds LEFT JOIN vg USING (decile)
+WINDOW w AS (ORDER BY ds.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY ds.decile
+"""
+
+
+@register(
+    "q148_vocab_growth",
+    oracle=_ORACLE_Q148,
+    doc="Heaps'-law vocabulary growth over ordered corpus deciles: "
+    "running distinct-vocabulary count WITHOUT a quadratic prefix "
+    "join — each token is tagged with the first decile it appears "
+    "in (one min-aggregate), so cumulative vocabulary is a window "
+    "over a 10-row frame. Exact integers end to end.",
+    tags=("text", "profiling", "tokenizer"),
+)
+def q148_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    n = cat.documents.agg(F.count(F.lit(1)).alias("n"))
+    d = (
+        cat.documents.crossJoin(F.broadcast(n))
+        .select(
+            (F.col("doc_id") * 10 / F.col("n"))
+            .cast("bigint")
+            .alias("decile"),
+            tokens_col().alias("toks"),
+        )
+    )
+    tok_first = (
+        d.select("decile", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    ds = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum(F.size("toks")).alias("toks")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ds.join(tok_first, "decile", "left")
+        .select(
+            "decile",
+            "docs",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ------------- q150: hybrid retrieval — BM25 recall + dense rerank
+#
+# The standard two-stage RAG serving stack as one query: the exact
+# integer BM25 (q125's scoring) proposes a lexical candidate set
+# (top-50 docs containing at least one query term), and a dense
+# cosine against a query embedding reranks it (the fusion step a
+# vector DB + keyword index deployment runs per request). Everything
+# stays engine-exact: BM25 is q125's all-integer rational form, the
+# cosine uses integer-quantized vectors (floor(x*1e6), the q44/q46
+# trick) with floor-to-ppm quantization — floor(), not CAST, because
+# Spark truncates double->bigint while DuckDB rounds.
+#
+# Scale shape: BM25 stats are ONE global aggregate broadcast back;
+# the candidate set is a partial top-k (TakeOrderedAndProject), and
+# the embedding join is a 50-row broadcast against the embeddings
+# scan — the full corpus is never ranked densely, which is the whole
+# point of the hybrid design at 100 TB.
+Q150_QUERY_VEC = 0  # the query embedding: vec_id 0 (deterministic)
+Q150_CANDIDATES = 50
+Q150_TOP = 20
+
+_BM25_CTE = f"""
+d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+m AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS L,
+           {", ".join(f"CAST({sql} AS BIGINT) AS tf_{t}" for t, sql in _Q125_TERMS_SQL.items())}
+    FROM d
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(L) AS BIGINT) AS T,
+           {", ".join(f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in BM25_TERMS)}
+    FROM m
+),
+s AS (
+    SELECT m.doc_id,
+           {" + ".join(
+               f"(CASE WHEN m.tf_{t} > 0 THEN "
+               f"((2*g.N - 2*g.df_{t} + 1) * 44 * g.T * m.tf_{t} * 1000000) // "
+               f"((2*g.df_{t} + 1) * (20*g.T*m.tf_{t} + 6*g.T + 18*m.L*g.N)) "
+               f"ELSE 0 END)" for t in BM25_TERMS)} AS score_ppm
+    FROM m CROSS JOIN g
+)"""
+
+_ORACLE_Q150 = f"""
+WITH {_BM25_CTE},
+cand AS (
+    SELECT doc_id, CAST(score_ppm AS BIGINT) AS bm25_ppm
+    FROM s WHERE score_ppm > 0
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {Q150_CANDIDATES}
+),
+mv AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM mv),
+q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = {Q150_QUERY_VEC}),
+rer AS (
+    SELECT c.doc_id, c.bm25_ppm,
+           CAST(floor(round(list_dot_product(q.qv, n.v)
+                            / (sqrt(q.qn2) * sqrt(n.n2)), 6) * 1000000)
+                AS BIGINT) AS cos_ppm
+    FROM cand c
+    JOIN n ON n.vec_id = c.doc_id
+    CROSS JOIN q
+)
+SELECT doc_id, bm25_ppm, cos_ppm,
+       bm25_ppm + cos_ppm AS hybrid_ppm,
+       CAST(row_number() OVER (
+           ORDER BY bm25_ppm + cos_ppm DESC, doc_id
+       ) AS BIGINT) AS rank
+FROM rer
+ORDER BY rank
+LIMIT {Q150_TOP}
+"""
+
+
+@register(
+    "q150_hybrid_bm25_cosine",
+    oracle=_ORACLE_Q150,
+    doc="Hybrid retrieval: exact-integer BM25 proposes a top-50 "
+    "lexical candidate set (partial top-k, no full sort), a dense "
+    "cosine against a query embedding reranks it (50-row broadcast "
+    "join against the embeddings scan). The sparse-recall + "
+    "dense-precision fusion every production RAG stack serves.",
+    tags=("text", "retrieval", "hybrid", "ann"),
+)
+def q150_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+
+    def tf_of(t: str) -> Column:
+        def eq(x: Column) -> Column:
+            return x == F.lit(t)
+
+        return F.size(F.filter(toks, eq)).cast("bigint").alias(f"tf_{t}")
+
+    m = cat.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("L"),
+        *[tf_of(t) for t in BM25_TERMS],
+    )
+    g = m.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("L").alias("T"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = m.crossJoin(F.broadcast(g))
+    term_ppm = [
+        F.when(
+            F.col(f"tf_{t}") > 0,
+            F.expr(
+                f"((2*N - 2*df_{t} + 1) * 44 * T * tf_{t} * 1000000) div "
+                f"((2*df_{t} + 1) * (20*T*tf_{t} + 6*T + 18*L*N))"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for t in BM25_TERMS
+    ]
+    total = term_ppm[0]
+    for p in term_ppm[1:]:
+        total = total + p
+    cand = (
+        scored.select("doc_id", total.cast("bigint").alias("bm25_ppm"))
+        .where(F.col("bm25_ppm") > 0)
+        .orderBy(F.col("bm25_ppm").desc(), "doc_id")
+        .limit(Q150_CANDIDATES)
+    )
+    mv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("bigint"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n = cat.embeddings.select(F.col("vec_id").alias("doc_id"), mv.alias("v"))
+    n = n.withColumn("n2", dot(F.col("v"), F.col("v")))
+    q = n.where(F.col("doc_id") == Q150_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    rer = (
+        F.broadcast(cand)
+        .join(n, "doc_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "bm25_ppm",
+            F.floor(
+                F.round(
+                    dot(F.col("qv"), F.col("v"))
+                    / (F.sqrt("qn2") * F.sqrt("n2")),
+                    6,
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    w = Window.orderBy((F.col("bm25_ppm") + F.col("cos_ppm")).desc(), "doc_id")
+    return (
+        rer.select(
+            "doc_id",
+            "bm25_ppm",
+            "cos_ppm",
+            (F.col("bm25_ppm") + F.col("cos_ppm")).alias("hybrid_ppm"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(Q150_TOP)
+    )

@@ -44,14 +44,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (= registration) order with a cap of 50 (observed rounds 1–2).
 # The full registry is still hash-checked locally every round via
 # tests/drive_driver.py (required gate — see COVERAGE.md), so the
-# ordering below only decides which rows the DRIVER re-verifies:
-# round 3 front-loads (a) the q50/q51/q74 nanos-conf fix
-# (streaming.windowed), (b) the two never-driver-checked queries
-# q67 (search) and q76 (temporal), and (c) the round-3 queries up
-# to the cap (q79-q122 fit; the cap filled there, so q123-q145 —
-# all equally new and locally hash-verified at both tiers — wait
-# for next round's rotation); everything else is already
-# driver-green in r1 or r2.
+# ordering below only decides which rows the DRIVER re-verifies.
+# Round 4: the _PRIORITY list front-loads (a) the 22 round-3 tail
+# queries q123-q145 that registered past the cap last round, and
+# (b) the six new round-4 queries q147-q152 — completing official
+# driver verification of the entire registry; everything else is
+# already driver-green in r1-r3 and fills the remaining slots as
+# rotation re-checks.
 # tests/test_correctness.py::test_priority_queries_inside_driver_cap
 # asserts the must-check set sits inside the first 50.
 _OPERATOR_MODULES = (
@@ -142,15 +141,11 @@ _PRIORITY = (
     "q145_kmv_join_cardinality",
     # NEW round-4 queries (never driver-checked) — keep inside cap:
     "q147_ivf_multiprobe_recall",
-    "q148_simhash_hamming_join",
-    "q149_url_dedup_canonical",
-    "q150_repetition_quality",
-    "q151_doc_language_id",
-    "q152_cdc_scd2_merge",
-    "q153_topic_tfidf_sample",
-    "q154_window_dedup_rank",
-    "q155_stream_hybrid_serving",
-    "q156_semantic_scaffold_join",
+    "q148_vocab_growth",
+    "q149_stream_outer_join",
+    "q150_hybrid_bm25_cosine",
+    "q151_length_bucketing",
+    "q152_tombstone_purge",
     # Rotation re-checks (already driver-green r1-r3) fill the
     # remaining slots up to the 50-cap; anything past the cap is
     # harmless (green history + local full sweep still covers it).

@@ -560,3 +560,116 @@ def q137_late_data_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+# ---------- q149: watermarked stream-stream LEFT OUTER join --------
+#
+# q74 proves the inner attribution join; the OUTER variant is its own
+# semantics: signups with no purchase inside the 1-hour window must
+# still emit — with NULL purchase columns — but only once the
+# watermark proves no match can arrive (state eviction). Under
+# AvailableNow the data batch is followed by no-data micro-batches
+# (the q136 mechanism), so the final watermark is
+# min(max signup_ts, max purchase_ts) - delay, and exactly the
+# unmatched signups whose 1-hour match window closed below it emit
+# null rows; younger unmatched signups are withheld in state. The
+# oracle mirrors that emission rule EXACTLY, so the withholding is a
+# checked semantic — the same contract discipline as q136/q137.
+_ORACLE_Q149 = """
+WITH wm AS (
+    SELECT LEAST(
+               MAX(ts) FILTER (WHERE event_type = 'signup'),
+               MAX(ts) FILTER (WHERE event_type = 'purchase')
+           ) - INTERVAL 2 HOUR AS w
+    FROM events
+),
+s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+matched AS (
+    SELECT s.user_id, s.event_id AS signup_event,
+           p.event_id AS purchase_event,
+           CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS gap_us
+    FROM s JOIN p
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+),
+expired_unmatched AS (
+    SELECT s.user_id, s.event_id AS signup_event,
+           CAST(NULL AS BIGINT) AS purchase_event,
+           CAST(NULL AS BIGINT) AS gap_us
+    FROM s CROSS JOIN wm
+    WHERE s.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = s.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+      )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM expired_unmatched
+ORDER BY user_id, signup_event, purchase_event
+"""
+
+
+@register(
+    "q149_stream_outer_join",
+    oracle=_ORACLE_Q149,
+    doc="Watermarked stream-stream LEFT OUTER join: signups left-"
+    "joined to purchases within 1 hour; unmatched signups emit "
+    "NULL-purchase rows only after the watermark closes their match "
+    "window (state eviction via no-data micro-batches under "
+    "AvailableNow). The oracle reproduces the emission cutoff "
+    "min(max ts per side) - delay, so the withheld tail is a "
+    "checked semantic. q74 is the inner twin.",
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def q149_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signups = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("su"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("su") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    name = f"stream_outer_{next(_COUNTER)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("su").alias("user_id"),
+            "signup_event",
+            "purchase_event",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+            ).alias("gap_us"),
+        )
+        .orderBy("user_id", "signup_event", "purchase_event")
+    )
