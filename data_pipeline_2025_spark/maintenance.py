@@ -51,8 +51,14 @@ def _partition_dirs(table_dir: str) -> list[str]:
 def _scratch_dirs(part_dir: str) -> tuple[str, str]:
     """Staging/trash dir names for a partition, prefixed with "_" so
     Spark partition discovery ignores them even if a crash between
-    the swap renames and the rmtree leaves them behind."""
+    the swap renames and the rmtree leaves them behind. The "=" is
+    encoded out of the name: Spark's hidden-path filter does NOT
+    protect a name like ``_tmp.day=x`` — the "=" makes partition
+    inference read it as a partition column named ``_tmp.day`` and
+    fail with CONFLICTING_PARTITION_COLUMN_NAMES (verified by
+    tests/test_streaming.py::test_compaction_crash_leftovers_...)."""
     parent, base = os.path.split(part_dir)
+    base = base.replace("=", "~")
     return (
         os.path.join(parent, "_compact_tmp." + base),
         os.path.join(parent, "_compact_trash." + base),

@@ -1078,7 +1078,7 @@ def q147_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.join(F.broadcast(scanned), "query_id")
-        .join(ivf, ["query_id", "nprobe", "neighbor_id"], "left")
+        .join(F.broadcast(ivf), ["query_id", "nprobe", "neighbor_id"], "left")
         .groupBy("query_id", "nprobe", "scanned")
         .agg(
             F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),

@@ -510,3 +510,53 @@ def test_dataset_card_no_rescan_per_metric(spark, sf_smoke):
     plan = plan_of(spark, "q130_dataset_card", sf_smoke, mode="simple")
     assert "InMemoryTableScan" in plan  # shared signature frames
     assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_shares_one_candidate_pass(spark, sf_smoke):
+    """q147: the three nprobe levels must reuse ONE candidate join —
+    a broadcast equi-join on centroid_id plus a broadcast 3-row
+    level replication; never a sort-merge join or a real cartesian
+    over the corpus."""
+    plan = plan_of(spark, "q147_ivf_multiprobe_recall", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_two_combinable_aggs(spark, sf_smoke):
+    """q148: Heaps' curve must be aggregation-only — the per-token
+    min-decile and the per-decile stats, both with map-side partial
+    aggregation; the only join is the 10-row decile merge."""
+    plan = plan_of(spark, "q148_vocab_growth", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_hybrid_rerank_topk_then_broadcast(spark, sf_smoke):
+    """q150: BM25 candidates must come from a parallel partial top-k
+    (TakeOrderedAndProject), and the dense rerank must join that
+    50-row side to embeddings by broadcast — the full corpus is
+    never densely ranked."""
+    plan = plan_of(spark, "q150_hybrid_bm25_cosine", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_bucketing_joinless(spark, sf_smoke):
+    """q151: the padding audit is one combinable groupBy over a CASE
+    ladder — no join anywhere."""
+    plan = plan_of(spark, "q151_length_bucketing", sf_smoke)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tombstone_purge_broadcasts_delete_list(spark, sf_smoke):
+    """q152: every sweep join must broadcast the small delete list —
+    a shuffled join here would reshuffle each full table per
+    deletion request."""
+    plan = plan_of(spark, "q152_tombstone_purge", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
