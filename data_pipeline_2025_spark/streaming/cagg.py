@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import txn
+
 from ..functions.money import dec, money_out
 
 DAY_COL = "day"
@@ -85,25 +87,33 @@ def start_events_cagg(
         ]
         if not touched:
             return
-        # 1. idempotent silver append, scoped to touched partitions
-        if os.path.exists(silver_dir):
+        # 1. idempotent silver append, scoped to touched partitions.
+        # Reads + writes go through the txn manifest (streaming/
+        # txn.py): the anti-join sees only COMMITTED rows, so crash
+        # orphans can never absorb a replayed batch, and the append
+        # publishes atomically (old-or-new, never partial).
+        committed = txn.read_committed(spark_, silver_dir)
+        if committed is not None:
             existing = (
-                spark_.read.parquet(silver_dir)
+                committed
                 .where(F.col(DAY_COL).isin(touched))
                 .select("event_id")
             )
             batch = batch.join(existing, "event_id", "left_anti")
-        batch.write.mode("append").partitionBy(DAY_COL).parquet(silver_dir)
-        # 2. recompute rollup for touched days from silver, replace
-        # exactly those day partitions (dynamic partition overwrite)
-        fresh = _hourly_partial(
-            spark_.read.parquet(silver_dir).where(F.col(DAY_COL).isin(touched))
+        txn.commit_append(
+            silver_dir, txn.stage_append(batch, silver_dir, (DAY_COL,))
         )
-        (
-            fresh.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(DAY_COL)
-            .parquet(rollup_dir)
+        # 2. recompute rollup for touched days from committed silver;
+        # commit_replace swaps exactly those day partitions in ONE
+        # transaction (Spark's native partitionOverwriteMode=dynamic
+        # deletes files per-partition during job commit — a crash
+        # mid-commit could leave a mixed old/new rollup visible).
+        fresh = _hourly_partial(
+            txn.read_committed(spark_, silver_dir)
+            .where(F.col(DAY_COL).isin(touched))
+        )
+        txn.commit_replace(
+            rollup_dir, txn.stage_append(fresh, rollup_dir, (DAY_COL,))
         )
 
     return (
@@ -118,8 +128,11 @@ def serve_hourly(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """The serving view over the maintained rollup (same output
     schema as q75 / q50): reads ONLY the materialized table — no
     touch of the raw events."""
+    rollup = txn.read_committed(spark, rollup_dir)
+    if rollup is None:  # legacy / externally-written table
+        rollup = spark.read.parquet(rollup_dir)
     return (
-        spark.read.parquet(rollup_dir)
+        rollup
         .select(
             "window_start",
             "event_type",

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import txn
+
 from ..operators.sketches import CMS_DEPTH, _cms_bucket, _cms_bucket_sql
 
 DAY_COL = "day"
@@ -90,22 +92,26 @@ def start_events_cms(
         touched = [r[DAY_COL] for r in batch.select(DAY_COL).distinct().collect()]
         if not touched:
             return
-        if os.path.exists(silver_dir):
+        # txn manifest on both sinks (see streaming/txn.py): the
+        # anti-join reads only COMMITTED silver (crash orphans can't
+        # absorb a replay) and each write publishes atomically.
+        committed = txn.read_committed(spark_, silver_dir)
+        if committed is not None:
             existing = (
-                spark_.read.parquet(silver_dir)
+                committed
                 .where(F.col(DAY_COL).isin(touched))
                 .select("event_id")
             )
             batch = batch.join(existing, "event_id", "left_anti")
-        batch.write.mode("append").partitionBy(DAY_COL).parquet(silver_dir)
-        fresh = _day_partial_sketch(
-            spark_.read.parquet(silver_dir).where(F.col(DAY_COL).isin(touched))
+        txn.commit_append(
+            silver_dir, txn.stage_append(batch, silver_dir, (DAY_COL,))
         )
-        (
-            fresh.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(DAY_COL)
-            .parquet(sketch_dir)
+        fresh = _day_partial_sketch(
+            txn.read_committed(spark_, silver_dir)
+            .where(F.col(DAY_COL).isin(touched))
+        )
+        txn.commit_replace(
+            sketch_dir, txn.stage_append(fresh, sketch_dir, (DAY_COL,))
         )
 
     return (
@@ -119,8 +125,11 @@ def start_events_cms(
 def merged_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Cell-wise merge of the per-day partials — the CMS merge
     operation itself (d·w rows out, however many days in)."""
+    sk = txn.read_committed(spark, sketch_dir)
+    if sk is None:  # legacy / externally-written table
+        sk = spark.read.parquet(sketch_dir)
     return (
-        spark.read.parquet(sketch_dir)
+        sk
         .groupBy("r", "b")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )

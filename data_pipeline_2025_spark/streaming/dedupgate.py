@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import txn
+
 from ..operators.dedup import (
     NUM_HASHES,
     SHINGLES_SQL,
@@ -128,18 +130,20 @@ def start_dedup_gate(
         spark_ = batch.sparkSession
         docs = batch.select("doc_id", "text")
         sigs = doc_minhash(doc_shingles(docs))
-        store_exists = os.path.exists(store_dir)
+        # both sinks go through the txn manifest: anti-joins see only
+        # COMMITTED rows (a crash mid-append can't half-absorb a
+        # replay) and each append publishes atomically.
+        store = txn.read_committed(spark_, store_dir)
+        store_exists = store is not None
         if store_exists:
-            store = spark_.read.parquet(store_dir)
             sigs = sigs.join(store.select("doc_id"), "doc_id", "left_anti")
-        if os.path.exists(verdict_dir):
+        committed_verdicts = txn.read_committed(spark_, verdict_dir)
+        if committed_verdicts is not None:
             # verdicts are written before signatures, so each is
             # anti-joined against ITS OWN sink — a crash between the
             # two writes replays to a consistent store either way
             docs = docs.join(
-                spark_.read.parquet(verdict_dir).select("doc_id"),
-                "doc_id",
-                "left_anti",
+                committed_verdicts.select("doc_id"), "doc_id", "left_anti"
             )
         # Micro-batch state is small; materialize once — blockers
         # reads new_sigs twice (bands + signature probe).
@@ -156,8 +160,10 @@ def start_dedup_gate(
             )
             .withColumn("is_kept", F.col("blockers") == 0)
         )
-        verdicts.write.mode("append").parquet(verdict_dir)
-        sigs.write.mode("append").parquet(store_dir)
+        txn.commit_append(
+            verdict_dir, txn.stage_append(verdicts, verdict_dir, ())
+        )
+        txn.commit_append(store_dir, txn.stage_append(sigs, store_dir, ()))
         sigs.unpersist()
 
     return (
@@ -246,7 +252,10 @@ def q120_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     split_ascending(spark, sf_dir, src)
     start_dedup_gate(spark, src, store, verdicts, ckpt).awaitTermination()
-    return spark.read.parquet(verdicts).orderBy("doc_id")
+    served = txn.read_committed(spark, verdicts)
+    if served is None:  # legacy / externally-written sink
+        served = spark.read.parquet(verdicts)
+    return served.orderBy("doc_id")
 
 
 def _register() -> None:

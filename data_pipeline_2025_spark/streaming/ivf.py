@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from . import txn
+
 from ..operators.similarity import _IVF_CTE, N_CENTROIDS
 
 
@@ -98,10 +100,12 @@ def start_ivf_indexer(
     def index(batch: DataFrame, batch_id: int) -> None:
         spark_ = batch.sparkSession
         rows = _assign(_norms_of(batch), cent)
-        if os.path.exists(index_dir):
-            existing = spark_.read.parquet(index_dir).select("vec_id")
-            rows = rows.join(existing, "vec_id", "left_anti")
-        rows.write.mode("append").parquet(index_dir)
+        # txn manifest: idempotence anti-join over COMMITTED lists
+        # only, atomic per-batch publish (see streaming/txn.py).
+        committed = txn.read_committed(spark_, index_dir)
+        if committed is not None:
+            rows = rows.join(committed.select("vec_id"), "vec_id", "left_anti")
+        txn.commit_append(index_dir, txn.stage_append(rows, index_dir, ()))
 
     return (
         stream.writeStream.foreachBatch(index)
@@ -161,7 +165,10 @@ def q126_stream_ivf_indexing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = load_centroids(spark, src)
     start_ivf_indexer(spark, src, index, ckpt, cent).awaitTermination()
     cent.unpersist()
-    return spark.read.parquet(index).orderBy("vec_id")
+    served = txn.read_committed(spark, index)
+    if served is None:  # legacy / externally-written sink
+        served = spark.read.parquet(index)
+    return served.orderBy("vec_id")
 
 
 def _register() -> None:

@@ -33,6 +33,16 @@ orphaned data files that no manifest references — invisible to every
 reader, re-written by the replayed batch (the checkpoint re-delivers
 it), and reclaimed by :func:`vacuum`.
 
+Adopted by EVERY streaming sink in this package (round 4): the
+price ingest silver (ingest.py), the continuous-aggregate silver +
+rollup (cagg.py — rollup day-partition rewrites go through
+:func:`commit_replace`, making a multi-day refresh ONE transaction,
+which Spark's native partitionOverwriteMode=dynamic cannot give),
+the CMS sketch store (cms.py), the dedup gate's verdict + signature
+stores (dedupgate.py), and the streaming IVF inverted lists
+(ivf.py). In each, the idempotence anti-join reads the committed
+snapshot, so a crash orphan can never absorb a replayed batch.
+
 Scale note (100 TB): the manifest is a full listing, O(total files)
 per commit — fine for a bounded replay window with periodic
 compaction, and exactly the point where a real deployment swaps this
@@ -123,21 +133,47 @@ def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) ->
     return sorted(new_files)
 
 
-def commit_append(sink_dir: str, new_files: list[str]) -> None:
-    """Publish a new snapshot = current snapshot + ``new_files`` via
-    one atomic symlink swap. Writers are serialized by the streaming
-    checkpoint (one micro-batch at a time), so read-modify-write of
-    the listing is safe here; a multi-writer deployment needs the
-    Delta/Iceberg log this module deliberately stops short of."""
+def _publish_listing(sink_dir: str, listing: list[str]) -> None:
+    """Write a new manifest version and swap it live atomically."""
     txn = _txn_dir(sink_dir)
     os.makedirs(txn, exist_ok=True)
-    listing = committed_files(sink_dir) + list(new_files)
     version_file = os.path.join(txn, f"v-{uuid.uuid4().hex[:12]}.txt")
     with open(version_file, "w", encoding="utf-8") as f:
         f.write("\n".join(listing) + ("\n" if listing else ""))
     tmp_link = version_file + ".lnk"
     os.symlink(version_file, tmp_link)
     os.replace(tmp_link, _latest_path(sink_dir))  # atomic publish
+
+
+def commit_append(sink_dir: str, new_files: list[str]) -> None:
+    """Publish a new snapshot = current snapshot + ``new_files`` via
+    one atomic symlink swap. Writers are serialized by the streaming
+    checkpoint (one micro-batch at a time), so read-modify-write of
+    the listing is safe here; a multi-writer deployment needs the
+    Delta/Iceberg log this module deliberately stops short of."""
+    _publish_listing(sink_dir, committed_files(sink_dir) + list(new_files))
+
+
+def commit_replace(sink_dir: str, new_files: list[str]) -> None:
+    """Publish a new snapshot with DYNAMIC-PARTITION-OVERWRITE
+    semantics: every partition directory that ``new_files`` touches
+    is replaced wholesale (its previously committed files drop out
+    of the listing), untouched partitions carry over. One atomic
+    symlink swap — so a rollup rewrite spanning several day
+    partitions becomes ONE transaction, which Spark's native
+    partitionOverwriteMode=dynamic (file deletes during job commit)
+    cannot give. Superseded files stay on disk for in-flight readers
+    until :func:`vacuum`."""
+    replaced_dirs = {os.path.dirname(f) for f in new_files}
+    _publish_listing(
+        sink_dir,
+        [
+            f
+            for f in committed_files(sink_dir)
+            if os.path.dirname(f) not in replaced_dirs
+        ]
+        + list(new_files),
+    )
 
 
 def vacuum(sink_dir: str) -> list[str]:
