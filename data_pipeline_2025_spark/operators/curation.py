@@ -936,3 +936,134 @@ def q152_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tombstoned",
         (F.col("rows_before") - F.col("tombstoned")).alias("rows_after"),
     ).orderBy("table_name")
+
+
+# ------------- q158: rendezvous (HRW) sharding stability audit
+#
+# Resharding a 100 TB corpus from N to N+1 shards is a data-movement
+# bill: modulo assignment (hash % N) remaps ~N/(N+1) of ALL
+# documents, while rendezvous/highest-random-weight hashing
+# (Thaler & Ravishankar) remaps exactly the 1/(N+1) that land on
+# the new shard — the property consistent-placement systems are
+# built on. This query measures BOTH policies' movement under an
+# 8→9 reshard, per source, in exact integral ppm: every number is
+# md5-derived integer arithmetic (48-bit weights; a tie inside one
+# document's 9 candidates has probability ~2^-43 and the fixed
+# corpus has none, so argmax is deterministic in both engines).
+# Scale shape: the candidate set is a constant 9-row explosion
+# folded straight back down by one map-side-combinable per-doc
+# argmax (docs never shuffle raw), then a source rollup.
+
+HRW_SHARDS_OLD = 8
+HRW_SHARDS_NEW = 9
+
+_HRW_SHARD_LIST = ", ".join(str(s) for s in range(HRW_SHARDS_NEW))
+
+_ORACLE_Q158 = f"""
+WITH cand AS (
+    SELECT doc_id, source, s,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                        || CAST(s AS VARCHAR)), 1, 12))
+                AS UBIGINT) AS w
+    FROM documents, UNNEST([{_HRW_SHARD_LIST}]) AS t(s)
+),
+assigned AS (
+    SELECT doc_id, source,
+           arg_max(s, w) FILTER (WHERE s < {HRW_SHARDS_OLD}) AS hrw_old,
+           arg_max(s, w)                                     AS hrw_new,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % {HRW_SHARDS_OLD} AS mod_old,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % {HRW_SHARDS_NEW} AS mod_new
+    FROM cand
+    GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_hrw,
+       CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_mod,
+       CAST(SUM(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS moved_hrw_ppm,
+       CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS moved_mod_ppm
+FROM assigned
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q158_rendezvous_sharding",
+    oracle=_ORACLE_Q158,
+    doc="Rendezvous (highest-random-weight) vs modulo shard "
+    "assignment under an 8-to-9 reshard: per-source fraction of "
+    "documents that move, in exact integral ppm — HRW moves ~1/9, "
+    "modulo moves ~8/9; the consistent-placement property measured "
+    "on the corpus itself.",
+    tags=("curation", "sharding", "hashing"),
+)
+def q158_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    shards = F.array(*[F.lit(s) for s in range(HRW_SHARDS_NEW)])
+    cand = cat.documents.select(
+        "doc_id", "source", F.explode(shards).alias("s")
+    ).select(
+        "doc_id",
+        "source",
+        "s",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), F.col("s").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    mod_bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    assigned = (
+        cand.groupBy("doc_id", "source")
+        .agg(
+            F.expr(f"max_by(s, w) FILTER (WHERE s < {HRW_SHARDS_OLD})").alias(
+                "hrw_old"
+            ),
+            F.expr("max_by(s, w)").alias("hrw_new"),
+        )
+        .select(
+            "source",
+            (F.col("hrw_old") != F.col("hrw_new")).cast("bigint").alias("m_hrw"),
+            (
+                (mod_bucket % HRW_SHARDS_OLD) != (mod_bucket % HRW_SHARDS_NEW)
+            )
+            .cast("bigint")
+            .alias("m_mod"),
+        )
+    )
+    return (
+        assigned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("m_hrw").alias("moved_hrw"),
+            F.sum("m_mod").alias("moved_mod"),
+        )
+        .select(
+            "source",
+            "docs",
+            "moved_hrw",
+            "moved_mod",
+            F.expr("moved_hrw * 1000000 div docs").alias("moved_hrw_ppm"),
+            F.expr("moved_mod * 1000000 div docs").alias("moved_mod_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1019,3 +1019,180 @@ def q142_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# ------------- q160: distribution-drift monitor (TVD over deciles)
+#
+# The production drift check between a reference window and the
+# current one: bin the reference half's `value` distribution into
+# its own deciles per event_type (exact order-statistic edges, q80's
+# rank arithmetic), histogram BOTH halves on those edges, and report
+# per-bin share shift plus the total-variation distance
+# TVD = max_A |P(A)-Q(A)| = 1/2 * sum |p_i - q_i| per event_type.
+# TVD is chosen over PSI/KL deliberately: it needs no logarithm, so
+# every number stays exact integral ppm (PSI's ln(p/q) would need
+# the q154 micro-quantization and an epsilon for empty bins). Scale
+# shape: edge extraction is one rank window over the reference half
+# (the only per-row shuffle), the 9-edge-per-type table broadcasts,
+# binning is column algebra on the scan, and the result is a
+# bounded types x 10 aggregate.
+
+DRIFT_SPLIT = "2024-01-16 00:00:00"
+DRIFT_BINS = 10
+
+_ORACLE_Q160 = f"""
+WITH ref AS (
+    SELECT event_type, value FROM events
+    WHERE ts < TIMESTAMP '{DRIFT_SPLIT}'
+),
+cur AS (
+    SELECT event_type, value FROM events
+    WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}'
+),
+ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM ref
+),
+edges AS (
+    SELECT event_type, list(value ORDER BY value) AS es
+    FROM ranked, UNNEST(range(1, {DRIFT_BINS})) AS i(i)
+    WHERE rn = (i * n + {DRIFT_BINS} - 1) // {DRIFT_BINS}
+    GROUP BY event_type
+),
+rh AS (
+    SELECT r.event_type,
+           len(list_filter(e.es, x -> x <= r.value)) AS bin,
+           COUNT(*) AS rn
+    FROM ref r JOIN edges e USING (event_type)
+    GROUP BY 1, 2
+),
+ch AS (
+    SELECT c.event_type,
+           len(list_filter(e.es, x -> x <= c.value)) AS bin,
+           COUNT(*) AS cn
+    FROM cur c JOIN edges e USING (event_type)
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, i.i AS bin
+    FROM edges, UNNEST(range(0, {DRIFT_BINS})) AS i(i)
+),
+hist AS (
+    SELECT s.event_type, s.bin,
+           COALESCE(rh.rn, 0) AS rn, COALESCE(ch.cn, 0) AS cn,
+           SUM(COALESCE(rh.rn, 0)) OVER (PARTITION BY s.event_type) AS rtot,
+           SUM(COALESCE(ch.cn, 0)) OVER (PARTITION BY s.event_type) AS ctot
+    FROM spine s
+    LEFT JOIN rh ON rh.event_type = s.event_type AND rh.bin = s.bin
+    LEFT JOIN ch ON ch.event_type = s.event_type AND ch.bin = s.bin
+),
+shares AS (
+    SELECT event_type, bin,
+           CASE WHEN rtot > 0 THEN rn * 1000000 // rtot ELSE 0 END AS ref_ppm,
+           CASE WHEN ctot > 0 THEN cn * 1000000 // ctot ELSE 0 END AS cur_ppm
+    FROM hist
+)
+SELECT event_type,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(ref_ppm AS BIGINT) AS ref_ppm,
+       CAST(cur_ppm AS BIGINT) AS cur_ppm,
+       CAST(ABS(ref_ppm - cur_ppm) AS BIGINT) AS adiff_ppm,
+       CAST(SUM(ABS(ref_ppm - cur_ppm))
+                OVER (PARTITION BY event_type) // 2 AS BIGINT) AS tvd_ppm
+FROM shares
+ORDER BY event_type, bin
+"""
+
+
+@register(
+    "q160_distribution_drift",
+    oracle=_ORACLE_Q160,
+    doc="Reference-vs-current drift monitor: per-event-type decile "
+    "histograms on exact reference-half order-statistic edges, "
+    "per-bin share shift and total-variation distance in exact "
+    "integral ppm — TVD over PSI/KL so no logarithm or "
+    "empty-bin epsilon is needed; 9-edge tables broadcast, binning "
+    "is scan-side column algebra.",
+    tags=("events", "drift", "monitoring"),
+)
+def q160_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    ev = cat.events.select("event_type", "ts", "value")
+    ref = ev.where(F.col("ts") < split).select("event_type", "value")
+    cur = ev.where(F.col("ts") >= split).select("event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ref.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    edge_ranks = F.array(
+        *[
+            F.expr(f"({i} * n + {DRIFT_BINS - 1}) div {DRIFT_BINS}")
+            for i in range(1, DRIFT_BINS)
+        ]
+    )
+    edges = (
+        ranked.where(F.array_contains(edge_ranks, F.col("rn")))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("value")).alias("es"))
+    )
+    bin_of = F.size(F.filter(F.col("es"), lambda x: x <= F.col("value")))
+    rh = (
+        ref.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type", bin_of.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("rn_"))
+    )
+    ch = (
+        cur.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type", bin_of.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cn_"))
+    )
+    spine = edges.select(
+        "event_type", F.explode(F.array(*[F.lit(b) for b in range(DRIFT_BINS)])).alias("bin")
+    )
+    hist = (
+        spine.join(rh, ["event_type", "bin"], "left")
+        .join(ch, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("rn_", F.lit(0)).alias("rcnt"),
+            F.coalesce("cn_", F.lit(0)).alias("ccnt"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            "rcnt",
+            "ccnt",
+            F.sum("rcnt").over(wn).alias("rtot"),
+            F.sum("ccnt").over(wn).alias("ctot"),
+        )
+    )
+    shares = hist.select(
+        "event_type",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.when(F.col("rtot") > 0, F.expr("rcnt * 1000000 div rtot"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ref_ppm"),
+        F.when(F.col("ctot") > 0, F.expr("ccnt * 1000000 div ctot"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("cur_ppm"),
+    )
+    return shares.select(
+        "event_type",
+        "bin",
+        "ref_ppm",
+        "cur_ppm",
+        F.abs(F.col("ref_ppm") - F.col("cur_ppm")).alias("adiff_ppm"),
+        F.expr(
+            "CAST(sum(abs(ref_ppm - cur_ppm)) OVER (PARTITION BY event_type) div 2 AS BIGINT)"
+        ).alias("tvd_ppm"),
+    ).orderBy("event_type", "bin")

@@ -524,3 +524,93 @@ def q133_rich_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix")
     )
+
+
+# ------------- q156: TPC-H Q21 shape — chained EXISTS/NOT EXISTS
+#
+# "Suppliers who kept multi-supplier orders waiting": a supplier was
+# LATE on an order (shipped > 60 days after the order date), the
+# order involved at least one OTHER supplier (EXISTS), and no other
+# supplier on that order was late (NOT EXISTS) — the classic
+# double-existence subquery Catalyst must turn into one semi- and
+# one anti-join. Scale shape: the late set is the orderkey-co-keyed
+# orders ⋈ lineitem join with the date predicate applied at the
+# join (both scans prune to 3 columns); the EXISTS/NOT EXISTS are
+# self-joins on the SAME orderkey key — one exchange feeds all
+# three joins; supplier names broadcast; numwait top-20 is a
+# partial top-k. No correlated re-execution anywhere.
+_ORACLE_Q156 = """
+WITH late AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register(
+    "q156_waiting_supplier",
+    oracle=_ORACLE_Q156,
+    doc="TPC-H Q21 shape: suppliers solely late on multi-supplier "
+    "orders — EXISTS as a left-semi and NOT EXISTS as a left-anti, "
+    "all three joins co-keyed on orderkey (one exchange), supplier "
+    "broadcast, partial top-20.",
+    tags=("join", "semi", "anti", "decorrelation", "tpch"),
+)
+def q156_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lines = cat.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        lines.join(
+            cat.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    other_line = lines.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole_late = l1.join(
+        other_line,
+        (F.col("l1.l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

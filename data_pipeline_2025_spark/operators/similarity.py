@@ -1095,3 +1095,118 @@ def q147_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "nprobe")
     )
+
+
+# ----------- q159: nearest-centroid classifier evaluation
+#
+# The model-eval operator an embedding pipeline runs after every
+# labeling pass: fit the Rocchio/nearest-centroid classifier (one
+# integer floor-averaged centroid per label — q82's reduction
+# reused with labels as the assignment) and score it on the corpus,
+# emitting the full row-normalized confusion matrix. Resubstitution
+# protocol (train == eval set), stated as such — the point is the
+# distributed eval SHAPE: per-label centroids are one map-side-
+# combinable groupBy over posexploded dims (K·D rows), the K-row
+# centroid table broadcasts, assignment is the same broadcast
+# nearest-centroid step as q41/q82, and the confusion matrix is a
+# bounded K^2-row aggregate. All-integer distance algebra keeps
+# every cell value-hash exact.
+
+_Q159_SQL = f"""
+WITH m AS (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+n AS (SELECT vec_id, label, mv, list_dot_product(mv, mv) AS n2 FROM m),
+mem AS (
+    SELECT label, i.i AS pos, n.mv[i.i] AS val
+    FROM n, UNNEST(range(1, {EMB_DIM} + 1)) AS i(i)
+),
+cent AS (
+    SELECT label AS cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+                ORDER BY pos) AS cv
+    FROM (
+        SELECT label, pos, SUM(val) AS s, COUNT(*) AS cnt
+        FROM mem GROUP BY label, pos
+    ) GROUP BY label
+),
+a AS (
+    SELECT vec_id, label, cid AS predicted FROM (
+        SELECT n.vec_id, n.label, cent.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.n2 - 2 * list_dot_product(n.mv, cent.cv)
+                            + list_dot_product(cent.cv, cent.cv), cent.cid
+               ) AS rn
+        FROM n CROSS JOIN cent
+    ) WHERE rn = 1
+),
+conf AS (
+    SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a GROUP BY label, predicted
+)
+SELECT label, predicted, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY label) AS BIGINT)
+           AS share_ppm
+FROM conf
+ORDER BY label, predicted
+"""
+
+
+@register(
+    "q159_centroid_classifier_eval",
+    oracle=_Q159_SQL,
+    doc="Nearest-centroid (Rocchio) classifier fit + resubstitution "
+    "eval over the labeled embeddings: integer floor-averaged "
+    "per-label centroids (broadcast), broadcast nearest-centroid "
+    "assignment, row-normalized confusion matrix in exact ppm — "
+    "the bounded K^2-row model-eval aggregate.",
+    tags=("similarity", "classifier", "eval"),
+)
+def q159_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    vecs = _int_vecs(spark, sf_dir)
+    lab = cat.embeddings.select("vec_id", "label")
+    v = vecs.join(lab, "vec_id")
+    sums = (
+        v.select("label", F.posexplode("mv").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    cents = (
+        sums.withColumn(
+            "cval", F.floor(F.col("s").cast("double") / F.col("cnt")).cast("bigint")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda x: x["cval"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cid"), "cv")
+    )
+    assigned = _nearest(vecs, cents).select(
+        "vec_id", F.col("cid").alias("predicted")
+    )
+    conf = (
+        assigned.join(lab, "vec_id")
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("label")
+    return conf.select(
+        "label",
+        "predicted",
+        "n",
+        F.expr("n * 1000000").cast("bigint").alias("_num"),
+        F.sum("n").over(wl).alias("_den"),
+    ).select(
+        "label",
+        "predicted",
+        "n",
+        F.expr("_num div _den").cast("bigint").alias("share_ppm"),
+    ).orderBy("label", "predicted")

@@ -812,3 +812,85 @@ def q153_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (err_ppm <= HLL_ENVELOPE_PPM).cast("bigint").alias("within_envelope"),
     ).orderBy("event_type")
+
+
+# --------- q155: approximate-quantile rank envelope (GK sketch)
+#
+# q153's quantile sibling: Spark's native percentile_approx is the
+# Greenwald-Khanna mergeable sketch — constant memory per group, no
+# global sort, THE way to get p50/p90 over 100 TB (the exact q80
+# path needs a full per-group sort). Sketch outputs are
+# engine-specific (DuckDB's approx_quantile is t-digest), so the
+# cross-engine contract is GK's own guarantee made checkable: the
+# returned value's RANK among the group's values must sit within
+# n/accuracy of the target rank (margin doubled + 1 for the
+# index-convention fuzz). percentile_approx returns an actual data
+# element, so the rank probe is one conditional re-aggregation over
+# a broadcast of the per-group sketch outputs — no sort anywhere.
+
+GK_ACCURACY = 1000
+
+_ORACLE_Q155 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS within_p50,
+       CAST(1 AS BIGINT) AS within_p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q155_approx_quantile_envelope",
+    oracle=_ORACLE_Q155,
+    doc="Native percentile_approx (Greenwald-Khanna, accuracy 1000) "
+    "p50/p90 per event_type with its rank guarantee asserted as "
+    "value-checked flags: the sketch's answer must rank within "
+    "2*n/accuracy+1 of the target rank. Constant-memory mergeable "
+    "quantiles vs q80's exact full-sort path.",
+    tags=("sketches", "quantiles", "approx"),
+)
+def q155_approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sk = cat.events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), GK_ACCURACY)
+        .alias("ap"),
+    )
+    sk = sk.select(
+        "event_type",
+        "n",
+        F.col("ap")[0].alias("a50"),
+        F.col("ap")[1].alias("a90"),
+    )
+    probed = (
+        cat.events.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum((F.col("value") < F.col("a50")).cast("bigint")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("a50")).cast("bigint")).alias("le50"),
+            F.sum((F.col("value") < F.col("a90")).cast("bigint")).alias("lt90"),
+            F.sum((F.col("value") <= F.col("a90")).cast("bigint")).alias("le90"),
+        )
+    )
+    margin = (F.expr(f"2 * (n div {GK_ACCURACY})") + F.lit(1)).cast("bigint")
+
+    def within(lt, le, lo_rank, hi_rank):
+        # The value's rank interval [lt+1, le] must intersect
+        # [target_lo - margin, target_hi + margin].
+        return (
+            (F.col(lt) + 1 <= hi_rank + margin) & (F.col(le) >= lo_rank - margin)
+        ).cast("bigint")
+
+    p50_lo = F.expr("n div 2")
+    p50_hi = F.expr("(n + 1) div 2")
+    p90_lo = F.expr("(9 * n) div 10")
+    p90_hi = F.expr("(9 * n + 9) div 10")
+    return probed.select(
+        "event_type",
+        "n",
+        within("lt50", "le50", p50_lo, p50_hi).alias("within_p50"),
+        within("lt90", "le90", p90_lo, p90_hi).alias("within_p90"),
+    ).orderBy("event_type")

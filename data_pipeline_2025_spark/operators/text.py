@@ -936,3 +936,110 @@ def q150_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(Q150_TOP)
     )
+
+
+# ------------------------- q154: unigram-LM surprisal scoring
+#
+# The CCNet/KenLM quality gate's distributed shape: train a unigram
+# LM on the corpus itself (token -> count), score every document by
+# its mean per-token surprisal -log2 p(w) = log2(total/c_w), and
+# band the corpus into keep/review/flag tiers. Wikipedia-perplexity
+# filtering is THE classic LLM-corpus quality signal; the unigram
+# order keeps the LM a bounded (token, count) table instead of a
+# KenLM binary, which is exactly what changes at 100 TB: the "model"
+# is a broadcastable vocab aggregate, scoring is a broadcast hash
+# join over the token stream, and the per-doc sum partial-aggregates
+# map-side (each scan partition holds whole documents, so ~1 row per
+# doc reaches the shuffle).
+#
+# Cross-engine exactness: libm vs JVM log2 differ in the last ulp
+# (measured: 8/31 vocab words at sf0.001), so floats never leave a
+# single-value context — each vocab word's surprisal is quantized
+# ONCE to integer micro-bits (round(log2(total/c)*1e6)), and all
+# per-document arithmetic on top is exact BIGINT sum + integer
+# division. A last-ulp flip would need the true value within ~1e-9
+# of a .5 micro-bit boundary; log2 of a rational hits .5 exactly
+# only at powers of two, where both engines are exact.
+
+SURPRISAL_KEEP_PPM = 4_900_000  # < 4.90 bits/token: in-distribution
+SURPRISAL_FLAG_PPM = 4_930_000  # > 4.93 bits/token: outlier tail
+
+_ORACLE_Q154 = f"""
+WITH t AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS w FROM documents
+),
+vocab AS (
+    SELECT w, COUNT(*) AS c FROM t GROUP BY w
+),
+tot AS (
+    SELECT SUM(c) AS total FROM vocab
+),
+bits AS (
+    SELECT w,
+           CAST(round(log2(CAST(total AS DOUBLE) / c) * 1000000, 0)
+                AS BIGINT) AS bits_ppm
+    FROM vocab, tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT)                       AS n_tokens,
+       CAST(SUM(b.bits_ppm) // COUNT(*) AS BIGINT)    AS mean_bits_ppm,
+       CASE WHEN SUM(b.bits_ppm) // COUNT(*) < {SURPRISAL_KEEP_PPM}
+                THEN 'keep'
+            WHEN SUM(b.bits_ppm) // COUNT(*) > {SURPRISAL_FLAG_PPM}
+                THEN 'flag'
+            ELSE 'review' END                         AS band
+FROM t JOIN bits b USING (w)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "q154_unigram_surprisal",
+    oracle=_ORACLE_Q154,
+    doc="Unigram-LM perplexity-style quality scoring (the CCNet/"
+    "KenLM gate's distributed shape): corpus-trained token "
+    "surprisal quantized once to integer micro-bits, mean "
+    "bits/token per document via exact BIGINT arithmetic, banded "
+    "keep/review/flag.",
+    tags=("text", "quality", "lm"),
+)
+def q154_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = fan_out(
+        cat.documents.select("doc_id", tokens_col().alias("toks")), "doc_id"
+    ).select("doc_id", F.explode("toks").alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            F.round(
+                F.log2(F.col("total").cast("double") / F.col("c")) * 1_000_000, 0
+            )
+            .cast("bigint")
+            .alias("bits_ppm"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(bits), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits_ppm").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sum_bits div n_tokens").alias("mean_bits_ppm"),
+        )
+    )
+    band = (
+        F.when(F.col("mean_bits_ppm") < SURPRISAL_KEEP_PPM, "keep")
+        .when(F.col("mean_bits_ppm") > SURPRISAL_FLAG_PPM, "flag")
+        .otherwise("review")
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "mean_bits_ppm", band.alias("band")
+    ).orderBy("doc_id")

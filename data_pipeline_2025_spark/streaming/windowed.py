@@ -673,3 +673,77 @@ def q149_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "signup_event", "purchase_event")
     )
+
+
+# ----------- q157: streaming approximate distinct (HLL) per window
+#
+# Exact COUNT(DISTINCT) is unsupported inside a streaming
+# aggregation (Spark would need unbounded per-window user sets);
+# the production answer is HyperLogLog++ state per window —
+# approx_count_distinct keeps a constant-size mergeable sketch that
+# micro-batches fold into, which is how per-window uniques survive
+# 100 TB/day streams. Cross-engine (and stream-vs-batch) contract,
+# as in q153: sketch values are engine-specific, so the streamed
+# estimate is checked against the BATCH exact count per window via
+# an error envelope, joined on window_start. Unlike q153's large
+# per-type groups, hourly windows get SPARSE (5-20 users at the
+# small tiers), where HLL++'s linear-counting regime makes the rsd
+# bound relative-meaningless (an absolute miss of 1 on exact=5 is
+# 20%) — so the envelope is max(15% relative, 4 absolute); measured
+# worst cases: abs 3 at sf0.01, rel 10.8% at sf0.1.
+
+Q157_RSD = 0.05
+Q157_ENVELOPE_PPM = 150_000
+Q157_ENVELOPE_ABS = 4
+
+_ORACLE_Q157 = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS within_envelope
+FROM events
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "q157_stream_approx_distinct",
+    oracle=_ORACLE_Q157,
+    doc="Streaming per-hour unique users via HyperLogLog++ state "
+    "(approx_count_distinct, rsd 0.05) — the constant-memory "
+    "mergeable replacement for COUNT(DISTINCT), which streaming "
+    "aggregation cannot express exactly; streamed estimates "
+    "checked against the batch exact count per window via the rsd "
+    "envelope flag.",
+    tags=("streaming", "sketches", "hll", "approx"),
+)
+def q157_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", Q157_RSD).alias("hll"))
+        .select(F.col("w.start").alias("window_start"), "hll")
+    )
+    name = f"stream_hll_{next(_COUNTER)}"
+    _run_to_memory(agg, name)
+    from ..catalog import Catalog
+
+    exact = (
+        Catalog(spark, sf_dir)
+        .events.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    err = F.abs(F.col("hll") - F.col("exact_users"))
+    within = (err * 1_000_000 <= Q157_ENVELOPE_PPM * F.col("exact_users")) | (
+        err <= Q157_ENVELOPE_ABS
+    )
+    return (
+        spark.table(name)
+        .join(exact, "window_start")
+        .select(
+            "window_start",
+            "exact_users",
+            within.cast("bigint").alias("within_envelope"),
+        )
+        .orderBy("window_start")
+    )

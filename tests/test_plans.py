@@ -560,3 +560,63 @@ def test_tombstone_purge_broadcasts_delete_list(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_surprisal_broadcasts_vocab(spark, sf_smoke):
+    """q154: the unigram LM (vocab->bits) must reach the token stream
+    as a broadcast-hash join — never a shuffled sort-merge join of
+    the exploded token stream — and the one-row total must be a
+    broadcast nested loop, not a cartesian."""
+    plan = plan_of(spark, "q154_unigram_surprisal", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_envelope_broadcast_probe(spark, sf_smoke):
+    """q155: the rank probe joins the per-group sketch outputs back
+    to events as a broadcast (groups are bounded) with no global
+    sort anywhere — the whole point of the GK sketch."""
+    plan = plan_of(spark, "q155_approx_quantile_envelope", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "percentile_approx" in plan
+
+
+def test_q21_shape_existence_joins(spark, sf_smoke):
+    """q156: EXISTS/NOT EXISTS must compile to one LeftSemi and one
+    LeftAnti join (no correlated re-execution, no cartesian);
+    supplier names arrive by broadcast; top-20 is a partial
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "q156_waiting_supplier", sf_smoke)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rendezvous_sharding_joinless(spark, sf_smoke):
+    """q158: both shard assignments are pure column algebra + two
+    aggregations — no join may appear in the plan."""
+    plan = plan_of(spark, "q158_rendezvous_sharding", sf_smoke)
+    assert "Join" not in plan
+
+
+def test_classifier_eval_broadcast_centroids(spark, sf_smoke):
+    """q159: the per-label centroid table must broadcast into the
+    assignment (never a shuffled join of the vector stream against
+    centroids) and the plan must be cartesian-free."""
+    plan = plan_of(spark, "q159_centroid_classifier_eval", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drift_edges_broadcast(spark, sf_smoke):
+    """q160: the 9-edge-per-type table must broadcast into both
+    histogram passes; binning stays scan-side column algebra with
+    no sort-merge join anywhere."""
+    plan = plan_of(spark, "q160_distribution_drift", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
