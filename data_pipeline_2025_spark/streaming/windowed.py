@@ -747,3 +747,64 @@ def q157_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# -------- q161: state-store introspection (State Data Source)
+#
+# Spark 4's State Data Source Reader: the streaming engine's
+# internal RocksDB/HDFS state becomes a queryable DataFrame
+# (format "statestore" over the checkpoint), which is how
+# production debugs a misbehaving stateful query — inspect live
+# per-key aggregation buffers WITHOUT stopping the stream or
+# instrumenting the job. Here the per-event-type counting state of
+# a checkpointed AvailableNow run is read back and checked against
+# the batch groupBy — proving the buffers the engine carries are
+# exactly the answer (the strongest state-correctness probe there
+# is: not the sink, the STATE). Only the exact BIGINT count buffer
+# is emitted; a double sum buffer would expose engine summation
+# order. Scale shape: state files are partitioned by shuffle
+# partition, so the read parallelizes like any file scan.
+
+_ORACLE_Q161 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q161_state_store_reader",
+    oracle=_ORACLE_Q161,
+    doc="State Data Source introspection: run a checkpointed "
+    "streaming count per event_type, then read the engine's OWN "
+    "aggregation state back as a DataFrame (format 'statestore') "
+    "and check it against batch SQL — per-key state buffers as a "
+    "first-class queryable table.",
+    tags=("streaming", "state", "introspection"),
+)
+def q161_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="spark_graft_state_q161_")
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"state_probe_{next(_COUNTER)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n"),
+    ).orderBy("event_type")

@@ -160,6 +160,10 @@ def test_streaming_queries_set_nanos_conf_themselves(spark, sf_correct):
             windowed.q136_stream_chained_stateful,
             windowed.q137_late_data_drops,
             ivf.q126_stream_ivf_indexing,
+            # round-4 additions, also inside the cap:
+            windowed.q149_stream_outer_join,
+            windowed.q157_stream_approx_distinct,
+            windowed.q161_state_store_reader,
         ):
             spark.conf.unset(key)
             # A bare session may also run in a non-UTC zone; the
