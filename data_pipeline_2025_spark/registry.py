@@ -47,7 +47,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ordering below only decides which rows the DRIVER re-verifies.
 # Round 4: the _PRIORITY list front-loads (a) the 22 round-3 tail
 # queries q123-q145 that registered past the cap last round, and
-# (b) the fifteen new round-4 queries q147-q161 — completing official
+# (b) the seventeen new round-4 queries q147-q163 — completing official
 # driver verification of the entire registry; everything else is
 # already driver-green in r1-r3 and fills the remaining slots as
 # rotation re-checks.
@@ -60,9 +60,11 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.streaming.stateful",  # q111 (round 3)
     "data_pipeline_2025_spark.streaming.dedupgate",  # q120 (round 3)
     "data_pipeline_2025_spark.streaming.ivf",  # q126 (round 3)
+    "data_pipeline_2025_spark.streaming.timetravel",  # q162 (round 4)
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:
+    "data_pipeline_2025_spark.operators.layout",  # q163 (round 4)
     "data_pipeline_2025_spark.operators.chunking",  # q86/q87/q88 new
     "data_pipeline_2025_spark.operators.bloomjoin",  # q89 new
     "data_pipeline_2025_spark.operators.bucketed",  # q94 new
@@ -155,6 +157,8 @@ _PRIORITY = (
     "q159_centroid_classifier_eval",
     "q160_distribution_drift",
     "q161_state_store_reader",
+    "q162_snapshot_time_travel",
+    "q163_zorder_locality",
     # Rotation re-checks (already driver-green r1-r3) fill the
     # remaining slots up to the 50-cap; anything past the cap is
     # harmless (green history + local full sweep still covers it).

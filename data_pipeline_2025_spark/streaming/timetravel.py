@@ -1,0 +1,100 @@
+"""Snapshot time travel over the manifest commit log (txn.py) — the
+``versionAsOf`` / DESCRIBE HISTORY capability of a real table format
+reproduced on the repo's own transaction layer, and proven as a
+checked query.
+
+Reference analog: the Postgres silver store's state is only ever its
+latest transaction (rabbitmq-to-postgres/app.py:158-176 commits and
+moves on); a lakehouse sink keeps every manifest version, so any
+past snapshot is still a readable table. Scale shape: a manifest is
+a file LISTING (bytes per file, not per row); reading version v is
+a plain parquet scan over v's files — time travel costs nothing at
+read time, which is exactly why table formats implement it this
+way."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.money import dec, money_out
+from ..registry import register
+from . import txn
+
+_TT_SPLIT = "2024-01-16 00:00:00"
+
+_ORACLE_Q162 = f"""
+WITH half AS (
+    SELECT * FROM events WHERE ts < TIMESTAMP '{_TT_SPLIT}'
+),
+v1 AS (
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value_d
+    FROM half
+),
+v2 AS (
+    SELECT CAST(2 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value_d
+    FROM events
+)
+SELECT version, n_rows, n_days, total_value_d,
+       CAST(n_rows - COALESCE(lag(n_rows) OVER (ORDER BY version), 0)
+            AS BIGINT) AS added_rows
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+ORDER BY version
+"""
+
+
+@register(
+    "q162_snapshot_time_travel",
+    oracle=_ORACLE_Q162,
+    doc="versionAsOf time travel on the manifest commit log: two "
+    "manifest-committed batches build a day-partitioned sink, then "
+    "EVERY retained snapshot version is read back as a table and "
+    "summarized (rows, days, exact value total, rows added vs the "
+    "previous version) — the committed manifests ARE the table "
+    "history, checked against batch SQL.",
+    tags=("streaming", "txn", "timetravel"),
+)
+def q162_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = tempfile.mkdtemp(prefix="spark_graft_tt_q162_")
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "value", F.to_date("ts").alias("day")
+    )
+    split = F.lit(_TT_SPLIT).cast("timestamp")
+    for batch in (ev.where(F.col("ts") < split), ev.where(F.col("ts") >= split)):
+        txn.commit_append(sink, txn.stage_append(batch, sink, ("day",)))
+    per_version = [
+        txn.read_version(spark, sink, v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("day").alias("n_days"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .select(F.lit(v).cast("bigint").alias("version"), "*")
+        for v in txn.versions(sink)
+    ]
+    hist = per_version[0]
+    for df in per_version[1:]:
+        hist = hist.unionByName(df)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("version")
+    return hist.select(
+        "version",
+        "n_rows",
+        "n_days",
+        "total_value_d",
+        (
+            F.col("n_rows") - F.coalesce(F.lag("n_rows").over(w), F.lit(0))
+        ).alias("added_rows"),
+    ).orderBy("version")

@@ -133,11 +133,57 @@ def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) ->
     return sorted(new_files)
 
 
+def versions(sink_dir: str) -> list[int]:
+    """Ascending committed snapshot versions (the manifest history —
+    Delta's DESCRIBE HISTORY analog). Retained manifest files are a
+    few bytes each; a retention policy would prune them together
+    with vacuum's superseded data files."""
+    txn = _txn_dir(sink_dir)
+    if not os.path.isdir(txn):
+        return []
+    out = []
+    for fname in os.listdir(txn):
+        if fname.startswith("v-") and fname.endswith(".txt"):
+            seq = fname.split("-")[1]
+            if seq.isdigit():
+                out.append(int(seq))
+    return sorted(out)
+
+
+def _version_files(sink_dir: str, version: int) -> list[str]:
+    txn = _txn_dir(sink_dir)
+    for fname in os.listdir(txn):
+        if fname.startswith(f"v-{version:08d}-") and fname.endswith(".txt"):
+            with open(os.path.join(txn, fname), encoding="utf-8") as f:
+                return [line.rstrip("\n") for line in f if line.strip()]
+    raise FileNotFoundError(f"no manifest for version {version} in {sink_dir}")
+
+
+def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
+    """Time travel: DataFrame over exactly the snapshot a past commit
+    published (Delta's ``versionAsOf``). Works because data files are
+    immutable once committed and superseded files survive until
+    vacuum — the manifest IS the table state."""
+    files = _version_files(sink_dir, version)
+    if not files:
+        return spark.read.format("parquet").schema("__empty STRING").load()
+    return (
+        spark.read.option("basePath", sink_dir)
+        .parquet(*[os.path.join(sink_dir, f) for f in files])
+    )
+
+
 def _publish_listing(sink_dir: str, listing: list[str]) -> None:
-    """Write a new manifest version and swap it live atomically."""
+    """Write a new manifest version and swap it live atomically.
+    Version numbers are monotone (max existing + 1); the uuid suffix
+    keeps a concurrent duplicate-sequence write from colliding on
+    the filename (last symlink swap wins, same as before)."""
     txn = _txn_dir(sink_dir)
     os.makedirs(txn, exist_ok=True)
-    version_file = os.path.join(txn, f"v-{uuid.uuid4().hex[:12]}.txt")
+    seq = (versions(sink_dir) or [0])[-1] + 1
+    version_file = os.path.join(
+        txn, f"v-{seq:08d}-{uuid.uuid4().hex[:12]}.txt"
+    )
     with open(version_file, "w", encoding="utf-8") as f:
         f.write("\n".join(listing) + ("\n" if listing else ""))
     tmp_link = version_file + ".lnk"

@@ -76,3 +76,28 @@ def test_plain_directory_read_matches_committed_on_happy_path(spark, tmp_path):
     }
     assert plain == _rows(spark, sink)
     assert os.path.isdir(os.path.join(sink, "_txn"))
+
+
+def test_time_travel_reads_frozen_snapshots(spark, tmp_path):
+    """versionAsOf semantics: every commit appends a monotone
+    manifest version; reading an old version returns EXACTLY the
+    rows that commit published, unchanged by later appends AND by a
+    later commit_replace of the same partition (data files are
+    immutable; superseded files survive until vacuum)."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 3, "a"), sink, ("day",)))
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 3, 5, "b"), sink, ("day",)))
+    txn.commit_replace(sink, txn.stage_append(_mk(spark, 100, 101, "b"), sink, ("day",)))
+    assert txn.versions(sink) == [1, 2, 3]
+    v = lambda n: {  # noqa: E731
+        (r["id"], r["day"]) for r in txn.read_version(spark, sink, n).collect()
+    }
+    assert v(1) == {(0, "a"), (1, "a"), (2, "a")}
+    assert v(2) == v(1) | {(3, "b"), (4, "b")}
+    assert v(3) == v(1) | {(100, "b")}
+    assert v(3) == _rows(spark, sink)  # latest version == live table
+    # vacuum keeps every still-referenced... no: vacuum deletes files
+    # outside the LATEST snapshot, so after it only the live version
+    # remains readable — the retention trade-off documented on vacuum.
+    txn.vacuum(sink)
+    assert v(3) == _rows(spark, sink)
