@@ -1980,3 +1980,226 @@ def q145_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((F.lit(KMV_K) - 1) / F.col("u_k"))
         ).alias("inter_est"),
     )
+
+
+# ------------- q164: sorted-neighborhood near-dup candidates (SNM)
+#
+# The FOURTH candidate-pruning principle next to the shingle-DF cap
+# (q35), LSH banding (q36) and the prefix filter (q144): SORTED
+# NEIGHBORHOOD (Hernandez & Stolfo). Sort documents by a similarity-
+# preserving blocking key — here the 1-hash MinHash, i.e. the
+# minimum shingle hash, which near-identical shingle sets share with
+# probability ~J(a,b) — and only compare each document with its
+# SNM_WINDOW-1 successors in sort order: candidate count is O(n·W)
+# BY CONSTRUCTION, no bucket-size variance at all (LSH's hot-bucket
+# risk traded for a miss probability the window size tunes).
+# Verification is the same exact-Jaccard equi-join as q36, in pure
+# integer arithmetic (inter*10 >= 8*union ⇔ J >= 0.8).
+#
+# The lead() window below IS the algorithm's sequential spec; at
+# 100 TB the sort is repartitionByRange(skey) + sortWithinPartitions
+# with a W-1-row boundary overlap shipped to the next partition —
+# per-partition lead(), identical output, no global window.
+
+SNM_WINDOW = 4
+
+_ORACLE_Q164 = f"""
+WITH {SHINGLES_SQL.lstrip()},
+keys AS (
+    SELECT doc_id,
+           MIN(CAST(concat('0x', substr(md5(sh), 1, 12)) AS UBIGINT)) AS skey
+    FROM shingles GROUP BY doc_id
+),
+ordered AS (
+    SELECT doc_id,
+           lead(doc_id, 1) OVER wsnm AS n1,
+           lead(doc_id, 2) OVER wsnm AS n2,
+           lead(doc_id, 3) OVER wsnm AS n3
+    FROM keys
+    WINDOW wsnm AS (ORDER BY skey, doc_id)
+),
+cand AS (
+    SELECT LEAST(doc_id, n) AS doc_a, GREATEST(doc_id, n) AS doc_b
+    FROM (SELECT doc_id, unnest([n1, n2, n3]) AS n FROM ordered)
+    WHERE n IS NOT NULL
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+       CAST(v.inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - v.inter AS BIGINT) AS uni,
+       CAST(v.inter * 1000000 // (sa.n + sb.n - v.inter) AS BIGINT)
+           AS jaccard_ppm
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.doc_a
+JOIN sizes sb ON sb.doc_id = v.doc_b
+WHERE v.inter * 10 >= 8 * (sa.n + sb.n - v.inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q164_sorted_neighborhood",
+    oracle=_ORACLE_Q164,
+    doc="Sorted-neighborhood (SNM) near-dup detection: documents "
+    "sorted by their 1-hash MinHash blocking key, each compared "
+    "only with its 3 successors — O(n*W) candidates with zero "
+    "bucket-size variance (the pruning principle LSH banding "
+    "doesn't give), exact-Jaccard verified in integer arithmetic.",
+    tags=("dedup", "snm", "blocking"),
+)
+def q164_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    keys = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("hv"),
+    ).groupBy("doc_id").agg(F.min("hv").alias("skey"))
+    w = Window.orderBy("skey", "doc_id")
+    led = keys.select(
+        "doc_id",
+        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in range(1, SNM_WINDOW)],
+    )
+    cand = (
+        led.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col(f"n{i}") for i in range(1, SNM_WINDOW)])
+            ).alias("n"),
+        )
+        .where(F.col("n").isNotNull())
+        .select(
+            F.least("doc_id", "n").alias("doc_a"),
+            F.greatest("doc_id", "n").alias("doc_b"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("sha") == F.col("shb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(F.col("inter") * 10 >= 8 * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            uni.cast("bigint").alias("uni"),
+            F.expr("CAST(inter * 1000000 div (na + nb - inter) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------- q165: connected components by pointer doubling
+#
+# q70's min-label propagation needs rounds ~ graph diameter; the
+# published scale answer (Kiveris et al., "Connected Components in
+# MapReduce and Beyond"; classic Shiloach-Vishkin) interleaves a
+# POINTER-JUMP into every round: after hooking each node to its
+# neighborhood minimum, labels are re-resolved THROUGH themselves
+# (L <- L(L)), so label-chain depth halves per round and
+# convergence needs O(log n) rounds on path-shaped components
+# instead of O(n). Invariant kept by both steps: L(v) is always the
+# id of a node in v's component and only ever decreases, so the
+# fixpoint (witnessed by the same monotone sum(label) as q70) is
+# the component minimum. Per round: one edge join + one label
+# self-join, lineage truncated by localCheckpoint — the identical
+# plan at any scale. Output and oracle are exactly q70's, and
+# tests/test_prep_ops.py asserts the two algorithms agree row for
+# row (same clusters, fewer rounds).
+
+MAX_PJ_ROUNDS = 20
+
+
+@register(
+    "q165_cc_pointer_doubling",
+    oracle=_ORACLE_Q70,
+    doc="Connected components of the verified LSH near-dup graph by "
+    "hook + pointer-jumping (Shiloach-Vishkin style): label-chain "
+    "depth halves every round, O(log n) rounds instead of q70's "
+    "O(diameter) — same output, same oracle, the 100 TB iteration "
+    "budget.",
+    tags=("dedup", "graph", "components", "iterative"),
+)
+def q165_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        q36_minhash_lsh_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+        .persist()
+    )
+    try:
+        sym = edges.unionByName(
+            edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+        )
+        labels = cat.documents.select(
+            "doc_id", F.col("doc_id").alias("label")
+        ).localCheckpoint()
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(MAX_PJ_ROUNDS):
+            # hook: L(v) <- min(L(v), min over neighbors' labels)
+            lbl_u = labels.select(
+                F.col("doc_id").alias("u"), F.col("label").alias("ulabel")
+            )
+            msgs = (
+                sym.join(lbl_u, "u")
+                .groupBy("w")
+                .agg(F.min("ulabel").alias("nlabel"))
+                .select(F.col("w").alias("doc_id"), "nlabel")
+            )
+            hooked = labels.join(msgs, "doc_id", "left").select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            # jump: L(v) <- L(L(v)) — resolve labels through the
+            # label table itself; chain depth halves.
+            ptr = hooked.select(
+                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            jumped = (
+                hooked.join(ptr, F.col("label") == F.col("p_id"), "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("p_label", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = jumped.agg(F.sum("label")).collect()[0][0]
+            labels = jumped
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            raise RuntimeError(
+                f"pointer-doubling CC did not converge in {MAX_PJ_ROUNDS} rounds"
+            )
+    finally:
+        edges.unpersist()
+    wc = Window.partitionBy("component")
+    return labels.select("doc_id", F.col("label").alias("component")).select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

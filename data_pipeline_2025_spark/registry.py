@@ -47,7 +47,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ordering below only decides which rows the DRIVER re-verifies.
 # Round 4: the _PRIORITY list front-loads (a) the 22 round-3 tail
 # queries q123-q145 that registered past the cap last round, and
-# (b) the seventeen new round-4 queries q147-q163 — completing official
+# (b) the nineteen new round-4 queries q147-q165 — completing official
 # driver verification of the entire registry; everything else is
 # already driver-green in r1-r3 and fills the remaining slots as
 # rotation re-checks.
@@ -159,6 +159,8 @@ _PRIORITY = (
     "q161_state_store_reader",
     "q162_snapshot_time_travel",
     "q163_zorder_locality",
+    "q164_sorted_neighborhood",
+    "q165_cc_pointer_doubling",
     # Rotation re-checks (already driver-green r1-r3) fill the
     # remaining slots up to the 50-cap; anything past the cap is
     # harmless (green history + local full sweep still covers it).

@@ -125,3 +125,14 @@ def test_rank_propagation_conserves_mass(spark, sf_smoke):
     # floor divisions only ever lose mass: the damped sum is bounded
     # above by the exact-arithmetic total.
     assert total <= n * RANK_SCALE
+
+
+def test_pointer_doubling_agrees_with_propagation(spark, sf_smoke):
+    """q165 (hook + pointer-jump) and q70 (pure min-label
+    propagation) must produce identical component labelings — same
+    clusters, same canonicals — since both converge to the
+    per-component minimum; q165 just gets there in O(log n) rounds."""
+    key = lambda r: (r["doc_id"], r["component"], r["cluster_size"], r["is_canonical"])  # noqa: E731
+    a = sorted(key(r) for r in SPECS["q70_neardup_components"].spark_fn(spark, sf_smoke).collect())
+    b = sorted(key(r) for r in SPECS["q165_cc_pointer_doubling"].spark_fn(spark, sf_smoke).collect())
+    assert a == b
