@@ -179,3 +179,98 @@ def q45_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return media.mapInPandas(_decode_batches, METADATA_SCHEMA)
+
+
+# -------- q166: audio segmentation into overlapping windows
+#
+# The ASR-preprocessing shape (Whisper-style): every audio payload
+# is cut into fixed-length windows with overlap (stride < length,
+# so segment boundaries never lose speech), one output row per
+# window with its time span and a content hash of the windowed
+# bytes. Same honest seam as q45/q60: the codec is stubbed (the
+# fake decode maps bytes -> 10 ms each), but the mapInPandas
+# plumbing — binary slicing per Arrow batch, explode-shaped output,
+# explicit schema — is the real pipeline; swap the byte slice for a
+# resampled PCM window and nothing else changes. Scale: stride/
+# length are constants, so output rows are O(total bytes / stride)
+# and each task only touches its own batch — no shuffle anywhere.
+
+AUDIO_MS_PER_BYTE = 10  # the _fake_decode duration model
+AUDIO_WIN_MS = 5_000
+AUDIO_STRIDE_MS = 4_000
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("chunk_hash", StringType()),
+    ]
+)
+
+
+def _segment_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    win = AUDIO_WIN_MS // AUDIO_MS_PER_BYTE
+    stride = AUDIO_STRIDE_MS // AUDIO_MS_PER_BYTE
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(blob)
+            start, idx = 0, 0
+            while start < n:
+                piece = blob[start : start + win]
+                out.append(
+                    (
+                        doc_id,
+                        idx,
+                        start * AUDIO_MS_PER_BYTE,
+                        (start + len(piece)) * AUDIO_MS_PER_BYTE,
+                        hashlib.md5(piece).hexdigest(),
+                    )
+                )
+                idx += 1
+                start += stride
+        yield pd.DataFrame(
+            out, columns=["doc_id", "chunk_idx", "start_ms", "end_ms", "chunk_hash"]
+        )
+
+
+_ORACLE_Q166 = f"""
+WITH aud AS (
+    SELECT doc_id, text, length(text) AS n,
+           1 + (length(text) - 1) // {AUDIO_STRIDE_MS // AUDIO_MS_PER_BYTE} AS k
+    FROM documents
+    WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * {AUDIO_STRIDE_MS} AS BIGINT) AS start_ms,
+       CAST((i * {AUDIO_STRIDE_MS // AUDIO_MS_PER_BYTE}
+             + least({AUDIO_WIN_MS // AUDIO_MS_PER_BYTE},
+                     n - i * {AUDIO_STRIDE_MS // AUDIO_MS_PER_BYTE}))
+            * {AUDIO_MS_PER_BYTE} AS BIGINT) AS end_ms,
+       md5(substr(text, i * {AUDIO_STRIDE_MS // AUDIO_MS_PER_BYTE} + 1,
+                  {AUDIO_WIN_MS // AUDIO_MS_PER_BYTE})) AS chunk_hash
+FROM aud, UNNEST(range(0, k)) AS t(i)
+"""
+
+
+@register(
+    "q166_audio_segmentation",
+    oracle=_ORACLE_Q166,
+    doc="Overlapping-window audio segmentation (ASR preprocessing "
+    "shape): 5 s windows at 4 s stride over the binary payload via "
+    "mapInPandas — per-window time spans + content hash, "
+    "explode-shaped Arrow batches, stubbed codec with real "
+    "plumbing like q45/q60.",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def q166_audio_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    audio = cat.documents.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return audio.mapInPandas(_segment_audio, AUDIO_CHUNK_SCHEMA)
