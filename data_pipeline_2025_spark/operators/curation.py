@@ -1067,3 +1067,123 @@ def q158_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------- q167: token-budget waterfilling across sources
+#
+# The dataset-mixing allocator: given a total token budget smaller
+# than the corpus, give every source its full mass if it's below
+# the fair share and cap the rest at a COMMON threshold t chosen so
+# the budget is exactly spent — classic waterfilling, the exact
+# solution of "maximize the minimum source share under a budget"
+# (how mixture tuning distributes a training budget without
+# starving small sources). Solved in closed form over the sorted
+# per-source totals: with ascending sizes s_1..s_n and prefix sums
+# P_i, t = (B - P_i) div (n - i) for the unique i where
+# s_i <= t < s_(i+1) — one window cumsum over an n-row aggregate,
+# every quantity exact BIGINT (the integer-div remainder < n is
+# reported as budget_slack, not silently smeared). Scale shape:
+# the token count is the only corpus-wide pass (map-side
+# combinable); the waterfill itself runs on O(#sources) rows.
+
+WATERFILL_BUDGET_PPM = 920_000  # spend 92% of the corpus tokens
+
+_Q167_SIZES_SQL = f"""
+sizes AS (
+    SELECT source, SUM(len({TOKENS_SQL})) AS tok
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT SUM(tok) AS total,
+           SUM(tok) * {WATERFILL_BUDGET_PPM} // 1000000 AS b,
+           COUNT(*) AS n
+    FROM sizes
+),
+ranked AS (
+    SELECT source, tok,
+           row_number() OVER (ORDER BY tok, source) AS i,
+           SUM(tok) OVER (ORDER BY tok, source
+                          ROWS UNBOUNDED PRECEDING) AS pfx
+    FROM sizes
+),
+cand AS (
+    SELECT r.i, (t.b - (r.pfx - r.tok)) // (t.n - r.i + 1) AS thr,
+           r.tok AS s_here
+    FROM ranked r CROSS JOIN tot t
+),
+thr AS (
+    -- the FIRST (ascending-size) row whose threshold caps it is the
+    -- unique consistent water line; rows before it are fully taken.
+    SELECT arg_min(thr, i) AS t FROM cand WHERE thr < s_here
+)"""
+
+_ORACLE_Q167 = f"""
+WITH {_Q167_SIZES_SQL}
+SELECT r.source,
+       CAST(r.tok AS BIGINT) AS tokens,
+       CAST(LEAST(r.tok, COALESCE(th.t, r.tok)) AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN th.t IS NOT NULL AND r.tok > th.t
+                 THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       CAST(LEAST(r.tok, COALESCE(th.t, r.tok)) * 1000000 // r.tok
+            AS BIGINT) AS keep_ppm
+FROM ranked r CROSS JOIN thr th
+ORDER BY r.source
+"""
+
+
+@register(
+    "q167_budget_waterfill",
+    oracle=_ORACLE_Q167,
+    doc="Token-budget waterfilling across sources (the mixture "
+    "allocator): sources below the water line keep everything, the "
+    "rest are capped at the common threshold that exactly spends "
+    "92% of corpus tokens — closed-form over sorted per-source "
+    "totals, all-BIGINT arithmetic, per-source keep rate in ppm.",
+    tags=("curation", "mixing", "allocation"),
+)
+def q167_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    sizes = (
+        cat.documents.select("source", F.size(tokens_col()).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").alias("tok"))
+    )
+    tot = sizes.agg(
+        F.sum("tok").alias("total"),
+        F.expr(f"sum(tok) * {WATERFILL_BUDGET_PPM} div 1000000").alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("tok", "source")
+    ranked = sizes.select(
+        "source",
+        "tok",
+        F.row_number().over(w).alias("i"),
+        F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    )
+    cand = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok",
+        "i",
+        F.expr("(b - (pfx - tok)) div (n - i + 1)").alias("thr"),
+    )
+    thr = cand.where(F.col("thr") < F.col("tok")).agg(
+        F.expr("min_by(thr, i)").alias("t")
+    )
+    alloc = F.least(F.col("tok"), F.coalesce(F.col("t"), F.col("tok")))
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .select(
+            "source",
+            F.col("tok").cast("bigint").alias("tokens"),
+            alloc.cast("bigint").alias("alloc_tokens"),
+            (F.col("t").isNotNull() & (F.col("tok") > F.col("t")))
+            .cast("bigint")
+            .alias("capped"),
+            F.expr(
+                "CAST(least(tok, coalesce(t, tok)) * 1000000 div tok AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -139,3 +139,96 @@ def q98_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.check_name", "r.violations", "r.checked")
+
+
+# -------- q168: shuffle-skew diagnostics for a join/agg key
+#
+# The pre-flight check run before every big shuffle: how skewed is
+# the key? A hot key turns one reducer into the stage's critical
+# path (the problem q49's salting and AQE skew-join solve) — this
+# query produces the evidence that decides whether to bother:
+# per-key count distribution (max, exact p99 order statistic) and
+# the top-10 hottest keys with their traffic share, every figure
+# exact integer arithmetic (max/mean ratio as max*n_keys*1e6/total,
+# no float division). Scale shape: per-key counts partial-aggregate
+# map-side; the stats run over the (bounded) key-count frame, and
+# top-10 is a partial top-k.
+
+SKEW_TOP_K = 10
+
+_ORACLE_Q168 = """
+WITH counts AS (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+stats AS (
+    SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt
+    FROM counts
+),
+ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM counts
+),
+p99 AS (
+    SELECT r.cnt AS p99_cnt
+    FROM ranked r CROSS JOIN stats s
+    WHERE r.rn = (99 * s.n_keys + 99) // 100
+)
+SELECT CAST(row_number() OVER (ORDER BY c.cnt DESC, c.user_id) AS BIGINT)
+           AS rank,
+       c.user_id,
+       CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.cnt * 1000000 // s.total AS BIGINT) AS share_ppm,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(p.p99_cnt AS BIGINT) AS p99_cnt,
+       CAST(s.max_cnt * s.n_keys * 1000000 // s.total AS BIGINT)
+           AS max_over_mean_ppm
+FROM counts c CROSS JOIN stats s CROSS JOIN p99 p
+ORDER BY c.cnt DESC, c.user_id
+LIMIT 10
+"""
+
+
+@register(
+    "q168_key_skew_diagnostics",
+    oracle=_ORACLE_Q168,
+    doc="Shuffle-skew pre-flight for the user_id key: top-10 hot "
+    "keys with traffic share, exact p99 per-key count and the "
+    "max/mean ratio in ppm — the evidence that decides between a "
+    "plain shuffle, salting (q49) and AQE skew handling; all "
+    "integer arithmetic, partial top-k plan.",
+    tags=("quality", "skew", "diagnostics"),
+)
+def q168_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    counts = cat.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    wr = Window.orderBy("cnt")
+    ranked = counts.select("cnt", F.row_number().over(wr).alias("rn"))
+    p99 = (
+        ranked.crossJoin(F.broadcast(stats))
+        .where(F.col("rn") == F.expr("(99 * n_keys + 99) div 100"))
+        .select(F.col("cnt").alias("p99_cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "user_id").limit(SKEW_TOP_K)
+    wt = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            F.row_number().over(wt).cast("bigint").alias("rank"),
+            "user_id",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("CAST(cnt * 1000000 div total AS BIGINT)").alias("share_ppm"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("p99_cnt").cast("bigint").alias("p99_cnt"),
+            F.expr(
+                "CAST(max_cnt * n_keys * 1000000 div total AS BIGINT)"
+            ).alias("max_over_mean_ppm"),
+        )
+        .orderBy("rank")
+    )

@@ -136,3 +136,24 @@ def test_pointer_doubling_agrees_with_propagation(spark, sf_smoke):
     a = sorted(key(r) for r in SPECS["q70_neardup_components"].spark_fn(spark, sf_smoke).collect())
     b = sorted(key(r) for r in SPECS["q165_cc_pointer_doubling"].spark_fn(spark, sf_smoke).collect())
     assert a == b
+
+
+def test_waterfill_spends_budget_exactly(spark, sf_smoke):
+    """q167's invariant, checked independently of the oracle (a
+    same-formula-in-both-engines bug would pass the hash check):
+    allocations sum to the budget up to integer-div slack < n, no
+    source exceeds its own mass, uncapped sources sit at-or-below
+    the water line, capped ones exactly on it."""
+    from data_pipeline_2025_spark.operators.curation import WATERFILL_BUDGET_PPM
+
+    rows = SPECS["q167_budget_waterfill"].spark_fn(spark, sf_smoke).collect()
+    total = sum(r["tokens"] for r in rows)
+    budget = total * WATERFILL_BUDGET_PPM // 1_000_000
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert 0 <= budget - alloc < len(rows)
+    assert all(r["alloc_tokens"] <= r["tokens"] for r in rows)
+    capped = [r for r in rows if r["capped"]]
+    assert capped, "budget < total must cap at least one source"
+    t = capped[0]["alloc_tokens"]
+    assert all(r["alloc_tokens"] == t for r in capped)
+    assert all(r["tokens"] <= t for r in rows if not r["capped"])
