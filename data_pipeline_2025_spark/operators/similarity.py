@@ -1210,3 +1210,199 @@ def q159_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         F.expr("_num div _den").cast("bigint").alias("share_ppm"),
     ).orderBy("label", "predicted")
+
+
+# -------- q169: dominant eigenvector by integer power iteration
+#
+# The dimensionality-reduction primitive (PCA's first component):
+# the corpus' 64x64 Gram matrix G = X^T X is a BOUNDED aggregate of
+# the embedding stream (4096 cells, map-side combinable — at scale
+# you'd fold per-partition numpy partial Grams via mapInPandas, the
+# cells and their values are identical). Random embeddings make the
+# spectrum nearly FLAT (measured lambda1/lambda2 ~ 1.07), so plain
+# power iteration needs ~60 rounds; instead the matrix is SQUARED
+# four times first (G^16 — each squaring squares the eigen-ratios,
+# one bounded 64^3 matmul each) and 4 vector iterations on G^16
+# then act like ~64 plain rounds. Exactness without floats: every
+# multiply is exact BIGINT; after each squaring/iteration the frame
+# rescales by a data-derived divisor r = max(1, max|x| div 2^16)
+# applied as sign(x)*(|x| div r) — written EXACTLY that way in both
+# engines because Spark's div truncates toward zero while DuckDB's
+# // floors, and they disagree on negatives. Power iteration only
+# needs the direction, so rescaling is free; output is signed ppm
+# of the max component. Quantization is 10^3 (not _int_vecs' 10^6)
+# so the initial cells stay ~n_vecs*10^6; after the first rescale
+# every cell is <= 2^17 and a matmul sum is <= 64*2^34 — int64-safe
+# at any corpus size.
+
+POWER_ITERS = 4
+MATRIX_SQUARINGS = 4  # iterate on G^(2^4): ~64 plain rounds
+PI_RESCALE_BITS = 16
+
+_Q169_GRAM_SQL = f"""
+m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+cells AS (
+    SELECT i.i AS i, j.j AS j, SUM(m.mv[i.i] * m.mv[j.j]) AS g
+    FROM m,
+         UNNEST(range(1, {EMB_DIM} + 1)) AS i(i),
+         UNNEST(range(1, {EMB_DIM} + 1)) AS j(j)
+    GROUP BY i.i, j.j
+),
+v0 AS (SELECT i.i AS i, CAST(1 AS BIGINT) AS v
+       FROM UNNEST(range(1, {EMB_DIM} + 1)) AS i(i))"""
+
+
+def _pi_square_sql(k: int) -> str:
+    prev = f"g{k - 1}"
+    return f"""
+s{k} AS MATERIALIZED (
+    SELECT a.i, b.j, SUM(a.g * b.g) AS g
+    FROM {prev} a JOIN {prev} b ON a.j = b.i
+    GROUP BY a.i, b.j
+),
+sr{k} AS (
+    SELECT GREATEST(1, MAX(ABS(g)) // {1 << PI_RESCALE_BITS}) AS r FROM s{k}
+),
+g{k} AS MATERIALIZED (
+    SELECT s.i, s.j, CAST(sign(s.g) AS BIGINT) * (ABS(s.g) // r.r) AS g
+    FROM s{k} s CROSS JOIN sr{k} r
+)"""
+
+
+def _pi_iter_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    return f"""
+x{k} AS MATERIALIZED (
+    SELECT c.i, SUM(c.g * p.v) AS x
+    FROM g{MATRIX_SQUARINGS} c JOIN {prev} p ON p.i = c.j
+    GROUP BY c.i
+),
+r{k} AS (
+    SELECT GREATEST(1, MAX(ABS(x)) // {1 << PI_RESCALE_BITS}) AS r FROM x{k}
+),
+v{k} AS (
+    SELECT x.i, CAST(sign(x.x) AS BIGINT) * (ABS(x.x) // r.r) AS v
+    FROM x{k} x CROSS JOIN r{k} r
+)"""
+
+
+_ORACLE_Q169 = (
+    "WITH "
+    + _Q169_GRAM_SQL
+    + ",\ng0 AS MATERIALIZED (SELECT i, j, g FROM cells),"
+    + ",".join(_pi_square_sql(k) for k in range(1, MATRIX_SQUARINGS + 1))
+    + ","
+    + ",".join(_pi_iter_sql(k) for k in range(1, POWER_ITERS + 1))
+    + f"""
+SELECT CAST(v.i AS BIGINT) AS dim,
+       CAST(CAST(sign(v.v) AS BIGINT)
+            * (ABS(v.v) * 1000000 // mx.m) AS BIGINT) AS val_ppm
+FROM v{POWER_ITERS} v
+CROSS JOIN (SELECT MAX(ABS(v)) AS m FROM v{POWER_ITERS}) mx
+ORDER BY dim
+"""
+)
+
+
+@register(
+    "q169_power_iteration",
+    oracle=_ORACLE_Q169,
+    doc="Dominant eigenvector of the embedding Gram matrix by 4 "
+    "integer power-iteration steps: the Gram is a bounded 4096-cell "
+    "map-side-combinable aggregate of the vector stream, each "
+    "iteration an exact-BIGINT 64-row multiply with sign-safe "
+    "power-of-two rescaling — PCA's first component, engine-exact.",
+    tags=("similarity", "linalg", "iterative"),
+)
+def q169_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    vecs = fan_out(cat.embeddings, "vec_id").select("vec_id", mq.alias("mv"))
+    mi = vecs.select("vec_id", F.posexplode("mv").alias("i", "vi"))
+    cells = (
+        mi.join(
+            vecs.select("vec_id", F.posexplode("mv").alias("j", "vj")),
+            "vec_id",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+    )
+    # square the matrix MATRIX_SQUARINGS times, rescaling each time
+    for _ in range(MATRIX_SQUARINGS):
+        sq = (
+            cells.alias("a")
+            .join(
+                cells.select(
+                    F.col("i").alias("bi"), F.col("j").alias("bj"), F.col("g").alias("bg")
+                ),
+                F.col("a.j") == F.col("bi"),
+            )
+            .groupBy(F.col("a.i").alias("i"), F.col("bj").alias("j"))
+            .agg(F.sum(F.col("a.g") * F.col("bg")).alias("g"))
+        )
+        rr = sq.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(f"max(abs(g)) div {1 << PI_RESCALE_BITS}"),
+            ).alias("r")
+        )
+        cells = (
+            sq.crossJoin(F.broadcast(rr))
+            .select(
+                "i",
+                "j",
+                (
+                    F.signum("g").cast("bigint") * F.expr("abs(g) div r").cast("bigint")
+                ).alias("g"),
+            )
+            .localCheckpoint()
+        )
+    v = None  # 64-row (i, v) frame; None means the all-ones v0
+    for _ in range(POWER_ITERS):
+        joined = (
+            cells
+            if v is None
+            else cells.join(
+                v.select(F.col("i").alias("j"), F.col("v").alias("pv")), "j"
+            )
+        )
+        x = (
+            joined.groupBy("i").agg(
+                F.sum(F.col("g") if v is None else F.col("g") * F.col("pv")).alias(
+                    "x"
+                )
+            )
+        )
+        r = x.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(f"max(abs(x)) div {1 << PI_RESCALE_BITS}"),
+            ).alias("r")
+        )
+        v = x.crossJoin(F.broadcast(r)).select(
+            "i",
+            (
+                F.signum("x").cast("bigint")
+                * F.expr("abs(x) div r").cast("bigint")
+            ).alias("v"),
+        )
+    mx = v.agg(F.max(F.abs(F.col("v"))).alias("m"))
+    return (
+        v.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("i") + 1).cast("bigint").alias("dim"),
+            (
+                F.signum("v").cast("bigint")
+                * F.expr("abs(v) * 1000000 div m").cast("bigint")
+            ).alias("val_ppm"),
+        )
+        .orderBy("dim")
+    )

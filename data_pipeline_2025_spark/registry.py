@@ -47,7 +47,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ordering below only decides which rows the DRIVER re-verifies.
 # Round 4: the _PRIORITY list front-loads (a) the 22 round-3 tail
 # queries q123-q145 that registered past the cap last round, and
-# (b) the twenty-two new round-4 queries q147-q168 — completing official
+# (b) the twenty-three new round-4 queries q147-q169 — completing official
 # driver verification of the entire registry; everything else is
 # already driver-green in r1-r3 and fills the remaining slots as
 # rotation re-checks.
@@ -164,6 +164,7 @@ _PRIORITY = (
     "q166_audio_segmentation",
     "q167_budget_waterfill",
     "q168_key_skew_diagnostics",
+    "q169_power_iteration",
     # Rotation re-checks (already driver-green r1-r3) fill the
     # remaining slots up to the 50-cap; anything past the cap is
     # harmless (green history + local full sweep still covers it).

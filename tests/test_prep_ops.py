@@ -157,3 +157,29 @@ def test_waterfill_spends_budget_exactly(spark, sf_smoke):
     t = capped[0]["alloc_tokens"]
     assert all(r["alloc_tokens"] == t for r in capped)
     assert all(r["tokens"] <= t for r in rows if not r["capped"])
+
+
+def test_power_iteration_matches_numpy_eigenvector(spark, sf_smoke):
+    """q169's direction must agree with numpy's dominant eigenvector
+    of the same quantized Gram matrix (|cosine| > 0.999) — the
+    independent ground truth the two-engine hash check can't give
+    (both engines share the iteration schedule)."""
+    import numpy as np
+
+    rows = SPECS["q169_power_iteration"].spark_fn(spark, sf_smoke).collect()
+    v = np.array([r["val_ppm"] for r in sorted(rows, key=lambda r: r["dim"])], dtype=float)
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=float,
+    )
+    q = np.floor(emb * 1000)
+    gram = q.T @ q
+    w, vecs = np.linalg.eigh(gram)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
