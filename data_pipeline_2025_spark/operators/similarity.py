@@ -1406,3 +1406,156 @@ def q169_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# -------- q170: Johnson-Lindenstrauss projection distortion audit
+#
+# The cheap-prefilter companion to q169: project 64-dim embeddings
+# to 16 dims with a deterministic +-1 matrix (sign of an md5 bit —
+# Achlioptas' database-friendly JL construction) and MEASURE what
+# the distance-preserving guarantee actually delivers on the pairs
+# the pipeline cares about (the q36 LSH candidates): the ratio of
+# projected to original squared distance, normalized by the
+# unscaled-+-1 expectation E[d_proj^2] = k*d^2, in
+# exact integral ppm (ratio 1e6 = perfectly preserved). This is the
+# audit run before trusting a projected index as a prefilter. All
+# integer: quantized vectors, +-1 matrix, exact squared distances,
+# one div. Scale shape: the projection is per-row column algebra
+# (the 64x16 sign matrix is a literal, no join), distances only for
+# the bounded candidate-pair set.
+
+JL_OUT_DIMS = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic +-1 from md5 — reproduced verbatim in SQL."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [[_jl_sign(i, j) for j in range(64)] for i in range(JL_OUT_DIMS)]
+
+_JL_PROJ_SQL = ",\n".join(
+    "        ("
+    + " + ".join(
+        f"{'' if s > 0 else '-'}mv[{j + 1}]" for j, s in enumerate(row)
+    )
+    + f") AS p{i}"
+    for i, row in enumerate(_JL_SIGNS)
+)
+
+_ORACLE_Q170 = f"""
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+p AS (
+    SELECT vec_id, mv,
+{_JL_PROJ_SQL}
+    FROM m
+),
+pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           CAST(list_dot_product(
+               list_transform(range(1, 65), i -> a.mv[i] - b.mv[i]),
+               list_transform(range(1, 65), i -> a.mv[i] - b.mv[i])
+           ) AS BIGINT) AS d64,
+           {" + ".join(f"(a.p{i} - b.p{i}) * (a.p{i} - b.p{i})" for i in range(JL_OUT_DIMS))}
+               AS d16
+    FROM p a
+    JOIN p b ON b.vec_id = a.vec_id + 1 OR b.vec_id = a.vec_id + 17
+)
+SELECT va, vb,
+       CAST(d64 AS BIGINT) AS d64_sq,
+       CAST(d16 AS BIGINT) AS d16_sq,
+       CAST(d16 * 1000000 // (d64 * {JL_OUT_DIMS}) AS BIGINT)
+           AS ratio_ppm
+FROM pairs
+WHERE d64 > 0
+ORDER BY va, vb
+"""
+
+
+@register(
+    "q170_jl_distortion",
+    oracle=_ORACLE_Q170,
+    doc="Johnson-Lindenstrauss 64-to-16 projection with a "
+    "deterministic Achlioptas +-1 matrix and an exact distortion "
+    "audit: dimension-normalized projected/original squared-"
+    "distance ratio in integral ppm over a deterministic pair "
+    "sample — the check run before trusting a projected index as "
+    "an ANN prefilter; projection is joinless per-row algebra.",
+    tags=("similarity", "projection", "jl"),
+)
+def q170_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    mq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    m = fan_out(cat.embeddings, "vec_id").select("vec_id", mq.alias("mv"))
+    # one fold per output dim (16 expressions) instead of 16x64
+    # unrolled array extracts — same integers, ~10x faster to
+    # analyze/codegen.
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col("mv"),
+                F.array(*[F.lit(sgn).cast("bigint") for sgn in row]),
+                lambda x, sg: x * sg,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{i}")
+        for i, row in enumerate(_JL_SIGNS)
+    ]
+    p = m.select("vec_id", "mv", *proj)
+    a = p.alias("a")
+    b = p.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("mv").alias("bmv"),
+        *[F.col(f"p{i}").alias(f"bp{i}") for i in range(JL_OUT_DIMS)],
+    )
+    diff = F.zip_with(F.col("mv"), F.col("bmv"), lambda x, y: x - y)
+    d64 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d16 = None
+    for i in range(JL_OUT_DIMS):
+        term = (F.col(f"p{i}") - F.col(f"bp{i}")) * (
+            F.col(f"p{i}") - F.col(f"bp{i}")
+        )
+        d16 = term if d16 is None else d16 + term
+    shifted = None
+    for off in (1, 17):
+        part = a.join(b, F.col("b_id") == F.col("vec_id") + off).select(
+            "vec_id", "b_id", "mv", "bmv",
+            *[F.col(f"p{i}") for i in range(JL_OUT_DIMS)],
+            *[F.col(f"bp{i}") for i in range(JL_OUT_DIMS)],
+        )
+        shifted = part if shifted is None else shifted.unionByName(part)
+    return (
+        shifted
+        .select(
+            F.col("vec_id").alias("va"),
+            F.col("b_id").alias("vb"),
+            d64.alias("d64_sq"),
+            d16.cast("bigint").alias("d16_sq"),
+        )
+        .where(F.col("d64_sq") > 0)
+        .select(
+            "va",
+            "vb",
+            "d64_sq",
+            "d16_sq",
+            F.expr(
+                f"CAST(d16_sq * 1000000 div (d64_sq * {JL_OUT_DIMS}) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+        .orderBy("va", "vb")
+    )
