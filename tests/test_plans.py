@@ -620,3 +620,47 @@ def test_drift_edges_broadcast(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snm_verify_is_equi_join(spark, sf_smoke):
+    """q164: the Jaccard verify must be an equi-join on shingles
+    (bounded SNM candidates), never a cartesian; the lead() window
+    is the documented diagnostic-sized sort."""
+    plan = plan_of(spark, "q164_sorted_neighborhood", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_segmentation_is_shuffle_free(spark, sf_smoke):
+    """q166: binary slicing is pure mapInPandas over the scan — no
+    exchange anywhere in the plan."""
+    plan = plan_of(spark, "q166_audio_segmentation", sf_smoke)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_waterfill_broadcasts_scalars(spark, sf_smoke):
+    """q167: the budget row and the threshold row must reach the
+    n-source frame by broadcast; no sort-merge join on a 20-row
+    frame."""
+    plan = plan_of(spark, "q167_budget_waterfill", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_diag_partial_topk(spark, sf_smoke):
+    """q168: top-10 hot keys must be a partial top-k over the
+    per-key counts (map-side combinable aggregate), with the stats
+    and p99 rows broadcast."""
+    plan = plan_of(spark, "q168_key_skew_diagnostics", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_joinless_and_linear(spark, sf_smoke):
+    """q170: the projection itself must be joinless column algebra;
+    the pair sample is equi-joins on shifted ids — no cartesian, no
+    nested loop."""
+    plan = plan_of(spark, "q170_jl_distortion", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
