@@ -614,3 +614,184 @@ def q156_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# -------- q171: sketch-driven join-order choice (the CBO loop)
+#
+# q145 estimates one join's cardinality from KMV sketches; this
+# closes the loop a cost-based optimizer actually runs: two
+# candidate orders for the 3-table join urgent-orders ⋈ lineitem ⋈
+# customer, each step's cardinality estimated from per-table KMV
+# sketches of its join key with the textbook formula
+# |R ⋈ S| = |R|·|S| / max(ndv_R(k), ndv_S(k)), the cheaper order
+# chosen by total estimated intermediate rows — and every estimate
+# printed NEXT TO the exact actual, so the decision's quality is
+# itself value-checked. Everything is exact integer arithmetic: the
+# KMV ndv estimate (K-1)/u_K is computed as (63·2^48) div h_K (h_K
+# the 64th-smallest 48-bit hash — no doubles anywhere), estimates
+# with BIGINT div. Scale shape: sketches are K-row aggregates
+# (map-side combinable, the ANALYZE TABLE pass); the estimation
+# itself touches only sketch outputs; the actuals here are the
+# audit, not part of the optimizer's cost.
+
+CBO_K = 64
+_CBO_SCALE = 63 << 48
+
+
+def _kmv_ndv_sql(table_expr: str, key: str, name: str) -> str:
+    """DuckDB CTE producing (n, ndv) for a table's join key."""
+    return f"""
+{name}_h AS (
+    SELECT DISTINCT CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 12))
+                         AS UBIGINT) AS h
+    FROM {table_expr}
+),
+{name}_r AS (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd
+    FROM {name}_h
+),
+{name} AS (
+    SELECT (SELECT COUNT(*) FROM {table_expr}) AS n,
+           CASE WHEN MAX(nd) < {CBO_K} THEN MAX(nd)
+                ELSE {_CBO_SCALE} // MAX(CASE WHEN rn = {CBO_K} THEN h END)
+           END AS ndv
+    FROM {name}_r
+)"""
+
+
+_ORACLE_Q171 = f"""
+WITH of AS (
+    SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+{_kmv_ndv_sql("of", "o_orderkey", "sk_ook").lstrip()},
+{_kmv_ndv_sql("lineitem", "l_orderkey", "sk_lok").lstrip()},
+{_kmv_ndv_sql("of", "o_custkey", "sk_ock").lstrip()},
+{_kmv_ndv_sql("customer", "c_custkey", "sk_cck").lstrip()},
+est AS (
+    SELECT
+        of.n * l.n // GREATEST(ook.ndv, lok.ndv) AS est_a1,
+        (of.n * l.n // GREATEST(ook.ndv, lok.ndv)) * c.n
+            // GREATEST(ock.ndv, cck.ndv) AS est_a2,
+        of.n * c.n // GREATEST(ock.ndv, cck.ndv) AS est_b1,
+        (of.n * c.n // GREATEST(ock.ndv, cck.ndv)) * l.n
+            // GREATEST(ook.ndv, lok.ndv) AS est_b2
+    FROM sk_ook ook, sk_lok lok, sk_ock ock, sk_cck cck,
+         (SELECT n FROM sk_ook) of, (SELECT n FROM sk_lok) l,
+         (SELECT n FROM sk_cck) c
+),
+act AS (
+    SELECT
+        (SELECT COUNT(*) FROM of o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+            AS act_a1,
+        (SELECT COUNT(*) FROM of o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey) AS act_a2,
+        (SELECT COUNT(*) FROM of o JOIN customer c ON c.c_custkey = o.o_custkey)
+            AS act_b1,
+        (SELECT COUNT(*) FROM of o JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS act_b2
+),
+rows_out AS (
+    SELECT 'lineitem_first' AS ord, 1 AS step, est_a1 AS est_rows, act_a1 AS act_rows,
+           est_a1 + est_a2 AS ord_total FROM est, act
+    UNION ALL
+    SELECT 'lineitem_first', 2, est_a2, act_a2, est_a1 + est_a2 FROM est, act
+    UNION ALL
+    SELECT 'customer_first', 1, est_b1, act_b1, est_b1 + est_b2 FROM est, act
+    UNION ALL
+    SELECT 'customer_first', 2, est_b2, act_b2, est_b1 + est_b2 FROM est, act
+)
+SELECT ord, CAST(step AS BIGINT) AS step,
+       CAST(est_rows AS BIGINT) AS est_rows,
+       CAST(act_rows AS BIGINT) AS act_rows,
+       CAST(CASE WHEN ord_total = MIN(ord_total) OVER () THEN 1 ELSE 0 END
+            AS BIGINT) AS chosen
+FROM rows_out
+ORDER BY ord, step
+"""
+
+
+def _kmv_ndv_df(df, key):
+    """(n, ndv) one-row frame for a DataFrame's join key — exact
+    integer KMV: ndv = (63*2^48) div h_64."""
+    n = df.count()
+    hashed = (
+        df.select(
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    ranked = hashed.select(
+        "h",
+        F.row_number().over(Window.orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    row = (
+        ranked.agg(
+            F.max("nd").alias("nd"),
+            F.max(F.when(F.col("rn") == CBO_K, F.col("h"))).alias("hk"),
+        )
+        .select(
+            F.lit(n).cast("bigint").alias("n"),
+            F.when(F.col("nd") < CBO_K, F.col("nd").cast("bigint"))
+            .otherwise(F.expr(f"CAST({_CBO_SCALE} div hk AS BIGINT)"))
+            .alias("ndv"),
+        )
+    )
+    return row
+
+
+@register(
+    "q171_cbo_join_order",
+    oracle=_ORACLE_Q171,
+    doc="The cost-based-optimizer loop on KMV sketches: two join "
+    "orders for urgent-orders x lineitem x customer, per-step "
+    "cardinalities estimated as |R|*|S| div max(ndv) from exact-"
+    "integer KMV sketches ((63*2^48) div h_64 — no doubles), the "
+    "cheaper order flagged, and every estimate emitted next to the "
+    "exact actual so the decision quality is value-checked.",
+    tags=("join", "cbo", "sketches"),
+)
+def q171_cbo_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    of = cat.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    li = cat.lineitem
+    cu = cat.customer
+    sk = {
+        "ook": _kmv_ndv_df(of, "o_orderkey"),
+        "lok": _kmv_ndv_df(li, "l_orderkey"),
+        "ock": _kmv_ndv_df(of, "o_custkey"),
+        "cck": _kmv_ndv_df(cu, "c_custkey"),
+    }
+    vals = {k: v.collect()[0] for k, v in sk.items()}  # 4 one-row sketches
+    n_of, n_li, n_cu = vals["ook"]["n"], vals["lok"]["n"], vals["cck"]["n"]
+    d_ok = max(vals["ook"]["ndv"], vals["lok"]["ndv"])
+    d_ck = max(vals["ock"]["ndv"], vals["cck"]["ndv"])
+    est_a1 = n_of * n_li // d_ok
+    est_a2 = est_a1 * n_cu // d_ck
+    est_b1 = n_of * n_cu // d_ck
+    est_b2 = est_b1 * n_li // d_ok
+    a1 = of.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    act_a1 = a1.count()
+    act_a2 = a1.join(cu, F.col("c_custkey") == F.col("o_custkey")).count()
+    b1 = of.join(cu, F.col("c_custkey") == F.col("o_custkey"))
+    act_b1 = b1.count()
+    act_b2 = b1.join(li, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    tot_a, tot_b = est_a1 + est_a2, est_b1 + est_b2
+    rows = [
+        ("lineitem_first", 1, est_a1, act_a1, tot_a),
+        ("lineitem_first", 2, est_a2, act_a2, tot_a),
+        ("customer_first", 1, est_b1, act_b1, tot_b),
+        ("customer_first", 2, est_b2, act_b2, tot_b),
+    ]
+    best = min(tot_a, tot_b)
+    return spark.createDataFrame(
+        [
+            (ordn, step, est, act, 1 if tot == best else 0)
+            for ordn, step, est, act, tot in rows
+        ],
+        "ord STRING, step LONG, est_rows LONG, act_rows LONG, chosen LONG",
+    ).orderBy("ord", "step")

@@ -47,7 +47,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ordering below only decides which rows the DRIVER re-verifies.
 # Round 4: the _PRIORITY list front-loads (a) the 22 round-3 tail
 # queries q123-q145 that registered past the cap last round, and
-# (b) the twenty-four new round-4 queries q147-q170 — completing official
+# (b) the twenty-five new round-4 queries q147-q171 — completing official
 # driver verification of the entire registry; everything else is
 # already driver-green in r1-r3 and fills the remaining slots as
 # rotation re-checks.
@@ -166,6 +166,7 @@ _PRIORITY = (
     "q168_key_skew_diagnostics",
     "q169_power_iteration",
     "q170_jl_distortion",
+    "q171_cbo_join_order",
     # Rotation re-checks (already driver-green r1-r3) fill the
     # remaining slots up to the 50-cap; anything past the cap is
     # harmless (green history + local full sweep still covers it).
