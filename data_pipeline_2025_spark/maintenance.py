@@ -138,3 +138,33 @@ def table_row_fingerprint(spark: SparkSession, table_dir: str) -> tuple[int, str
         F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
     return agg["n"], str(agg["s"])
+
+
+def write_zordered(
+    df,
+    out_dir: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    z_bits: int = 16,
+) -> None:
+    """OPTIMIZE ZORDER's write path (q163 measures the layout; this
+    PRODUCES it): interleave the bits of two integer columns into a
+    Morton key, range-partition on it (parallel sampling-based
+    ranges — no global sort funnel) and sort within each partition,
+    so every output file covers a bounded range in BOTH dimensions
+    and parquet footer min/max stats prune for predicates on either
+    column. The key is dropped before writing — layout only."""
+    terms = " + ".join(
+        f"(((({col_a}) >> {i}) & 1) << {2 * i}) + "
+        f"(((({col_b}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(z_bits)
+    )
+    zdf = df.withColumn("__z", F.expr(terms))
+    (
+        zdf.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
