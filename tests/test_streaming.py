@@ -615,3 +615,53 @@ def test_dedup_gate_crash_between_verdicts_and_store(spark, tmp_path):
     assert got[10][0] is False and got[10][1] >= 1
     assert spark.read.parquet(verdicts).count() == 2  # no dup verdicts
     assert spark.read.parquet(store).count() == 2  # store recovered
+
+
+def test_state_reader_exposes_join_sides(spark, sf_correct, tmp_path):
+    """Spark 4 State Data Source on a stream-stream join checkpoint:
+    option("joinSide", ...) must expose each side's keyed buffers as
+    a DataFrame, and every surviving state key must belong to the
+    matching event population — the q161 introspection pattern
+    extended to the join operator's four-store state."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_2025_spark.streaming.windowed import _events_stream
+
+    ck = str(tmp_path / "ck")
+    s = (
+        _events_stream(spark, sf_correct)
+        .where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("su"), F.col("ts").alias("sts"))
+        .withWatermark("sts", "2 hours")
+    )
+    p = (
+        _events_stream(spark, sf_correct)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "2 hours")
+    )
+    j = s.join(
+        p,
+        (F.col("su") == F.col("pu"))
+        & (F.col("pts") >= F.col("sts"))
+        & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("state_join_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+    users = {
+        t: {r["user_id"] for r in ev.where(F.col("event_type") == t).select("user_id").distinct().collect()}
+        for t in ("signup", "purchase")
+    }
+    for side, pop in (("left", users["signup"]), ("right", users["purchase"])):
+        st = spark.read.format("statestore").option("joinSide", side).load(ck)
+        keys = {r["key"]["field0"] if "field0" in st.schema["key"].dataType.names else list(r["key"])[0] for r in st.select("key").collect()}
+        assert keys, f"{side} state empty"
+        assert keys <= pop, (side, keys - pop)
