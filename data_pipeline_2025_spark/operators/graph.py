@@ -101,3 +101,131 @@ def q91_rank_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------- q172: PageRank to (near-)convergence
+#
+# q91 is one propagation step; this runs the REAL pass — six damped
+# iterations of the same exact-integer update, with the last step's
+# per-node movement emitted as the convergence witness:
+#
+#     r_{k+1}(v) = BASE + ALPHA * (sum_{u->v} r_k(u) // deg(u)) // 1000
+#
+# Every quantity stays ppm-integer, so six rounds are bit-stable in
+# both engines (a float PageRank would drift per summation order).
+# Spark side iterates with localCheckpoint lineage truncation
+# exactly like q70/q165; the oracle chains six MATERIALIZED CTEs
+# (materialization matters: an inlined chain re-executes the edge
+# build 2^k times — the q169 lesson). Per round: one edge join +
+# one shuffle-on-destination aggregation, the identical plan at
+# any scale.
+
+PR_ROUNDS = 6
+
+
+def _pr_round_sql(k: int) -> str:
+    prev = f"rank{k - 1}"
+    return f"""
+rank{k} AS MATERIALIZED (
+    SELECT d.v,
+           {RANK_BASE} + ({ALPHA_MILLI} *
+               COALESCE(SUM(p.r // d2.deg), 0)) // 1000 AS r
+    FROM deg d
+    LEFT JOIN edges e ON e.dst = d.v
+    LEFT JOIN {prev} p ON p.v = e.src
+    LEFT JOIN deg d2 ON d2.v = e.src
+    GROUP BY d.v
+)"""
+
+
+_ORACLE_Q172 = (
+    f"""
+WITH pairs AS MATERIALIZED (
+    SELECT vec_a, vec_b FROM ({_ORACLE_Q43})
+),
+edges AS MATERIALIZED (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+deg AS MATERIALIZED (
+    SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+rank0 AS MATERIALIZED (
+    SELECT v, CAST({RANK_SCALE} AS BIGINT) AS r FROM deg
+),"""
+    + ",".join(_pr_round_sql(k) for k in range(1, PR_ROUNDS + 1))
+    + f"""
+SELECT CAST(d.v AS BIGINT) AS vec_id,
+       d.deg,
+       CAST(rf.r AS BIGINT) AS rank_ppm,
+       CAST(ABS(rf.r - rp.r) AS BIGINT) AS last_delta_ppm
+FROM deg d
+JOIN rank{PR_ROUNDS} rf ON rf.v = d.v
+JOIN rank{PR_ROUNDS - 1} rp ON rp.v = d.v
+ORDER BY vec_id
+"""
+)
+
+
+@register(
+    "q172_pagerank_converged",
+    oracle=_ORACLE_Q172,
+    doc="PageRank run for six damped iterations over the near-dup "
+    "graph in exact ppm-integer arithmetic — q91's single step "
+    "iterated with localCheckpoint lineage truncation, each node's "
+    "final rank next to its last-round movement as the convergence "
+    "witness; bit-stable in both engines where a float PageRank "
+    "would drift by summation order.",
+    tags=("graph", "pagerank", "iterative"),
+)
+def q172_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q43_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    ranks = deg.select("v", F.lit(RANK_SCALE).cast("bigint").alias("r"))
+    prev = None
+    for _ in range(PR_ROUNDS):
+        prev = ranks
+        sends = (
+            edges.join(
+                ranks.withColumnRenamed("v", "src"), "src"
+            )
+            .join(
+                deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.expr("r div sdeg")).alias("in_sum"))
+        )
+        ranks = (
+            deg.select("v")
+            .join(sends, "v", "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST({RANK_BASE} + ({ALPHA_MILLI} * coalesce(in_sum, 0))"
+                    " div 1000 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        deg.join(ranks, "v")
+        .join(prev.select("v", F.col("r").alias("rp")), "v")
+        .select(
+            F.col("v").cast("bigint").alias("vec_id"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.col("r").cast("bigint").alias("rank_ppm"),
+            F.abs(F.col("r") - F.col("rp")).cast("bigint").alias("last_delta_ppm"),
+        )
+        .orderBy("vec_id")
+    )
