@@ -1187,3 +1187,107 @@ def q167_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------- q174: deterministic priority sampling (Duffield et al.)
+#
+# Weighted sampling without replacement in ONE distributed pass and
+# zero RNG state: each document draws its "uniform" from md5
+# (u = (h+1)/2^48), gets priority q = w/u, and the weighted sample
+# is simply the top-K priorities — a partial top-k, the cheapest
+# possible distributed plan. The Horvitz-Thompson estimator
+# max(w_i, tau) (tau = the (K+1)-th priority) makes the sample
+# UNBIASED for subset-sum queries — the property that lets a 32-doc
+# sample answer "how many tokens does source X hold" over 100 TB.
+# All integer: priority = w * 2^48 div (h+1) (>= w exactly as in
+# the real-valued scheme), tau and every HT weight BIGINT; the
+# exact corpus total rides along so the estimator's error is
+# value-checked, not just asserted.
+
+PRIO_K = 32
+_PRIO_SCALE = 1 << 48
+
+_ORACLE_Q174 = f"""
+WITH w AS (
+    SELECT doc_id, source, len({TOKENS_SQL}) AS wt FROM documents
+),
+pr AS (
+    SELECT doc_id, source, wt,
+           wt * {_PRIO_SCALE}
+               // (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 17, 12))
+                        AS UBIGINT) + 1) AS prio
+    FROM w WHERE wt > 0
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY prio DESC, doc_id) AS rnk FROM pr
+),
+tau AS (
+    SELECT prio AS t FROM ranked WHERE rnk = {PRIO_K} + 1
+),
+tot AS (
+    SELECT CAST(SUM(wt) AS BIGINT) AS exact_total FROM w
+)
+SELECT CAST(r.rnk AS BIGINT) AS rank, r.doc_id, r.source,
+       CAST(r.wt AS BIGINT) AS weight,
+       CAST(GREATEST(r.wt, tau.t) AS BIGINT) AS ht_weight,
+       CAST((SELECT SUM(GREATEST(rr.wt, tau.t)) FROM ranked rr, tau
+             WHERE rr.rnk <= {PRIO_K}) AS BIGINT) AS est_total,
+       tot.exact_total
+FROM ranked r CROSS JOIN tau CROSS JOIN tot
+WHERE r.rnk <= {PRIO_K}
+ORDER BY rank
+"""
+
+
+@register(
+    "q174_priority_sampling",
+    oracle=_ORACLE_Q174,
+    doc="Deterministic priority sampling (Duffield et al.): md5 "
+    "uniforms, integer priorities w*2^48 div (h+1), weighted "
+    "top-32 as a partial top-k, Horvitz-Thompson weights "
+    "max(w, tau) with the exact corpus total alongside — unbiased "
+    "weighted sampling with zero RNG state and its estimator error "
+    "value-checked.",
+    tags=("curation", "sampling", "sketches"),
+)
+def q174_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    w = cat.documents.select(
+        "doc_id", "source", F.size(tokens_col()).alias("wt")
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("exact_total"))
+    pr = w.where(F.col("wt") > 0).select(
+        "doc_id",
+        "source",
+        "wt",
+        F.expr(
+            f"wt * {_PRIO_SCALE} div (CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+            f" 17, 12), 16, 10) AS BIGINT) + 1)"
+        ).alias("prio"),
+    )
+    wr = Window.orderBy(F.col("prio").desc(), "doc_id")
+    ranked = pr.select("*", F.row_number().over(wr).alias("rnk"))
+    topk1 = ranked.where(F.col("rnk") <= PRIO_K + 1).localCheckpoint()
+    tau = topk1.where(F.col("rnk") == PRIO_K + 1).select(
+        F.col("prio").alias("t")
+    )
+    sample = topk1.where(F.col("rnk") <= PRIO_K).crossJoin(F.broadcast(tau))
+    est = sample.agg(
+        F.sum(F.greatest(F.col("wt"), F.col("t"))).cast("bigint").alias("est_total")
+    )
+    return (
+        sample.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            "doc_id",
+            "source",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.greatest(F.col("wt"), F.col("t")).cast("bigint").alias("ht_weight"),
+            "est_total",
+            "exact_total",
+        )
+        .orderBy("rank")
+    )

@@ -1043,3 +1043,89 @@ def q154_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_tokens", "mean_bits_ppm", band.alias("band")
     ).orderBy("doc_id")
+
+
+# -------- q173: positional phrase + proximity search
+#
+# The full-text operator the trigram family (q47/q67/q103) doesn't
+# cover: PHRASE match needs token POSITIONS, not just containment —
+# "key order" must hit only adjacent occurrences, and NEAR/3 only
+# within a window. The shape is the positional inverted index every
+# search engine builds: one posexplode to (doc, term, pos), then
+# phrase = self-equi-join on (doc, pos+1) restricted to the two
+# broadcast-literal terms, proximity = same join with a bounded
+# position-range predicate on top of the doc equi-key. Scale: the
+# term filters push into the scan side of each join leg (only
+# postings of the two query terms move), the join key is doc_id —
+# co-partitioned, no fan-out beyond per-doc term frequency.
+
+PHRASE_A, PHRASE_B = "key", "order"
+NEAR_SLOP = 3
+PHRASE_TOP = 20
+
+_ORACLE_Q173 = f"""
+WITH t AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+p AS (
+    SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+    FROM t
+),
+pa AS (SELECT doc_id, pos FROM p WHERE w = '{PHRASE_A}'),
+pb AS (SELECT doc_id, pos FROM p WHERE w = '{PHRASE_B}'),
+hits AS (
+    SELECT a.doc_id,
+           CAST(COUNT(CASE WHEN b.pos = a.pos + 1 THEN 1 END) AS BIGINT)
+               AS phrase_hits,
+           CAST(COUNT(CASE WHEN b.pos > a.pos
+                            AND b.pos <= a.pos + {NEAR_SLOP} THEN 1 END)
+                AS BIGINT) AS near_hits
+    FROM pa a JOIN pb b ON b.doc_id = a.doc_id
+    GROUP BY a.doc_id
+)
+SELECT doc_id, phrase_hits, near_hits
+FROM hits
+WHERE near_hits > 0
+ORDER BY phrase_hits DESC, near_hits DESC, doc_id
+LIMIT {PHRASE_TOP}
+"""
+
+
+@register(
+    "q173_phrase_search",
+    oracle=_ORACLE_Q173,
+    doc="Positional phrase + proximity search ('key order' adjacent, "
+    "NEAR/3 windowed): posexplode to a positional postings frame, "
+    "term-filtered join legs co-keyed on doc_id — the full-text "
+    "operator positions enable that trigram containment can't; "
+    "partial top-20.",
+    tags=("text", "search", "phrase"),
+)
+def q173_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    p = fan_out(
+        cat.documents.select("doc_id", tokens_col().alias("toks")), "doc_id"
+    ).select("doc_id", F.posexplode("toks").alias("pos0", "w"))
+    # 1-based positions to mirror generate_subscripts
+    p = p.select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    pa = p.where(F.col("w") == PHRASE_A).select("doc_id", F.col("pos").alias("apos"))
+    pb = p.where(F.col("w") == PHRASE_B).select("doc_id", F.col("pos").alias("bpos"))
+    hits = (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("bpos") == F.col("apos") + 1).cast("bigint")).alias(
+                "phrase_hits"
+            ),
+            F.sum(
+                (
+                    (F.col("bpos") > F.col("apos"))
+                    & (F.col("bpos") <= F.col("apos") + NEAR_SLOP)
+                ).cast("bigint")
+            ).alias("near_hits"),
+        )
+        .where(F.col("near_hits") > 0)
+    )
+    return hits.orderBy(
+        F.col("phrase_hits").desc(), F.col("near_hits").desc(), "doc_id"
+    ).limit(PHRASE_TOP)

@@ -170,6 +170,8 @@ _PRIORITY = (
     "q170_jl_distortion",
     "q171_cbo_join_order",
     "q172_pagerank_converged",
+    "q173_phrase_search",
+    "q174_priority_sampling",
     # Rotation re-checks (already driver-green r1-r3) fill the
     # remaining slots up to the 50-cap; anything past the cap is
     # harmless (green history + local full sweep still covers it).
