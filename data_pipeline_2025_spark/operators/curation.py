@@ -1267,9 +1267,17 @@ def q174_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 17, 12), 16, 10) AS BIGINT) + 1)"
         ).alias("prio"),
     )
+    # Partial top-k FIRST (TakeOrderedAndProject — per-partition
+    # heads, no global window over the corpus), then ranks over the
+    # already-tiny K+1 frame. A row_number window before the limit
+    # would funnel every row through one task.
     wr = Window.orderBy(F.col("prio").desc(), "doc_id")
-    ranked = pr.select("*", F.row_number().over(wr).alias("rnk"))
-    topk1 = ranked.where(F.col("rnk") <= PRIO_K + 1).localCheckpoint()
+    topk1 = (
+        pr.orderBy(F.col("prio").desc(), "doc_id")
+        .limit(PRIO_K + 1)
+        .select("*", F.row_number().over(wr).alias("rnk"))
+        .localCheckpoint()
+    )
     tau = topk1.where(F.col("rnk") == PRIO_K + 1).select(
         F.col("prio").alias("t")
     )

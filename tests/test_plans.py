@@ -664,3 +664,50 @@ def test_jl_projection_joinless_and_linear(spark, sf_smoke):
     plan = plan_of(spark, "q170_jl_distortion", sf_smoke, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_priority_sampling_partial_topk(spark, sf_smoke):
+    """q174: the weighted sample must come from a partial top-k
+    (orderBy+limit -> TakeOrderedAndProject inside the checkpointed
+    stage), never a corpus-wide row_number window. The checkpoint
+    hides that stage behind Scan ExistingRDD, so the final plan is
+    asserted window-free (ranks were computed on the K+1-row frame
+    before materialization) and the top-k stage is asserted
+    directly on an un-checkpointed rebuild."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_2025_spark.catalog import Catalog
+    from data_pipeline_2025_spark.operators.curation import (
+        _PRIO_SCALE,
+        PRIO_K,
+    )
+    from data_pipeline_2025_spark.operators.text import tokens_col
+    from data_pipeline_2025_spark.plans import plan_of as raw_plan
+
+    plan = plan_of(spark, "q174_priority_sampling", sf_smoke)
+    assert "Window" not in plan  # no corpus-wide row_number
+    assert "CartesianProduct" not in plan
+    pr = (
+        Catalog(spark, sf_smoke)
+        .documents.select("doc_id", F.size(tokens_col()).alias("wt"))
+        .where(F.col("wt") > 0)
+        .select(
+            "doc_id",
+            "wt",
+            F.expr(
+                f"wt * {_PRIO_SCALE} div (CAST(conv(substring(md5(CAST(doc_id AS"
+                f" STRING)), 17, 12), 16, 10) AS BIGINT) + 1)"
+            ).alias("prio"),
+        )
+    )
+    stage = pr.orderBy(F.col("prio").desc(), "doc_id").limit(PRIO_K + 1)
+    assert "TakeOrderedAndProject" in raw_plan(stage, "simple")
+
+
+def test_phrase_search_filters_postings(spark, sf_smoke):
+    """q173: each join leg must be filtered to its query term before
+    the join (only the two terms' postings move) and the top-20 is a
+    partial TakeOrderedAndProject."""
+    plan = plan_of(spark, "q173_phrase_search", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
