@@ -1996,12 +1996,22 @@ def q145_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Verification is the same exact-Jaccard equi-join as q36, in pure
 # integer arithmetic (inter*10 >= 8*union ⇔ J >= 0.8).
 #
-# The lead() window below IS the algorithm's sequential spec; at
-# 100 TB the sort is repartitionByRange(skey) + sortWithinPartitions
-# with a W-1-row boundary overlap shipped to the next partition —
-# per-partition lead(), identical output, no global window.
+# Scale shape (and the actual implementation below): the sort key
+# is a UNIFORM 48-bit hash, so value-range bucketing needs no
+# global sort — bucket = skey div (2^48/B) is deterministic
+# per-row algebra. Each row is replicated into its own bucket and
+# the PREVIOUS one (native=false), the lead() window runs PER
+# BUCKET in parallel, and only native anchors emit pairs: anchors
+# near a bucket's end take their successors from the replicated
+# head of the next bucket, so the pair set is IDENTICAL to the
+# sequential global-sort spec (ties can't straddle buckets — equal
+# keys share a bucket). Cost: one 2x-replicated exchange instead
+# of a single-partition window; production would replicate only
+# per-partition head rows, same semantics.
 
 SNM_WINDOW = 4
+SNM_BUCKETS = 16
+_SNM_BUCKET_DIV = (1 << 48) // SNM_BUCKETS
 
 _ORACLE_Q164 = f"""
 WITH {SHINGLES_SQL.lstrip()},
@@ -2060,11 +2070,20 @@ def q164_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("hv"),
     ).groupBy("doc_id").agg(F.min("hv").alias("skey"))
-    w = Window.orderBy("skey", "doc_id")
-    led = keys.select(
-        "doc_id",
-        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in range(1, SNM_WINDOW)],
+    bucketed = keys.select(
+        "doc_id", "skey", F.expr(f"skey div {_SNM_BUCKET_DIV}").alias("bucket")
     )
+    replicated = bucketed.select("doc_id", "skey", "bucket", F.lit(True).alias("native")).unionByName(
+        bucketed.where(F.col("bucket") > 0).select(
+            "doc_id", "skey", (F.col("bucket") - 1).alias("bucket"), F.lit(False).alias("native")
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    led = replicated.select(
+        "doc_id",
+        "native",
+        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in range(1, SNM_WINDOW)],
+    ).where(F.col("native"))
     cand = (
         led.select(
             "doc_id",
@@ -2077,6 +2096,7 @@ def q164_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("doc_id", "n").alias("doc_a"),
             F.greatest("doc_id", "n").alias("doc_b"),
         )
+        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))

@@ -624,10 +624,12 @@ def test_drift_edges_broadcast(spark, sf_smoke):
 
 def test_snm_verify_is_equi_join(spark, sf_smoke):
     """q164: the Jaccard verify must be an equi-join on shingles
-    (bounded SNM candidates), never a cartesian; the lead() window
-    is the documented diagnostic-sized sort."""
+    (bounded SNM candidates), never a cartesian — and the SNM sort
+    itself must be the bucket-parallel window (hash-partitioned on
+    the value-range bucket), never a single-partition global sort."""
     plan = plan_of(spark, "q164_sorted_neighborhood", sf_smoke, mode="simple")
     assert "CartesianProduct" not in plan
+    assert "hashpartitioning(bucket" in plan
 
 
 def test_audio_segmentation_is_shuffle_free(spark, sf_smoke):
