@@ -151,7 +151,9 @@ def q98_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the top-10 hottest keys with their traffic share, every figure
 # exact integer arithmetic (max/mean ratio as max*n_keys*1e6/total,
 # no float division). Scale shape: per-key counts partial-aggregate
-# map-side; the stats run over the (bounded) key-count frame, and
+# map-side; the p99 comes from a cumulative sum over the COUNT
+# HISTOGRAM (cnt -> #keys), whose size is bounded by the distinct
+# per-key counts — never a rank window over the billion-key frame;
 # top-10 is a partial top-k.
 
 SKEW_TOP_K = 10
@@ -164,13 +166,18 @@ stats AS (
     SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt
     FROM counts
 ),
-ranked AS (
-    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM counts
+hist AS (
+    SELECT cnt, COUNT(*) AS freq FROM counts GROUP BY cnt
+),
+cum AS (
+    SELECT cnt,
+           SUM(freq) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS below
+    FROM hist
 ),
 p99 AS (
-    SELECT r.cnt AS p99_cnt
-    FROM ranked r CROSS JOIN stats s
-    WHERE r.rn = (99 * s.n_keys + 99) // 100
+    SELECT MIN(c.cnt) AS p99_cnt
+    FROM cum c CROSS JOIN stats s
+    WHERE c.below >= (99 * s.n_keys + 99) // 100
 )
 SELECT CAST(row_number() OVER (ORDER BY c.cnt DESC, c.user_id) AS BIGINT)
            AS rank,
@@ -207,12 +214,13 @@ def q168_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("total"),
         F.max("cnt").alias("max_cnt"),
     )
-    wr = Window.orderBy("cnt")
-    ranked = counts.select("cnt", F.row_number().over(wr).alias("rn"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    wr = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("cnt", F.sum("freq").over(wr).alias("below"))
     p99 = (
-        ranked.crossJoin(F.broadcast(stats))
-        .where(F.col("rn") == F.expr("(99 * n_keys + 99) div 100"))
-        .select(F.col("cnt").alias("p99_cnt"))
+        cum.crossJoin(F.broadcast(stats))
+        .where(F.col("below") >= F.expr("(99 * n_keys + 99) div 100"))
+        .agg(F.min("cnt").alias("p99_cnt"))
     )
     top = counts.orderBy(F.col("cnt").desc(), "user_id").limit(SKEW_TOP_K)
     wt = Window.orderBy(F.col("cnt").desc(), "user_id")
