@@ -711,8 +711,11 @@ ORDER BY ord, step
 
 
 def _kmv_ndv_df(df, key):
-    """(n, ndv) one-row frame for a DataFrame's join key — exact
-    integer KMV: ndv = (63*2^48) div h_64."""
+    """(n, ndv) for a DataFrame's join key — exact integer KMV:
+    ndv = (63*2^48) div h_64. The K smallest hashes come from a
+    partial top-k (orderBy+limit -> TakeOrderedAndProject), never a
+    rank window over the full distinct-key stream — the sketch is
+    the ANALYZE pass and must itself be scale-clean."""
     n = df.count()
     hashed = (
         df.select(
@@ -722,26 +725,15 @@ def _kmv_ndv_df(df, key):
         )
         .distinct()
     )
-    from pyspark.sql import Window
-
-    ranked = hashed.select(
-        "h",
-        F.row_number().over(Window.orderBy("h")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    smallest = hashed.orderBy("h").limit(CBO_K).agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("hk")
+    ).collect()[0]
+    ndv = (
+        smallest["k"]
+        if smallest["k"] < CBO_K
+        else _CBO_SCALE // smallest["hk"]
     )
-    row = (
-        ranked.agg(
-            F.max("nd").alias("nd"),
-            F.max(F.when(F.col("rn") == CBO_K, F.col("h"))).alias("hk"),
-        )
-        .select(
-            F.lit(n).cast("bigint").alias("n"),
-            F.when(F.col("nd") < CBO_K, F.col("nd").cast("bigint"))
-            .otherwise(F.expr(f"CAST({_CBO_SCALE} div hk AS BIGINT)"))
-            .alias("ndv"),
-        )
-    )
-    return row
+    return n, ndv
 
 
 @register(
@@ -760,16 +752,15 @@ def q171_cbo_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     of = cat.orders.where(F.col("o_orderpriority") == "1-URGENT")
     li = cat.lineitem
     cu = cat.customer
-    sk = {
+    vals = {
         "ook": _kmv_ndv_df(of, "o_orderkey"),
         "lok": _kmv_ndv_df(li, "l_orderkey"),
         "ock": _kmv_ndv_df(of, "o_custkey"),
         "cck": _kmv_ndv_df(cu, "c_custkey"),
-    }
-    vals = {k: v.collect()[0] for k, v in sk.items()}  # 4 one-row sketches
-    n_of, n_li, n_cu = vals["ook"]["n"], vals["lok"]["n"], vals["cck"]["n"]
-    d_ok = max(vals["ook"]["ndv"], vals["lok"]["ndv"])
-    d_ck = max(vals["ock"]["ndv"], vals["cck"]["ndv"])
+    }  # 4 (n, ndv) sketches — the CBO stats lookup
+    n_of, n_li, n_cu = vals["ook"][0], vals["lok"][0], vals["cck"][0]
+    d_ok = max(vals["ook"][1], vals["lok"][1])
+    d_ck = max(vals["ock"][1], vals["cck"][1])
     est_a1 = n_of * n_li // d_ok
     est_a2 = est_a1 * n_cu // d_ck
     est_b1 = n_of * n_cu // d_ck
