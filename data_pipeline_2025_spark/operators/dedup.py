@@ -1957,14 +1957,15 @@ def q145_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _KMV_DENOM,
         )
     )
-    w = Window.orderBy("h", "k")
-    r = u.withColumn("rn", F.row_number().over(w))
     exact = u.agg(
         F.sum("in_a").alias("exact_a"),
         F.sum("in_b").alias("exact_b"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
     )
-    sk = r.where(F.col("rn") <= KMV_K).agg(
+    # K-min selection as a TRUE partial top-k (orderBy+limit ->
+    # TakeOrderedAndProject), not a rank window over the whole
+    # union key stream — same rows, per-partition heads only.
+    sk = u.orderBy("h", "k").limit(KMV_K).agg(
         F.sum(F.col("in_a") * F.col("in_b")).alias("sketch_matches"),
         F.max("h").alias("u_k"),
     )
