@@ -72,7 +72,16 @@ def _latest_path(sink_dir: str) -> str:
 
 
 def is_transactional(sink_dir: str) -> bool:
-    return os.path.lexists(_latest_path(sink_dir))
+    """True when the sink is managed by this commit log. Keyed on the
+    ``_txn`` DIRECTORY, not the LATEST symlink: stage_append creates
+    the directory before it moves a single data file, so a crash
+    during the sink's FIRST-ever commit (files renamed into the
+    partition layout, manifest never published) still reads as
+    transactional. The committed snapshot is then empty — the
+    legacy directory-scan fallback must never see those orphans, or
+    the ingest idempotence anti-join would absorb the replayed batch
+    against rows vacuum later deletes (permanent loss)."""
+    return os.path.isdir(_txn_dir(sink_dir))
 
 
 def committed_files(sink_dir: str) -> list[str]:

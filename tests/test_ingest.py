@@ -341,6 +341,71 @@ def test_silver_publish_crash_never_partial(spark, price_dir, tmp_path, monkeypa
     }
 
 
+def test_silver_first_commit_crash_no_absorption(spark, price_dir, tmp_path, monkeypatch):
+    """Round-5 advisor fix (streaming/txn.py is_transactional): a
+    crash during the sink's FIRST-ever commit — stage_append has
+    renamed the batch's files into the partition layout, the
+    manifest was never published — must NOT make read_silver fall
+    back to a directory scan. The orphans would feed the idempotence
+    anti-join, the replayed batch would be absorbed by rows that
+    vacuum later deletes: permanent loss. The sink must read as
+    transactional-with-empty-snapshot from the moment _txn exists."""
+    import glob
+
+    from data_pipeline_2025_spark.streaming import ingest, txn
+    from data_pipeline_2025_spark.streaming.ingest import (
+        read_silver,
+        start_price_ingest,
+    )
+
+    sink = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_publish = ingest._publish_silver
+
+    def boom(sink_dir, new_files):
+        raise RuntimeError("injected crash before first manifest publish")
+
+    monkeypatch.setattr(ingest, "_publish_silver", boom)
+    q = start_price_ingest(spark, price_dir, sink, ckpt)
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream should have failed")
+    except Exception as exc:
+        assert "injected crash" in str(exc)
+
+    # orphan data files landed in the partition layout...
+    orphans = [
+        f
+        for f in glob.glob(f"{sink}/**/*.parquet", recursive=True)
+        if "/_txn/" not in f
+    ]
+    assert orphans
+    # ...but the sink already reads as transactional with an EMPTY
+    # committed snapshot — never a directory scan over the orphans.
+    assert txn.is_transactional(sink)
+    assert txn.committed_files(sink) == []
+    assert read_silver(spark, sink) is None
+
+    # retry with the same checkpoint: the replayed batch is NOT
+    # absorbed; content equals a clean one-shot run.
+    monkeypatch.setattr(ingest, "_publish_silver", real_publish)
+    start_price_ingest(spark, price_dir, sink, ckpt).awaitTermination()
+    final = read_silver(spark, sink)
+    clean_sink = str(tmp_path / "silver_clean")
+    start_price_ingest(
+        spark, price_dir, clean_sink, str(tmp_path / "ckpt_clean")
+    ).awaitTermination()
+    clean = read_silver(spark, clean_sink)
+    key_cols = ingest.DEDUP_KEY
+    assert {tuple(r) for r in final.select(*key_cols).collect()} == {
+        tuple(r) for r in clean.select(*key_cols).collect()
+    }
+    # vacuum reclaims the first-attempt orphans, committed rows stay
+    txn.vacuum(sink)
+    assert read_silver(spark, sink).count() == clean.count()
+
+
 def test_ingest_maintains_trigram_index(spark, price_dir, tmp_path):
     """With index_dir set, every micro-batch keeps the trigram search
     index fresh: new names are posted once, replayed files change
