@@ -1997,22 +1997,114 @@ def q145_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Verification is the same exact-Jaccard equi-join as q36, in pure
 # integer arithmetic (inter*10 >= 8*union ⇔ J >= 0.8).
 #
-# Scale shape (and the actual implementation below): the sort key
-# is a UNIFORM 48-bit hash, so value-range bucketing needs no
-# global sort — bucket = skey div (2^48/B) is deterministic
-# per-row algebra. Each row is replicated into its own bucket and
-# the PREVIOUS one (native=false), the lead() window runs PER
-# BUCKET in parallel, and only native anchors emit pairs: anchors
-# near a bucket's end take their successors from the replicated
-# head of the next bucket, so the pair set is IDENTICAL to the
-# sequential global-sort spec (ties can't straddle buckets — equal
-# keys share a bucket). Cost: one 2x-replicated exchange instead
-# of a single-partition window; production would replicate only
-# per-partition head rows, same semantics.
+# Scale shape (and the actual implementation below): value-range
+# bucketing on the 48-bit key needs no global sort — bucket =
+# skey div (2^48/B) is deterministic per-row algebra, the lead()
+# window runs PER BUCKET in parallel, and only native anchors emit
+# pairs. The key is NOT uniform — it is the minimum of each
+# document's shingle hashes, which is stochastically SMALLER for
+# documents with more shingles — so value-range buckets can be
+# arbitrarily skewed, sparse, or empty. Correctness under that
+# skew (round-5 advisor fix): a tail anchor of bucket b needs the
+# next W-1 rows in GLOBAL order, which may span several sparse or
+# empty following buckets. So each bucket's HEAD (its first W-1
+# rows, a map-side WindowGroupLimit top-k) is replicated backwards
+# along a chain computed from the per-bucket count list: bucket b
+# receives heads of following non-empty buckets until at least
+# W-1 following rows are guaranteed. The count list is O(B) rows
+# of AQE-style metadata collected to the driver — never the data.
+# Replicated rows always sort after every native row (their skey
+# lies in a strictly higher value range) and in global order among
+# themselves, so the per-bucket window sees exactly the global
+# successor sequence: the pair set is IDENTICAL to the sequential
+# global-sort spec (ties can't straddle buckets — equal keys share
+# a bucket). Pinned against a crafted skewed/empty-bucket key set
+# in tests/test_dedup.py::test_snm_bucket_parallel_matches_sequential.
 
 SNM_WINDOW = 4
 SNM_BUCKETS = 16
 _SNM_BUCKET_DIV = (1 << 48) // SNM_BUCKETS
+
+def snm_candidate_pairs(bucketed: DataFrame) -> DataFrame:
+    """Bucket-parallel sorted-neighborhood candidate pairs over a
+    ``(doc_id, skey, bucket)`` frame — pair set provably identical
+    to the sequential spec (one global sort by (skey, doc_id), each
+    row paired with its SNM_WINDOW-1 successors).
+
+    Skew/sparsity-safe: each bucket's head (first W-1 rows, a
+    map-side per-bucket top-k) is replicated backwards along a
+    chain derived from the per-bucket count list, so a tail anchor
+    always sees its next W-1 GLOBAL successors even when the
+    following buckets are sparse or empty. The count list is O(B)
+    driver-side metadata (B = number of non-empty buckets), the
+    same scale class as AQE statistics — the data never moves
+    through one task."""
+    spark = bucketed.sparkSession
+    counts = sorted(
+        (r["bucket"], r["cnt"])
+        for r in bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    blist = [b for b, _ in counts]
+    cnt = dict(counts)
+    # chain plan: bucket b borrows heads of following non-empty
+    # buckets until >= W-1 following rows are guaranteed (a chained
+    # bucket with cnt < W-1 contributes ALL its rows via its head,
+    # so the union of chained heads contains exactly the first W-1
+    # rows after bucket b in global order).
+    repl: list[tuple[int, int]] = []
+    for i, b in enumerate(blist[:-1]):
+        acc = 0
+        for c in blist[i + 1 :]:
+            repl.append((c, b))
+            acc += min(cnt[c], SNM_WINDOW - 1)
+            if acc >= SNM_WINDOW - 1:
+                break
+    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    native = bucketed.select(
+        "doc_id", "skey", "bucket", F.lit(True).alias("native")
+    )
+    if repl:
+        map_df = spark.createDataFrame(
+            repl, "src_bucket BIGINT, dst_bucket BIGINT"
+        )
+        heads = (
+            bucketed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") < SNM_WINDOW)
+            .drop("rn")
+        )
+        ghosts = heads.join(
+            F.broadcast(map_df), F.col("bucket") == F.col("src_bucket")
+        ).select(
+            "doc_id",
+            "skey",
+            F.col("dst_bucket").alias("bucket"),
+            F.lit(False).alias("native"),
+        )
+        replicated = native.unionByName(ghosts)
+    else:
+        replicated = native
+    led = replicated.select(
+        "doc_id",
+        "native",
+        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in range(1, SNM_WINDOW)],
+    ).where(F.col("native"))
+    return (
+        led.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col(f"n{i}") for i in range(1, SNM_WINDOW)])
+            ).alias("n"),
+        )
+        .where(F.col("n").isNotNull())
+        .select(
+            F.least("doc_id", "n").alias("doc_a"),
+            F.greatest("doc_id", "n").alias("doc_b"),
+        )
+        .distinct()
+    )
+
 
 _ORACLE_Q164 = f"""
 WITH {SHINGLES_SQL.lstrip()},
@@ -2074,31 +2166,7 @@ def q164_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = keys.select(
         "doc_id", "skey", F.expr(f"skey div {_SNM_BUCKET_DIV}").alias("bucket")
     )
-    replicated = bucketed.select("doc_id", "skey", "bucket", F.lit(True).alias("native")).unionByName(
-        bucketed.where(F.col("bucket") > 0).select(
-            "doc_id", "skey", (F.col("bucket") - 1).alias("bucket"), F.lit(False).alias("native")
-        )
-    )
-    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-    led = replicated.select(
-        "doc_id",
-        "native",
-        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in range(1, SNM_WINDOW)],
-    ).where(F.col("native"))
-    cand = (
-        led.select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.col(f"n{i}") for i in range(1, SNM_WINDOW)])
-            ).alias("n"),
-        )
-        .where(F.col("n").isNotNull())
-        .select(
-            F.least("doc_id", "n").alias("doc_a"),
-            F.greatest("doc_id", "n").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = snm_candidate_pairs(bucketed)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))

@@ -236,3 +236,70 @@ def test_chunking_oracle_at_stride_boundaries(spark, tmp_path_factory):
         o_cols = [d[0] for d in cur.description]
         o_rows = cur.fetchall()
         assert _canon_rows(s_cols, s_rows) == _canon_rows(o_cols, o_rows), name
+
+
+def test_snm_bucket_parallel_matches_sequential(spark):
+    """q164's bucket-parallel SNM (snm_candidate_pairs) must emit the
+    pair set of the sequential spec — one global sort by (skey,
+    doc_id), each row paired with its SNM_WINDOW-1 successors — on
+    key distributions that stress the chain replication: empty
+    middle buckets, sparse (1-row) buckets, and the skewed
+    pile-into-bucket-0 shape the 1-hash MinHash key actually has.
+    The round-5 advisor found the previous replicate-one-bucket-back
+    scheme silently dropped pairs whenever a following bucket held
+    fewer than W-1 rows."""
+    import random
+
+    from data_pipeline_2025_spark.operators.dedup import (
+        _SNM_BUCKET_DIV,
+        SNM_BUCKETS,
+        SNM_WINDOW,
+        snm_candidate_pairs,
+    )
+
+    rng = random.Random(42)
+    top = _SNM_BUCKET_DIV * SNM_BUCKETS - 1
+
+    def sequential(keys):
+        srt = sorted((skey, doc) for doc, skey in keys)
+        pairs = set()
+        for i, (_, d) in enumerate(srt):
+            for _, e in srt[i + 1 : i + SNM_WINDOW]:
+                pairs.add((min(d, e), max(d, e)))
+        return pairs
+
+    scenarios = {
+        # heavy pile in bucket 0, one straggler at the very top,
+        # every bucket in between empty
+        "empty_middle": [(i, i * 7) for i in range(20)] + [(99, top)],
+        # exactly one row per alternate bucket: every following
+        # bucket is sparser than W-1
+        "one_per_alternate_bucket": [
+            (i, 2 * i * _SNM_BUCKET_DIV + 5) for i in range(SNM_BUCKETS // 2)
+        ],
+        # skewed: 80% of keys in the bottom 1/16 of the range,
+        # duplicates included (ties share a bucket)
+        "skewed_random": [
+            (
+                i,
+                rng.randrange(_SNM_BUCKET_DIV)
+                if rng.random() < 0.8
+                else rng.randrange(top),
+            )
+            for i in range(60)
+        ]
+        + [(1000, 123), (1001, 123), (1002, 123)],
+        # fewer rows than the window size
+        "tiny": [(0, 5), (1, top)],
+        "singleton": [(0, 42)],
+    }
+    from pyspark.sql import functions as F
+
+    for name, keys in scenarios.items():
+        df = spark.createDataFrame(keys, "doc_id BIGINT, skey BIGINT").select(
+            "doc_id", "skey", F.expr(f"skey div {_SNM_BUCKET_DIV}").alias("bucket")
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]) for r in snm_candidate_pairs(df).collect()
+        }
+        assert got == sequential(keys), name
