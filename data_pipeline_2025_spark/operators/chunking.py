@@ -411,8 +411,16 @@ def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reports, per bucket, how many tokens that padding wastes — the
 # number you compare against q87's packing efficiency to choose a
 # batching strategy. Bucket edges are a fixed literal ladder (16 ..
-# 1024, clamp above) written as the same CASE cascade in both
-# engines — no log2()/float anywhere, so the bucketing is exact.
+# 1024) written as the same CASE cascade in both engines — no
+# log2()/float anywhere, so the bucketing is exact. Sequences
+# LONGER than the top edge land in the 1024 bucket but pad to
+# greatest(bucket, n) — i.e. to their own length, zero padding —
+# so padded_tokens >= sum_tokens always holds and waste_ppm can
+# never go negative (round-5 advisor fix: the old docs*bucket
+# numerator went negative for overflow docs, where DuckDB's //
+# floors toward -inf but Spark's div truncates toward zero — a
+# cross-engine hash mismatch waiting for the first >1024-token
+# document).
 # Scale shape: one map-side-combinable groupBy on a tiny key domain
 # (<= 8 buckets); the scan is the only full pass.
 BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024)
@@ -437,9 +445,9 @@ SELECT bucket,
        CAST(COUNT(*) AS BIGINT)      AS docs,
        CAST(MAX(n) AS BIGINT)        AS max_len,
        CAST(SUM(n) AS BIGINT)        AS sum_tokens,
-       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
-       CAST(((COUNT(*) * bucket - SUM(n)) * 1000000)
-            // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+       CAST(SUM(GREATEST(bucket, n)) AS BIGINT) AS padded_tokens,
+       CAST(((SUM(GREATEST(bucket, n)) - SUM(n)) * 1000000)
+            // (SUM(GREATEST(bucket, n))) AS BIGINT) AS waste_ppm
 FROM b
 GROUP BY bucket
 ORDER BY bucket
@@ -462,22 +470,22 @@ def q151_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col()).cast("bigint").alias("n")
     ).where(F.col("n") > 0)
     b = d.select(F.expr(_bucket_sql("n")).cast("bigint").alias("bucket"), "n")
-    padded = F.count(F.lit(1)) * F.col("bucket")
     return (
         b.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.max("n").alias("max_len"),
             F.sum("n").alias("sum_tokens"),
+            F.sum(F.greatest("bucket", "n")).alias("padded_tokens"),
         )
         .select(
             "bucket",
             "docs",
             "max_len",
             "sum_tokens",
-            (F.col("docs") * F.col("bucket")).alias("padded_tokens"),
+            "padded_tokens",
             F.expr(
-                "((docs * bucket - sum_tokens) * 1000000) div (docs * bucket)"
+                "((padded_tokens - sum_tokens) * 1000000) div padded_tokens"
             ).alias("waste_ppm"),
         )
         .orderBy("bucket")

@@ -303,3 +303,36 @@ def test_snm_bucket_parallel_matches_sequential(spark):
             (r["doc_a"], r["doc_b"]) for r in snm_candidate_pairs(df).collect()
         }
         assert got == sequential(keys), name
+
+
+def test_length_bucketing_overflow_doc(spark, tmp_path_factory):
+    """q151 with a document LONGER than the top bucket edge (1024):
+    the overflow row pads to its own length (greatest(bucket, n)),
+    so padded_tokens >= sum_tokens and waste_ppm >= 0 — and both
+    engines hash-match. The old docs*bucket numerator went negative
+    here, where DuckDB // floors but Spark div truncates: a
+    cross-engine mismatch on the first long document."""
+    import duckdb
+
+    from tests.oracle import _canon_rows, run_spark
+
+    path = str(tmp_path_factory.mktemp("sf_overflow"))
+    long_text = " ".join(f"w{j}" for j in range(1500))
+    docs = [
+        (0, long_text, "en", "src0", len(long_text)),
+        (1, "short doc here", "en", "src1", 14),
+        (2, " ".join(f"x{j}" for j in range(1030)), "en", "src0", 9999),
+    ]
+    _write_sf(spark, path, docs, [])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    spec = SPECS["q151_length_bucketing"]
+    s_cols, s_rows = run_spark(spec, spark, path)
+    cur = con.execute(spec.oracle)
+    o_cols = [d[0] for d in cur.description]
+    assert _canon_rows(s_cols, s_rows) == _canon_rows(o_cols, cur.fetchall())
+    waste = dict(zip(s_cols, zip(*s_rows)))["waste_ppm"]
+    assert all(w >= 0 for w in waste)
