@@ -13,6 +13,73 @@ from ..catalog import Catalog
 from ..functions.money import dec, dec_lit, money_out, to_double
 from ..registry import register
 
+# ------------- bucketed exclusive prefix aggregate (q109 / q143)
+#
+# A cumulative window ordered over a distinct-value dictionary
+# (price dictionary, cents histogram) is bounded by the DOMAIN, not
+# the data — but at 100 TB a cents dictionary can still reach
+# 10^7-10^8 rows, all funneled through ONE task by an unpartitioned
+# window. Round-4 verdict watch item #1; fixed with the q164
+# value-range-bucket two-pass pattern, exact for any associative
+# aggregate:
+#
+#   1. bucket = ((key - min) * B) div (max - min + 1) — monotone
+#      per-row algebra from one broadcast min/max scalar row;
+#   2. the in-bucket exclusive prefix runs as a window PARTITIONED
+#      BY bucket (parallel, each task sees ~1/B of the dictionary);
+#   3. per-bucket totals (B rows, constant — B is a literal) are
+#      prefix-combined with a tiny window and broadcast back;
+#   4. prefix(row) = combine(in-bucket prefix, previous buckets'
+#      total) — running MAX combines with greatest() (null-skipping)
+#      and running SUM with coalesce+plus, both exactly equal to the
+#      sequential unbounded-preceding window.
+PREFIX_AGG_BUCKETS = 32
+
+
+def bucketed_prefix_agg(
+    frame: DataFrame, key: str, val: str, agg: str
+) -> DataFrame:
+    """Append ``prev_agg`` = aggregate of ``val`` over all rows with
+    strictly smaller ``key`` (the rowsBetween(unboundedPreceding, -1)
+    window) without any data-sized single-task window. ``key`` must
+    be a unique-per-row BIGINT (a distinct-value dictionary);
+    ``agg`` is 'max' (prev_agg null on the first row) or 'sum'
+    (prev_agg 0 on the first row)."""
+    fmax = {"max": F.max, "sum": F.sum}[agg]
+    stats = frame.agg(
+        F.min(key).alias("__kmin"), F.max(key).alias("__kmax")
+    )
+    b = frame.crossJoin(F.broadcast(stats)).withColumn(
+        "__bucket",
+        F.expr(
+            f"(({key} - __kmin) * {PREFIX_AGG_BUCKETS})"
+            f" div (__kmax - __kmin + 1)"
+        ),
+    )
+    win = Window.partitionBy("__bucket").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = b.withColumn("__in_prev", fmax(val).over(win))
+    btot = b.groupBy("__bucket").agg(fmax(val).alias("__btot"))
+    wprev = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # constant-size frame (<= PREFIX_AGG_BUCKETS rows): the only
+    # unpartitioned window left, bounded by a literal, not the data.
+    offsets = btot.select(
+        "__bucket", fmax("__btot").over(wprev).alias("__prev_btot")
+    )
+    joined = b.join(F.broadcast(offsets), "__bucket")
+    if agg == "max":
+        prev = F.greatest("__in_prev", "__prev_btot")  # null-skipping
+    else:
+        prev = F.coalesce("__in_prev", F.lit(0)) + F.coalesce(
+            "__prev_btot", F.lit(0)
+        )
+    return joined.withColumn("prev_agg", prev).drop(
+        "__bucket", "__kmin", "__kmax", "__in_prev", "__prev_btot"
+    )
+
 _ORACLE_Q27 = """
 WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
      b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
@@ -491,8 +558,21 @@ def q109_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", dec("p_retailprice").alias("price"), F.col("p_size").alias("sz")
     )
     groups = pts.groupBy("price").agg(F.max("sz").alias("pmax"))
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    groups = groups.withColumn("prevmax", F.max("pmax").over(w))
+    # running max over the price dictionary: bucket-parallel exact
+    # prefix (bucketed_prefix_agg) — cents as the bigint order key
+    # (ordering by cents == ordering by the exact decimal price).
+    groups = (
+        bucketed_prefix_agg(
+            groups.withColumn(
+                "cents", (F.col("price") * 100).cast("bigint")
+            ),
+            "cents",
+            "pmax",
+            "max",
+        )
+        .withColumnRenamed("prev_agg", "prevmax")
+        .drop("cents")
+    )
     return (
         pts.join(groups, "price")
         .where(
@@ -970,13 +1050,15 @@ def q143_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    c = h.select(
-        "cents",
-        "cnt",
-        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cb"),
-        F.sum("cnt").over(wall).alias("n"),
+    # exclusive prefix count over the cents dictionary: bucket-
+    # parallel exact prefix sum (bucketed_prefix_agg) replaces the
+    # unpartitioned cumulative window; the grand total n arrives as
+    # one broadcast scalar row.
+    total = h.agg(F.sum("cnt").alias("n"))
+    c = (
+        bucketed_prefix_agg(h, "cents", "cnt", "sum")
+        .withColumnRenamed("prev_agg", "cb")
+        .crossJoin(F.broadcast(total))
     )
     return (
         c.select(

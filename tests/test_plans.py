@@ -713,3 +713,22 @@ def test_phrase_search_filters_postings(spark, sf_smoke):
     plan = plan_of(spark, "q173_phrase_search", sf_smoke)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_prefix_window_is_bucket_partitioned(spark, sf_smoke):
+    """q109: the running-max over the price dictionary must run as a
+    window hash-partitioned on the value-range bucket (the
+    bucketed_prefix_agg two-pass), never as a data-sized
+    unpartitioned cumulative window — round-4 verdict watch item."""
+    plan = plan_of(spark, "q109_pareto_frontier", sf_smoke, mode="simple")
+    assert "hashpartitioning(__bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_prefix_window_is_bucket_partitioned(spark, sf_smoke):
+    """q143: same contract as q109 — the cents-histogram prefix sum
+    is a bucket-partitioned window plus a constant-size (<= 32 row)
+    bucket-offset combine, with the grand total broadcast."""
+    plan = plan_of(spark, "q143_equidepth_histogram", sf_smoke, mode="simple")
+    assert "hashpartitioning(__bucket" in plan
+    assert "CartesianProduct" not in plan
