@@ -305,6 +305,9 @@ def q146_stream_transform_with_state(spark, sf_dir: str) -> DataFrame:
 
     from .windowed import _events_stream
 
+    # Unlock the protobuf state protocol (bundled-runtime shim) for
+    # both the driver and the JVM-spawned python runners.
+    enable_vendored_protobuf(spark)
     # transformWithState requires the RocksDB state store provider —
     # set defensively so the grading driver's bare session works.
     spark.conf.set(
@@ -331,22 +334,58 @@ import itertools as _it  # noqa: E402
 _Q146_COUNTER = _it.count()
 
 
-def _tws_available() -> bool:
-    """transformWithStateInPandas ships a protobuf-based state
-    protocol; this container lacks google.protobuf, so the operator
-    is implemented + import-gated rather than registered (a
-    registered query MUST run in the grading driver's session).
-    tests/test_stateful.py carries the skipif-gated end-to-end
-    check; on a protobuf-equipped cluster, flip the registration on
-    by calling register_q146(). Registration is EXPLICIT-ONLY —
-    a protobuf-equipped environment must not silently change the
-    registry size (round-3 advisor finding)."""
+def enable_vendored_protobuf(spark=None) -> bool:
+    """Make ``google.protobuf`` importable for the transformWithState
+    state protocol — round-5 unlock of the one environment-gated
+    operator. No code is vendored: ``pbshim_path/google/protobuf``
+    extends its module search path to the BSD-licensed pure-Python
+    protobuf runtime already bundled with this container's
+    google-cloud-sdk install (and relaxes the gencode/runtime
+    version gate — StateMessage.proto is plain proto3, and the
+    resulting protocol is proven end-to-end by the q146 oracle
+    check, not assumed).
+
+    Two sides need the import: the driver process (sys.path insert)
+    and the JVM-spawned Python runners/workers. The latter inherit
+    ``sc.environment`` per python function, so setting PYTHONPATH
+    there works even when the JVM launched without it — verified by
+    tests/test_stateful.py. Returns False when neither a native
+    protobuf nor the bundled runtime exists (q146 then raises at
+    run time, like any operator whose dependency is missing)."""
+    import sys
+
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pbshim_path",
+    )
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except ImportError:
-        return False
+        if shim not in sys.path:
+            sys.path.insert(0, shim)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            return False
+    # "native" must mean importable WITHOUT the shim — on repeat
+    # calls the first attempt succeeds via the already-inserted shim
+    # path, so decide by where the package actually loaded from.
+    import google
+
+    native = not (google.__file__ or "").startswith(shim)
+    if spark is not None and not native:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH") or os.environ.get("PYTHONPATH", "")
+        parts = [p for p in cur.split(os.pathsep) if p]
+        if shim not in parts:
+            env["PYTHONPATH"] = os.pathsep.join([shim] + parts)
+    return True
+
+
+def _tws_available() -> bool:
+    """True when the transformWithState protocol can run here —
+    natively or via the bundled-runtime shim."""
+    return enable_vendored_protobuf()
 
 
 def register_q146() -> None:
@@ -365,8 +404,13 @@ def register_q146() -> None:
     )(q146_stream_transform_with_state)
 
 
-# NOTE: no import-time auto-registration — register_q146() is the
-# only way this query enters the registry, so load_all() yields the
-# same 143 queries on every environment, protobuf or not.
-# _tws_available() remains the gate for the e2e test in
-# tests/test_stateful.py.
+# Round 5: registration is UNCONDITIONAL — the bundled-runtime shim
+# (enable_vendored_protobuf) makes the state protocol work in this
+# container, so q146 is a first-class registered query like any
+# other. load_all() yields the same registry size on every
+# environment (the round-3 advisor's requirement); on a host with
+# neither a native protobuf nor the bundled runtime the query raises
+# at RUN time — the standard failure mode for a missing dependency,
+# not a silent registry change. _tws_available() remains the gate
+# for the e2e test in tests/test_stateful.py.
+register_q146()

@@ -12,26 +12,49 @@ idempotence anti-join would then see those orphaned rows, absorb the
 replayed batch, and the missing rows would never land: partial
 visibility converts a transient crash into permanent data loss.
 
-Fix: a manifest commit log, the minimal slice of the Delta/Iceberg
+Fix: a manifest commit log — the minimal slice of the Delta/Iceberg
 design that restores the transaction boundary on any filesystem with
-atomic rename:
+an atomic exclusive-create primitive:
 
 1. the micro-batch is written to a hidden staging dir
    (``<sink>/_txn/staging-*`` — leading underscore, invisible to
    Spark's partition discovery);
 2. its data files are MOVED into their partition directories under
    collision-free names — still invisible, because committed readers
-   go through the manifest;
-3. one manifest file listing every committed data file is written
-   and published by an atomic symlink swap (``os.replace`` of a
-   symlink — the same primitive as artifacts.publish).
+   go through the manifest log;
+3. ONE log entry is committed by atomically creating
+   ``_txn/v-NNNNNNNN.{d,c}.txt``: content is fully written to a temp
+   file first, then ``os.link`` publishes it under the deterministic
+   version name. The link either fully succeeds or fails with
+   EEXIST — creation IS the commit (no separate pointer swap, no
+   claimed-but-unpublished limbo state).
 
-Readers resolve the symlink once and read exactly that snapshot:
-old-or-new, never partial (snapshot isolation; superseded files are
-never deleted except by vacuum). A crash between (2) and (3) leaves
-orphaned data files that no manifest references — invisible to every
-reader, re-written by the replayed batch (the checkpoint re-delivers
-it), and reclaimed by :func:`vacuum`.
+**Commit cost is O(batch), not O(table)** (round-5): a normal commit
+writes a DELTA entry listing only the files it adds (plus, for
+replace commits, the partition directories it retires); every
+``CHECKPOINT_EVERY``-th version is a CHECKPOINT holding the full
+listing, so reconstructing any snapshot reads one checkpoint plus at
+most ``CHECKPOINT_EVERY - 1`` deltas. This is the Delta-log shape
+(JSON commits + parquet checkpoints) in two plain-text file kinds.
+
+**Multi-writer safety** (round-5): the deterministic version name
+makes the exclusive create a compare-and-swap — two writers that
+both read version N race to create ``v-(N+1)``; exactly one link
+succeeds, the loser re-reads the (now longer) log and retries on top
+of the winner's commit, so no update is ever lost. On S3 the same
+protocol is one conditional PUT with ``If-None-Match: *`` per
+commit — exactly how Delta commits on S3 since conditional writes
+landed; on HDFS/NFS/local it is the hard-link trick below.
+tests/test_txn.py::test_two_writer_contention_one_loses_and_retries
+pins the protocol.
+
+Readers reconstruct a snapshot from immutable committed entries and
+read exactly that file set: old-or-new, never partial (snapshot
+isolation; superseded files are never deleted except by vacuum). A
+crash between (2) and (3) leaves orphaned data files that no
+manifest references — invisible to every reader, re-written by the
+replayed batch (the checkpoint re-delivers it), and reclaimed by
+:func:`vacuum`.
 
 Adopted by EVERY streaming sink in this package (round 4): the
 price ingest silver (ingest.py), the continuous-aggregate silver +
@@ -43,13 +66,9 @@ stores (dedupgate.py), and the streaming IVF inverted lists
 (ivf.py). In each, the idempotence anti-join reads the committed
 snapshot, so a crash orphan can never absorb a replayed batch.
 
-Scale note (100 TB): the manifest is a full listing, O(total files)
-per commit — fine for a bounded replay window with periodic
-compaction, and exactly the point where a real deployment swaps this
-module for Delta/Iceberg (whose log + checkpoint files amortize the
-listing). The READ path is unchanged in spirit: ``option("basePath")``
-keeps hive partition columns, so partition pruning on ``ingest_date``
-still skips unlisted files.
+The READ path keeps ``option("basePath")`` so hive partition columns
+survive, and partition pruning on ``ingest_date`` still skips
+unlisted files.
 """
 
 from __future__ import annotations
@@ -60,23 +79,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 TXN_DIR = "_txn"
-LATEST = "LATEST"
+# Every Nth version is a full-listing checkpoint; the rest are
+# O(batch) deltas. 10 bounds snapshot reconstruction at one
+# checkpoint + 9 delta reads while keeping amortized commit cost at
+# ~1/10th of a full listing per commit.
+CHECKPOINT_EVERY = 10
+
+_DELTA_SUFFIX = ".d.txt"
+_CKPT_SUFFIX = ".c.txt"
 
 
 def _txn_dir(sink_dir: str) -> str:
     return os.path.join(sink_dir, TXN_DIR)
 
 
-def _latest_path(sink_dir: str) -> str:
-    return os.path.join(_txn_dir(sink_dir), LATEST)
-
-
 def is_transactional(sink_dir: str) -> bool:
     """True when the sink is managed by this commit log. Keyed on the
-    ``_txn`` DIRECTORY, not the LATEST symlink: stage_append creates
-    the directory before it moves a single data file, so a crash
-    during the sink's FIRST-ever commit (files renamed into the
-    partition layout, manifest never published) still reads as
+    ``_txn`` DIRECTORY, not any committed version: stage_append
+    creates the directory before it moves a single data file, so a
+    crash during the sink's FIRST-ever commit (files renamed into the
+    partition layout, no log entry yet) still reads as
     transactional. The committed snapshot is then empty — the
     legacy directory-scan fallback must never see those orphans, or
     the ingest idempotence anti-join would absorb the replayed batch
@@ -84,17 +106,81 @@ def is_transactional(sink_dir: str) -> bool:
     return os.path.isdir(_txn_dir(sink_dir))
 
 
+def _entry_name(seq: int, is_checkpoint: bool) -> str:
+    return f"v-{seq:08d}" + (_CKPT_SUFFIX if is_checkpoint else _DELTA_SUFFIX)
+
+
+def _scan_log(sink_dir: str) -> dict[int, str]:
+    """Committed versions -> entry filename. Every entry file in the
+    log IS committed (creation is the commit), so this is one
+    O(#versions) directory listing of bytes-sized files — never a
+    data scan."""
+    txn = _txn_dir(sink_dir)
+    if not os.path.isdir(txn):
+        return {}
+    out: dict[int, str] = {}
+    for fname in os.listdir(txn):
+        if not fname.startswith("v-"):
+            continue
+        if fname.endswith(_DELTA_SUFFIX) or fname.endswith(_CKPT_SUFFIX):
+            seq = fname[2:10]
+            if seq.isdigit():
+                out[int(seq)] = fname
+    return out
+
+
+def versions(sink_dir: str) -> list[int]:
+    """Ascending committed snapshot versions (the manifest history —
+    Delta's DESCRIBE HISTORY analog). Entries are a few bytes each;
+    a retention policy would prune them together with vacuum's
+    superseded data files."""
+    return sorted(_scan_log(sink_dir))
+
+
+def _read_entry(sink_dir: str, fname: str) -> list[str]:
+    with open(os.path.join(_txn_dir(sink_dir), fname), encoding="utf-8") as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def _listing_at(sink_dir: str, version: int) -> list[str]:
+    """Reconstruct the full file listing of snapshot ``version``:
+    nearest checkpoint at-or-below it, then forward-apply the deltas
+    — at most CHECKPOINT_EVERY-1 of them. Delta ops: ``+path`` adds
+    a file, ``~dir`` retires every current file in partition ``dir``
+    (the replace commit)."""
+    log = _scan_log(sink_dir)
+    if version not in log:
+        raise FileNotFoundError(
+            f"no manifest for version {version} in {sink_dir}"
+        )
+    ckpt = max(
+        (s for s, f in log.items() if s <= version and f.endswith(_CKPT_SUFFIX)),
+        default=None,
+    )
+    if ckpt is None:
+        raise FileNotFoundError(
+            f"no checkpoint at or below version {version} in {sink_dir}"
+        )
+    listing = _read_entry(sink_dir, log[ckpt])
+    for seq in range(ckpt + 1, version + 1):
+        ops = _read_entry(sink_dir, log[seq])
+        drops = {op[1:] for op in ops if op.startswith("~")}
+        if drops:
+            listing = [f for f in listing if os.path.dirname(f) not in drops]
+        listing += [op[1:] for op in ops if op.startswith("+")]
+    return listing
+
+
 def committed_files(sink_dir: str) -> list[str]:
     """Relative paths of the data files in the current committed
-    snapshot (empty list for a sink with no commits yet). Resolves
-    the LATEST symlink once — concurrent publishes after this call
-    don't tear the listing (snapshot isolation)."""
-    latest = _latest_path(sink_dir)
-    if not os.path.lexists(latest):
+    snapshot (empty list for a sink with no commits yet). The log
+    scan pins a version once — entries are immutable, so concurrent
+    commits after this call don't tear the listing (snapshot
+    isolation)."""
+    vs = versions(sink_dir)
+    if not vs:
         return []
-    version_file = os.path.realpath(latest)
-    with open(version_file, encoding="utf-8") as f:
-        return [line.rstrip("\n") for line in f if line.strip()]
+    return _listing_at(sink_dir, vs[-1])
 
 
 def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame | None:
@@ -105,6 +191,20 @@ def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame | None:
     files = committed_files(sink_dir)
     if not files:
         return None
+    return (
+        spark.read.option("basePath", sink_dir)
+        .parquet(*[os.path.join(sink_dir, f) for f in files])
+    )
+
+
+def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
+    """Time travel: DataFrame over exactly the snapshot a past commit
+    published (Delta's ``versionAsOf``). Works because data files are
+    immutable once committed and superseded files survive until
+    vacuum — the log IS the table state."""
+    files = _listing_at(sink_dir, version)
+    if not files:
+        return spark.read.format("parquet").schema("__empty STRING").load()
     return (
         spark.read.option("basePath", sink_dir)
         .parquet(*[os.path.join(sink_dir, f) for f in files])
@@ -142,71 +242,64 @@ def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) ->
     return sorted(new_files)
 
 
-def versions(sink_dir: str) -> list[int]:
-    """Ascending committed snapshot versions (the manifest history —
-    Delta's DESCRIBE HISTORY analog). Retained manifest files are a
-    few bytes each; a retention policy would prune them together
-    with vacuum's superseded data files."""
-    txn = _txn_dir(sink_dir)
-    if not os.path.isdir(txn):
-        return []
-    out = []
-    for fname in os.listdir(txn):
-        if fname.startswith("v-") and fname.endswith(".txt"):
-            seq = fname.split("-")[1]
-            if seq.isdigit():
-                out.append(int(seq))
-    return sorted(out)
-
-
-def _version_files(sink_dir: str, version: int) -> list[str]:
-    txn = _txn_dir(sink_dir)
-    for fname in os.listdir(txn):
-        if fname.startswith(f"v-{version:08d}-") and fname.endswith(".txt"):
-            with open(os.path.join(txn, fname), encoding="utf-8") as f:
-                return [line.rstrip("\n") for line in f if line.strip()]
-    raise FileNotFoundError(f"no manifest for version {version} in {sink_dir}")
-
-
-def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
-    """Time travel: DataFrame over exactly the snapshot a past commit
-    published (Delta's ``versionAsOf``). Works because data files are
-    immutable once committed and superseded files survive until
-    vacuum — the manifest IS the table state."""
-    files = _version_files(sink_dir, version)
-    if not files:
-        return spark.read.format("parquet").schema("__empty STRING").load()
-    return (
-        spark.read.option("basePath", sink_dir)
-        .parquet(*[os.path.join(sink_dir, f) for f in files])
-    )
-
-
-def _publish_listing(sink_dir: str, listing: list[str]) -> None:
-    """Write a new manifest version and swap it live atomically.
-    Version numbers are monotone (max existing + 1); the uuid suffix
-    keeps a concurrent duplicate-sequence write from colliding on
-    the filename (last symlink swap wins, same as before)."""
+def _try_commit(sink_dir: str, seq: int, lines: list[str], is_checkpoint: bool) -> bool:
+    """Atomically commit log entry ``seq``. The content is fully
+    written (and flushed) to a temp file first; ``os.link`` then
+    publishes it under the deterministic version name — an atomic
+    exclusive create, so a reader can never observe a half-written
+    entry and two writers can never both commit the same version.
+    Returns False when a concurrent writer won this sequence number
+    (the CAS failure — caller re-reads the log and retries). Maps
+    1:1 to S3 ``If-None-Match: *`` conditional PUT."""
     txn = _txn_dir(sink_dir)
     os.makedirs(txn, exist_ok=True)
-    seq = (versions(sink_dir) or [0])[-1] + 1
-    version_file = os.path.join(
-        txn, f"v-{seq:08d}-{uuid.uuid4().hex[:12]}.txt"
-    )
-    with open(version_file, "w", encoding="utf-8") as f:
-        f.write("\n".join(listing) + ("\n" if listing else ""))
-    tmp_link = version_file + ".lnk"
-    os.symlink(version_file, tmp_link)
-    os.replace(tmp_link, _latest_path(sink_dir))  # atomic publish
+    tmp = os.path.join(txn, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(txn, _entry_name(seq, is_checkpoint)))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _commit(sink_dir: str, new_files: list[str], replace: bool) -> None:
+    """Read-log → build-entry → CAS-create, retrying on contention.
+    Appends commute, so a loser's retry on top of the winner's commit
+    preserves both batches; a replace retried on a newer snapshot
+    keeps last-replace-wins semantics for the touched partitions."""
+    while True:
+        vs = versions(sink_dir)
+        seq = (vs[-1] if vs else 0) + 1
+        is_ckpt = seq % CHECKPOINT_EVERY == 1  # v1, v11, v21, ...
+        replaced_dirs = (
+            sorted({os.path.dirname(f) for f in new_files}) if replace else []
+        )
+        if is_ckpt:
+            base = _listing_at(sink_dir, vs[-1]) if vs else []
+            if replace:
+                base = [
+                    f for f in base if os.path.dirname(f) not in set(replaced_dirs)
+                ]
+            lines = base + list(new_files)
+        else:
+            lines = [f"~{d}" for d in replaced_dirs] + [
+                f"+{f}" for f in new_files
+            ]
+        if _try_commit(sink_dir, seq, lines, is_ckpt):
+            return
 
 
 def commit_append(sink_dir: str, new_files: list[str]) -> None:
-    """Publish a new snapshot = current snapshot + ``new_files`` via
-    one atomic symlink swap. Writers are serialized by the streaming
-    checkpoint (one micro-batch at a time), so read-modify-write of
-    the listing is safe here; a multi-writer deployment needs the
-    Delta/Iceberg log this module deliberately stops short of."""
-    _publish_listing(sink_dir, committed_files(sink_dir) + list(new_files))
+    """Publish a new snapshot = current snapshot + ``new_files`` as
+    ONE atomic log-entry create. O(batch) bytes written except at
+    checkpoint versions; concurrent writers serialize through the
+    CAS retry loop, no update lost."""
+    _commit(sink_dir, list(new_files), replace=False)
 
 
 def commit_replace(sink_dir: str, new_files: list[str]) -> None:
@@ -214,30 +307,22 @@ def commit_replace(sink_dir: str, new_files: list[str]) -> None:
     semantics: every partition directory that ``new_files`` touches
     is replaced wholesale (its previously committed files drop out
     of the listing), untouched partitions carry over. One atomic
-    symlink swap — so a rollup rewrite spanning several day
+    log-entry create — so a rollup rewrite spanning several day
     partitions becomes ONE transaction, which Spark's native
     partitionOverwriteMode=dynamic (file deletes during job commit)
     cannot give. Superseded files stay on disk for in-flight readers
     until :func:`vacuum`."""
-    replaced_dirs = {os.path.dirname(f) for f in new_files}
-    _publish_listing(
-        sink_dir,
-        [
-            f
-            for f in committed_files(sink_dir)
-            if os.path.dirname(f) not in replaced_dirs
-        ]
-        + list(new_files),
-    )
+    _commit(sink_dir, list(new_files), replace=True)
 
 
 def vacuum(sink_dir: str) -> list[str]:
-    """Delete data files no manifest-committed snapshot references —
-    the garbage a crash between stage and commit leaves behind.
-    Returns the removed relative paths. Safe while readers run ONLY
-    for crash orphans (nothing can hold a handle to a file that was
-    never published); a deployment that also retires superseded
-    snapshots needs a retention window, i.e. Delta's VACUUM."""
+    """Delete data files the CURRENT committed snapshot does not
+    reference — crash orphans and files superseded by replace
+    commits. Returns the removed relative paths. Safe while readers
+    run ONLY for crash orphans (nothing can hold a handle to a file
+    that was never published); reclaiming superseded snapshot files
+    breaks time travel to those versions — a deployment that wants
+    both needs a retention window, i.e. Delta's VACUUM."""
     committed = set(committed_files(sink_dir))
     removed: list[str] = []
     for root, dirs, files in os.walk(sink_dir):
@@ -250,4 +335,10 @@ def vacuum(sink_dir: str) -> list[str]:
             if rel not in committed:
                 os.remove(os.path.join(root, fname))
                 removed.append(rel)
+    # leftover commit temp files from crashed writers
+    txn = _txn_dir(sink_dir)
+    if os.path.isdir(txn):
+        for fname in os.listdir(txn):
+            if fname.startswith(".tmp-"):
+                os.remove(os.path.join(txn, fname))
     return sorted(removed)

@@ -54,9 +54,12 @@ def test_stateful_sessionizer_matches_batch(spark, sf_smoke):
 def test_transform_with_state_totals_if_available(spark, sf_smoke):
     """The Spark 4 transformWithStateInPandas operator (typed
     ValueState over RocksDB). Its state protocol needs
-    google.protobuf, absent in this container — the operator is
-    implemented and import-gated; this end-to-end check runs
-    wherever protobuf exists."""
+    google.protobuf — unlocked in round 5 by the bundled-runtime
+    shim (enable_vendored_protobuf): the driver gets a sys.path
+    extension, the JVM-spawned python runners get PYTHONPATH via
+    sc.environment, both pointing at the BSD-licensed pure-Python
+    runtime already in this container. Skips only on a host with
+    neither a native protobuf nor the bundled runtime."""
     import pytest
 
     from data_pipeline_2025_spark.streaming.stateful import (
@@ -65,7 +68,7 @@ def test_transform_with_state_totals_if_available(spark, sf_smoke):
     )
 
     if not _tws_available():
-        pytest.skip("google.protobuf not installed (container limitation)")
+        pytest.skip("no protobuf runtime available on this host")
     rows = q146_stream_transform_with_state(spark, sf_smoke).collect()
     import duckdb
 

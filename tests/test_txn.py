@@ -101,3 +101,93 @@ def test_time_travel_reads_frozen_snapshots(spark, tmp_path):
     # remains readable — the retention trade-off documented on vacuum.
     txn.vacuum(sink)
     assert v(3) == _rows(spark, sink)
+
+
+def test_commit_cost_bounded_by_batch_not_table(spark, tmp_path):
+    """Round-5: a commit writes a DELTA entry of O(batch) bytes, not
+    a full O(table) listing — only every CHECKPOINT_EVERY-th version
+    is a checkpoint. 25 one-file commits: delta entries stay the
+    same few bytes while the table grows to 25 files, checkpoints
+    appear exactly at v1/v11/v21, and the reconstructed listing
+    matches every prefix."""
+    sink = str(tmp_path / "t")
+    expected: list[str] = []
+    delta_sizes = []
+    for i in range(25):
+        files = txn.stage_append(_mk(spark, i, i + 1, "a"), sink, ("day",))
+        txn.commit_append(sink, files)
+        expected += files
+        assert sorted(txn.committed_files(sink)) == sorted(expected)
+    log_dir = os.path.join(sink, "_txn")
+    ckpts = sorted(f for f in os.listdir(log_dir) if f.endswith(".c.txt"))
+    deltas = sorted(f for f in os.listdir(log_dir) if f.endswith(".d.txt"))
+    assert [c[2:10] for c in ckpts] == ["00000001", "00000011", "00000021"]
+    assert len(deltas) == 22
+    delta_sizes = [os.path.getsize(os.path.join(log_dir, f)) for f in deltas]
+    # every delta lists exactly its own batch: bytes per commit flat,
+    # independent of how many files the table already holds
+    assert max(delta_sizes) - min(delta_sizes) <= 4  # path-length jitter only
+    # reconstruction crosses checkpoint boundaries exactly
+    assert len(txn._listing_at(sink, 15)) == 15
+    assert len(txn._listing_at(sink, 21)) == 21
+    assert txn.versions(sink) == list(range(1, 26))
+
+
+def test_two_writer_contention_one_loses_and_retries(spark, tmp_path):
+    """Round-5 multi-writer seam: the deterministic version filename
+    makes the exclusive create a compare-and-swap. Two writers that
+    both observed version N race for v-(N+1): exactly one link
+    succeeds, the loser's retry lands on v-(N+2) on TOP of the
+    winner's commit — both batches survive (no lost update). This is
+    the S3 If-None-Match conditional-PUT protocol on a local FS."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 2, "a"), sink, ("day",)))
+
+    a_files = txn.stage_append(_mk(spark, 10, 12, "a"), sink, ("day",))
+    b_files = txn.stage_append(_mk(spark, 20, 22, "b"), sink, ("day",))
+    # both writers observed v1 and race for v2 with raw CAS attempts
+    won_a = txn._try_commit(sink, 2, [f"+{f}" for f in a_files], False)
+    won_b = txn._try_commit(sink, 2, [f"+{f}" for f in b_files], False)
+    assert won_a and not won_b  # exactly one winner for the sequence
+    # the loser retries through the public API: re-reads the log,
+    # commits on top of the winner — convergent, nothing lost
+    txn.commit_append(sink, b_files)
+    assert txn.versions(sink) == [1, 2, 3]
+    assert _rows(spark, sink) == (
+        {(0, "a"), (1, "a")} | {(10, "a"), (11, "a")} | {(20, "b"), (21, "b")}
+    )
+    # a half-written entry is impossible: content goes to a temp file
+    # first and os.link publishes it whole; crashed losers leave only
+    # .tmp- garbage that vacuum clears
+    assert not [
+        f
+        for f in os.listdir(os.path.join(sink, "_txn"))
+        if f.startswith(".tmp-")
+    ]
+
+
+def test_replace_commits_travel_across_checkpoints(spark, tmp_path):
+    """commit_replace deltas (~dir + adds) replay correctly through
+    reconstruction, including when the replace itself lands ON a
+    checkpoint version."""
+    sink = str(tmp_path / "t")
+    for i in range(9):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, i, i + 1, f"d{i % 3}"), sink, ("day",))
+        )
+    # v10: delta replace of partition d1
+    txn.commit_replace(
+        sink, txn.stage_append(_mk(spark, 100, 101, "d1"), sink, ("day",))
+    )
+    # v11: checkpoint version is ALSO a replace
+    txn.commit_replace(
+        sink, txn.stage_append(_mk(spark, 200, 201, "d2"), sink, ("day",))
+    )
+    want = {(0, "d0"), (3, "d0"), (6, "d0"), (100, "d1"), (200, "d2")}
+    assert _rows(spark, sink) == want
+    # time travel to v10 still sees the pre-v11 d2 rows
+    v10 = {
+        (r["id"], r["day"])
+        for r in txn.read_version(spark, sink, 10).collect()
+    }
+    assert v10 == {(0, "d0"), (3, "d0"), (6, "d0"), (100, "d1"), (2, "d2"), (5, "d2"), (8, "d2")}
