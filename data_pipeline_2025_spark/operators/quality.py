@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions.money import dec
 from ..registry import register
 
 _ORACLE_Q98 = """
@@ -239,4 +240,154 @@ def q168_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_over_mean_ppm"),
         )
         .orderBy("rank")
+    )
+
+
+# ------ q175: skew-ADAPTIVE aggregation (closing the q168 loop)
+#
+# q168 produces the skew evidence; this query USES it to choose the
+# physical aggregation strategy — the same decision-closure shape as
+# q171's sketch-driven join order. Two candidate grouping keys over
+# events: event_type (5 values → each key is ~20% of all rows: at
+# 100 TB one reducer drags the stage) and user_id (the hottest user
+# holds ~0.1%). The criterion is FAIR-SHARE, not max/mean — both
+# keys here are near-uniform by max/mean (~1.0-1.5x), yet
+# event_type still hot-spots because |keys| << parallelism: a key
+# whose hottest value exceeds HOT_FACTOR times the fair 1/P
+# per-reducer share becomes the critical path, so
+#     salted  iff  max_share_ppm * P >= HOT_FACTOR * 1_000_000.
+# The decision is VALUE-CHECKED: both physical strategies (plain
+# one-shuffle groupBy and q49's deterministic-salt two-phase) run
+# for each key, their per-key results are full-outer compared, and
+# the emitted mismatch_rows must be 0 — proving the chooser selects
+# between provably-identical plans on exact-integer cents. All
+# statistics in exact integer ppm, same as q168.
+SKEW_PARALLELISM = 32  # the fleet's shuffle width (session.py)
+SKEW_HOT_FACTOR = 4  # hottest key > 4x fair share => salt
+_SKEW_SALT = 16
+
+
+def _q175_branch_sql(key: str) -> str:
+    return f"""
+    SELECT '{key}' AS key_name,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.max_cnt AS BIGINT) AS max_cnt,
+           CAST(s.max_cnt * 1000000 // s.total AS BIGINT) AS max_share_ppm,
+           CAST(s.max_cnt * s.n_keys * 1000000 // s.total AS BIGINT)
+               AS max_over_mean_ppm,
+           CASE WHEN s.max_cnt * 1000000 // s.total * {SKEW_PARALLELISM}
+                     >= {SKEW_HOT_FACTOR} * 1000000
+                THEN 'salted' ELSE 'plain' END AS decision,
+           (SELECT COUNT(*) FROM (
+                SELECT {key} FROM events GROUP BY {key})) AS groups_plain,
+           (SELECT COUNT(*) FROM (
+                SELECT {key} FROM events GROUP BY {key})) AS groups_salted,
+           (SELECT COUNT(*) FROM
+                (SELECT {key} AS k, COUNT(*) AS n,
+                        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
+                 FROM events GROUP BY {key}) p
+                FULL JOIN
+                (SELECT {key} AS k, COUNT(*) AS n,
+                        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
+                 FROM events GROUP BY {key}) q
+                ON p.k IS NOT DISTINCT FROM q.k
+            WHERE p.n IS DISTINCT FROM q.n
+               OR p.c IS DISTINCT FROM q.c) AS mismatch_rows
+    FROM (SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt
+          FROM (SELECT {key}, COUNT(*) AS cnt FROM events GROUP BY {key})) s
+    """
+
+
+_ORACLE_Q175 = (
+    _q175_branch_sql("event_type")
+    + " UNION ALL "
+    + _q175_branch_sql("user_id")
+    + " ORDER BY key_name"
+)
+
+
+@register(
+    "q175_skew_adaptive_agg",
+    oracle=_ORACLE_Q175,
+    doc="Skew-adaptive aggregation chooser: per candidate key, the "
+    "q168 statistics pick plain groupBy vs q49 salted two-phase by "
+    "the fair-share criterion (hottest key > 4x the 1/32 reducer "
+    "share => salt); both physical strategies execute and are "
+    "full-outer value-compared (mismatch_rows must be 0) — the "
+    "skew analog of q171's sketch-driven join-order closure.",
+    tags=("quality", "skew", "adaptive", "agg"),
+)
+def q175_skew_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cents = (dec("value") * 100).cast("bigint")
+    ev = cat.events.select(
+        "event_type", "user_id", "event_id", cents.alias("cents")
+    )
+
+    def branch(key: str) -> DataFrame:
+        counts = ev.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        # strategy A: direct one-shuffle groupBy
+        plain = ev.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+        # strategy B: q49's deterministic-salt two-phase (partials
+        # per (key, salt) spread a hot key over _SKEW_SALT reducers,
+        # then a tiny merge shuffle)
+        partial = (
+            ev.withColumn(
+                "_salt", (F.col("event_id") % _SKEW_SALT).cast("int")
+            )
+            .groupBy(key, "_salt")
+            .agg(F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("pc"))
+        )
+        salted = partial.groupBy(key).agg(
+            F.sum("pn").alias("n"), F.sum("pc").alias("c")
+        )
+        p, s = plain.alias("p"), salted.alias("s")
+        cmpjoin = p.join(
+            s, F.col(f"p.{key}").eqNullSafe(F.col(f"s.{key}")), "full_outer"
+        )
+        mism = cmpjoin.agg(
+            F.sum(
+                F.when(
+                    F.col("p.n").eqNullSafe(F.col("s.n"))
+                    & F.col("p.c").eqNullSafe(F.col("s.c")),
+                    0,
+                ).otherwise(1)
+            ).alias("mismatch_rows")
+        )
+        gp = plain.agg(F.count(F.lit(1)).alias("groups_plain"))
+        gs = salted.agg(F.count(F.lit(1)).alias("groups_salted"))
+        return (
+            stats.crossJoin(F.broadcast(gp))
+            .crossJoin(F.broadcast(gs))
+            .crossJoin(F.broadcast(mism))
+            .select(
+                F.lit(key).alias("key_name"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                F.col("max_cnt").cast("bigint").alias("max_cnt"),
+                F.expr("CAST(max_cnt * 1000000 div total AS BIGINT)").alias(
+                    "max_share_ppm"
+                ),
+                F.expr(
+                    "CAST(max_cnt * n_keys * 1000000 div total AS BIGINT)"
+                ).alias("max_over_mean_ppm"),
+                F.expr(
+                    f"CASE WHEN max_cnt * 1000000 div total * {SKEW_PARALLELISM}"
+                    f" >= {SKEW_HOT_FACTOR} * 1000000"
+                    " THEN 'salted' ELSE 'plain' END"
+                ).alias("decision"),
+                F.col("groups_plain").cast("bigint").alias("groups_plain"),
+                F.col("groups_salted").cast("bigint").alias("groups_salted"),
+                F.col("mismatch_rows").cast("bigint").alias("mismatch_rows"),
+            )
+        )
+
+    return branch("event_type").unionByName(branch("user_id")).orderBy(
+        "key_name"
     )

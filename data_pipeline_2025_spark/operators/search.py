@@ -577,3 +577,85 @@ def q103_trigram_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= TG_SIM_THRESHOLD)
         .orderBy(F.col("sim").desc(), "name_a", "name_b")
     )
+
+
+# ------------- q176: keyset (cursor) pagination — the deep-page path
+#
+# SCALE.md's pagination row promises it: OFFSET pagination costs
+# O(offset + limit) per page (every page re-sorts the whole prefix),
+# so page 40,000 of a 100 TB listing is a disaster; KEYSET
+# pagination (`WHERE product_id > cursor ORDER BY product_id LIMIT
+# L` — reference anchor: the deterministic product_id order of
+# GET /products, salim-chatbot products.py:30-31,64) costs O(limit)
+# because the cursor predicate pushes into the parquet scan as a
+# min/max row-group filter. The unique PK order makes the cursor
+# exact (no ties to straddle a page boundary).
+#
+# The cursor is CLIENT STATE (the last product_id of the previous
+# page); deriving it here with a parallel partial top-k stands in
+# for "the client read page K-1". The scalar collect is the same
+# serving-layer pattern as tools.py pagination — one value, not
+# data. Correctness contract: the keyset page must equal the
+# OFFSET-spec page, which is exactly what the DuckDB oracle states
+# (row_number > K*L) — the cross-engine hash check IS the
+# page-K-equivalence proof.
+KEYSET_PAGE = 3  # zero-based page index -> rows 76..100
+KEYSET_LIMIT = 25
+
+_ORACLE_Q176 = domain_sql(f"""
+SELECT product_id, supermarket_id, barcode, canonical_name, brand, category,
+       CAST(price AS DOUBLE)       AS price_d,
+       CAST(promo_price AS DOUBLE) AS promo_price_d
+FROM (
+    SELECT *, row_number() OVER (ORDER BY product_id) AS rn
+    FROM products
+)
+WHERE rn > {KEYSET_PAGE * KEYSET_LIMIT}
+  AND rn <= {(KEYSET_PAGE + 1) * KEYSET_LIMIT}
+ORDER BY product_id
+""")
+
+
+@register(
+    "q176_keyset_pagination",
+    oracle=_ORACLE_Q176,
+    doc="Keyset pagination of the product listing: cursor = last "
+    "product_id of the previous page (derived by a parallel partial "
+    "top-k standing in for client state), page = cursor-filtered "
+    "scan + LIMIT — O(limit) per page with the cursor predicate "
+    "pushed to the parquet scan, hash-checked equal to the "
+    "OFFSET-spec page (the reference's GET /products order).",
+    tags=("filter", "pagination", "keyset"),
+)
+def q176_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = products(Catalog(spark, sf_dir))
+    out_cols = [
+        "product_id",
+        "supermarket_id",
+        "barcode",
+        "canonical_name",
+        "brand",
+        "category",
+        to_double(F.col("price")).alias("price_d"),
+        to_double(F.col("promo_price")).alias("promo_price_d"),
+    ]
+    skip = KEYSET_PAGE * KEYSET_LIMIT
+    if skip:
+        # "previous page's last row": K*L-th smallest product_id via
+        # TakeOrderedAndProject (partial top-k), one scalar back.
+        cursor = (
+            df.select("product_id")
+            .orderBy("product_id")
+            .limit(skip)
+            .agg(F.max("product_id").alias("cursor"))
+            .collect()[0]["cursor"]
+        )
+        # when the table holds <= skip rows the cursor is the global
+        # max, so the > filter correctly yields the empty page; only
+        # a fully empty table gives a None cursor.
+        if cursor is None:
+            return df.where(F.lit(False)).select(*out_cols)
+        df = df.where(F.col("product_id") > cursor)
+    return (
+        df.orderBy("product_id").limit(KEYSET_LIMIT).select(*out_cols)
+    )

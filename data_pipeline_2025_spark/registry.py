@@ -116,82 +116,70 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
-    # ROUND 4 ROTATION: the 22 round-3 queries q123-q145 registered
-    # past the driver's 50-cap last round (judge-verified at sf0.01
-    # but never driver-checked) go FIRST so they all get official
-    # CORRECTNESS_r4 rows.
-    "q123_token_lorenz_curve",
-    "q124_corpus_pipeline",
-    "q125_bm25_topk",
-    "q126_stream_ivf_indexing",
-    "q127_trailing_range_window",
-    "q128_gapfill_locf",
-    "q129_skipgram_cooccurrence",
-    "q130_dataset_card",
-    "q132_returned_revenue",
-    "q133_rich_never_ordered",
-    "q134_stream_static_enrich",
-    "q135_stream_dedup_watermarked",
-    "q136_stream_chained_stateful",
-    "q137_late_data_drops",
-    "q138_percentile_cont_exact",
-    "q139_grouping_sets",
-    "q140_nearest_asof",
-    "q141_schema_evolution_read",
-    "q142_windowed_funnel",
+    # ROUND 5 ROTATION — the 50-cap re-checks every query whose
+    # implementation changed after its last driver check, plus the
+    # oldest r1-green rows. Groups, in order:
+    # (a) new round-5 queries (never driver-checked)
+    "q175_skew_adaptive_agg",
+    "q176_keyset_pagination",
+    # (b) newly registered via the protobuf-runtime shim unlock
+    "q146_stream_transform_with_state",
+    # (c) rewritten this round (bucketed prefix aggs, SNM chain
+    # replication, overflow bucket fix, session scratch dirs)
+    "q109_pareto_frontier",
     "q143_equidepth_histogram",
-    "q144_prefix_filter_join",
-    "q145_kmv_join_cardinality",
-    # NEW round-4 queries (never driver-checked) — keep inside cap:
-    "q147_ivf_multiprobe_recall",
-    "q148_vocab_growth",
-    "q149_stream_outer_join",
-    "q150_hybrid_bm25_cosine",
     "q151_length_bucketing",
-    "q152_tombstone_purge",
-    "q153_approx_distinct_hll",
-    "q154_unigram_surprisal",
-    "q155_approx_quantile_envelope",
-    "q156_waiting_supplier",
-    "q157_stream_approx_distinct",
-    "q158_rendezvous_sharding",
-    "q159_centroid_classifier_eval",
-    "q160_distribution_drift",
     "q161_state_store_reader",
     "q162_snapshot_time_travel",
-    "q163_zorder_locality",
     "q164_sorted_neighborhood",
-    "q165_cc_pointer_doubling",
-    "q166_audio_segmentation",
-    "q167_budget_waterfill",
-    "q168_key_skew_diagnostics",
-    "q169_power_iteration",
-    "q170_jl_distortion",
-    "q171_cbo_join_order",
-    "q172_pagerank_converged",
-    "q173_phrase_search",
-    "q174_priority_sampling",
-    # Rotation re-checks (already driver-green r1-r3) fill the
-    # remaining slots up to the 50-cap; anything past the cap is
-    # harmless (green history + local full sweep still covers it).
-    "q01_pricing_summary",
-    "q07_cheapest_per_store",
-    "q12_price_trend",
-    "q17_revenue_by_nation",
+    # (d) rewritten r3 (shared capped shingle frame), last
+    # driver-checked r2 — verdict item: re-front for re-check
     "q35_ngram_jaccard_pairs",
     "q36_minhash_lsh_dedup",
-    "q40_ann_bruteforce",
-    "q46_ann_pandas_vectorized",
+    "q63_decontamination",
+    # (e) re-confirmation of the r4 scale-smell rewrites + the two
+    # the verdict called out
+    "q145_kmv_join_cardinality",
+    "q168_key_skew_diagnostics",
+    "q171_cbo_join_order",
+    "q139_grouping_sets",
+    "q140_nearest_asof",
+    # (f) streaming sinks whose commit path moved to the new
+    # delta-log txn protocol this round
     "q50_stream_hourly_rollup",
     "q51_stream_dedup_replay",
-    "q63_decontamination",
-    "q72_ann_recall",
-    "q74_stream_join_attribution",
-    "q87_sequence_packing",
-    "q94_bucketed_colocated_join",
-    "q111_stream_stateful_sessions",
-    "q119_minhash_accuracy",
+    "q83_stream_cagg_serving",
+    "q97_stream_cms_serving",
     "q120_stream_dedup_gate",
+    "q126_stream_ivf_indexing",
+    # (g) oldest r1-green rows fill the remaining slots up to 50
+    "q01_pricing_summary",
+    "q02_product_search",
+    "q03_promo_stats_by_category",
+    "q04_non_promo_by_store",
+    "q05_recent_window",
+    "q06_barcode_compare",
+    "q07_cheapest_per_store",
+    "q08_lowest_prices_page",
+    "q09_basket_totals",
+    "q10_best_basket_summary",
+    "q11_price_history",
+    "q12_price_trend",
+    "q13_history_minmax",
+    "q14_distinct_categories",
+    "q15_store_stats",
+    "q16_store_directory",
+    "q17_revenue_by_nation",
+    "q18_order_lines_rollup",
+    "q19_customers_without_orders",
+    "q20_cheapest_supplier_per_part",
+    "q21_events_daily",
+    "q22_user_running_totals",
+    "q23_event_gaps",
+    "q24_user_event_pivot",
+    "q25_scalar_showcase",
+    "q26_segment_balances",
+    "q27_set_operations",
 )
 
 

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 172
+EXPECTED_QUERY_COUNT = 174
 
 
 def test_registry_complete():
@@ -65,42 +65,43 @@ def test_registry_complete():
 
 def test_priority_queries_inside_driver_cap():
     """Driver evidence says the correctness sweep caps at 50 queries
-    in registration order. Round-4 priorities: the 22 round-3
-    queries q123-q145 that registered past the cap last round
-    (judge-verified at sf0.01 but never driver-checked) plus every
-    query new this round must sit inside the first 50 so the driver
-    officially checks them — completing driver verification of the
-    entire registry."""
+    in registration order. Round-5 rotation: every query whose
+    implementation changed after its last driver check must sit
+    inside the first 50 so the driver officially re-checks it —
+    new round-5 queries, the q146 shim unlock, this round's
+    rewrites (q109/q143/q151/q161/q162/q164), the r3 rewrites last
+    checked in r2 (q35/q36/q63), the r4 scale-smell re-confirms,
+    and the streaming sinks moved onto the delta-log txn protocol."""
     first_50 = set(list(SPECS)[:50])
     must_lead = {
-        # round-3 tail, never driver-checked (past the cap in r3)
-        "q123_token_lorenz_curve",
-        "q124_corpus_pipeline",
-        "q125_bm25_topk",
-        "q126_stream_ivf_indexing",
-        "q127_trailing_range_window",
-        "q128_gapfill_locf",
-        "q129_skipgram_cooccurrence",
-        "q130_dataset_card",
-        "q132_returned_revenue",
-        "q133_rich_never_ordered",
-        "q134_stream_static_enrich",
-        "q135_stream_dedup_watermarked",
-        "q136_stream_chained_stateful",
-        "q137_late_data_drops",
-        "q138_percentile_cont_exact",
+        # (a) new round-5
+        "q175_skew_adaptive_agg",
+        "q176_keyset_pagination",
+        # (b) newly registered
+        "q146_stream_transform_with_state",
+        # (c) rewritten round 5
+        "q109_pareto_frontier",
+        "q143_equidepth_histogram",
+        "q151_length_bucketing",
+        "q161_state_store_reader",
+        "q162_snapshot_time_travel",
+        "q164_sorted_neighborhood",
+        # (d) rewritten r3, last driver-checked r2
+        "q35_ngram_jaccard_pairs",
+        "q36_minhash_lsh_dedup",
+        "q63_decontamination",
+        # (e) r4 scale-smell re-confirmation
+        "q145_kmv_join_cardinality",
+        "q168_key_skew_diagnostics",
+        "q171_cbo_join_order",
         "q139_grouping_sets",
         "q140_nearest_asof",
-        "q141_schema_evolution_read",
-        "q142_windowed_funnel",
-        "q143_equidepth_histogram",
-        "q144_prefix_filter_join",
-        "q145_kmv_join_cardinality",
-    }
-    # every query new this round must also lead (numbers >= 147)
-    import re
-
-    must_lead |= {
-        n for n in SPECS if int(re.match(r"q(\d+)", n).group(1)) >= 147
+        # (f) delta-log txn adopters
+        "q50_stream_hourly_rollup",
+        "q51_stream_dedup_replay",
+        "q83_stream_cagg_serving",
+        "q97_stream_cms_serving",
+        "q120_stream_dedup_gate",
+        "q126_stream_ivf_indexing",
     }
     assert must_lead <= first_50, must_lead - first_50

@@ -732,3 +732,23 @@ def test_equidepth_prefix_window_is_bucket_partitioned(spark, sf_smoke):
     plan = plan_of(spark, "q143_equidepth_histogram", sf_smoke, mode="simple")
     assert "hashpartitioning(__bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keyset_cursor_pushes_to_scan(spark, sf_smoke):
+    """q176: the keyset page's cursor predicate must reach the
+    parquet scan as a pushed filter (row-group min/max pruning at
+    scale — the entire point of keyset over OFFSET), and the page
+    itself must be a partial top-k, never a global sort."""
+    plan = plan_of(spark, "q176_keyset_pagination", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
+    assert "product_id" in pushed and "GreaterThan" in pushed, pushed
+
+
+def test_skew_chooser_runs_both_strategies(spark, sf_smoke):
+    """q175: the chooser must genuinely execute both physical
+    aggregation strategies — the salted two-phase shows up as a
+    (key, _salt) partial aggregate — with no cartesian anywhere."""
+    plan = plan_of(spark, "q175_skew_adaptive_agg", sf_smoke, mode="simple")
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
