@@ -65,6 +65,20 @@ HEADLINE = (
     "q47_trigram_fuzzy_search",
     "q50_stream_hourly_rollup",
     "q53_asof_price",
+    # Round-5 additions (round-4 verdict: the most expensive
+    # operator families were invisible to the driver bench) — the
+    # heavy late-round queries now guarded against regression:
+    # waiting-supplier anti-join pipeline, drift histograms, Z-order
+    # locality audit, SNM near-dup, pointer-doubling connected
+    # components, power-iteration PCA, JL distortion, PageRank.
+    "q156_waiting_supplier",
+    "q160_distribution_drift",
+    "q163_zorder_locality",
+    "q164_sorted_neighborhood",
+    "q165_cc_pointer_doubling",
+    "q169_power_iteration",
+    "q170_jl_distortion",
+    "q172_pagerank_converged",
 )
 
 
