@@ -1299,3 +1299,172 @@ def q174_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---- q178: EXACT stratified validation split (largest remainder)
+#
+# q62's hash split is proportionally APPROXIMATE (md5 mod K lands
+# ~10% per shard); evaluation sets want EXACT per-stratum quotas:
+# hold out exactly floor(N/10) documents, allocated across language
+# strata by the largest-remainder method (per-stratum base = n div
+# 10; the leftover seats go to the strata with the largest n mod 10,
+# ties by lang — the apportionment rule that keeps every stratum
+# within one document of perfect proportionality). Membership stays
+# deterministic and content-addressed: within a stratum, the
+# validation set is the first quota documents by md5(doc_id) — any
+# engine, any run, same split.
+#
+# Scale shape — the subtle part is selecting the first k BY RANK
+# per stratum when k is 10% of the stratum (NOT a small-k top-k,
+# and a per-stratum rank window would funnel the biggest language
+# through one task: 'en' is 70%+ of real corpora). Two-pass exact
+# order statistic instead, the q164/q109 bucket pattern on the hash
+# domain: documents bucket by their hash's FIRST BYTE (256 uniform
+# buckets — md5 bytes ARE uniform, unlike q164's min-hash), counts
+# per (lang, bucket) prefix-sum over the tiny 256-row-per-lang
+# frame, and the rank window runs per (lang, bucket) — 1/256 of a
+# stratum per task. assigned iff bucket_offset + in-bucket rank <=
+# quota. The quota arithmetic itself runs on the <=|langs|-row
+# stratum frame (domain-bounded, like q167's budget rows). The
+# oracle states the naive global spec: row_number per lang over the
+# full hash order.
+VAL_DIV = 10  # hold out 1/10th
+
+_ORACLE_Q178 = f"""
+WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS nn FROM s),
+q AS (
+    SELECT lang, n, n // {VAL_DIV} AS base, n % {VAL_DIV} AS rem,
+           row_number() OVER (ORDER BY n % {VAL_DIV} DESC, lang) AS rk
+    FROM s
+),
+x AS (
+    SELECT (SELECT nn FROM tot) // {VAL_DIV} - SUM(base) AS extra_total
+    FROM q
+),
+quota AS (
+    SELECT lang, n, base, rem,
+           CASE WHEN rk <= (SELECT extra_total FROM x) THEN 1 ELSE 0 END
+               AS extra,
+           base + CASE WHEN rk <= (SELECT extra_total FROM x)
+                       THEN 1 ELSE 0 END AS val_quota
+    FROM q
+),
+ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+),
+picked AS (
+    SELECT r.lang, COUNT(*) AS val_docs, SUM(r.doc_id) AS val_doc_id_sum
+    FROM ranked r JOIN quota qq ON r.lang = qq.lang
+    WHERE r.rk <= qq.val_quota
+    GROUP BY r.lang
+)
+SELECT qq.lang,
+       CAST(qq.n AS BIGINT)         AS n_docs,
+       CAST(qq.base AS BIGINT)      AS base_quota,
+       CAST(qq.rem AS BIGINT)       AS remainder,
+       CAST(qq.extra AS BIGINT)     AS extra,
+       CAST(qq.val_quota AS BIGINT) AS val_quota,
+       CAST(COALESCE(p.val_docs, 0) AS BIGINT)       AS val_docs,
+       CAST(COALESCE(p.val_doc_id_sum, 0) AS BIGINT) AS val_doc_id_sum
+FROM quota qq LEFT JOIN picked p ON qq.lang = p.lang
+ORDER BY qq.lang
+"""
+
+
+@register(
+    "q178_stratified_split",
+    oracle=_ORACLE_Q178,
+    doc="Exact stratified validation split: largest-remainder "
+    "apportionment of floor(N/10) held-out docs across language "
+    "strata, membership = first-quota by md5(doc_id) within the "
+    "stratum. Selection runs as a two-pass exact order statistic "
+    "(256 hash-byte buckets, per-bucket rank windows) so the "
+    "biggest stratum never funnels one task; val_doc_id_sum pins "
+    "the exact membership, not just the counts.",
+    tags=("curation", "split", "stratified"),
+)
+def q178_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("hb", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+
+    # quota frame: <= |langs| rows, domain-bounded tiny windows
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").alias("nn"))
+    wrk = Window.orderBy(F.col("rem").desc(), "lang")
+    q = s.select(
+        "lang",
+        "n",
+        F.expr(f"n div {VAL_DIV}").alias("base"),
+        (F.col("n") % VAL_DIV).alias("rem"),
+    ).withColumn("rk", F.row_number().over(wrk))
+    q = q.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(
+            q.agg(F.sum("base").alias("sum_base"))
+        )
+    )
+    quota = q.select(
+        "lang",
+        "n",
+        "base",
+        "rem",
+        F.when(
+            F.col("rk") <= F.expr(f"nn div {VAL_DIV}") - F.col("sum_base"), 1
+        )
+        .otherwise(0)
+        .alias("extra"),
+    ).withColumn("val_quota", F.col("base") + F.col("extra"))
+
+    # two-pass exact order statistic over the hash order:
+    # (1) per-(lang, hash-byte-bucket) counts -> exclusive prefix
+    #     over the tiny 256-row-per-lang frame, broadcast back;
+    bcnt = d.groupBy("lang", "hb").agg(F.count(F.lit(1)).alias("bn"))
+    wpb = Window.partitionBy("lang").orderBy("hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcnt.select(
+        "lang", "hb", F.coalesce(F.sum("bn").over(wpb), F.lit(0)).alias("below")
+    )
+    # (2) rank window per (lang, bucket) — 1/256 of a stratum per
+    #     task; global rank = bucket offset + in-bucket rank.
+    win = Window.partitionBy("lang", "hb").orderBy("h", "doc_id")
+    ranked = (
+        d.join(F.broadcast(offsets), ["lang", "hb"])
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("grank", F.col("below") + F.col("rn"))
+    )
+    picked = (
+        ranked.join(F.broadcast(quota.select("lang", "val_quota")), "lang")
+        .where(F.col("grank") <= F.col("val_quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("val_docs"),
+            F.sum("doc_id").alias("val_doc_id_sum"),
+        )
+    )
+    return (
+        quota.join(picked, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("base").cast("bigint").alias("base_quota"),
+            F.col("rem").cast("bigint").alias("remainder"),
+            F.col("extra").cast("bigint").alias("extra"),
+            F.col("val_quota").cast("bigint").alias("val_quota"),
+            F.coalesce("val_docs", F.lit(0)).cast("bigint").alias("val_docs"),
+            F.coalesce("val_doc_id_sum", F.lit(0))
+            .cast("bigint")
+            .alias("val_doc_id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -122,6 +122,8 @@ _PRIORITY = (
     # (a) new round-5 queries (never driver-checked)
     "q175_skew_adaptive_agg",
     "q176_keyset_pagination",
+    "q177_snapshot_changelog",
+    "q178_stratified_split",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -178,8 +180,6 @@ _PRIORITY = (
     "q23_event_gaps",
     "q24_user_event_pivot",
     "q25_scalar_showcase",
-    "q26_segment_balances",
-    "q27_set_operations",
 )
 
 

@@ -114,3 +114,121 @@ def q162_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows") - F.coalesce(F.lag("n_rows").over(w), F.lit(0))
         ).alias("added_rows"),
     ).orderBy("version")
+
+
+# --------- q177: snapshot CHANGELOG (CDC) between log versions
+#
+# The table-format capability that pairs with q162's versionAsOf:
+# "what changed between version A and version B" — Delta's CDF /
+# table_changes, Iceberg's changelog scan. Three commits build the
+# history: two day-partitioned appends (the q162 split) and then a
+# commit_replace CORRECTION of one day partition (2024-01-10 keeps
+# only its even event_ids — a late-arriving fix rewriting a bad
+# day, the rollup-refresh shape cagg.py ships). The diff of two
+# snapshots is two anti-joins on the row key: rows only in B
+# (added) and rows only in A (removed). Append commits show pure
+# adds; the replace commit shows pure removes — both transitions
+# are emitted and the oracle states the same set algebra over the
+# base table. Scale shape: snapshots are parquet scans of the
+# manifest file lists; each anti-join shuffles on the unique
+# event_id (uniform, no skew), counts partial-aggregate map-side.
+_CDC_FIX_DAY = "2024-01-10"
+
+
+def _build_cdc_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped 3-commit sink: append / append / replace-fix.
+    Rebuilt only if a crashed earlier build left partial history."""
+    tag = "cdc_q177_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "ts", "value", F.to_date("ts").alias("day")
+        )
+        split = F.lit(_TT_SPLIT).cast("timestamp")
+        txn.commit_append(
+            sink, txn.stage_append(ev.where(F.col("ts") < split), sink, ("day",))
+        )
+        txn.commit_append(
+            sink, txn.stage_append(ev.where(F.col("ts") >= split), sink, ("day",))
+        )
+        fix = ev.where(
+            (F.col("day") == F.lit(_CDC_FIX_DAY).cast("date"))
+            & (F.col("event_id") % 2 == 0)
+        )
+        txn.commit_replace(sink, txn.stage_append(fix, sink, ("day",)))
+    return sink
+
+
+_ORACLE_Q177 = f"""
+WITH v1 AS (SELECT event_id FROM events WHERE ts < TIMESTAMP '{_TT_SPLIT}'),
+     v2 AS (SELECT event_id FROM events),
+     v3 AS (SELECT event_id FROM events
+            WHERE CAST(ts AS DATE) <> DATE '{_CDC_FIX_DAY}'
+               OR event_id % 2 = 0)
+SELECT * FROM (
+SELECT CAST(1 AS BIGINT) AS from_version, CAST(2 AS BIGINT) AS to_version,
+       (SELECT COUNT(*) FROM v1) AS rows_from,
+       (SELECT COUNT(*) FROM v2) AS rows_to,
+       (SELECT COUNT(*) FROM v2 ANTI JOIN v1 USING (event_id)) AS added_rows,
+       (SELECT COUNT(*) FROM v1 ANTI JOIN v2 USING (event_id)) AS removed_rows
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+       (SELECT COUNT(*) FROM v2),
+       (SELECT COUNT(*) FROM v3),
+       (SELECT COUNT(*) FROM v3 ANTI JOIN v2 USING (event_id)),
+       (SELECT COUNT(*) FROM v2 ANTI JOIN v3 USING (event_id))
+) ORDER BY from_version
+"""
+
+
+@register(
+    "q177_snapshot_changelog",
+    oracle=_ORACLE_Q177,
+    doc="CDC between manifest-log snapshots (Delta CDF analog): a "
+    "3-commit history (append, append, replace-correction of one "
+    "day partition) is diffed version-to-version with key "
+    "anti-joins — appends show pure adds, the replace shows pure "
+    "removes; both transitions checked against set algebra on the "
+    "base table.",
+    tags=("streaming", "txn", "timetravel", "cdc"),
+)
+def q177_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _build_cdc_sink(spark, sf_dir)
+    vs = {v: txn.read_version(spark, sink, v).select("event_id") for v in (1, 2, 3)}
+    out = None
+    for a, b in ((1, 2), (2, 3)):
+        va, vb = vs[a], vs[b]
+        row = (
+            va.agg(F.count(F.lit(1)).alias("rows_from"))
+            .crossJoin(
+                F.broadcast(vb.agg(F.count(F.lit(1)).alias("rows_to")))
+            )
+            .crossJoin(
+                F.broadcast(
+                    vb.join(va, "event_id", "left_anti").agg(
+                        F.count(F.lit(1)).alias("added_rows")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    va.join(vb, "event_id", "left_anti").agg(
+                        F.count(F.lit(1)).alias("removed_rows")
+                    )
+                )
+            )
+            .select(
+                F.lit(a).cast("bigint").alias("from_version"),
+                F.lit(b).cast("bigint").alias("to_version"),
+                F.col("rows_from").cast("bigint").alias("rows_from"),
+                F.col("rows_to").cast("bigint").alias("rows_to"),
+                F.col("added_rows").cast("bigint").alias("added_rows"),
+                F.col("removed_rows").cast("bigint").alias("removed_rows"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("from_version")
