@@ -1129,3 +1129,112 @@ def q173_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.orderBy(
         F.col("phrase_hits").desc(), F.col("near_hits").desc(), "doc_id"
     ).limit(PHRASE_TOP)
+
+
+# -------- q180: Zipf rank-frequency slope (corpus-law audit)
+#
+# The corpus-statistics companion to q148 (Heaps' law) and q123
+# (token Lorenz curve): fit log2(freq) ~ log2(rank) over the top-K
+# vocabulary by OLS and report the Zipf exponent (natural text ~ -1;
+# a synthetic or boilerplate-heavy corpus drifts measurably). Scale
+# shape: the vocab aggregate is the only data-sized pass (one
+# groupBy, map-side combinable); top-K selection is a partial top-k
+# (TakeOrderedAndProject — K rows per task reach the driver-side
+# merge, never the full dictionary); ranking + regression then run
+# over a CONSTANT K=100-row frame.
+#
+# Cross-engine exactness (the q154 idiom, one step further): log2 is
+# quantized ONCE per term to integer micro-bits; the OLS normal
+# equations are then EXACT BIGINT sums (bounded: |x| <= 6.7e6,
+# |y| <= 2.6e7 even at 100 TB vocab totals, so n*Sxy < 2^63); the
+# final slope/intercept are single IEEE divisions of exactly-equal
+# integers — bit-identical in both engines because int64->double
+# conversion and double division are both correctly rounded.
+
+ZIPF_TOP_K = 100
+
+_ORACLE_Q180 = f"""
+WITH t AS (
+    SELECT unnest({TOKENS_SQL}) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+top AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT {ZIPF_TOP_K}),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM top
+),
+q AS (
+    SELECT CAST(round(log2(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+           CAST(round(log2(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+    FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT)  AS n,
+           CAST(SUM(x) AS BIGINT)    AS sx,
+           CAST(SUM(y) AS BIGINT)    AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM q
+)
+SELECT n AS n_terms,
+       sx AS sum_logrank_ubits,
+       sy AS sum_logfreq_ubits,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope_d,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_ubits_d
+FROM s
+"""
+
+
+@register(
+    "q180_zipf_slope",
+    oracle=_ORACLE_Q180,
+    doc="Zipf rank-frequency exponent over the top-100 vocabulary: "
+    "one map-side-combinable vocab aggregate, partial top-k "
+    "selection, then OLS on micro-bit-quantized log2(rank)/"
+    "log2(freq) via exact BIGINT normal equations — the corpus-law "
+    "audit beside Heaps (q148) and Lorenz (q123).",
+    tags=("text", "corpus-stats", "scale"),
+)
+def q180_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = fan_out(cat.documents.select(tokens_col().alias("toks"))).select(
+        F.explode("toks").alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = freq.orderBy(F.col("c").desc(), "w").limit(ZIPF_TOP_K)
+    # constant K=100-row frame: a single-partition rank here is a
+    # bounded serving-side step, not a data-sized funnel
+    ranked = top.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "w")).alias("r")
+    )
+    q = ranked.select(
+        F.round(F.log2(F.col("r").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log2(F.col("c").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.col("sx").alias("sum_logrank_ubits"),
+        F.col("sy").alias("sum_logfreq_ubits"),
+        slope.alias("zipf_slope_d"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_ubits_d"),
+    )

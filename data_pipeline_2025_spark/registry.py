@@ -88,6 +88,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.curation",  # pulls in text+dedup
     "data_pipeline_2025_spark.operators.dedup",
     "data_pipeline_2025_spark.operators.text",
+    "data_pipeline_2025_spark.operators.cdc",  # q179 (round 5)
 )
 
 
@@ -124,6 +125,8 @@ _PRIORITY = (
     "q176_keyset_pagination",
     "q177_snapshot_changelog",
     "q178_stratified_split",
+    "q179_merge_upsert",
+    "q180_zipf_slope",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -178,8 +181,6 @@ _PRIORITY = (
     "q21_events_daily",
     "q22_user_running_totals",
     "q23_event_gaps",
-    "q24_user_event_pivot",
-    "q25_scalar_showcase",
 )
 
 

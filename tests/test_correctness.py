@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 176
+EXPECTED_QUERY_COUNT = 178
 
 
 def test_registry_complete():
@@ -79,6 +79,8 @@ def test_priority_queries_inside_driver_cap():
         "q176_keyset_pagination",
         "q177_snapshot_changelog",
         "q178_stratified_split",
+        "q179_merge_upsert",
+        "q180_zipf_slope",
         # (b) newly registered
         "q146_stream_transform_with_state",
         # (c) rewritten round 5

@@ -752,3 +752,23 @@ def test_skew_chooser_runs_both_strategies(spark, sf_smoke):
     plan = plan_of(spark, "q175_skew_adaptive_agg", sf_smoke, mode="simple")
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_broadcasts_changelog(spark, sf_smoke):
+    """q179: MERGE apply must stream the base table through a
+    broadcast-hash left join against the (small) CDC batch — a
+    sort-merge join here would shuffle the 100 TB side."""
+    plan = plan_of(spark, "q179_merge_upsert", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_topk_is_partial(spark, sf_smoke):
+    """q180: top-K vocabulary selection must be a partial top-k
+    (TakeOrderedAndProject), never a global sort of the whole term
+    dictionary; the regression then runs on a constant 100-row
+    frame."""
+    plan = plan_of(spark, "q180_zipf_slope", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
