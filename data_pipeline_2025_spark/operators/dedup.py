@@ -1395,7 +1395,13 @@ SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT)            AS n_edges,
     tags=("dedup", "graph", "triangles"),
 )
 def q107_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = q38_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    # The edge list feeds FIVE consumers (degree, both wedge sides,
+    # the 3-way triangle join, the edge count); checkpoint it once
+    # instead of re-running the simhash build + banding + Hamming
+    # verify per consumer.
+    edges = (
+        q38_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     deg = (
         edges.select(F.col("doc_a").alias("v"))
         .unionAll(edges.select(F.col("doc_b").alias("v")))
@@ -1406,12 +1412,41 @@ def q107_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(d * (d - 1) DIV 2) AS BIGINT)").alias("n_wedges"),
         F.count(F.lit(1)).alias("n_vertices"),
     )
-    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    # Degree-ordered orientation (the MapReduce-era standard for
+    # distributed triangle counting): direct every edge from the
+    # (degree, id)-smaller endpoint to the larger, enumerate wedges
+    # only between OUT-edges of the pivot, and close them against
+    # the oriented edge list. Work drops from sum(d^2) over raw
+    # degrees to sum(outdeg^2) = O(m^1.5) worst-case — on a skewed
+    # dup graph the hub vertex no longer pivots its whole
+    # neighborhood. The triangle COUNT is identical to any other
+    # orientation, so the oracle needs no change.
+    da = deg.select(F.col("v").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("d").alias("db"))
+    akey = F.struct(F.col("da").alias("d"), F.col("doc_a").alias("v"))
+    bkey = F.struct(F.col("db").alias("d"), F.col("doc_b").alias("v"))
+    oriented = (
+        edges.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(akey < bkey, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(akey < bkey, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(akey < bkey, bkey).otherwise(akey).alias("dst_key"),
+        )
+    )
+    # NOT checkpointed: rebuilding it per consumer is two cheap keyed
+    # joins off the checkpointed edge list, while materializing a
+    # second multi-million-row deserialized copy was the difference
+    # between fitting and OOM-ing a 4g local driver at the 10x tier.
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_key").alias("vkey"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_key").alias("wkey"))
     tri = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
+        w1.join(w2, "src")
+        .where(F.col("vkey") < F.col("wkey"))
+        .join(
+            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+        )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))

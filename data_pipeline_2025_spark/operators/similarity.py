@@ -308,10 +308,12 @@ SELECT vec_id, centroid_id, d2_r FROM assign
 """
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assign(
+    spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS
+) -> DataFrame:
     n = _vec_norms(spark, sf_dir)
     cent = (
-        n.where(F.col("vec_id") < N_CENTROIDS)
+        n.where(F.col("vec_id") < k)
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("v").alias("cv"),
@@ -377,31 +379,101 @@ def q42_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Density-adaptive centroid count for the near-dup pair generator
+# (round-5 scale fix): with a FIXED K, packing 10x the vectors into
+# the same space multiplies bucket occupancy by 10 and in-bucket
+# candidate pairs by ~100 — measured on the 10x tier (SCALE.md
+# round 5: candidates 262k -> 25.7M, q43 wall 1.5 s -> 147 s). The
+# IVF sizing rule nlist ∝ N caps expected occupancy at
+# NEARDUP_TARGET_OCC, making candidates LINEAR in N:
+# K = greatest(8, ceil(N / 64)), exact integer arithmetic in both
+# engines. At the correctness tiers (N=500) this is exactly the old
+# K=8 — outputs there are bit-identical to the pre-adaptive rule.
+# q181 sweeps the knob and emits the occupancy/candidates/recall
+# evidence behind this default.
+NEARDUP_TARGET_OCC = 64
+
+_ADAPTIVE_CENT_SQL = f"""
+ak AS (SELECT GREATEST({N_CENTROIDS}, (COUNT(*) + {NEARDUP_TARGET_OCC - 1})
+                        // {NEARDUP_TARGET_OCC}) AS k FROM embeddings),
+acent AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n
+          WHERE vec_id < (SELECT k FROM ak)),
+aassign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, acent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                   round(n.n2 + acent.cn2
+                         - 2 * list_dot_product(n.v, acent.cv), 6),
+                   acent.centroid_id
+               ) AS rn
+        FROM n CROSS JOIN acent
+    ) WHERE rn = 1
+)"""
+
 _ORACLE_Q43 = f"""
-WITH {_IVF_CTE}
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+{_ADAPTIVE_CENT_SQL}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_r
-FROM assign a
-JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+FROM aassign a
+JOIN aassign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 JOIN n na ON na.vec_id = a.vec_id
 JOIN n nb ON nb.vec_id = b.vec_id
 WHERE round(list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {NEARDUP_COS}
 """
 
 
+def _ivf_assign_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_ivf_assign with K = greatest(8, ceil(N / TARGET_OCC)) — the
+    centroid filter joins a broadcast one-row count instead of a
+    literal, everything else identical (argmin over broadcast
+    centroids, deterministic tie-break)."""
+    n = _vec_norms(spark, sf_dir)
+    k_row = n.agg(
+        F.greatest(
+            F.lit(N_CENTROIDS).cast("bigint"),
+            F.expr(f"(count(1) + {NEARDUP_TARGET_OCC - 1}) div {NEARDUP_TARGET_OCC}"),
+        ).alias("__k")
+    )
+    cent = (
+        n.crossJoin(F.broadcast(k_row))
+        .where(F.col("vec_id") < F.col("__k"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    d2 = F.round(F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy("d2_r", "centroid_id")
+    return (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("d2_r", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
 @register(
     "q43_embedding_neardup",
     oracle=_ORACLE_Q43,
     doc="Embedding near-dup pairs: candidates restricted to the same "
-    "IVF bucket (the 100 TB-safe pair generator), cosine-verified.",
-    tags=("similarity", "dedup"),
+    "IVF bucket with DENSITY-ADAPTIVE centroid count "
+    "K = max(8, ceil(N/64)) — bucket occupancy bounded, candidate "
+    "pairs linear in N (the fixed-K rule measured ~100x candidate "
+    "growth at 10x density; q181 emits the sweep evidence) — "
+    "cosine-verified.",
+    tags=("similarity", "dedup", "scale"),
 )
 def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vec_norms(spark, sf_dir)
-    a = _ivf_assign(spark, sf_dir).select(
+    a = _ivf_assign_adaptive(spark, sf_dir).select(
         F.col("vec_id").alias("vec_a"), F.col("centroid_id").alias("ca")
     )
-    b = _ivf_assign(spark, sf_dir).select(
+    b = _ivf_assign_adaptive(spark, sf_dir).select(
         F.col("vec_id").alias("vec_b"), F.col("centroid_id").alias("cb")
     )
     cand = a.join(
@@ -1559,3 +1631,148 @@ def q170_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("va", "vb")
     )
+
+
+# -------- q181: IVF density sweep — the knob that keeps near-dup linear
+#
+# Closes the density-scaling loop for the embedding near-dup family
+# the way q175 closed skew and q171 closed join order. The 10x-tier
+# measurement (SCALE.md round 5) showed q43's candidate set — pairs
+# sharing one of a FIXED K=8 centroids — growing with bucket
+# occupancy SQUARED: pack 10x the vectors into the same space and
+# the same buckets, and candidates grow ~100x even though the plan
+# does only O(candidates) work. The production cure is the IVF
+# sizing rule nlist ∝ N (bucket occupancy bounded, candidates
+# linear), paid for with recall against the coarse-bucket baseline
+# (recovered in practice by multi-probe — measured separately in
+# q147). This query runs the SWEEP: for K in {8, 32, 128} it emits
+# occupancy, candidate count, verified near-dup pairs, and exact
+# recall of the K=8 (q43) pair set — the evidence table an operator
+# reads to pick nlist for the next 10x of data. All legs share one
+# vector-norms frame; every per-K stat is a broadcast scalar row;
+# pair-set intersection joins on the (vec_a, vec_b) key.
+IVF_SWEEP_KS = (8, 32, 128)
+
+
+def _sweep_block_sql(k: int) -> str:
+    return f"""
+cent{k} AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n
+            WHERE vec_id < {k}),
+assign{k} AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, cent{k}.centroid_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                   round(n.n2 + cent{k}.cn2
+                         - 2 * list_dot_product(n.v, cent{k}.cv), 6),
+                   cent{k}.centroid_id
+               ) AS rn
+        FROM n CROSS JOIN cent{k}
+    ) WHERE rn = 1
+),
+cand{k} AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM assign{k} a JOIN assign{k} b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+ver{k} AS (
+    SELECT c.vec_a, c.vec_b
+    FROM cand{k} c JOIN n na ON na.vec_id = c.vec_a
+                   JOIN n nb ON nb.vec_id = c.vec_b
+    WHERE round(list_dot_product(na.v, nb.v)
+                / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {NEARDUP_COS}
+),
+occ{k} AS (SELECT centroid_id, COUNT(*) AS m FROM assign{k} GROUP BY 1)"""
+
+
+def _sweep_row_sql(k: int) -> str:
+    return f"""
+SELECT CAST({k} AS BIGINT) AS k_centroids,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM occ{k}) AS buckets_used,
+       (SELECT CAST(MAX(m) AS BIGINT) FROM occ{k}) AS max_occupancy,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{k}) AS candidate_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ver{k}) AS verified_pairs,
+       CAST((SELECT COUNT(*) FROM ver{k} v
+             JOIN ver{IVF_SWEEP_KS[0]} b
+               ON b.vec_a = v.vec_a AND b.vec_b = v.vec_b) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM ver{IVF_SWEEP_KS[0]}), 1)
+            AS BIGINT) AS recall_vs_base_ppm"""
+
+
+_ORACLE_Q181 = (
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),"""
+    + ",".join(_sweep_block_sql(k) for k in IVF_SWEEP_KS)
+    + " "
+    + " UNION ALL ".join(_sweep_row_sql(k) for k in IVF_SWEEP_KS)
+    + " ORDER BY k_centroids"
+)
+
+
+@register(
+    "q181_ivf_density_sweep",
+    oracle=_ORACLE_Q181,
+    doc="IVF nlist sizing sweep for the embedding near-dup path: for "
+    "K in {8,32,128} centroids, emits bucket occupancy, candidate "
+    "pairs, verified near-dup pairs, and exact recall of the "
+    "fixed-K=8 pair set — the measured evidence that candidates shrink "
+    "~1/K while recall degrades gracefully, i.e. the nlist ∝ N rule "
+    "that keeps near-dup candidate generation LINEAR as density "
+    "grows 10x (SCALE.md round-5 measurement).",
+    tags=("similarity", "dedup", "scale", "sweep"),
+)
+def q181_ivf_density_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vec_norms(spark, sf_dir).localCheckpoint()  # shared by all legs
+    base_k = IVF_SWEEP_KS[0]
+
+    def leg(k: int):
+        assign = _ivf_assign(spark, sf_dir, k).select("vec_id", "centroid_id")
+        a = assign.select(F.col("vec_id").alias("vec_a"), F.col("centroid_id").alias("ca"))
+        b = assign.select(F.col("vec_id").alias("vec_b"), F.col("centroid_id").alias("cb"))
+        cand = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b"))).select(
+            "vec_a", "vec_b"
+        )
+        na = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na2"))
+        nb = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb2"))
+        cos_r = F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+        )
+        ver = (
+            cand.join(na, "vec_a").join(nb, "vec_b")
+            .where(cos_r >= NEARDUP_COS)
+            .select("vec_a", "vec_b")
+        )
+        occ = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("m"))
+        return cand, ver, occ
+
+    legs = {k: leg(k) for k in IVF_SWEEP_KS}
+    base_ver = legs[base_k][1].localCheckpoint()  # reused by every recall join
+
+    out = None
+    for k in IVF_SWEEP_KS:
+        cand, ver, occ = legs[k]
+        ver = base_ver if k == base_k else ver
+        inter = ver.join(base_ver, ["vec_a", "vec_b"], "semi")
+        row = (
+            occ.agg(
+                F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+                F.max("m").cast("bigint").alias("max_occupancy"),
+            )
+            .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("candidate_pairs"))))
+            .crossJoin(F.broadcast(ver.agg(F.count(F.lit(1)).alias("verified_pairs"))))
+            .crossJoin(F.broadcast(inter.agg(F.count(F.lit(1)).alias("n_inter"))))
+            .crossJoin(F.broadcast(base_ver.agg(F.count(F.lit(1)).alias("n_base"))))
+            .select(
+                F.lit(k).cast("bigint").alias("k_centroids"),
+                "buckets_used",
+                "max_occupancy",
+                F.col("candidate_pairs").cast("bigint").alias("candidate_pairs"),
+                F.col("verified_pairs").cast("bigint").alias("verified_pairs"),
+                F.expr("CAST(n_inter * 1000000 div greatest(n_base, 1) AS BIGINT)").alias(
+                    "recall_vs_base_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k_centroids")

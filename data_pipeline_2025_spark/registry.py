@@ -127,6 +127,7 @@ _PRIORITY = (
     "q178_stratified_split",
     "q179_merge_upsert",
     "q180_zipf_slope",
+    "q181_ivf_density_sweep",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -137,6 +138,16 @@ _PRIORITY = (
     "q161_state_store_reader",
     "q162_snapshot_time_travel",
     "q164_sorted_neighborhood",
+    # (c2) rewritten late round 5: density-adaptive near-dup
+    # centroids (q43, and its graph consumers q91/q172) and
+    # degree-oriented triangle counting (q107). Outputs at the
+    # driver tier are K=8-identical for the q43 family, but the
+    # implementations changed, so they re-front for an official
+    # re-check.
+    "q43_embedding_neardup",
+    "q91_rank_propagation",
+    "q107_neardup_triangles",
+    "q172_pagerank_converged",
     # (d) rewritten r3 (shared capped shingle frame), last
     # driver-checked r2 — verdict item: re-front for re-check
     "q35_ngram_jaccard_pairs",
@@ -176,11 +187,6 @@ _PRIORITY = (
     "q16_store_directory",
     "q17_revenue_by_nation",
     "q18_order_lines_rollup",
-    "q19_customers_without_orders",
-    "q20_cheapest_supplier_per_part",
-    "q21_events_daily",
-    "q22_user_running_totals",
-    "q23_event_gaps",
 )
 
 

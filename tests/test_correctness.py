@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 178
+EXPECTED_QUERY_COUNT = 179
 
 
 def test_registry_complete():
@@ -81,6 +81,12 @@ def test_priority_queries_inside_driver_cap():
         "q178_stratified_split",
         "q179_merge_upsert",
         "q180_zipf_slope",
+        "q181_ivf_density_sweep",
+        # (c2) rewritten late round 5
+        "q43_embedding_neardup",
+        "q91_rank_propagation",
+        "q107_neardup_triangles",
+        "q172_pagerank_converged",
         # (b) newly registered
         "q146_stream_transform_with_state",
         # (c) rewritten round 5

@@ -772,3 +772,15 @@ def test_zipf_topk_is_partial(spark, sf_smoke):
     plan = plan_of(spark, "q180_zipf_slope", sf_smoke)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_sweep_broadcasts_centroids(spark, sf_smoke):
+    """q181: every sweep leg must broadcast its centroid set — the
+    assignment is a broadcast NLJ over <=128 centroid rows, never a
+    shuffle of the vector side against centroids, and never an
+    unconditioned cartesian. (The in-bucket pair join itself is a
+    keyed shuffle join of two data-sized sides — the correct shape;
+    no assertion forbids Spark's SMJ/SHJ choice there.)"""
+    plan = plan_of(spark, "q181_ivf_density_sweep", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

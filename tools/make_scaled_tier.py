@@ -120,12 +120,40 @@ def make(factor: int = 10, out_root: str = "/tmp/dp2025_scaled") -> str:
         " lang, source, n_chars"
         f" FROM {t('documents')}, {copies}",
     )
-    write(
-        "embeddings",
-        f"SELECT vec_id + i * {CARD['embeddings']} AS vec_id,"
-        " embedding, label"
-        f" FROM {t('embeddings')}, {copies}",
+    # Embeddings: copy 0 verbatim; every other copy gets a
+    # deterministic per-copy ORTHOGONAL transform (dimension
+    # permutation + sign flips). Orthogonal => every intra-copy
+    # angle, norm, and near-dup pair is EXACTLY preserved, so each
+    # copy's ANN/near-dup workload is identical to the original —
+    # while inter-copy cosines decorrelate to ~0. This is the vector
+    # analog of the token suffixing above: without it, 10 verbatim
+    # copies make every vector an exact duplicate of 9 others and
+    # every near-pair a 100-pair clique, so the near-dup OUTPUT
+    # (q43 and everything built on it: q70/q107/q172) grows
+    # quadratically BY CONSTRUCTION and a linear plan measures as
+    # super-linear. (Found empirically: q43 pairs 262 -> 116,200 at
+    # 10x, q172 wall 4.1 s -> 158 s, all artifact.)
+    dim = con.sql(
+        f"SELECT len(embedding) FROM {t('embeddings')} LIMIT 1"
+    ).fetchone()[0]
+    import random
+
+    def rot_expr(i: int) -> str:
+        rng = random.Random(1_000 + i)  # deterministic per copy
+        perm = list(range(1, dim + 1))  # DuckDB lists are 1-based
+        rng.shuffle(perm)
+        terms = ", ".join(
+            f"{'-' if rng.random() < 0.5 else ''}embedding[{p}]" for p in perm
+        )
+        return f"CAST([{terms}] AS FLOAT[])"
+
+    emb_branches = " UNION ALL ".join(
+        f"SELECT vec_id + {i} * {CARD['embeddings']} AS vec_id,"
+        + (" embedding," if i == 0 else f" {rot_expr(i)} AS embedding,")
+        + f" label FROM {t('embeddings')}"
+        for i in range(factor)
     )
+    write("embeddings", emb_branches)
     con.close()
     return out
 
