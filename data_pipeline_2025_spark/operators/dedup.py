@@ -1884,22 +1884,45 @@ def q144_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = rare_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = rare_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = rare_sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
-    verified = (
-        cand.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verification the way PPJoin actually does it: each candidate
+    # pair merges its two docs' shingle SETS directly. Expressed as
+    # two keyed joins against a per-doc array table plus a row-local
+    # array_intersect — exact (the shingle lists are per-doc
+    # distinct by construction). The previous row-exploded form
+    # (cand ⋈ postings ⋈ postings → groupBy pair) shuffled
+    # |candidates| × avg-shingles rows (104M at the 10x tier, 2/3
+    # of the query's wall time); this shuffles |candidates| rows.
+    doc_sets = rare_sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    verified = (
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint").alias("inter"),
+            "na",
+            "nb",
+        )
+    )
     unions = F.col("na") + F.col("nb") - F.col("inter")
     return (
-        verified.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(F.lit(3) * F.col("inter") >= F.col("na") + F.col("nb"))
+        verified.where(F.lit(3) * F.col("inter") >= F.col("na") + F.col("nb"))
         .select(
             "doc_a",
             "doc_b",

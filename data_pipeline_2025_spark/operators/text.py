@@ -576,10 +576,13 @@ def q123_token_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term ppms. Cross-engine bit-identity needs no float ever.
 # Scale shape: tf/L are row-local array ops; df/N/T is ONE global
 # aggregation broadcast back as a single row; ranking is
-# TakeOrderedAndProject (parallel partial top-k). At 100 TB the
-# intermediate products stay under 2^63 for corpora ≤ ~10^12 tokens
-# per partition of the score computation; past that the same
-# formula runs in DECIMAL(38,0).
+# TakeOrderedAndProject (parallel partial top-k). The numerator
+# (2N−2df+1)·44·T·tf·10^6 grows with N·T, so the products run in
+# 128-bit integers — Spark DECIMAL(38,0) vs DuckDB HUGEINT, both
+# exact, verified bit-identical above 2^63 on the 10x tier (the
+# int64 form overflowed there: round-5 registry-wide sweep). Good
+# to ~10^38, i.e. any physical corpus. The final ppm quotient fits
+# BIGINT by construction.
 BM25_TERMS = ("stream", "merge", "scan")
 
 _Q125_TERMS_SQL = {
@@ -604,8 +607,8 @@ s AS (
     SELECT m.doc_id,
            {" + ".join(
                f"(CASE WHEN m.tf_{t} > 0 THEN "
-               f"((2*g.N - 2*g.df_{t} + 1) * 44 * g.T * m.tf_{t} * 1000000) // "
-               f"((2*g.df_{t} + 1) * (20*g.T*m.tf_{t} + 6*g.T + 18*m.L*g.N)) "
+               f"((CAST(2*g.N - 2*g.df_{t} + 1 AS HUGEINT) * 44 * g.T * m.tf_{t} * 1000000) // "
+               f"(CAST(2*g.df_{t} + 1 AS HUGEINT) * (CAST(20 AS HUGEINT)*g.T*m.tf_{t} + 6*g.T + CAST(18 AS HUGEINT)*m.L*g.N))) "
                f"ELSE 0 END)" for t in BM25_TERMS)} AS score_ppm
     FROM m CROSS JOIN g
 )
@@ -653,8 +656,8 @@ def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col(f"tf_{t}") > 0,
             F.expr(
-                f"((2*N - 2*df_{t} + 1) * 44 * T * tf_{t} * 1000000) div "
-                f"((2*df_{t} + 1) * (20*T*tf_{t} + 6*T + 18*L*N))"
+                f"((CAST(2*N - 2*df_{t} + 1 AS DECIMAL(38,0)) * 44 * T * tf_{t} * 1000000) div "
+                f"(CAST(2*df_{t} + 1 AS DECIMAL(38,0)) * (CAST(20 AS DECIMAL(38,0))*T*tf_{t} + 6*T + CAST(18 AS DECIMAL(38,0))*L*N)))"
             ),
         ).otherwise(F.lit(0).cast("bigint"))
         for t in BM25_TERMS
@@ -796,8 +799,8 @@ s AS (
     SELECT m.doc_id,
            {" + ".join(
                f"(CASE WHEN m.tf_{t} > 0 THEN "
-               f"((2*g.N - 2*g.df_{t} + 1) * 44 * g.T * m.tf_{t} * 1000000) // "
-               f"((2*g.df_{t} + 1) * (20*g.T*m.tf_{t} + 6*g.T + 18*m.L*g.N)) "
+               f"((CAST(2*g.N - 2*g.df_{t} + 1 AS HUGEINT) * 44 * g.T * m.tf_{t} * 1000000) // "
+               f"(CAST(2*g.df_{t} + 1 AS HUGEINT) * (CAST(20 AS HUGEINT)*g.T*m.tf_{t} + 6*g.T + CAST(18 AS HUGEINT)*m.L*g.N))) "
                f"ELSE 0 END)" for t in BM25_TERMS)} AS score_ppm
     FROM m CROSS JOIN g
 )"""
@@ -876,8 +879,8 @@ def q150_hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col(f"tf_{t}") > 0,
             F.expr(
-                f"((2*N - 2*df_{t} + 1) * 44 * T * tf_{t} * 1000000) div "
-                f"((2*df_{t} + 1) * (20*T*tf_{t} + 6*T + 18*L*N))"
+                f"((CAST(2*N - 2*df_{t} + 1 AS DECIMAL(38,0)) * 44 * T * tf_{t} * 1000000) div "
+                f"(CAST(2*df_{t} + 1 AS DECIMAL(38,0)) * (CAST(20 AS DECIMAL(38,0))*T*tf_{t} + 6*T + CAST(18 AS DECIMAL(38,0))*L*N)))"
             ),
         ).otherwise(F.lit(0).cast("bigint"))
         for t in BM25_TERMS

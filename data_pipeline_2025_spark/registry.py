@@ -148,6 +148,12 @@ _PRIORITY = (
     "q91_rank_propagation",
     "q107_neardup_triangles",
     "q172_pagerank_converged",
+    # (c3) registry-wide 10x sweep fallout: BM25 arithmetic widened
+    # to 128-bit (int64 overflowed at the 10x tier), q144 verify
+    # rewritten to per-candidate array_intersect
+    "q125_bm25_topk",
+    "q150_hybrid_bm25_cosine",
+    "q144_prefix_filter_join",
     # (d) rewritten r3 (shared capped shingle frame), last
     # driver-checked r2 — verdict item: re-front for re-check
     "q35_ngram_jaccard_pairs",
@@ -184,9 +190,6 @@ _PRIORITY = (
     "q13_history_minmax",
     "q14_distinct_categories",
     "q15_store_stats",
-    "q16_store_directory",
-    "q17_revenue_by_nation",
-    "q18_order_lines_rollup",
 )
 
 

@@ -87,6 +87,10 @@ def test_priority_queries_inside_driver_cap():
         "q91_rank_propagation",
         "q107_neardup_triangles",
         "q172_pagerank_converged",
+        # (c3) 10x-sweep fallout
+        "q125_bm25_topk",
+        "q150_hybrid_bm25_cosine",
+        "q144_prefix_filter_join",
         # (b) newly registered
         "q146_stream_transform_with_state",
         # (c) rewritten round 5
