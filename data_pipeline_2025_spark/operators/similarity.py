@@ -393,21 +393,67 @@ def q42_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence behind this default.
 NEARDUP_TARGET_OCC = 64
 
+# Two-level (coarse-quantized) assignment: route each vector through
+# K1 = ceil(sqrt(K)) super-centroids, then argmin only over the
+# centroids whose nearest super matches — assignment cost drops from
+# N*K (quadratic once K ∝ N) to ~2*N*sqrt(K), the standard IVF
+# build trick. When K <= 128, K1 = K and the two-level rule is
+# PROVABLY identical to the flat argmin (the global argmin centroid
+# is its own coarse winner and still wins in-bucket under the same
+# (distance, id) tie-break), so every correctness tier is
+# bit-identical to the flat rule; the coarse path engages only at
+# 10x-tier scale and is cross-engine verified there.
 _ADAPTIVE_CENT_SQL = f"""
 ak AS (SELECT GREATEST({N_CENTROIDS}, (COUNT(*) + {NEARDUP_TARGET_OCC - 1})
-                        // {NEARDUP_TARGET_OCC}) AS k FROM embeddings),
+                        // {NEARDUP_TARGET_OCC}) AS k,
+              CASE WHEN GREATEST({N_CENTROIDS},
+                        (COUNT(*) + {NEARDUP_TARGET_OCC - 1})
+                        // {NEARDUP_TARGET_OCC}) > 128
+                   THEN CAST(CEIL(SQRT(GREATEST({N_CENTROIDS},
+                        (COUNT(*) + {NEARDUP_TARGET_OCC - 1})
+                        // {NEARDUP_TARGET_OCC}))) AS BIGINT)
+                   ELSE GREATEST({N_CENTROIDS},
+                        (COUNT(*) + {NEARDUP_TARGET_OCC - 1})
+                        // {NEARDUP_TARGET_OCC}) END AS k1
+       FROM embeddings),
 acent AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n
           WHERE vec_id < (SELECT k FROM ak)),
-aassign AS (
-    SELECT vec_id, centroid_id FROM (
-        SELECT n.vec_id, acent.centroid_id,
+asup AS (SELECT centroid_id AS sup_id, cv AS sv, cn2 AS sn2 FROM acent
+         WHERE centroid_id < (SELECT k1 FROM ak)),
+c2s AS (
+    SELECT centroid_id, sup_id FROM (
+        SELECT c.centroid_id, s.sup_id,
+               row_number() OVER (
+                   PARTITION BY c.centroid_id ORDER BY
+                   round(c.cn2 + s.sn2 - 2 * list_dot_product(c.cv, s.sv), 6),
+                   s.sup_id
+               ) AS rn
+        FROM acent c CROSS JOIN asup s
+    ) WHERE rn = 1
+),
+v2s AS (
+    SELECT vec_id, sup_id FROM (
+        SELECT n.vec_id, s.sup_id,
                row_number() OVER (
                    PARTITION BY n.vec_id ORDER BY
-                   round(n.n2 + acent.cn2
-                         - 2 * list_dot_product(n.v, acent.cv), 6),
-                   acent.centroid_id
+                   round(n.n2 + s.sn2 - 2 * list_dot_product(n.v, s.sv), 6),
+                   s.sup_id
                ) AS rn
-        FROM n CROSS JOIN acent
+        FROM n CROSS JOIN asup s
+    ) WHERE rn = 1
+),
+aassign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                   round(n.n2 + c.cn2 - 2 * list_dot_product(n.v, c.cv), 6),
+                   c.centroid_id
+               ) AS rn
+        FROM n
+        JOIN v2s ON v2s.vec_id = n.vec_id
+        JOIN c2s ON c2s.sup_id = v2s.sup_id
+        JOIN acent c ON c.centroid_id = c2s.centroid_id
     ) WHERE rn = 1
 )"""
 
@@ -426,16 +472,23 @@ WHERE round(list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {N
 
 
 def _ivf_assign_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_ivf_assign with K = greatest(8, ceil(N / TARGET_OCC)) — the
-    centroid filter joins a broadcast one-row count instead of a
-    literal, everything else identical (argmin over broadcast
-    centroids, deterministic tie-break)."""
+    """_ivf_assign with K = greatest(8, ceil(N / TARGET_OCC)) and a
+    two-level coarse-quantized argmin (see _ADAPTIVE_CENT_SQL):
+    route each vector through K1 = ceil(sqrt(K)) broadcast
+    super-centroids (K1 = K while K <= 128, where the rule is
+    provably identical to the flat argmin), then argmin only over
+    that coarse bucket's centroids — ~2*N*sqrt(K) distance
+    computations instead of N*K once K grows with N."""
     n = _vec_norms(spark, sf_dir)
+    k_expr = F.greatest(
+        F.lit(N_CENTROIDS).cast("bigint"),
+        F.expr(f"(count(1) + {NEARDUP_TARGET_OCC - 1}) div {NEARDUP_TARGET_OCC}"),
+    )
     k_row = n.agg(
-        F.greatest(
-            F.lit(N_CENTROIDS).cast("bigint"),
-            F.expr(f"(count(1) + {NEARDUP_TARGET_OCC - 1}) div {NEARDUP_TARGET_OCC}"),
-        ).alias("__k")
+        k_expr.alias("__k"),
+        F.when(k_expr > 128, F.ceil(F.sqrt(k_expr.cast("double"))).cast("bigint"))
+        .otherwise(k_expr)
+        .alias("__k1"),
     )
     cent = (
         n.crossJoin(F.broadcast(k_row))
@@ -444,17 +497,47 @@ def _ivf_assign_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("centroid_id"),
             F.col("v").alias("cv"),
             F.col("n2").alias("cn2"),
+            "__k1",
         )
     )
-    d2 = F.round(F.col("n2") + F.col("cn2") - 2 * _dot(F.col("v"), F.col("cv")), 6)
-    w = Window.partitionBy("vec_id").orderBy("d2_r", "centroid_id")
-    return (
-        n.crossJoin(F.broadcast(cent))
-        .withColumn("d2_r", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    sup = cent.where(F.col("centroid_id") < F.col("__k1")).select(
+        F.col("centroid_id").alias("sup_id"),
+        F.col("cv").alias("sv"),
+        F.col("cn2").alias("sn2"),
     )
+
+    def argmin_over(left: DataFrame, key: str, cand: DataFrame, cand_key: str,
+                    lv: str, ln2: str, cv: str, cn2: str, how: str) -> DataFrame:
+        d2 = F.round(F.col(ln2) + F.col(cn2) - 2 * _dot(F.col(lv), F.col(cv)), 6)
+        w = Window.partitionBy(key).orderBy("d2_r", cand_key)
+        joined = (
+            left.crossJoin(F.broadcast(cand))
+            if how == "cross"
+            else left.join(F.broadcast(cand), how)
+        )
+        return (
+            joined.withColumn("d2_r", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+
+    # centroid -> nearest super (K x K1, tiny)
+    c2s = argmin_over(
+        cent.select("centroid_id", F.col("cv").alias("xv"), F.col("cn2").alias("xn2")),
+        "centroid_id", sup, "sup_id", "xv", "xn2", "sv", "sn2", "cross",
+    ).select("centroid_id", "sup_id")
+    # vector -> nearest super (N x K1)
+    v2s = argmin_over(
+        n, "vec_id", sup, "sup_id", "v", "n2", "sv", "sn2", "cross"
+    ).select("vec_id", "sup_id")
+    # vector -> nearest centroid inside its coarse bucket (N x K/K1)
+    bucket_cents = c2s.join(
+        cent.select("centroid_id", "cv", "cn2"), "centroid_id"
+    ).select("sup_id", "centroid_id", "cv", "cn2")
+    return argmin_over(
+        n.join(v2s, "vec_id"), "vec_id", bucket_cents, "centroid_id",
+        "v", "n2", "cv", "cn2", "sup_id",
+    ).select("vec_id", "centroid_id")
 
 
 @register(
@@ -470,10 +553,14 @@ def _ivf_assign_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _vec_norms(spark, sf_dir)
-    a = _ivf_assign_adaptive(spark, sf_dir).select(
+    # One materialized assignment feeds both sides of the in-bucket
+    # self-join — without the checkpoint each side re-runs the full
+    # two-level argmin (2 ints per vector: tiny at any N).
+    assign = _ivf_assign_adaptive(spark, sf_dir).localCheckpoint()
+    a = assign.select(
         F.col("vec_id").alias("vec_a"), F.col("centroid_id").alias("ca")
     )
-    b = _ivf_assign_adaptive(spark, sf_dir).select(
+    b = assign.select(
         F.col("vec_id").alias("vec_b"), F.col("centroid_id").alias("cb")
     )
     cand = a.join(
