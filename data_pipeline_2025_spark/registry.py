@@ -89,6 +89,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.dedup",
     "data_pipeline_2025_spark.operators.text",
     "data_pipeline_2025_spark.operators.cdc",  # q179 (round 5)
+    "data_pipeline_2025_spark.operators.editsim",  # q182 (round 5)
 )
 
 
@@ -128,6 +129,7 @@ _PRIORITY = (
     "q179_merge_upsert",
     "q180_zipf_slope",
     "q181_ivf_density_sweep",
+    "q182_hamming_neardup",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -189,7 +191,6 @@ _PRIORITY = (
     "q12_price_trend",
     "q13_history_minmax",
     "q14_distinct_categories",
-    "q15_store_stats",
 )
 
 

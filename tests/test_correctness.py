@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 179
+EXPECTED_QUERY_COUNT = 180
 
 
 def test_registry_complete():
@@ -82,6 +82,7 @@ def test_priority_queries_inside_driver_cap():
         "q179_merge_upsert",
         "q180_zipf_slope",
         "q181_ivf_density_sweep",
+        "q182_hamming_neardup",
         # (c2) rewritten late round 5
         "q43_embedding_neardup",
         "q91_rank_propagation",

@@ -336,3 +336,41 @@ def test_length_bucketing_overflow_doc(spark, tmp_path_factory):
     assert _canon_rows(s_cols, s_rows) == _canon_rows(o_cols, cur.fetchall())
     waste = dict(zip(s_cols, zip(*s_rows)))["waste_ppm"]
     assert all(w >= 0 for w in waste)
+
+
+def test_hamming_pigeonhole_blocking_is_complete(spark, sf_smoke):
+    """q182's docstring claims the segment blocking is COMPLETE for
+    Hamming radius 2 (pigeonhole: <= 2 substitutions touch <= 2 of
+    the 3 segments). Pin the blocked result against an O(n^2)
+    brute-force all-pairs scan at the smoke tier — every true pair
+    must survive the blocking, bit for bit."""
+    import duckdb
+
+    spec = registry.load_all()["q182_hamming_neardup"]
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in spec.spark_fn(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+                WITH keyed AS (
+                    SELECT doc_id, rpad(substr(text,1,24),24,' ') AS k
+                    FROM documents
+                )
+                SELECT a.doc_id, b.doc_id,
+                       CAST(hamming(a.k, b.k) AS BIGINT)
+                FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
+                WHERE hamming(a.k, b.k) <= 2
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want and want

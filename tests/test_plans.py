@@ -784,3 +784,14 @@ def test_ivf_sweep_broadcasts_centroids(spark, sf_smoke):
     plan = plan_of(spark, "q181_ivf_density_sweep", sf_smoke)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_blocking_is_equijoin(spark, sf_smoke):
+    """q182: the pigeonhole segment self-join must be a keyed
+    equi-join on (segment_index, segment_value) — never a nested
+    loop over document pairs — and the hot-block exclusion must be
+    a broadcast anti join (the hot list is tiny by construction)."""
+    plan = plan_of(spark, "q182_hamming_neardup", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti BuildRight" in plan  # broadcast hot-block filter
