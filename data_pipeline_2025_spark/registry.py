@@ -90,6 +90,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.operators.text",
     "data_pipeline_2025_spark.operators.cdc",  # q179 (round 5)
     "data_pipeline_2025_spark.operators.editsim",  # q182 (round 5)
+    "data_pipeline_2025_spark.operators.classics",  # q183-q187 (round 5)
 )
 
 
@@ -130,6 +131,11 @@ _PRIORITY = (
     "q180_zipf_slope",
     "q181_ivf_density_sweep",
     "q182_hamming_neardup",
+    "q183_important_parts",
+    "q184_top_supplier",
+    "q185_promo_revenue_share",
+    "q186_disjunctive_pred_join",
+    "q187_bilateral_trade",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -187,10 +193,6 @@ _PRIORITY = (
     "q08_lowest_prices_page",
     "q09_basket_totals",
     "q10_best_basket_summary",
-    "q11_price_history",
-    "q12_price_trend",
-    "q13_history_minmax",
-    "q14_distinct_categories",
 )
 
 

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 180
+EXPECTED_QUERY_COUNT = 185
 
 
 def test_registry_complete():
@@ -83,6 +83,11 @@ def test_priority_queries_inside_driver_cap():
         "q180_zipf_slope",
         "q181_ivf_density_sweep",
         "q182_hamming_neardup",
+        "q183_important_parts",
+        "q184_top_supplier",
+        "q185_promo_revenue_share",
+        "q186_disjunctive_pred_join",
+        "q187_bilateral_trade",
         # (c2) rewritten late round 5
         "q43_embedding_neardup",
         "q91_rank_propagation",

@@ -795,3 +795,48 @@ def test_hamming_blocking_is_equijoin(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti BuildRight" in plan  # broadcast hot-block filter
+
+
+def test_q183_global_total_is_broadcast(spark, sf_smoke):
+    """q183 (Q11 shape): the scalar global-total row must arrive via
+    broadcast (never a shuffled or cartesian pairing), and the
+    per-part frame must be aggregated before the comparison."""
+    plan = plan_of(spark, "q183_important_parts", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar frame
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q184_date_filter_pushed(spark, sf_smoke):
+    """q184 (Q15 shape): the quarter bounds must reach the lineitem
+    parquet scan, and the max-of-aggregate row must broadcast."""
+    plan = plan_of(spark, "q184_top_supplier", sf_smoke)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # Catalyst rewrites crossJoin(max-row) + (r == m) into a
+    # broadcast EQUI-join on the aggregate value — assert the
+    # broadcast, reject shuffled/cartesian pairings.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q186_implied_predicates_pushed(spark, sf_smoke):
+    """q186 (Q19 shape): the per-side implied supersets of the
+    cross-side OR must push into BOTH parquet scans — quantity
+    bounds into lineitem, brand/size into part."""
+    plan = plan_of(spark, "q186_disjunctive_pred_join", sf_smoke)
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "LessThanOrEqual(l_quantity,50" in plan
+    assert "In(p_brand" in plan
+    assert "LessThanOrEqual(p_size,50" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q187_supplier_filter_broadcasts(spark, sf_smoke):
+    """q187 (Q7 shape): the two-nation supplier list must broadcast
+    into the fact scan (BroadcastHashJoin) so the big orderkey join
+    only sees the pruned lines; nation joins broadcast too."""
+    plan = plan_of(spark, "q187_bilateral_trade", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
