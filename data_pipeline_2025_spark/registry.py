@@ -192,7 +192,6 @@ _PRIORITY = (
     "q07_cheapest_per_store",
     "q08_lowest_prices_page",
     "q09_basket_totals",
-    "q10_best_basket_summary",
 )
 
 
