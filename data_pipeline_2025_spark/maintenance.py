@@ -128,6 +128,81 @@ def compact_partitioned_table(
     return results
 
 
+def txn_compact(
+    spark: SparkSession,
+    sink_dir: str,
+    min_files: int = MIN_FILES_TO_COMPACT,
+    target_bytes: int = TARGET_FILE_BYTES,
+    max_attempts: int = 5,
+    _test_between_stage_and_commit=None,
+) -> dict[str, tuple[int, int]]:
+    """Delta OPTIMIZE for a transactional sink (streaming/txn.py):
+    rewrite every partition whose COMMITTED file count is >=
+    ``min_files`` into ~``target_bytes`` files, published as ONE
+    ``commit_replace`` — so a multi-partition compaction is a single
+    transaction and readers see old-or-new, never a mix.
+
+    Unlike :func:`compact_partitioned_table` (directory sinks, rename
+    swap), this never moves a committed file: the compacted rewrite
+    is staged beside the originals and a new manifest version retires
+    them, so TIME TRAVEL to every pre-compaction version keeps
+    working until vacuum, and a crash at ANY point leaves the
+    committed snapshot untouched (staged orphans are
+    manifest-invisible, reclaimed by ``txn.vacuum``).
+
+    Concurrency: optimistic, Delta-style. The rewrite derives from
+    the snapshot version it read and commits with
+    ``commit_replace_if(expected_version=...)``; if a concurrent
+    append lands first the conditional commit refuses (else the
+    append's files would silently drop out of the rewritten
+    partitions — a lost update) and the whole derive-stage-commit
+    cycle retries on the new head, up to ``max_attempts``.
+
+    Returns {partition_dir: (files_before, files_after)} for touched
+    partitions. ``_test_between_stage_and_commit`` is a test-only
+    hook for injecting a concurrent commit into the race window.
+    """
+    from .streaming import txn
+
+    for _ in range(max_attempts):
+        vs = txn.versions(sink_dir)
+        if not vs:
+            return {}
+        head = vs[-1]
+        by_dir: dict[str, list[str]] = {}
+        for f in txn.listing_at(sink_dir, head):
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+        todo = {d: fs for d, fs in by_dir.items() if len(fs) >= min_files}
+        if not todo:
+            return {}
+        results: dict[str, tuple[int, int]] = {}
+        new_files: list[str] = []
+        for part_dir, files in sorted(todo.items()):
+            paths = [os.path.join(sink_dir, f) for f in files]
+            total_bytes = sum(os.path.getsize(p) for p in paths)
+            n_out = max(1, (total_bytes + target_bytes - 1) // target_bytes)
+            partition_cols = tuple(
+                seg.split("=", 1)[0]
+                for seg in part_dir.split(os.sep)
+                if "=" in seg
+            )
+            df = spark.read.option("basePath", sink_dir).parquet(*paths)
+            staged = txn.stage_append(
+                df.coalesce(int(n_out)), sink_dir, partition_cols
+            )
+            new_files += staged
+            results[part_dir] = (len(files), len(staged))
+        if _test_between_stage_and_commit is not None:
+            _test_between_stage_and_commit()
+        if txn.commit_replace_if(sink_dir, new_files, expected_version=head):
+            return results
+        # lost the race: staged files stay manifest-invisible until
+        # vacuum; re-derive from the new head
+    raise RuntimeError(
+        f"txn_compact lost the commit race {max_attempts} times on {sink_dir}"
+    )
+
+
 def table_row_fingerprint(spark: SparkSession, table_dir: str) -> tuple[int, str]:
     """(row_count, order-insensitive content hash) of a parquet
     table — the before/after invariant for compaction."""

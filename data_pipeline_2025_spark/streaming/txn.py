@@ -171,6 +171,15 @@ def _listing_at(sink_dir: str, version: int) -> list[str]:
     return listing
 
 
+def listing_at(sink_dir: str, version: int) -> list[str]:
+    """Public snapshot listing (relative paths) at ``version`` — the
+    read half of optimistic concurrency: a maintenance job records
+    the version it read, derives its rewrite from exactly this
+    listing, and commits with :func:`commit_replace_if` against that
+    same version."""
+    return _listing_at(sink_dir, version)
+
+
 def committed_files(sink_dir: str) -> list[str]:
     """Relative paths of the data files in the current committed
     snapshot (empty list for a sink with no commits yet). The log
@@ -267,14 +276,28 @@ def _try_commit(sink_dir: str, seq: int, lines: list[str], is_checkpoint: bool) 
         os.unlink(tmp)
 
 
-def _commit(sink_dir: str, new_files: list[str], replace: bool) -> None:
+def _commit(
+    sink_dir: str,
+    new_files: list[str],
+    replace: bool,
+    expected_version: int | None = None,
+) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
     preserves both batches; a replace retried on a newer snapshot
-    keeps last-replace-wins semantics for the touched partitions."""
+    keeps last-replace-wins semantics for the touched partitions.
+
+    With ``expected_version`` set, the commit is CONDITIONAL: it only
+    publishes while the log head is exactly that version (0 = no
+    commits yet) and returns False the moment any other writer lands
+    first — blind retry would be a lost update for a rewrite derived
+    from the old snapshot (Delta's ConcurrentModificationException)."""
     while True:
         vs = versions(sink_dir)
-        seq = (vs[-1] if vs else 0) + 1
+        head = vs[-1] if vs else 0
+        if expected_version is not None and head != expected_version:
+            return False
+        seq = head + 1
         is_ckpt = seq % CHECKPOINT_EVERY == 1  # v1, v11, v21, ...
         replaced_dirs = (
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
@@ -291,7 +314,7 @@ def _commit(sink_dir: str, new_files: list[str], replace: bool) -> None:
                 f"+{f}" for f in new_files
             ]
         if _try_commit(sink_dir, seq, lines, is_ckpt):
-            return
+            return True
 
 
 def commit_append(sink_dir: str, new_files: list[str]) -> None:
@@ -313,6 +336,23 @@ def commit_replace(sink_dir: str, new_files: list[str]) -> None:
     cannot give. Superseded files stay on disk for in-flight readers
     until :func:`vacuum`."""
     _commit(sink_dir, list(new_files), replace=True)
+
+
+def commit_replace_if(
+    sink_dir: str, new_files: list[str], expected_version: int
+) -> bool:
+    """:func:`commit_replace` with OPTIMISTIC CONFLICT DETECTION —
+    the maintenance-job commit (Delta OPTIMIZE's protocol): publish
+    only if the log head is still ``expected_version`` (0 = empty
+    log), else return False WITHOUT committing. A compaction derives
+    its rewrite from the snapshot it read; blind replace after a
+    concurrent append would silently drop that append's files from
+    the touched partitions (a lost update). On False the caller
+    re-reads the new head and re-derives; its staged files are
+    manifest-invisible orphans until :func:`vacuum`."""
+    return _commit(
+        sink_dir, list(new_files), replace=True, expected_version=expected_version
+    )
 
 
 def vacuum(sink_dir: str) -> list[str]:

@@ -191,3 +191,110 @@ def test_replace_commits_travel_across_checkpoints(spark, tmp_path):
         for r in txn.read_version(spark, sink, 10).collect()
     }
     assert v10 == {(0, "d0"), (3, "d0"), (6, "d0"), (100, "d1"), (2, "d2"), (5, "d2"), (8, "d2")}
+
+
+# ---------------------------------------------------------------
+# txn_compact — Delta OPTIMIZE over the commit log (round 5)
+
+
+def test_txn_compact_one_txn_time_travel_and_vacuum(spark, tmp_path):
+    """Compacting N small files per partition must be ONE replace
+    commit for all touched partitions, preserve content exactly,
+    keep every pre-compaction version time-travelable, and leave the
+    superseded small files to vacuum."""
+    from data_pipeline_2025_spark import maintenance
+
+    sink = str(tmp_path / "sink")
+    for i in range(3):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, i * 2, i * 2 + 2, "a"), sink, ("day",))
+        )
+        txn.commit_append(
+            sink,
+            txn.stage_append(_mk(spark, 100 + i * 2, 102 + i * 2, "b"), sink, ("day",)),
+        )
+    before_rows = _rows(spark, sink)
+    head_before = txn.versions(sink)[-1]
+    res = maintenance.txn_compact(spark, sink, min_files=2)
+    assert set(res) == {"day=a", "day=b"}
+    assert all(after < before for before, after in res.values())
+    vs = txn.versions(sink)
+    assert vs[-1] == head_before + 1  # both partitions in ONE commit
+    assert _rows(spark, sink) == before_rows
+    old = txn.read_version(spark, sink, head_before)
+    assert {(r["id"], r["day"]) for r in old.collect()} == before_rows
+    files = txn.committed_files(sink)
+    assert len([f for f in files if f.startswith("day=a/")]) == res["day=a"][1]
+    removed = txn.vacuum(sink)
+    assert len(removed) >= 6  # the superseded small files
+    assert _rows(spark, sink) == before_rows
+    # below-threshold sinks are left alone (no empty commits)
+    assert maintenance.txn_compact(spark, sink, min_files=2) == {}
+    assert txn.versions(sink)[-1] == head_before + 1
+
+
+def test_txn_compact_refuses_to_drop_concurrent_append(spark, tmp_path):
+    """The conditional commit must refuse when an append lands inside
+    the read→commit window (a blind replace would silently drop the
+    appended files from the rewritten partition); the retry derives
+    from the new head so the append survives."""
+    from data_pipeline_2025_spark import maintenance
+
+    sink = str(tmp_path / "sink")
+    for i in range(2):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, i * 2, i * 2 + 2, "a"), sink, ("day",))
+        )
+    fired = {}
+
+    def concurrent_append():
+        if fired:
+            return
+        fired["x"] = True
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, 50, 52, "a"), sink, ("day",))
+        )
+
+    res = maintenance.txn_compact(
+        spark, sink, min_files=2, _test_between_stage_and_commit=concurrent_append
+    )
+    assert _rows(spark, sink) == {(i, "a") for i in range(4)} | {(50, "a"), (51, "a")}
+    # retry derived from the new head: the original appends' files
+    # PLUS the concurrent append's, all folded into one output file
+    assert res["day=a"][1] == 1
+    assert res["day=a"][0] >= 3
+    txn.vacuum(sink)
+    assert _rows(spark, sink) == {(i, "a") for i in range(4)} | {(50, "a"), (51, "a")}
+
+
+def test_txn_compact_crash_before_commit_is_invisible(spark, tmp_path):
+    """A compactor crash after staging but before the commit must
+    leave the committed snapshot byte-identical — the staged rewrite
+    is a manifest-invisible orphan that vacuum reclaims."""
+    import pytest
+
+    from data_pipeline_2025_spark import maintenance
+
+    sink = str(tmp_path / "sink")
+    for i in range(2):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, i * 2, i * 2 + 2, "a"), sink, ("day",))
+        )
+    before_rows = _rows(spark, sink)
+    before_versions = txn.versions(sink)
+
+    class Boom(Exception):
+        pass
+
+    def crash():
+        raise Boom()
+
+    with pytest.raises(Boom):
+        maintenance.txn_compact(
+            spark, sink, min_files=2, _test_between_stage_and_commit=crash
+        )
+    assert _rows(spark, sink) == before_rows
+    assert txn.versions(sink) == before_versions
+    removed = txn.vacuum(sink)
+    assert removed  # the staged orphan rewrite
+    assert _rows(spark, sink) == before_rows
