@@ -232,3 +232,95 @@ def q177_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("from_version")
+
+
+# --------- q188: OPTIMIZE compaction audit (round 5)
+#
+# The third table-format lifecycle capability next to q162
+# (versionAsOf) and q177 (CDC): small-file COMPACTION as a
+# transaction (maintenance.txn_compact — Delta OPTIMIZE). Two
+# parity-split append commits give every day partition two files;
+# one txn_compact publishes the single-file rewrite of every
+# partition as ONE replace commit. The audit reads the
+# post-compaction snapshot back and emits, per day, the row count
+# and exact value total (the content-preservation contract — the
+# cross-engine hash against plain batch SQL over events IS the
+# proof that compaction changed layout, not data), the per-partition
+# committed file count (1 by construction: coalesce toward the
+# 128 MB target), the manifest version count (2 appends + 1
+# compaction), and a time-travel flag comparing the pre-compaction
+# snapshot's row count to the live one. Scale shape: compaction cost
+# is one parquet scan + write of the touched partitions; the audit
+# is one groupBy over the compacted snapshot plus an O(days)
+# manifest listing joined broadcast.
+_ORACLE_Q188 = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_value_d,
+       CAST(1 AS BIGINT) AS files_after,
+       CAST(3 AS BIGINT) AS snapshot_versions,
+       CAST(1 AS BIGINT) AS time_travel_intact
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "q188_compaction_audit",
+    oracle=_ORACLE_Q188,
+    doc="Transactional small-file compaction (Delta OPTIMIZE analog) "
+    "proven as a checked query: two parity-split appends, one "
+    "txn_compact replace commit, then per-day rows + exact value "
+    "totals from the compacted snapshot hash-checked against batch "
+    "SQL (content preserved), per-partition committed file counts "
+    "(compacted to 1), manifest version count, and a pre/post "
+    "time-travel row-count flag.",
+    tags=("streaming", "txn", "maintenance"),
+)
+def q188_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..maintenance import txn_compact
+
+    tag = "opt_q188_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "ts", "value", F.to_date("ts").alias("day")
+        )
+        for parity in (1, 0):
+            txn.commit_append(
+                sink,
+                txn.stage_append(
+                    ev.where(F.col("event_id") % 2 == parity), sink, ("day",)
+                ),
+            )
+        txn_compact(spark, sink, min_files=2)
+    pre_rows = txn.read_version(spark, sink, 2).count()
+    snapshot = txn.read_committed(spark, sink)
+    post_rows = snapshot.count()
+    tt_ok = 1 if pre_rows == post_rows else 0
+    n_versions = len(txn.versions(sink))
+    per_dir: dict[str, int] = {}
+    for f in txn.committed_files(sink):
+        d = os.path.dirname(f)
+        per_dir[d] = per_dir.get(d, 0) + 1
+    audit = spark.createDataFrame(
+        [(d.split("=", 1)[1], c) for d, c in sorted(per_dir.items())],
+        "day string, files_after long",
+    )
+    return (
+        snapshot.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .join(F.broadcast(audit), "day")
+        .withColumn("snapshot_versions", F.lit(n_versions).cast("bigint"))
+        .withColumn("time_travel_intact", F.lit(tt_ok).cast("bigint"))
+        .orderBy("day")
+    )
