@@ -391,3 +391,148 @@ def q175_skew_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return branch("event_type").unionByName(branch("user_id")).orderBy(
         "key_name"
     )
+
+
+# --------- q189: histogram selectivity estimation (round 5)
+#
+# The third leg of the optimizer-statistics trilogy: q171 chooses
+# JOIN ORDER from KMV sketches, q175 chooses the SKEW strategy from
+# key statistics, q189 estimates single-table PREDICATE SELECTIVITY
+# from an equi-width histogram — the Selinger estimate every CBO
+# (and Spark's own ANALYZE TABLE column stats) computes, with the
+# estimate emitted NEXT TO the exact actual so the uniform-
+# within-bucket assumption's error is itself a checked value.
+#
+# Scale shape: pass 1 is a min/max bounds aggregate (bytes of
+# state); pass 2 folds the 32-bucket histogram AND the three exact
+# conditional counts into ONE fact scan (map-side combinable, O(32)
+# state); every estimate then runs on the 32-row frame crossed with
+# 3 threshold rows — pure integer algebra (div floors identically),
+# products widened to DECIMAL(38,0)/HUGEINT so count x range fits at
+# any scale. Reference anchor: Postgres's pg_stats histogram_bounds
+# driving the very plans the reference's queries rely on
+# (salim/tables.sql index choices).
+_SEL_BUCKETS = 32
+
+_ORACLE_Q189 = f"""
+WITH c AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+    FROM lineitem
+),
+bounds AS (SELECT MIN(c) AS mn, MAX(c) AS mx, MAX(c) - MIN(c) + 1 AS w FROM c),
+hist AS (
+    SELECT ((c.c - b.mn) * {_SEL_BUCKETS}) // b.w AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN c.c < b.mn + (b.w * 1) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS act1,
+           CAST(SUM(CASE WHEN c.c < b.mn + (b.w * 2) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS act2,
+           CAST(SUM(CASE WHEN c.c < b.mn + (b.w * 3) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS act3
+    FROM c, bounds b GROUP BY 1
+),
+per AS (
+    SELECT k, h.bucket, h.cnt,
+           CASE k WHEN 1 THEN h.act1 WHEN 2 THEN h.act2 ELSE h.act3 END AS act,
+           b.mn + (b.w * k) // 4 AS t,
+           ((b.mn + (b.w * k) // 4 - b.mn) * {_SEL_BUCKETS}) // b.w AS bt,
+           b.mn + (h.bucket * b.w + {_SEL_BUCKETS} - 1) // {_SEL_BUCKETS} AS lo,
+           b.mn + ((h.bucket + 1) * b.w + {_SEL_BUCKETS} - 1) // {_SEL_BUCKETS} - 1 AS hi
+    FROM hist h CROSS JOIN bounds b
+    CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+),
+agg AS (
+    SELECT k, MAX(t) AS threshold_cents,
+           CAST(SUM(CASE WHEN bucket < bt THEN CAST(cnt AS HUGEINT)
+                         WHEN bucket = bt THEN (CAST(cnt AS HUGEINT) * (t - lo)) // (hi - lo + 1)
+                         ELSE 0 END) AS BIGINT) AS est_rows,
+           CAST(SUM(act) AS BIGINT) AS actual_rows,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows
+    FROM per GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS quartile,
+       threshold_cents,
+       est_rows,
+       actual_rows,
+       CAST((CAST(abs(est_rows - actual_rows) AS HUGEINT) * 1000000)
+            // total_rows AS BIGINT) AS abs_err_ppm
+FROM agg
+ORDER BY quartile
+"""
+
+
+@register(
+    "q189_selectivity_estimate",
+    oracle=_ORACLE_Q189,
+    doc="Histogram-based predicate selectivity estimation (the "
+    "Selinger/pg_stats estimate): a 32-bucket equi-width histogram "
+    "over price cents estimates rows under three range predicates "
+    "with the uniform-within-bucket assumption, emitted beside the "
+    "exact actual counts and the error in ppm — the third "
+    "optimizer-statistics loop next to q171 (join order) and q175 "
+    "(skew strategy). One bounds pass + one fact scan; all integer "
+    "algebra on the 32-row frame.",
+    tags=("cbo", "histogram", "statistics"),
+)
+def q189_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _SEL_BUCKETS
+    cat = Catalog(spark, sf_dir)
+    c = cat.lineitem.select(
+        (dec("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    bounds = c.agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        (F.max("c") - F.min("c") + 1).alias("w"),
+    )
+    hist = (
+        c.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((c - mn) * {B}) div w").alias("bucket"),
+            *[
+                F.expr(f"CASE WHEN c < mn + (w * {k}) div 4 THEN 1 ELSE 0 END")
+                .alias(f"f{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(f"f{k}").cast("bigint").alias(f"act{k}") for k in (1, 2, 3)],
+        )
+    )
+    per = (
+        hist.crossJoin(F.broadcast(bounds))
+        .select(
+            "*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+        )
+        .select(
+            "k",
+            "bucket",
+            "cnt",
+            F.expr(
+                "CASE k WHEN 1 THEN act1 WHEN 2 THEN act2 ELSE act3 END"
+            ).alias("act"),
+            F.expr("mn + (w * k) div 4").alias("t"),
+            F.expr(f"((mn + (w * k) div 4 - mn) * {B}) div w").alias("bt"),
+            F.expr(f"mn + (bucket * w + {B} - 1) div {B}").alias("lo"),
+            F.expr(f"mn + ((bucket + 1) * w + {B} - 1) div {B} - 1").alias("hi"),
+        )
+    )
+    agg = per.groupBy("k").agg(
+        F.max("t").alias("threshold_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN bucket < bt THEN CAST(cnt AS DECIMAL(38,0)) "
+            "WHEN bucket = bt THEN (CAST(cnt AS DECIMAL(20,0)) * (t - lo)) div (hi - lo + 1) "
+            "ELSE 0 END) AS BIGINT)"
+        ).alias("est_rows"),
+        F.sum("act").cast("bigint").alias("actual_rows"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("quartile"),
+        "threshold_cents",
+        "est_rows",
+        "actual_rows",
+        F.expr(
+            "CAST((CAST(abs(est_rows - actual_rows) AS DECIMAL(26,0)) * 1000000)"
+            " div total_rows AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    ).orderBy("quartile")

@@ -137,6 +137,7 @@ _PRIORITY = (
     "q186_disjunctive_pred_join",
     "q187_bilateral_trade",
     "q188_compaction_audit",
+    "q189_selectivity_estimate",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -191,7 +192,6 @@ _PRIORITY = (
     "q05_recent_window",
     "q06_barcode_compare",
     "q07_cheapest_per_store",
-    "q08_lowest_prices_page",
 )
 
 

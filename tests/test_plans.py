@@ -840,3 +840,13 @@ def test_q187_supplier_filter_broadcasts(spark, sf_smoke):
     plan = plan_of(spark, "q187_bilateral_trade", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q189_bounds_broadcast_single_fact_agg(spark, sf_smoke):
+    """q189: the bounds row must broadcast into the histogram scan
+    (never a shuffled pairing), and the estimate algebra must run on
+    the tiny bucket frame — no cartesian, no sort-merge join."""
+    plan = plan_of(spark, "q189_selectivity_estimate", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
