@@ -20,6 +20,8 @@ break by vec_id).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1863,3 +1865,145 @@ def q181_ivf_density_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k_centroids")
+
+
+# --------- q191: retrieval quality — nDCG@10 (round 5)
+#
+# The graded IR metric beside q72/q147's recall@k: per query vector,
+# DCG@10 of the brute-force cosine top-10 (q40's exact ranking, the
+# ground-truth retrieval) with binary relevance = label match,
+# normalized by the ideal DCG for that query's relevant-candidate
+# count. The 1/log2(rank+1) position weights are IRRATIONAL — both
+# engines use the SAME precomputed integer micro-weights (Python
+# round-half-even at module import, embedded as literals in the SQL
+# and the Spark plan), so every DCG is exact BIGINT arithmetic and
+# the final ppm a floor division: zero libm-vs-JVM drift by
+# construction (the q154 micro-bits principle applied to constants).
+#
+# Scale shape: rides q40's broadcast-queries x streamed-candidates
+# pass (no new data-sized work); relevant-candidate counts are one
+# label groupBy; everything after is a <=|Q| x 10 row frame.
+_NDCG_K = 10
+# micro-weights: round(2^20 / log2(i+1)) for rank i = 1..10
+_NDCG_W = [round(2**20 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+# cumulative ideal DCG for R relevant docs in the top-k: _NDCG_CUM[R]
+_NDCG_CUM = [0]
+for _w in _NDCG_W:
+    _NDCG_CUM.append(_NDCG_CUM[-1] + _w)
+
+_NDCG_W_SQL = ", ".join(str(w) for w in _NDCG_W)
+_NDCG_CUM_SQL = ", ".join(str(c) for c in _NDCG_CUM)
+
+_ORACLE_Q191 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+q AS (SELECT * FROM n WHERE vec_id IN ({_QIDS_SQL})),
+pairs AS (
+    SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
+           round(list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)), 6) AS cos_r,
+           c.vec_id AS neighbor_id
+    FROM q JOIN n c ON c.vec_id <> q.vec_id
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+        ) AS rn
+        FROM pairs
+    ) WHERE rn <= {_NDCG_K}
+),
+dcg AS (
+    SELECT query_id,
+           CAST(SUM(CASE WHEN clabel = qlabel
+                    THEN list_extract([{_NDCG_W_SQL}], CAST(rn AS INTEGER))
+                    ELSE 0 END) AS BIGINT) AS dcg_micro
+    FROM topk GROUP BY query_id
+),
+rel AS (
+    SELECT q.vec_id AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rel
+    FROM q JOIN n c ON c.vec_id <> q.vec_id AND c.label = q.label
+    GROUP BY 1
+)
+SELECT d.query_id,
+       COALESCE(r.n_rel, 0) AS n_rel,
+       d.dcg_micro,
+       CAST(list_extract([{_NDCG_CUM_SQL}],
+            CAST(LEAST(COALESCE(r.n_rel, 0), {_NDCG_K}) + 1 AS INTEGER))
+            AS BIGINT) AS idcg_micro,
+       CAST(CASE WHEN COALESCE(r.n_rel, 0) = 0 THEN 0
+            ELSE (d.dcg_micro * 1000000) //
+                 list_extract([{_NDCG_CUM_SQL}],
+                     CAST(LEAST(r.n_rel, {_NDCG_K}) + 1 AS INTEGER))
+            END AS BIGINT) AS ndcg_ppm
+FROM dcg d LEFT JOIN rel r USING (query_id)
+ORDER BY query_id
+"""
+
+
+@register(
+    "q191_retrieval_ndcg",
+    oracle=_ORACLE_Q191,
+    doc="nDCG@10 of the exact cosine top-10 per query vector with "
+    "label-match relevance — the graded retrieval-quality metric "
+    "beside recall@k (q72/q147). Position weights 1/log2(rank+1) "
+    "are precomputed integer micro-weights shared by both engines, "
+    "so DCG/IDCG are exact BIGINT and nDCG an integral ppm.",
+    tags=("similarity", "eval", "ndcg"),
+)
+def q191_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = q40_ann_bruteforce(spark, sf_dir)
+    n = _vec_norms(spark, sf_dir)
+    q = n.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    dcg = (
+        topk.join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.when(
+                F.col("neighbor_label") == F.col("qlabel"),
+                F.element_at(w_arr, F.col("rank").cast("int")),
+            )
+            .otherwise(F.lit(0))
+            .alias("w"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("w").cast("bigint").alias("dcg_micro"))
+    )
+    rel = (
+        n.select("vec_id", "label")
+        .join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    cum_arr = F.array(*[F.lit(c) for c in _NDCG_CUM])
+    out = (
+        dcg.join(F.broadcast(rel), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+            "dcg_micro",
+            F.element_at(
+                cum_arr,
+                (F.least(F.coalesce("n_rel", F.lit(0)), F.lit(_NDCG_K)) + 1).cast(
+                    "int"
+                ),
+            )
+            .cast("bigint")
+            .alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_rel = 0 THEN 0 "
+                "ELSE (dcg_micro * 1000000) div idcg_micro END AS BIGINT)"
+            ),
+        )
+    )
+    return out.orderBy("query_id")

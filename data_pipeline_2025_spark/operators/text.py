@@ -1241,3 +1241,94 @@ def q180_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept_ubits_d"),
     )
+
+
+# --------- q190: trending terms across ingest deciles (round 5)
+#
+# The corpus-monitoring twin of q101's novelty curve: per ingest
+# decile (doc_id range, the q101 convention) the top-10 tokens by
+# frequency, each with its rank in the PREVIOUS decile (0 = newly
+# trending) — the drift dashboard a continuously-ingesting corpus
+# watches for topic shift, spam bursts, and scraper loops.
+#
+# Scale shape: one (decile, token) groupBy — the only data-sized
+# pass, map-side combinable, frame bounded by 10x vocabulary; the
+# per-decile top-10 is a rank()<=10 window that Spark compiles to
+# WindowGroupLimit (map-side partial top-k per decile — asserted in
+# test_plans.py), so no decile's full vocabulary funnels through one
+# task's sort buffer; the previous-decile join is top-10-frame
+# against top-10-frame (<=100 rows).
+_ORACLE_Q190 = f"""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+tok AS (
+    SELECT CAST((d.doc_id * 10) // mx.m AS BIGINT) AS decile,
+           unnest({TOKENS_SQL}) AS token
+    FROM documents d, mx
+),
+cnt AS (
+    SELECT decile, token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2
+),
+top AS (
+    SELECT * FROM (
+        SELECT decile, token, cnt,
+               CAST(row_number() OVER (
+                   PARTITION BY decile ORDER BY cnt DESC, token
+               ) AS BIGINT) AS rank
+        FROM cnt
+    ) WHERE rank <= 10
+)
+SELECT a.decile, a.token, a.cnt, a.rank,
+       CAST(COALESCE(b.rank, 0) AS BIGINT) AS prev_rank
+FROM top a LEFT JOIN top b
+  ON b.decile = a.decile - 1 AND b.token = a.token
+ORDER BY a.decile, a.rank
+"""
+
+
+@register(
+    "q190_trending_terms",
+    oracle=_ORACLE_Q190,
+    doc="Trending terms across ingest deciles: per-decile top-10 "
+    "tokens by frequency with each token's rank in the previous "
+    "decile (0 = newly trending) — the corpus drift dashboard. One "
+    "vocabulary-bounded groupBy; per-decile top-10 via "
+    "WindowGroupLimit partial top-k; previous-decile comparison is "
+    "a 100-row self-join.",
+    tags=("text", "monitoring", "topk"),
+)
+def q190_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    mx = cat.documents.agg((F.max("doc_id") + 1).alias("m"))
+    cnt = (
+        cat.documents.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST((doc_id * 10) div m AS BIGINT)").alias("decile"),
+            F.explode(tokens_col()).alias("token"),
+        )
+        .groupBy("decile", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("decile").orderBy(F.col("cnt").desc(), "token")
+    top = (
+        cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
+    prev = top.select(
+        (F.col("decile") + 1).alias("decile"),
+        "token",
+        F.col("rank").alias("prev_rank"),
+    )
+    return (
+        top.join(prev, ["decile", "token"], "left")
+        .select(
+            "decile",
+            "token",
+            "cnt",
+            "rank",
+            F.coalesce("prev_rank", F.lit(0)).cast("bigint").alias("prev_rank"),
+        )
+        .orderBy("decile", "rank")
+    )

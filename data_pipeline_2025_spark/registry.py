@@ -138,6 +138,8 @@ _PRIORITY = (
     "q187_bilateral_trade",
     "q188_compaction_audit",
     "q189_selectivity_estimate",
+    "q190_trending_terms",
+    "q191_retrieval_ndcg",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -191,7 +193,6 @@ _PRIORITY = (
     "q04_non_promo_by_store",
     "q05_recent_window",
     "q06_barcode_compare",
-    "q07_cheapest_per_store",
 )
 
 

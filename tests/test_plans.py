@@ -850,3 +850,21 @@ def test_q189_bounds_broadcast_single_fact_agg(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q190_topk_is_window_group_limit(spark, sf_smoke):
+    """q190: the per-decile top-10 must trigger WindowGroupLimit
+    (map-side partial top-k per decile) — never a full per-decile
+    vocabulary sort through one task."""
+    plan = plan_of(spark, "q190_trending_terms", sf_smoke)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q191_rides_broadcast_queries(spark, sf_smoke):
+    """q191: the candidate scoring must stream against BROADCAST
+    query vectors (q40's pass) — no shuffled pairing anywhere."""
+    plan = plan_of(spark, "q191_retrieval_ndcg", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
