@@ -2007,3 +2007,109 @@ def q191_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("query_id")
+
+
+# --------- q192: semantic decontamination (round 5)
+#
+# The embedding-space half of test-set decontamination: q63 catches
+# test-train leakage by SHARED N-GRAMS; q192 catches paraphrased /
+# re-encoded leakage by EMBEDDING NEAR-DUPLICATION, which n-grams
+# miss. Held-out split = vec_id % 10 == 0 (deterministic, stated
+# identically in both engines); a train vector is contaminated when
+# it is a q43 near-dup (density-adaptive IVF candidates, exact
+# rounded cosine >= threshold) of ANY held-out vector. Per-label
+# report keeps zero-leak labels visible (left join from the train
+# label frame), contamination in integral ppm.
+#
+# Scale shape: rides q43's candidate machinery unchanged (nlist
+# proportional to N, bounded cell occupancy — the linear path the
+# round-5 sweeps validated); everything after the pair set is
+# O(pairs) + one label groupBy.
+_ORACLE_Q192 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+{_ADAPTIVE_CENT_SQL},
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM aassign a
+    JOIN aassign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE round(list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6)
+          >= {NEARDUP_COS}
+),
+leaks AS (
+    SELECT CASE WHEN vec_a % 10 = 0 THEN vec_b ELSE vec_a END AS train_vec
+    FROM pairs
+    WHERE (vec_a % 10 = 0) <> (vec_b % 10 = 0)
+),
+train AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_train
+    FROM e WHERE vec_id % 10 <> 0 GROUP BY label
+),
+agg AS (
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS leak_pairs,
+           CAST(COUNT(DISTINCT l.train_vec) AS BIGINT) AS contaminated_train
+    FROM leaks l JOIN e ON e.vec_id = l.train_vec
+    GROUP BY e.label
+)
+SELECT CAST(t.label AS BIGINT) AS label,
+       t.n_train,
+       COALESCE(a.leak_pairs, 0) AS leak_pairs,
+       COALESCE(a.contaminated_train, 0) AS contaminated_train,
+       CAST((COALESCE(a.contaminated_train, 0) * 1000000) // t.n_train
+            AS BIGINT) AS contamination_ppm
+FROM train t LEFT JOIN agg a USING (label)
+ORDER BY label
+"""
+
+
+@register(
+    "q192_semantic_decontamination",
+    oracle=_ORACLE_Q192,
+    doc="Semantic test-set decontamination: train vectors that are "
+    "embedding near-dups (q43's density-adaptive IVF candidates, "
+    "exact rounded cosine) of any held-out vector (vec_id % 10 == "
+    "0) — the paraphrase-leakage mode n-gram decontamination (q63) "
+    "misses. Per-label contaminated counts and ppm, zero-leak "
+    "labels kept visible.",
+    tags=("similarity", "dedup", "curation"),
+)
+def q192_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q43_embedding_neardup(spark, sf_dir)
+    a_test = F.col("vec_a") % 10 == 0
+    b_test = F.col("vec_b") % 10 == 0
+    leaks = pairs.where(a_test != b_test).select(
+        F.when(a_test, F.col("vec_b")).otherwise(F.col("vec_a")).alias("train_vec")
+    )
+    e = Catalog(spark, sf_dir).embeddings.select("vec_id", "label")
+    train = (
+        e.where(F.col("vec_id") % 10 != 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    agg = (
+        leaks.join(e, leaks.train_vec == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("leak_pairs"),
+            F.countDistinct("train_vec").alias("contaminated_train"),
+        )
+    )
+    return (
+        train.join(F.broadcast(agg), "label", "left")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.coalesce("leak_pairs", F.lit(0)).cast("bigint").alias("leak_pairs"),
+            F.coalesce("contaminated_train", F.lit(0))
+            .cast("bigint")
+            .alias("contaminated_train"),
+            F.expr(
+                "CAST((COALESCE(contaminated_train, 0) * 1000000) div n_train"
+                " AS BIGINT)"
+            ).alias("contamination_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -140,6 +140,7 @@ _PRIORITY = (
     "q189_selectivity_estimate",
     "q190_trending_terms",
     "q191_retrieval_ndcg",
+    "q192_semantic_decontamination",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -192,7 +193,6 @@ _PRIORITY = (
     "q03_promo_stats_by_category",
     "q04_non_promo_by_store",
     "q05_recent_window",
-    "q06_barcode_compare",
 )
 
 

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 189
+EXPECTED_QUERY_COUNT = 190
 
 
 def test_registry_complete():
@@ -92,6 +92,7 @@ def test_priority_queries_inside_driver_cap():
         "q189_selectivity_estimate",
         "q190_trending_terms",
         "q191_retrieval_ndcg",
+        "q192_semantic_decontamination",
         # (c2) rewritten late round 5
         "q43_embedding_neardup",
         "q91_rank_propagation",
