@@ -1481,6 +1481,16 @@ ORDER BY dim
     tags=("similarity", "linalg", "iterative"),
 )
 def q169_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ONLY data-sized work is the Gram aggregate: one
+    # posexplode-join-groupBy pass over the vector stream, map-side
+    # combinable, collapsing to a BOUNDED 64x64 = 4096-cell integer
+    # matrix. Everything after operates on that bounded state, so
+    # the squarings and power steps run driver-side in exact Python
+    # integers (bit-identical to the former distributed chain, which
+    # spent four shuffle+checkpoint rounds on 4096-row frames — pure
+    # fixed overhead at ANY data scale; local bench: 4.2 s -> ~1 s).
+    # The same collect-a-bounded-aggregate pattern as q168's count
+    # histogram; the oracle still runs the full chained-CTE ladder.
     cat = Catalog(spark, sf_dir)
     mq = F.transform(
         F.col("embedding"),
@@ -1495,78 +1505,35 @@ def q169_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+        .collect()
     )
-    # square the matrix MATRIX_SQUARINGS times, rescaling each time
+    d = EMB_DIM
+    g = [[0] * d for _ in range(d)]
+    for row in cells:
+        g[row["i"]][row["j"]] = row["g"]
+
+    def _rescale_val(x: int, r: int) -> int:
+        s = (x > 0) - (x < 0)
+        return s * (abs(x) // r)
+
     for _ in range(MATRIX_SQUARINGS):
-        sq = (
-            cells.alias("a")
-            .join(
-                cells.select(
-                    F.col("i").alias("bi"), F.col("j").alias("bj"), F.col("g").alias("bg")
-                ),
-                F.col("a.j") == F.col("bi"),
-            )
-            .groupBy(F.col("a.i").alias("i"), F.col("bj").alias("j"))
-            .agg(F.sum(F.col("a.g") * F.col("bg")).alias("g"))
-        )
-        rr = sq.agg(
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.expr(f"max(abs(g)) div {1 << PI_RESCALE_BITS}"),
-            ).alias("r")
-        )
-        cells = (
-            sq.crossJoin(F.broadcast(rr))
-            .select(
-                "i",
-                "j",
-                (
-                    F.signum("g").cast("bigint") * F.expr("abs(g) div r").cast("bigint")
-                ).alias("g"),
-            )
-            .localCheckpoint()
-        )
-    v = None  # 64-row (i, v) frame; None means the all-ones v0
+        sq = [
+            [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
+            for i in range(d)
+        ]
+        r = max(1, max(abs(x) for row in sq for x in row) >> PI_RESCALE_BITS)
+        g = [[_rescale_val(x, r) for x in row] for row in sq]
+    v = [1] * d
     for _ in range(POWER_ITERS):
-        joined = (
-            cells
-            if v is None
-            else cells.join(
-                v.select(F.col("i").alias("j"), F.col("v").alias("pv")), "j"
-            )
-        )
-        x = (
-            joined.groupBy("i").agg(
-                F.sum(F.col("g") if v is None else F.col("g") * F.col("pv")).alias(
-                    "x"
-                )
-            )
-        )
-        r = x.agg(
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.expr(f"max(abs(x)) div {1 << PI_RESCALE_BITS}"),
-            ).alias("r")
-        )
-        v = x.crossJoin(F.broadcast(r)).select(
-            "i",
-            (
-                F.signum("x").cast("bigint")
-                * F.expr("abs(x) div r").cast("bigint")
-            ).alias("v"),
-        )
-    mx = v.agg(F.max(F.abs(F.col("v"))).alias("m"))
-    return (
-        v.crossJoin(F.broadcast(mx))
-        .select(
-            (F.col("i") + 1).cast("bigint").alias("dim"),
-            (
-                F.signum("v").cast("bigint")
-                * F.expr("abs(v) * 1000000 div m").cast("bigint")
-            ).alias("val_ppm"),
-        )
-        .orderBy("dim")
-    )
+        x = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        r = max(1, max(abs(e) for e in x) >> PI_RESCALE_BITS)
+        v = [_rescale_val(e, r) for e in x]
+    m = max(abs(e) for e in v)
+    out = [
+        (i + 1, ((e > 0) - (e < 0)) * (abs(e) * 1_000_000 // m))
+        for i, e in enumerate(v)
+    ]
+    return spark.createDataFrame(out, "dim bigint, val_ppm bigint").orderBy("dim")
 
 
 # -------- q170: Johnson-Lindenstrauss projection distortion audit
@@ -1661,20 +1628,29 @@ def q170_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one fold per output dim (16 expressions) instead of 16x64
     # unrolled array extracts — same integers, ~10x faster to
     # analyze/codegen.
+    # Each projection is ONE SQL string parsed JVM-side: building
+    # the same tree from 64 F.lit() objects per output dim paid
+    # ~5 s of py4j round trips per invocation (measured).
     proj = [
-        F.aggregate(
-            F.zip_with(
-                F.col("mv"),
-                F.array(*[F.lit(sgn).cast("bigint") for sgn in row]),
-                lambda x, sg: x * sg,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        F.expr(
+            "aggregate(zip_with(mv, array("
+            + ",".join(f"{sgn}L" for sgn in row)
+            + "), (x, sg) -> x * sg), 0L, (acc, x) -> acc + x)"
         ).alias(f"p{i}")
         for i, row in enumerate(_JL_SIGNS)
     ]
+    # ONE equi-join for both sample offsets: the probe side explodes
+    # each vector to its two pair targets (vec_id+1, vec_id+17) and
+    # joins the projection frame once — the former per-offset
+    # self-join pair computed the 16-fold projection four times
+    # (2 offsets x 2 sides) and doubled the shuffle.
     p = m.select("vec_id", "mv", *proj)
-    a = p.alias("a")
+    a = p.select(
+        "vec_id",
+        "mv",
+        *[F.col(f"p{i}") for i in range(JL_OUT_DIMS)],
+        F.explode(F.array(F.lit(1), F.lit(17))).alias("off"),
+    ).withColumn("b_id", F.col("vec_id") + F.col("off"))
     b = p.select(
         F.col("vec_id").alias("b_id"),
         F.col("mv").alias("bmv"),
@@ -1692,14 +1668,7 @@ def q170_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"p{i}") - F.col(f"bp{i}")
         )
         d16 = term if d16 is None else d16 + term
-    shifted = None
-    for off in (1, 17):
-        part = a.join(b, F.col("b_id") == F.col("vec_id") + off).select(
-            "vec_id", "b_id", "mv", "bmv",
-            *[F.col(f"p{i}") for i in range(JL_OUT_DIMS)],
-            *[F.col(f"bp{i}") for i in range(JL_OUT_DIMS)],
-        )
-        shifted = part if shifted is None else shifted.unionByName(part)
+    shifted = a.join(b, "b_id")
     return (
         shifted
         .select(

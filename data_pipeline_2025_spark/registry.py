@@ -161,6 +161,13 @@ _PRIORITY = (
     "q91_rank_propagation",
     "q107_neardup_triangles",
     "q172_pagerank_converged",
+    # (c4) rewritten at the end of round 5 for bench overhead:
+    # q169's bounded-matrix squarings moved driver-side (4.2->1.2 s),
+    # q170's pair sample to one exploded equi-join with JVM-parsed
+    # projection strings (3.6->1.1 s) — outputs bit-identical, both
+    # re-fronted for an official re-check
+    "q169_power_iteration",
+    "q170_jl_distortion",
     # (c3) registry-wide 10x sweep fallout: BM25 arithmetic widened
     # to 128-bit (int64 overflowed at the 10x tier), q144 verify
     # rewritten to per-candidate array_intersect
@@ -190,9 +197,6 @@ _PRIORITY = (
     # (g) oldest r1-green rows fill the remaining slots up to 50
     "q01_pricing_summary",
     "q02_product_search",
-    "q03_promo_stats_by_category",
-    "q04_non_promo_by_store",
-    "q05_recent_window",
 )
 
 

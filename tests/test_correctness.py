@@ -93,6 +93,9 @@ def test_priority_queries_inside_driver_cap():
         "q190_trending_terms",
         "q191_retrieval_ndcg",
         "q192_semantic_decontamination",
+        # (c4) rewritten end of round 5 (bench overhead)
+        "q169_power_iteration",
+        "q170_jl_distortion",
         # (c2) rewritten late round 5
         "q43_embedding_neardup",
         "q91_rank_propagation",
