@@ -1332,3 +1332,114 @@ def q190_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile", "rank")
     )
+
+
+# --------- q193: bigram-LM surprisal gate (round 5)
+#
+# The conditional-probability upgrade of q154's unigram gate — the
+# distributed shape of the CCNet/KenLM perplexity filter (production
+# uses 5-gram; the 2-gram keeps every mechanism and stays exactly
+# checkable): p(w2|w1) = c(w1 w2) / c(w1-as-context), per-bigram
+# surprisal log2(1/p) quantized ONCE to integer micro-bits in the
+# bigram dictionary (the q154 principle — a single rounding point,
+# then exact BIGINT everywhere, immune to libm-vs-JVM drift), per-doc
+# mean bits/bigram banded keep/review/flag.
+#
+# Scale shape: the bigram dictionary is NOT broadcastable at 100 TB
+# (unlike q154's unigram vocab) — both the dictionary build and the
+# doc-bigram scoring join are (w1, w2)-co-keyed shuffles, the
+# context totals a w1-co-keyed re-aggregation of the dictionary
+# (never a second corpus pass). Docs with < 2 tokens have no bigrams
+# and drop out in both engines.
+SURPRISAL2_KEEP_PPM = 4_850_000
+SURPRISAL2_FLAG_PPM = 4_950_000
+
+_ORACLE_Q193 = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+bg AS (
+    SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+    FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+    WHERE i + 1 <= len(ts)
+),
+cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1),
+bits AS (
+    SELECT w1, w2,
+           CAST(round(log2(CAST(c1 AS DOUBLE) / c12) * 1000000, 0) AS BIGINT)
+               AS bits_ppm
+    FROM cnt JOIN uni USING (w1)
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(t.bits_ppm) AS BIGINT) AS sum_bits
+    FROM bg b JOIN bits t USING (w1, w2)
+    GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_bits // n_bigrams AS BIGINT) AS mean_bits_ppm,
+       CASE WHEN sum_bits // n_bigrams < {SURPRISAL2_KEEP_PPM} THEN 'keep'
+            WHEN sum_bits // n_bigrams > {SURPRISAL2_FLAG_PPM} THEN 'flag'
+            ELSE 'review' END AS band
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q193_bigram_surprisal",
+    oracle=_ORACLE_Q193,
+    doc="Bigram-LM surprisal gate (the conditional upgrade of "
+    "q154's unigram gate — the KenLM perplexity-filter shape): "
+    "p(w2|w1) from corpus bigram counts, per-bigram log2 surprisal "
+    "quantized once to integer micro-bits, per-doc mean banded "
+    "keep/review/flag. Bigram dictionary is (w1,w2)-co-keyed, never "
+    "broadcast; context totals re-aggregate the dictionary.",
+    tags=("text", "quality", "lm"),
+)
+def q193_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = fan_out(
+        cat.documents.select("doc_id", tokens_col().alias("ts")), "doc_id"
+    )
+    bg = toks.where(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ts, 1, size(ts) - 1)").alias("w1"),
+                F.expr("slice(ts, 2, size(ts) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bits = cnt.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log2(F.col("c1").cast("double") / F.col("c12")) * 1_000_000, 0
+        )
+        .cast("bigint")
+        .alias("bits_ppm"),
+    )
+    scored = (
+        bg.join(bits, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits_ppm").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_bits div n_bigrams").alias("mean_bits_ppm"),
+        )
+    )
+    band = (
+        F.when(F.col("mean_bits_ppm") < SURPRISAL2_KEEP_PPM, "keep")
+        .when(F.col("mean_bits_ppm") > SURPRISAL2_FLAG_PPM, "flag")
+        .otherwise("review")
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "mean_bits_ppm", band.alias("band")
+    ).orderBy("doc_id")

@@ -141,6 +141,7 @@ _PRIORITY = (
     "q190_trending_terms",
     "q191_retrieval_ndcg",
     "q192_semantic_decontamination",
+    "q193_bigram_surprisal",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -196,7 +197,6 @@ _PRIORITY = (
     "q126_stream_ivf_indexing",
     # (g) oldest r1-green rows fill the remaining slots up to 50
     "q01_pricing_summary",
-    "q02_product_search",
 )
 
 

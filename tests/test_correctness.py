@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 190
+EXPECTED_QUERY_COUNT = 191
 
 
 def test_registry_complete():
@@ -93,6 +93,7 @@ def test_priority_queries_inside_driver_cap():
         "q190_trending_terms",
         "q191_retrieval_ndcg",
         "q192_semantic_decontamination",
+        "q193_bigram_surprisal",
         # (c4) rewritten end of round 5 (bench overhead)
         "q169_power_iteration",
         "q170_jl_distortion",
