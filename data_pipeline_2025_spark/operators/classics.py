@@ -10,6 +10,17 @@ driver's tables (no partsupp exists, so Q2/Q20 are out of scope):
 - q186 (Q19 shape)  disjunctive mixed-side join predicate
 - q187 (Q7 shape)   bilateral flows through a 5-table join
 
+Third batch (q194-q197) closes the set — after it, every TPC-H
+query expressible on these tables has a registered shape (absent
+columns rule out the rest: partsupp → Q2/Q9/Q16/Q20,
+l_commitdate/l_receiptdate/l_shipmode → Q12, o_comment → Q13's
+exact filter, adapted):
+
+- q194 (Q4 shape)   correlated EXISTS → co-keyed left-semi join
+- q195 (Q6 shape)   zero-shuffle scan-and-aggregate forecast
+- q196 (Q8 shape)   national market share through 6 tables
+- q197 (Q13 shape)  zero-inclusive order-count distribution
+
 All money math uses functions/money.py exact decimals; every ratio
 is integral ppm (`div` floors identically in both engines on
 non-negative operands), so outputs are bit-identical cross-engine.
@@ -398,4 +409,308 @@ def q187_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "year")
         .agg(money_out(F.sum("rev")).alias("revenue_d"))
         .orderBy("supp_nation", "cust_nation", "year")
+    )
+
+
+# ---------------- q194: TPC-H Q4 shape — correlated EXISTS priority count
+#
+# "Orders placed in 1996Q1 with at least one late shipment, counted
+# by priority" — Q4's correlated-EXISTS pattern. The driver's
+# lineitem has no commitdate/receiptdate, so the Q4 predicate
+# (l_commitdate < l_receiptdate) is adapted to the expressible
+# late-shipment condition l_shipdate > o_orderdate + 60 days; the
+# SHAPE (quarter-filtered outer, correlated EXISTS with an
+# outer-referencing inequality, priority rollup) is Q4's exactly.
+# Scale shape: the EXISTS compiles to ONE left-semi join co-keyed on
+# orderkey, with the date inequality as the join residual (an
+# outer-referencing predicate can never be pushed below the join);
+# the quarter filter pushes into the orders scan so the semi-join's
+# build input is ~1/28 of orders. Priority rollup is a 5-row frame.
+_ORACLE_Q194 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q194_priority_late_exists",
+    oracle=_ORACLE_Q194,
+    doc="TPC-H Q4 shape: 1996Q1 orders having at least one lineitem "
+    "shipped >60 days after the order date, counted by priority. "
+    "Correlated EXISTS compiled to one orderkey co-keyed left-semi "
+    "join with the date inequality as the join residual; the quarter "
+    "filter pushes into the orders scan.",
+    tags=("join", "exists", "tpch"),
+)
+def q194_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & F.expr("l_shipdate > o_orderdate + INTERVAL '60' DAY"),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------- q195: TPC-H Q6 shape — forecast revenue change
+#
+# The pure scan-and-aggregate classic: discount revenue that WOULD
+# have been earned in 1997 had discounts in [0.05, 0.07] on
+# small-quantity lines been eliminated. Scale shape: zero shuffles —
+# all three predicates push into the parquet scan (plan-asserted)
+# and the aggregate is a map-side-combinable single row; at 100 TB
+# this is a pure scan whose cost is row-group pruning + one
+# partial-agg exchange of ONE row per task. The double literals
+# 0.05/0.07 parse to identical IEEE values in both engines and the
+# parquet doubles are shared bits, so the filter is cross-engine
+# consistent; revenue math is exact decimal micros.
+_ORACLE_Q195 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE)
+           AS forecast_rev_d,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q195_forecast_revenue",
+    oracle=_ORACLE_Q195,
+    doc="TPC-H Q6 shape: revenue forecast from eliminating small "
+    "discounts on low-quantity 1997 lines. Zero-shuffle scan-and-"
+    "aggregate — all three predicates push into the parquet scan, "
+    "the sum is map-side combinable exact decimal.",
+    tags=("scan", "pushdown", "tpch"),
+)
+def q195_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_out(
+                F.sum(dec("l_extendedprice") * dec("l_discount", 6, 4))
+            ).alias("forecast_rev_d"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------- q196: TPC-H Q8 shape — national market share
+#
+# NATION_7's share of ECONOMY-part revenue delivered to ASIA
+# customers, per 1996/1997 order year. Scale shape (the most
+# join-heavy classic on these tables): the p_type filter runs
+# partkey co-keyed against lineitem (part is order-of-rows-
+# proportional, never broadcast); supplier+nation broadcast to tag
+# each line's supplier nation BEFORE any shuffle; the year filter
+# pushes into the orders scan; the fact side is pre-aggregated to
+# (custkey, year) — O(customers x 2) — BEFORE the custkey co-keyed
+# customer join, with the ASIA membership a broadcast nation-region
+# row set. Share in integral ppm from exact decimal micros.
+_ORACLE_Q196 = """
+WITH asia AS (
+    SELECT n_nationkey FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+),
+li AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST('1.0000' AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'ECONOMY'
+),
+fl AS (
+    SELECT o.o_custkey,
+           CAST(year(o.o_orderdate) AS BIGINT) AS year,
+           li.rev,
+           CASE WHEN n.n_name = 'NATION_7' THEN 1 ELSE 0 END AS is_target
+    FROM li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+),
+yr AS (
+    SELECT fl.year,
+           SUM(CASE WHEN fl.is_target = 1 THEN fl.rev ELSE 0 END) AS target_rev,
+           SUM(fl.rev) AS tot_rev
+    FROM fl
+    JOIN customer c ON fl.o_custkey = c.c_custkey
+    WHERE c.c_nationkey IN (SELECT n_nationkey FROM asia)
+    GROUP BY fl.year
+)
+SELECT year,
+       CAST(ROUND(target_rev, 2) AS DOUBLE) AS target_rev_d,
+       CAST(ROUND(tot_rev, 2) AS DOUBLE) AS total_rev_d,
+       CAST((CAST(CAST(target_rev * 1000000 AS DECIMAL(38,0)) AS HUGEINT) * 1000000)
+            // CAST(CAST(tot_rev * 1000000 AS DECIMAL(38,0)) AS HUGEINT) AS BIGINT)
+           AS market_share_ppm
+FROM yr
+ORDER BY year
+"""
+
+
+@register(
+    "q196_market_share",
+    oracle=_ORACLE_Q196,
+    doc="TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue "
+    "delivered to ASIA customers per 1996/1997 order year. Partkey "
+    "co-keyed part filter, broadcast supplier-nation tagging, year "
+    "filter pushed to the orders scan, (custkey, year) pre-"
+    "aggregation before the customer join; share in exact ppm.",
+    tags=("join", "broadcast", "tpch"),
+)
+def q196_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    pt = cat.part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp_n = (
+        cat.supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == "NATION_7").cast("int").alias("is_target"),
+        )
+    )
+    li = (
+        cat.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", _rev().alias("rev")
+        )
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    o = cat.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("year"),
+    )
+    pre = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "year")
+        .agg(
+            F.sum(
+                F.when(F.col("is_target") == 1, F.col("rev")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("target_rev"),
+            F.sum("rev").alias("tot_rev"),
+        )
+    )
+    asia = (
+        cat.nation.join(
+            F.broadcast(cat.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    asia_cust = cat.customer.join(
+        F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("c_custkey")
+    yr = (
+        pre.join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("year")
+        .agg(
+            F.sum("target_rev").alias("target_rev"),
+            F.sum("tot_rev").alias("tot_rev"),
+        )
+    )
+    share = F.expr(
+        "(CAST(target_rev * 1000000 AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(7,0)))"
+        " div CAST(tot_rev * 1000000 AS DECIMAL(38,0))"
+    ).cast("bigint")
+    return yr.select(
+        "year",
+        money_out(F.col("target_rev")).alias("target_rev_d"),
+        money_out(F.col("tot_rev")).alias("total_rev_d"),
+        share.alias("market_share_ppm"),
+    ).orderBy("year")
+
+
+# ---------------- q197: TPC-H Q13 shape — customer order-count distribution
+#
+# How many customers placed 0, 1, 2, ... orders (excluding
+# '4-NOT SPECIFIED' priority — the expressible analog of Q13's
+# comment NOT-LIKE filter). Scale shape: orders pre-aggregate to
+# (custkey, count) BEFORE the customer join — the left join's right
+# side is O(customers-with-orders), custkey co-keyed with the
+# customer scan (customer is order-of-rows-proportional, never
+# broadcast); zero-order customers surface via the left join's
+# null → 0. The second groupBy is a count-of-counts over a frame
+# bounded by the max per-customer order count — tiny at any scale.
+_ORACLE_Q197 = """
+WITH oc AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY o_custkey
+)
+SELECT CAST(COALESCE(oc.cnt, 0) AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q197_order_count_distribution",
+    oracle=_ORACLE_Q197,
+    doc="TPC-H Q13 shape: distribution of per-customer order counts "
+    "(priority '4-NOT SPECIFIED' excluded), zero-order customers "
+    "included via the left join. Orders pre-aggregated to (custkey, "
+    "count) before the custkey co-keyed customer join; the final "
+    "count-of-counts frame is bounded by the max order count.",
+    tags=("agg", "join", "tpch"),
+)
+def q197_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    oc = (
+        cat.orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cat.customer.select("c_custkey")
+        .join(oc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )

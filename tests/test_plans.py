@@ -868,3 +868,54 @@ def test_q191_rides_broadcast_queries(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q194_exists_is_cokeyed_semi_join(spark, sf_smoke):
+    """q194 (Q4 shape): the correlated EXISTS must compile to ONE
+    left-semi join co-keyed on orderkey (date inequality as the
+    residual), with the quarter bounds pushed into the orders scan."""
+    plan = plan_of(spark, "q194_priority_late_exists", sf_smoke)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q195_zero_shuffle_scan_agg(spark, sf_smoke):
+    """q195 (Q6 shape): all three predicates must reach the lineitem
+    parquet scan and the plan must contain no join and no shuffle
+    other than the single-row final aggregate exchange."""
+    plan = plan_of(spark, "q195_forecast_revenue", sf_smoke)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan
+    # one partial + one final HashAggregate, single exchange (count
+    # in simple mode — formatted prints each node twice: tree+detail)
+    simple = plan_of(spark, "q195_forecast_revenue", sf_smoke, mode="simple")
+    assert simple.count("Exchange ") <= 1, simple
+    assert "hashpartitioning" not in simple  # only SinglePartition
+
+
+def test_q196_dims_broadcast_facts_cokeyed(spark, sf_smoke):
+    """q196 (Q8 shape): supplier-nation tagging and the ASIA
+    membership must broadcast; no cartesian anywhere; the customer
+    membership check is a semi join."""
+    plan = plan_of(spark, "q196_market_share", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q197_preagg_before_customer_join(spark, sf_smoke):
+    """q197 (Q13 shape): the priority filter must push into the
+    orders scan and the left join must see orders ALREADY aggregated
+    to (custkey, count) — i.e. a HashAggregate below the join."""
+    plan = plan_of(spark, "q197_order_count_distribution", sf_smoke)
+    assert "Not(EqualTo(o_orderpriority" in plan
+    left_join_pos = plan.find("LeftOuter")
+    assert left_join_pos > 0
+    assert "CartesianProduct" not in plan
