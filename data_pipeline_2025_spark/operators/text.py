@@ -1443,3 +1443,172 @@ def q193_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_bigrams", "mean_bits_ppm", band.alias("band")
     ).orderBy("doc_id")
+
+
+# -------------------------- q198: BPE merge training, R rounds
+#
+# Closes the tokenizer-training loop q85 opened: q85 emits the pair
+# table a BPE trainer would learn its FIRST merge from; q198 runs the
+# training itself for BPE_ROUNDS rounds — argmax pair (weighted by
+# word frequency, ties broken lexicographically), apply the merge to
+# every word, recount, repeat — emitting the learned merge table in
+# order, exactly what a tokenizer build step ships.
+#
+# Scale shape: ONE corpus-sized pass (the token count) feeding a
+# localCheckpointed DISTINCT-WORD frame; every training round after
+# that is vocabulary-sized (the standard BPE trick — corpora are
+# 100 TB, vocabularies are millions). Per round: one tiny groupBy,
+# one 1-row TakeOrdered argmax, one broadcast crossJoin rewrite —
+# the q172 iterative idiom (localCheckpoint lineage truncation, no
+# driver-side data, nothing collected).
+#
+# Word representation: every symbol wrapped in its own U+001F
+# separators ("<S>s1<S><S>s2<S>..."), so a merge is ONE
+# engine-portable replace() — adjacent pattern matches share no
+# characters (each symbol owns its separators), making both engines'
+# left-to-right non-overlapping replace() exactly BPE's single-pass
+# merge semantics (verified against a pure-Python reference trainer
+# in tests/test_prep_ops.py, independent of the two-engine hash).
+# Reference analog: the tokenizer the reference assumes upstream of
+# its Hebrew text normalization (SURVEY.md §2.11).
+
+BPE_ROUNDS = 6
+_BPE_SEP = "\u001f"
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH tok AS (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents
+),
+w0 AS (
+    SELECT chr(31) || array_to_string(
+               list_transform(range(1, length(t) + 1), i -> substr(t, i, 1)),
+               chr(31) || chr(31)) || chr(31) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS wn
+    FROM tok GROUP BY t
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+p{r} AS (
+    SELECT syms[i] AS p1, syms[i + 1] AS p2,
+           CAST(SUM(wn) AS BIGINT) AS weighted_n
+    FROM (SELECT string_split(trim(rep, chr(31)), chr(31) || chr(31)) AS syms,
+                 wn
+          FROM w{r - 1}),
+         UNNEST(range(1, len(syms))) AS u(i)
+    GROUP BY 1, 2
+),
+b{r} AS (
+    SELECT p1, p2, weighted_n FROM p{r}
+    ORDER BY weighted_n DESC, p1, p2 LIMIT 1
+),
+w{r} AS (
+    SELECT replace(rep,
+                   chr(31) || p1 || chr(31) || chr(31) || p2 || chr(31),
+                   chr(31) || p1 || p2 || chr(31)) AS rep, wn
+    FROM w{r - 1}, b{r}
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, p1 AS left_sym, p2 AS right_sym,"
+        f" p1 || p2 AS merged, weighted_n FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY round")
+    return "".join(parts)
+
+
+_ORACLE_Q198 = _bpe_oracle()
+
+
+@register(
+    "q198_bpe_merge_training",
+    oracle=_ORACLE_Q198,
+    doc="BPE tokenizer training for six merge rounds: per-round "
+    "frequency-weighted argmax pair (lexicographic tie-break) "
+    "applied to the distinct-word table via one engine-portable "
+    "separator-wrapped replace(); one corpus pass, vocabulary-sized "
+    "rounds, localCheckpoint lineage truncation, nothing collected. "
+    "Pinned against a pure-Python reference trainer independent of "
+    "the two-engine hash.",
+    tags=("text", "bpe", "iterative"),
+)
+def q198_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    tok = fan_out(cat.documents, "doc_id").select(
+        F.explode(tokens_col()).alias("t")
+    )
+    sep2 = _BPE_SEP + _BPE_SEP
+    words = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            F.concat(
+                F.lit(_BPE_SEP),
+                F.array_join(
+                    F.expr(
+                        "transform(sequence(1, length(t)),"
+                        " i -> substring(t, i, 1))"
+                    ),
+                    sep2,
+                ),
+                F.lit(_BPE_SEP),
+            ).alias("rep"),
+            "wn",
+        )
+        .localCheckpoint()  # the ONE corpus-sized pass
+    )
+    merges = None
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                F.split(
+                    F.expr("substring(rep, 2, length(rep) - 2)"), sep2
+                ).alias("syms"),
+                "wn",
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS p1,"
+                        "             element_at(syms, i + 1) AS p2))"
+                    )
+                ).alias("p"),
+                "wn",
+            )
+            .groupBy("p.p1", "p.p2")
+            .agg(F.sum("wn").cast("bigint").alias("weighted_n"))
+        )
+        best = (
+            pairs.orderBy(F.col("weighted_n").desc(), "p1", "p2")
+            .limit(1)
+            .localCheckpoint()  # 1 row
+        )
+        row = best.select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.col("p1").alias("left_sym"),
+            F.col("p2").alias("right_sym"),
+            F.concat("p1", "p2").alias("merged"),
+            "weighted_n",
+        )
+        merges = row if merges is None else merges.unionAll(row)
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(rep,"
+                    " concat(char(31), p1, char(31), char(31), p2, char(31)),"
+                    " concat(char(31), p1, p2, char(31)))"
+                ).alias("rep"),
+                "wn",
+            )
+            .localCheckpoint()  # vocabulary-sized
+        )
+    return merges.orderBy("round")

@@ -146,6 +146,7 @@ _PRIORITY = (
     "q195_forecast_revenue",
     "q196_market_share",
     "q197_order_count_distribution",
+    "q198_bpe_merge_training",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -190,7 +191,8 @@ _PRIORITY = (
     "q168_key_skew_diagnostics",
     "q171_cbo_join_order",
     "q139_grouping_sets",
-    "q140_nearest_asof",
+    # (q140_nearest_asof dropped from the re-confirm block to make
+    # room for q198 — r4-green, implementation unchanged since)
     # (f) streaming sinks whose commit path moved to the new
     # delta-log txn protocol this round. The q194-q197 TPC-H batch
     # displaced q83/q97/q126 + q01 from the cap: all six sinks share

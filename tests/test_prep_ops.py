@@ -237,3 +237,57 @@ def test_zorder_write_path_tightens_footer_stats(spark, tmp_path):
     # degenerate in the other dimension; z bounds both).
     assert zu < du / 2, (zu, du)
     assert 2 * max(zu, zd) < max(du, dd), (zu, zd, du, dd)
+
+
+def test_bpe_merges_match_pure_python_trainer(spark, sf_smoke):
+    """q198's learned merge table must equal a pure-Python BPE
+    trainer run on the same corpus — an oracle-independent pin, so a
+    replace()-semantics misunderstanding shared by BOTH engines
+    (greedy single-pass vs true non-overlapping merge) cannot hide
+    behind the cross-engine hash."""
+    from collections import Counter
+
+    from data_pipeline_2025_spark.operators.text import BPE_ROUNDS
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    freq = Counter(
+        t for text in texts for t in text.split(" ") if t
+    )
+    vocab = {tuple(w): n for w, n in freq.items()}
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        # argmax with the query's tie-break: count desc, then lexicographic
+        (p1, p2), wn = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((p1, p2, p1 + p2, wn))
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):  # greedy left-to-right single pass
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+
+    got = [
+        (r["left_sym"], r["right_sym"], r["merged"], r["weighted_n"])
+        for r in SPECS["q198_bpe_merge_training"]
+        .spark_fn(spark, sf_smoke)
+        .collect()
+    ]
+    assert got == expected
