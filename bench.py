@@ -79,6 +79,10 @@ HEADLINE = (
     "q169_power_iteration",
     "q170_jl_distortion",
     "q172_pagerank_converged",
+    # Late round-5 addition: the most join-heavy TPC-H classic of
+    # the final q194-q197 batch (six-table market share) guards the
+    # broadcast-dim + pre-aggregation join machinery.
+    "q196_market_share",
 )
 
 
