@@ -819,21 +819,25 @@ def _idot(a: Column, b: Column) -> Column:
     )
 
 
-def _nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _nearest(vecs: DataFrame, cents: DataFrame, keep_d2: bool = False) -> DataFrame:
     """(vec_id, cid) nearest-centroid assignment, integer distances,
     ties broken by centroid id. Centroids are broadcast — the only
-    join in a Lloyd step at any scale."""
+    join in a Lloyd step at any scale. keep_d2 additionally carries
+    the chosen centroid's exact integer squared distance (q199's
+    per-round cost witness)."""
     d2 = (
         F.col("n2")
         - 2 * _idot(F.col("mv"), F.col("cv"))
         + _idot(F.col("cv"), F.col("cv"))
     )
     w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
+    cols = ["vec_id", "cid", "mv", "n2"] + (["d2"] if keep_d2 else [])
     return (
         vecs.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "cid", "mv", "n2")
+        .select(*cols)
     )
 
 
@@ -2082,3 +2086,168 @@ def q192_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+# ------------- q199: Lloyd k-means run to a round budget (q82 iterated)
+#
+# q82 is ONE deterministic Lloyd step; q199 runs the training loop —
+# the clustering analog of q172's PageRank-to-convergence: five
+# rounds of (floor-averaged integer centroid update, broadcast
+# reassignment), each round emitting its convergence witnesses:
+# how many vectors changed cluster (churn -> 0 at the fixpoint), the
+# mean exact squared distance to the chosen centroid (the k-means
+# objective Lloyd drives down), and the count of nonempty clusters
+# (empty clusters drop out, the standard Lloyd behavior, made
+# visible instead of hidden).
+#
+# Scale shape: per round, the ONLY data-sized operations are one
+# broadcast nearest-centroid assignment (centroids are K rows) and
+# one map-side-combinable (cid, pos) sum for the update — no
+# shuffle keyed on anything bigger than K x 64 rows; lineage is
+# truncated per round with localCheckpoint (q70/q165/q172 idiom);
+# nothing is collected. The d2 cost sum runs in 128-bit integers
+# (Spark DECIMAL(38,0) / DuckDB HUGEINT — the q125 pattern): d2 is
+# bounded by 4*EMB_DIM*1e12 ~ 2.6e14, so an int64 SUM would
+# overflow near 3.5e4 vectors — below the 10x tier's cardinality.
+# The floor(s/cnt) double-division is exact by the q82 argument
+# (quotient error ~1e-9 can never cross an integer boundary that is
+# at least 1/cnt away).
+
+LLOYD_ROUNDS = 5
+
+
+def _q199_oracle() -> str:
+    parts = [
+        f"""
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+n AS (SELECT vec_id, mv, list_dot_product(mv, mv) AS n2 FROM m),
+c0 AS (SELECT vec_id AS cid, mv AS cv FROM n WHERE vec_id < {N_CENTROIDS}),
+a0 AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.n2 - 2 * list_dot_product(n.mv, c.cv)
+                            + list_dot_product(c.cv, c.cv), c.cid
+               ) AS rn
+        FROM n CROSS JOIN c0 AS c
+    ) WHERE rn = 1
+)"""
+    ]
+    for r in range(1, LLOYD_ROUNDS + 1):
+        parts.append(
+            f""",
+c{r} AS (
+    SELECT cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+                ORDER BY pos) AS cv
+    FROM (
+        SELECT a.cid, i.i AS pos, CAST(SUM(n.mv[i.i]) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM a{r - 1} a JOIN n USING (vec_id),
+             UNNEST(range(1, {EMB_DIM} + 1)) AS i(i)
+        GROUP BY a.cid, i.i
+    ) GROUP BY cid
+),
+a{r} AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT n.vec_id, c.cid,
+               n.n2 - 2 * list_dot_product(n.mv, c.cv)
+                    + list_dot_product(c.cv, c.cv) AS d2,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.n2 - 2 * list_dot_product(n.mv, c.cv)
+                            + list_dot_product(c.cv, c.cv), c.cid
+               ) AS rn
+        FROM n CROSS JOIN c{r} AS c
+    ) WHERE rn = 1
+),
+s{r} AS (
+    SELECT CAST({r} AS BIGINT) AS round,
+           CAST(COUNT(DISTINCT a.cid) AS BIGINT) AS nonempty,
+           CAST(SUM(CASE WHEN a.cid <> p.cid THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved,
+           CAST(SUM(CAST(a.d2 AS HUGEINT)) // COUNT(*) AS BIGINT)
+               AS mean_d2
+    FROM a{r} a JOIN a{r - 1} p USING (vec_id)
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{r}" for r in range(1, LLOYD_ROUNDS + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY round")
+    return "".join(parts)
+
+
+_ORACLE_Q199 = _q199_oracle()
+
+
+@register(
+    "q199_lloyd_convergence",
+    oracle=_ORACLE_Q199,
+    doc="Lloyd k-means run for five rounds over quantized embeddings "
+    "(q82's step iterated, the clustering analog of q172): per "
+    "round, floor-averaged integer centroid update + broadcast "
+    "reassignment, emitting cluster churn, nonempty-cluster count, "
+    "and the exact mean squared distance (128-bit sum) as "
+    "convergence witnesses; localCheckpoint lineage truncation, "
+    "nothing collected.",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def q199_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _int_vecs(spark, sf_dir).localCheckpoint()
+    c0 = vecs.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("mv").alias("cv")
+    )
+    assign = _nearest(vecs, c0).localCheckpoint()
+    stats = None
+    for r in range(1, LLOYD_ROUNDS + 1):
+        sums = (
+            assign.select("cid", F.posexplode("mv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        )
+        cents = (
+            sums.withColumn(
+                "cval",
+                F.floor(F.col("s").cast("double") / F.col("cnt")).cast(
+                    "bigint"
+                ),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda x: x["cval"],
+                ).alias("cv")
+            )
+        )
+        nxt = _nearest(vecs, cents, keep_d2=True).localCheckpoint()
+        row = (
+            nxt.select("vec_id", "cid", "d2")
+            .join(
+                assign.select(
+                    "vec_id", F.col("cid").alias("prev_cid")
+                ),
+                "vec_id",
+            )
+            .agg(
+                F.lit(r).cast("bigint").alias("round"),
+                F.countDistinct("cid").cast("bigint").alias("nonempty"),
+                F.sum(
+                    (F.col("cid") != F.col("prev_cid")).cast("bigint")
+                ).alias("moved"),
+                F.expr(
+                    "CAST(SUM(CAST(d2 AS DECIMAL(38,0))) div COUNT(*)"
+                    " AS BIGINT)"
+                ).alias("mean_d2"),
+            )
+        )
+        stats = row if stats is None else stats.unionAll(row)
+        assign = nxt.select("vec_id", "cid", "mv", "n2")
+    return stats.orderBy("round")

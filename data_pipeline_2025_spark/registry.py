@@ -147,6 +147,7 @@ _PRIORITY = (
     "q196_market_share",
     "q197_order_count_distribution",
     "q198_bpe_merge_training",
+    "q199_lloyd_convergence",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -190,9 +191,9 @@ _PRIORITY = (
     "q145_kmv_join_cardinality",
     "q168_key_skew_diagnostics",
     "q171_cbo_join_order",
-    "q139_grouping_sets",
-    # (q140_nearest_asof dropped from the re-confirm block to make
-    # room for q198 — r4-green, implementation unchanged since)
+    # (q139_grouping_sets / q140_nearest_asof dropped from the
+    # re-confirm block to make room for q198/q199 — both r4-green,
+    # implementations unchanged since)
     # (f) streaming sinks whose commit path moved to the new
     # delta-log txn protocol this round. The q194-q197 TPC-H batch
     # displaced q83/q97/q126 + q01 from the cap: all six sinks share

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 196
+EXPECTED_QUERY_COUNT = 197
 
 
 def test_registry_complete():
@@ -99,6 +99,7 @@ def test_priority_queries_inside_driver_cap():
         "q196_market_share",
         "q197_order_count_distribution",
         "q198_bpe_merge_training",
+        "q199_lloyd_convergence",
         # (c4) rewritten end of round 5 (bench overhead)
         "q169_power_iteration",
         "q170_jl_distortion",
@@ -128,7 +129,6 @@ def test_priority_queries_inside_driver_cap():
         "q145_kmv_join_cardinality",
         "q168_key_skew_diagnostics",
         "q171_cbo_join_order",
-        "q139_grouping_sets",
         # (f) delta-log txn adopters (q83/q97/q126 displaced by the
         # q194-q197 TPC-H batch — same txn.commit code path as the
         # three below, locally three-tier verified)

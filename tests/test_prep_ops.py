@@ -291,3 +291,65 @@ def test_bpe_merges_match_pure_python_trainer(spark, sf_smoke):
         .collect()
     ]
     assert got == expected
+
+
+def test_lloyd_rounds_match_pure_python(spark, sf_smoke):
+    """q199's per-round witnesses must equal a pure-Python exact-
+    integer Lloyd implementation — oracle-independent, so a shared
+    cross-engine arithmetic misunderstanding (floor-average, tie-
+    break, 128-bit cost sum) cannot hide behind the hash."""
+    from data_pipeline_2025_spark.operators.similarity import (
+        LLOYD_ROUNDS,
+        N_CENTROIDS,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {
+        r["vec_id"]: [int(math.floor(x * 1_000_000)) for x in r["embedding"]]
+        for r in rows
+    }
+
+    def nearest(cents):
+        out = {}
+        for vid, mv in vecs.items():
+            best = min(
+                cents.items(),
+                key=lambda kv: (
+                    sum((a - b) * (a - b) for a, b in zip(mv, kv[1])),
+                    kv[0],
+                ),
+            )
+            d2 = sum((a - b) * (a - b) for a, b in zip(mv, best[1]))
+            out[vid] = (best[0], d2)
+        return out
+
+    cents = {vid: mv for vid, mv in vecs.items() if vid < N_CENTROIDS}
+    assign = {vid: cid for vid, (cid, _) in nearest(cents).items()}
+    expected = []
+    for r in range(1, LLOYD_ROUNDS + 1):
+        members: dict = {}
+        for vid, cid in assign.items():
+            members.setdefault(cid, []).append(vecs[vid])
+        cents = {
+            # EXACT integer floor division — the engines floor a
+            # DOUBLE quotient; q82's argument says the two agree,
+            # and this pin verifies that argument independently.
+            cid: [sum(col) // len(ms) for col in zip(*ms)]
+            for cid, ms in members.items()
+        }
+        nxt = nearest(cents)
+        moved = sum(1 for vid in assign if nxt[vid][0] != assign[vid])
+        nonempty = len({cid for cid, _ in nxt.values()})
+        mean_d2 = sum(d2 for _, d2 in nxt.values()) // len(vecs)
+        expected.append((r, nonempty, moved, mean_d2))
+        assign = {vid: cid for vid, (cid, _) in nxt.items()}
+
+    got = [
+        (r["round"], r["nonempty"], r["moved"], r["mean_d2"])
+        for r in SPECS["q199_lloyd_convergence"].spark_fn(spark, sf_smoke).collect()
+    ]
+    assert got == expected
