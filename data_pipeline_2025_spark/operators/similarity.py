@@ -587,6 +587,23 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's verified embedding near-dup pair table, persisted once
+    per (session, sf_dir) — the materialized similarity GRAPH all
+    graph analytics read (q91 rank propagation, q172 PageRank, q192
+    decontamination). Same contract as dedup.lsh_pairs_df: q43
+    itself never reads this cache (it times/checks construction);
+    consumers time the analysis on the materialized graph."""
+    from .dedup import _cached_persist
+
+    return _cached_persist(
+        "neardup_pairs",
+        spark,
+        sf_dir,
+        lambda: q43_embedding_neardup(spark, sf_dir),
+    )
+
+
 # ----------------------------------------------------- ANN recall@k
 #
 # The measurement half of ANN serving: recall@k of the IVF path
@@ -2050,7 +2067,7 @@ ORDER BY label
     tags=("similarity", "dedup", "curation"),
 )
 def q192_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q43_embedding_neardup(spark, sf_dir)
+    pairs = neardup_pairs_df(spark, sf_dir)
     a_test = F.col("vec_a") % 10 == 0
     b_test = F.col("vec_b") % 10 == 0
     leaks = pairs.where(a_test != b_test).select(
