@@ -786,3 +786,119 @@ def q171_cbo_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "ord STRING, step LONG, est_rows LONG, act_rows LONG, chosen LONG",
     ).orderBy("ord", "step")
+
+
+# ------------- q200: Zipf hot/cold split join (skewed dictionary join)
+#
+# THE token-pipeline join bottleneck at 100 TB: corpus tokens joined
+# to a per-token dictionary. Token frequencies are Zipfian, so a
+# plain co-keyed shuffle join funnels the head of the distribution
+# ("the", "of", ...) through single reducers — the JOIN analog of the
+# aggregation skew q49/q175 solve. The classic fix decomposes the
+# dictionary around an explicit HOT-KEY LIST (how production skew
+# hints work): the top-H most frequent tokens — under Zipf a handful
+# of keys absorbing a large share of all occurrences — join by
+# BROADCAST, while the cold tail (the multi-million-row body a
+# 100 TB vocabulary makes un-broadcastable) stays a co-keyed shuffle
+# join whose per-key fan-in is bounded by the H-th frequency. The
+# union is value-identical to the plain join because (top-H, rest)
+# is an exact partition of the dictionary: the head is a
+# deterministic partial top-k (ties broken by token), i.e.
+# TakeOrderedAndProject — H rows pulled in parallel, never a global
+# row_number funnel over the vocabulary; the tail is a broadcast
+# anti-join against those H rows. The cold side carries an explicit
+# merge hint so the plan KEEPS the two-strategy shape at any tier
+# (at test scale Catalyst would happily broadcast the whole tail and
+# hide the technique the plan test pins).
+#
+# Output: per source, token count and total "commonness mass"
+# (sum of each token's corpus frequency — the quantity a dictionary
+# join materializes), plus the measured split statistics (hot-list
+# size, share of occurrences the broadcast head absorbs). Oracle:
+# the PLAIN join — equivalence is the proof.
+
+HOT_KEYS = 8
+
+_ORACLE_Q200 = f"""
+WITH tok AS (
+    SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents
+),
+d AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS occ_total FROM d),
+hotset AS (
+    SELECT t, n FROM d ORDER BY n DESC, t LIMIT {HOT_KEYS}
+),
+hot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS hot_occ
+    FROM hotset
+)
+SELECT tok.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.n) AS BIGINT) AS commonness,
+       hot.n_hot,
+       CAST(hot.hot_occ * 1000000 // tot.occ_total AS BIGINT) AS hot_share_ppm
+FROM tok JOIN d USING (t), tot, hot
+GROUP BY tok.source, hot.n_hot, hot.hot_occ, tot.occ_total
+ORDER BY tok.source
+"""
+
+
+@register(
+    "q200_zipf_split_join",
+    oracle=_ORACLE_Q200,
+    doc="Skewed dictionary join via an explicit hot-key list: the "
+    "top-8 most frequent tokens (deterministic partial top-k, "
+    "TakeOrderedAndProject) join by BROADCAST, the un-broadcastable "
+    "tail stays a co-keyed shuffle join with fan-in bounded by the "
+    "8th frequency; exact dictionary partition, union value-"
+    "identical to the plain join (the oracle). The JOIN analog of "
+    "q49/q175 aggregation-skew handling; plan-asserted to keep both "
+    "join strategies.",
+    tags=("join", "skew", "text", "scale"),
+)
+def q200_zipf_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import fan_out
+    from .text import tokens_col
+
+    cat = Catalog(spark, sf_dir)
+    tok = fan_out(cat.documents, "doc_id").select(
+        "source", F.explode(tokens_col()).alias("t")
+    )
+    d = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # deterministic hot-key list: parallel partial top-k, never a
+    # global row_number over the vocabulary
+    hot_dict = d.orderBy(F.col("n").desc(), "t").limit(HOT_KEYS)
+    cold_dict = d.join(F.broadcast(hot_dict.select("t")), "t", "left_anti")
+    tot = d.agg(F.sum("n").cast("bigint").alias("occ_total"))
+    stats = (
+        hot_dict.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hot"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("hot_occ"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_hot",
+            F.expr("CAST(hot_occ * 1000000 div occ_total AS BIGINT)").alias(
+                "hot_share_ppm"
+            ),
+        )
+    )
+    joined = tok.join(F.broadcast(hot_dict), "t").unionByName(
+        tok.join(cold_dict.hint("merge"), "t")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n").cast("bigint").alias("commonness"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "source", "n_tokens", "commonness", "n_hot", "hot_share_ppm"
+        )
+        .orderBy("source")
+    )

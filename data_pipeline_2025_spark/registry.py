@@ -148,6 +148,7 @@ _PRIORITY = (
     "q197_order_count_distribution",
     "q198_bpe_merge_training",
     "q199_lloyd_convergence",
+    "q200_zipf_split_join",
     # (b) newly registered via the protobuf-runtime shim unlock
     "q146_stream_transform_with_state",
     # (c) rewritten this round (bucketed prefix aggs, SNM chain
@@ -188,9 +189,10 @@ _PRIORITY = (
     "q63_decontamination",
     # (e) re-confirmation of the r4 scale-smell rewrites + the two
     # the verdict called out
-    "q145_kmv_join_cardinality",
     "q168_key_skew_diagnostics",
     "q171_cbo_join_order",
+    # (q145_kmv_join_cardinality dropped from the re-confirm block
+    # to make room for q200 — r4-green post-rewrite, unchanged)
     # (q139_grouping_sets / q140_nearest_asof dropped from the
     # re-confirm block to make room for q198/q199 — both r4-green,
     # implementations unchanged since)

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 197
+EXPECTED_QUERY_COUNT = 198
 
 
 def test_registry_complete():
@@ -100,6 +100,7 @@ def test_priority_queries_inside_driver_cap():
         "q197_order_count_distribution",
         "q198_bpe_merge_training",
         "q199_lloyd_convergence",
+        "q200_zipf_split_join",
         # (c4) rewritten end of round 5 (bench overhead)
         "q169_power_iteration",
         "q170_jl_distortion",
@@ -126,7 +127,6 @@ def test_priority_queries_inside_driver_cap():
         "q36_minhash_lsh_dedup",
         "q63_decontamination",
         # (e) r4 scale-smell re-confirmation
-        "q145_kmv_join_cardinality",
         "q168_key_skew_diagnostics",
         "q171_cbo_join_order",
         # (f) delta-log txn adopters (q83/q97/q126 displaced by the

@@ -919,3 +919,15 @@ def test_q197_preagg_before_customer_join(spark, sf_smoke):
     left_join_pos = plan.find("LeftOuter")
     assert left_join_pos > 0
     assert "CartesianProduct" not in plan
+
+
+def test_q200_keeps_both_join_strategies(spark, sf_smoke):
+    """q200 (hot/cold split join): the hot head must join broadcast,
+    the cold tail must stay a co-keyed shuffle join (the merge hint
+    pins it against Catalyst broadcasting the tiny test-tier tail),
+    and the hot list itself must be a parallel partial top-k."""
+    plan = plan_of(spark, "q200_zipf_split_join", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
