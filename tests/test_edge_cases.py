@@ -374,3 +374,17 @@ def test_hamming_pigeonhole_blocking_is_complete(spark, sf_smoke):
         )
     )
     assert got == want and want
+
+
+def test_neardup_pair_tables_cached_per_session(spark, sf_smoke):
+    """lsh_pairs_df / neardup_pairs_df must return the SAME persisted
+    frame on repeated calls (one materialization per session+tier) —
+    the regression this guards: a consumer quietly rebuilding the
+    LSH join per invocation."""
+    from data_pipeline_2025_spark.operators.dedup import lsh_pairs_df
+    from data_pipeline_2025_spark.operators.similarity import neardup_pairs_df
+
+    assert lsh_pairs_df(spark, sf_smoke) is lsh_pairs_df(spark, sf_smoke)
+    assert neardup_pairs_df(spark, sf_smoke) is neardup_pairs_df(
+        spark, sf_smoke
+    )
