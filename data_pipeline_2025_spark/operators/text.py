@@ -1539,6 +1539,16 @@ _ORACLE_Q198 = _bpe_oracle()
     tags=("text", "bpe", "iterative"),
 )
 def q198_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _words, merges = _bpe_train(spark, sf_dir)
+    return merges.orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE trainer (q198 emits the merge table; q206 also
+    consumes the final merged word representations): returns
+    ``(words, merges)`` where ``words`` is the distinct-word frame
+    AFTER all BPE_ROUNDS merges (rep, wn) and ``merges`` the learned
+    table (round, left_sym, right_sym, merged, weighted_n)."""
     cat = Catalog(spark, sf_dir)
     tok = fan_out(cat.documents, "doc_id").select(
         F.explode(tokens_col()).alias("t")
@@ -1611,4 +1621,230 @@ def q198_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # vocabulary-sized
         )
-    return merges.orderBy("round")
+    return words, merges
+
+
+# --------- q206: BPE ENCODING — applying the trained merges (round 6)
+#
+# q85 counted the first merge's pair table, q198 TRAINED the merge
+# sequence; this closes the tokenizer loop with the serving half:
+# ENCODE the corpus with the trained merges and measure what a
+# tokenizer build actually reports — how often each learned symbol
+# fires and how much the corpus shrank (chars -> BPE symbols). The
+# encode rides the trainer's separator-wrapped representation: the
+# final post-merge word frame IS the encoded vocabulary, so corpus
+# statistics are wn-weighted sums over DISTINCT WORDS (the same
+# corpora-are-100TB-vocabularies-are-millions trick as training —
+# no second corpus pass). Per-symbol occurrences use exact
+# substring-count algebra ((len - len(replace(.,sym,''))) div
+# len(sym), collision-free because every symbol owns its U+001F
+# separators). Everything is one vocabulary-sized crossJoin against
+# the 6-row broadcast merge table + two scalar aggregates — all
+# exact integers, identical in both engines.
+
+_ORACLE_Q206 = (
+    _bpe_oracle().split("\nSELECT * FROM (")[0]
+    + f""",
+mrg AS (
+{" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS round, p1 || p2 AS merged FROM b{r}" for r in range(1, BPE_ROUNDS + 1))}
+),
+before AS (
+    SELECT CAST(SUM(wn * len(string_split(trim(rep, chr(31)),
+                                          chr(31) || chr(31)))) AS BIGINT)
+               AS syms_before
+    FROM w0
+),
+after AS (
+    SELECT CAST(SUM(wn * len(string_split(trim(rep, chr(31)),
+                                          chr(31) || chr(31)))) AS BIGINT)
+               AS syms_after
+    FROM w{BPE_ROUNDS}
+),
+occ AS (
+    SELECT m.round, m.merged,
+           CAST(SUM(wn * ((length(rep)
+                           - length(replace(rep,
+                                            chr(31) || m.merged || chr(31),
+                                            '')))
+                          // (length(m.merged) + 2))) AS BIGINT)
+               AS occurrences
+    FROM w{BPE_ROUNDS}, mrg m
+    GROUP BY m.round, m.merged
+)
+SELECT occ.round, occ.merged, occ.occurrences,
+       before.syms_before, after.syms_after,
+       CAST(after.syms_after * 1000000 // before.syms_before AS BIGINT)
+           AS compression_ppm
+FROM occ, before, after
+ORDER BY occ.round
+"""
+)
+
+
+@register(
+    "q206_bpe_encode",
+    oracle=_ORACLE_Q206,
+    doc="BPE encoding with the q198-trained merges (the tokenizer "
+    "serving half): wn-weighted per-symbol firing counts over the "
+    "post-merge vocabulary and the corpus chars->symbols "
+    "compression ratio — one vocabulary-sized crossJoin against "
+    "the 6-row broadcast merge table, no second corpus pass, exact "
+    "integer substring-count algebra in both engines.",
+    tags=("text", "bpe", "tokenizer"),
+)
+def q206_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words_final, merges = _bpe_train(spark, sf_dir)
+    sep2 = _BPE_SEP + _BPE_SEP
+    n_syms = F.size(
+        F.split(F.expr("substring(rep, 2, length(rep) - 2)"), sep2)
+    ).cast("bigint")
+    after = words_final.agg(
+        F.sum(F.col("wn") * n_syms).cast("bigint").alias("syms_after")
+    )
+    # syms_before = corpus character count, from the same distinct-
+    # word frame shape the trainer starts from (wn * word length)
+    cat = Catalog(spark, sf_dir)
+    before = (
+        fan_out(cat.documents, "doc_id")
+        .select(F.explode(tokens_col()).alias("t"))
+        .agg(F.sum(F.length("t")).cast("bigint").alias("syms_before"))
+    )
+    occ = (
+        words_final.crossJoin(F.broadcast(merges.select("round", "merged")))
+        .select(
+            "round",
+            "merged",
+            (
+                F.col("wn")
+                * F.expr(
+                    "(length(rep) - length(replace(rep,"
+                    " concat(char(31), merged, char(31)), '')))"
+                    " div (length(merged) + 2)"
+                )
+            ).alias("n"),
+        )
+        .groupBy("round", "merged")
+        .agg(F.sum("n").cast("bigint").alias("occurrences"))
+    )
+    return (
+        occ.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "round",
+            "merged",
+            "occurrences",
+            "syms_before",
+            "syms_after",
+            F.expr(
+                "CAST(syms_after * 1000000 div syms_before AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+        .orderBy("round")
+    )
+
+
+# --------- q205: PII redaction pass (round 6)
+#
+# The training-data scrub every production corpus pipeline runs
+# before anything else: find-and-mask emails/phone numbers with
+# vectorized JVM-side regex (regexp_replace / regexp_count are
+# whole-stage-codegen expressions — the scale story is precisely
+# that a 100 TB redaction pass is a zero-shuffle scan with no
+# Python in the loop). The driver corpus contains no PII, so the
+# query SYNTHESIZES it deterministically first — each doc gets a
+# contact line derived from its doc_id, with the SAME string
+# expression stated in both engines (the repo's seeded-fixture
+# pattern, S5/S16) — and then proves the redactor removed exactly
+# what was planted: per source, docs touched, emails/phones
+# redacted (regexp_count before redaction), and the exact
+# post-redaction character total (the content proof — a sloppy
+# pattern that ate neighboring text or left a suffix behind would
+# shift it). Patterns stay in the ASCII subset where Java regex and
+# RE2 agree.
+
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+
+
+_ORACLE_Q205 = f"""
+WITH aug AS (
+    SELECT source,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+    FROM documents
+),
+red AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE}', '[PHONE]', 'g') AS clean
+    FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(length(clean)) AS BIGINT) AS clean_chars,
+       CAST(SUM(CASE WHEN regexp_matches(clean, '{_PII_EMAIL}')
+                       OR regexp_matches(clean, '{_PII_PHONE}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS residual_docs
+FROM red
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q205_pii_redaction",
+    oracle=_ORACLE_Q205,
+    doc="PII redaction pass (vectorized JVM regex, zero-shuffle "
+    "scan): deterministic synthetic contact lines are planted per "
+    "doc (same expression in both engines), then masked; emits per "
+    "source the redaction counts, the exact post-redaction "
+    "character total (content proof), and a residual-PII count "
+    "that must be zero — the corpus-scrub shape every training "
+    "pipeline runs first.",
+    tags=("text", "pii", "curation"),
+)
+def q205_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    aug = fan_out(cat.documents, "doc_id").select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = aug.select(
+        "source",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("bigint").alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ).alias("clean"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+            F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+            F.sum(
+                (
+                    F.col("clean").rlike(_PII_EMAIL)
+                    | F.col("clean").rlike(_PII_PHONE)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("residual_docs"),
+        )
+        .orderBy("source")
+    )

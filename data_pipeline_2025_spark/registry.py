@@ -119,92 +119,74 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
-    # ROUND 5 ROTATION — the 50-cap re-checks every query whose
-    # implementation changed after its last driver check, plus the
-    # oldest r1-green rows. Groups, in order:
-    # (a) new round-5 queries (never driver-checked)
-    "q175_skew_adaptive_agg",
-    "q176_keyset_pagination",
-    "q177_snapshot_changelog",
-    "q178_stratified_split",
-    "q179_merge_upsert",
-    "q180_zipf_slope",
-    "q181_ivf_density_sweep",
-    "q182_hamming_neardup",
-    "q183_important_parts",
-    "q184_top_supplier",
-    "q185_promo_revenue_share",
-    "q186_disjunctive_pred_join",
-    "q187_bilateral_trade",
-    "q188_compaction_audit",
-    "q189_selectivity_estimate",
-    "q190_trending_terms",
-    "q191_retrieval_ndcg",
-    "q192_semantic_decontamination",
-    "q193_bigram_surprisal",
-    "q194_priority_late_exists",
-    "q195_forecast_revenue",
-    "q196_market_share",
-    "q197_order_count_distribution",
-    "q198_bpe_merge_training",
-    "q199_lloyd_convergence",
+    # ROUND 6 ROTATION (verdict item #2): the 50-cap leads with the
+    # round's new/rewritten queries, then swings back to the OLDEST
+    # officially-checked rows — every r1-checked query plus the 14
+    # oldest r2-checked ones (four rounds of shared-infrastructure
+    # rewrites — Catalog, money.py, txn sinks — have run under them
+    # since their last official check). Groups, in order:
+    # (a) new round-6 queries (never driver-checked)
+    "q201_manifest_skipping",
+    "q202_ivfpq_search",
+    "q203_schema_evolution",
+    "q204_log_retention",
+    "q205_pii_redaction",
+    "q206_bpe_encode",
+    # (b) rewritten/affected this round: q163 (value-range-bucket
+    # audit harness replaced the global ntile), q200 (hot list now
+    # statistics-driven via the fair-share criterion), q188 (oracle
+    # de-hardcoded to the ceil(bytes/target) budget), the manifest
+    # protocol carriers (stats + schema lines + retention touched
+    # txn.py under q162/q177/q50), q161 (partial-build guard), and
+    # q146 (pbshim path-probe + scoped version gate).
+    "q163_zorder_locality",
     "q200_zipf_split_join",
-    # (b) newly registered via the protobuf-runtime shim unlock
-    "q146_stream_transform_with_state",
-    # (c) rewritten this round (bucketed prefix aggs, SNM chain
-    # replication, overflow bucket fix, session scratch dirs)
-    "q109_pareto_frontier",
-    "q143_equidepth_histogram",
-    "q151_length_bucketing",
-    "q161_state_store_reader",
+    "q188_compaction_audit",
     "q162_snapshot_time_travel",
-    "q164_sorted_neighborhood",
-    # (c2) rewritten late round 5: density-adaptive near-dup
-    # centroids (q43, and its graph consumers q91/q172) and
-    # degree-oriented triangle counting (q107). Outputs at the
-    # driver tier are K=8-identical for the q43 family, but the
-    # implementations changed, so they re-front for an official
-    # re-check.
-    "q43_embedding_neardup",
-    "q91_rank_propagation",
-    "q107_neardup_triangles",
-    "q172_pagerank_converged",
-    # (c4) rewritten at the end of round 5 for bench overhead:
-    # q169's bounded-matrix squarings moved driver-side (4.2->1.2 s),
-    # q170's pair sample to one exploded equi-join with JVM-parsed
-    # projection strings (3.6->1.1 s) — outputs bit-identical, both
-    # re-fronted for an official re-check
-    "q169_power_iteration",
-    "q170_jl_distortion",
-    # (c3) registry-wide 10x sweep fallout: BM25 arithmetic widened
-    # to 128-bit (int64 overflowed at the 10x tier), q144 verify
-    # rewritten to per-candidate array_intersect
-    "q125_bm25_topk",
-    "q150_hybrid_bm25_cosine",
-    "q144_prefix_filter_join",
-    # (d) rewritten r3 (shared capped shingle frame), last
-    # driver-checked r2 — verdict item: re-front for re-check
-    "q35_ngram_jaccard_pairs",
-    "q36_minhash_lsh_dedup",
-    "q63_decontamination",
-    # (e) re-confirmation of the r4 scale-smell rewrites + the two
-    # the verdict called out
-    "q168_key_skew_diagnostics",
-    "q171_cbo_join_order",
-    # (q145_kmv_join_cardinality dropped from the re-confirm block
-    # to make room for q200 — r4-green post-rewrite, unchanged)
-    # (q139_grouping_sets / q140_nearest_asof dropped from the
-    # re-confirm block to make room for q198/q199 — both r4-green,
-    # implementations unchanged since)
-    # (f) streaming sinks whose commit path moved to the new
-    # delta-log txn protocol this round. The q194-q197 TPC-H batch
-    # displaced q83/q97/q126 + q01 from the cap: all six sinks share
-    # the same txn.commit code path, so q50/q51/q120 (+ q162/q188 in
-    # (a)/(c)) keep it officially covered while the three displaced
-    # sinks stay three-tier verified locally (drive_driver).
+    "q177_snapshot_changelog",
+    "q161_state_store_reader",
+    "q146_stream_transform_with_state",
     "q50_stream_hourly_rollup",
-    "q51_stream_dedup_replay",
-    "q120_stream_dedup_gate",
+    # (c) oldest official checks, r1 (all 25)
+    "q03_promo_stats_by_category",
+    "q04_non_promo_by_store",
+    "q05_recent_window",
+    "q06_barcode_compare",
+    "q07_cheapest_per_store",
+    "q08_lowest_prices_page",
+    "q09_basket_totals",
+    "q10_best_basket_summary",
+    "q11_price_history",
+    "q12_price_trend",
+    "q13_history_minmax",
+    "q14_distinct_categories",
+    "q15_store_stats",
+    "q16_store_directory",
+    "q17_revenue_by_nation",
+    "q18_order_lines_rollup",
+    "q19_customers_without_orders",
+    "q20_cheapest_supplier_per_part",
+    "q47_trigram_fuzzy_search",
+    "q48_price_percentiles",
+    "q53_asof_price",
+    "q54_price_validity_intervals",
+    "q55_price_spread",
+    "q56_shipping_priority",
+    "q57_large_volume_orders",
+    # (d) oldest official checks, r2 (11 — q75 swapped in for its
+    # txn-adopter cagg sink; q29/q30/q34 displaced by the
+    # q204-q206 additions, resume next round with the rest)
+    "q01_pricing_summary",
+    "q02_product_search",
+    "q21_events_daily",
+    "q22_user_running_totals",
+    "q23_event_gaps",
+    "q24_user_event_pivot",
+    "q25_scalar_showcase",
+    "q26_segment_balances",
+    "q27_set_operations",
+    "q28_revenue_rollup",
+    "q75_continuous_aggregate",
 )
 
 

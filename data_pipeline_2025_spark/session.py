@@ -88,7 +88,7 @@ import atexit as _atexit
 import shutil as _shutil
 import tempfile as _tempfile
 
-_SCRATCH: dict[tuple[int, str], str] = {}
+_SCRATCH: dict[tuple[str, str], str] = {}
 
 
 def _cleanup_scratch() -> None:
@@ -104,8 +104,14 @@ def session_scratch_dir(spark: SparkSession, tag: str) -> tuple[str, bool]:
     """Return ``(path, fresh)`` for a session-scoped scratch dir.
     ``fresh`` is True the first time this (session, tag) asks —
     callers that build expensive sink content use it to build once
-    and reuse thereafter. The dir is deleted at interpreter exit."""
-    key = (id(spark), tag)
+    and reuse thereafter. The dir is deleted at interpreter exit.
+
+    Keyed on ``applicationId`` (stable for the session's lifetime),
+    NOT ``id(spark)``: after a stopped session is garbage-collected,
+    CPython can hand its id to a NEW session, which would silently
+    inherit a dead session's scratch dir as fresh=False (round-5
+    advisor, low)."""
+    key = (spark.sparkContext.applicationId, tag)
     if key in _SCRATCH:
         return _SCRATCH[key], False
     path = _tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")

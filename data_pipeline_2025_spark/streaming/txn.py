@@ -37,6 +37,20 @@ listing, so reconstructing any snapshot reads one checkpoint plus at
 most ``CHECKPOINT_EVERY - 1`` deltas. This is the Delta-log shape
 (JSON commits + parquet checkpoints) in two plain-text file kinds.
 
+**Data-skipping statistics** (round-6): every committed file line
+may carry the file's per-column min/max bounds, harvested from the
+parquet FOOTER at commit time (O(batch) metadata reads — the bytes
+Spark's writer already computed; Delta does exactly this in its
+``add`` actions' ``stats`` JSON). Checkpoints carry the bounds
+forward, so a snapshot's complete skipping index is readable from
+one checkpoint + few deltas WITHOUT touching a single data file.
+:func:`prune_files` / ``read_committed(..., prune=...)`` then skip
+every file whose bounds provably exclude a predicate — min/max file
+skipping on NON-partition columns, the engine's analog of the
+reference's physical indexes (salim/tables.sql:44-48) and the
+single biggest scan lever at 100 TB (a selective predicate over a
+z-ordered layout reads a handful of files instead of the table).
+
 **Multi-writer safety** (round-5): the deterministic version name
 makes the exclusive create a compare-and-swap — two writers that
 both read version N race to create ``v-(N+1)``; exactly one link
@@ -47,6 +61,16 @@ commit — exactly how Delta commits on S3 since conditional writes
 landed; on HDFS/NFS/local it is the hard-link trick below.
 tests/test_txn.py::test_two_writer_contention_one_loses_and_retries
 pins the protocol.
+
+**Retention** (round-6): :func:`vacuum` gates deletion on file AGE
+(``retain_seconds`` — Delta's retention window), so a file another
+writer has staged but not yet committed is never reclaimed from
+under it, and can protect every version still reconstructible from
+the log (``protect_log_versions=True``) so time travel keeps
+working; :func:`prune_log` then retires manifest entries older than
+the newest checkpoint needed for the retained horizon — time travel
+WITHIN the window keeps working, BEYOND it fails cleanly with
+FileNotFoundError (never a wrong answer).
 
 Readers reconstruct a snapshot from immutable committed entries and
 read exactly that file set: old-or-new, never partial (snapshot
@@ -73,7 +97,10 @@ unlisted files.
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +114,11 @@ CHECKPOINT_EVERY = 10
 
 _DELTA_SUFFIX = ".d.txt"
 _CKPT_SUFFIX = ".c.txt"
+
+# Stats values longer than this are dropped rather than risk acting
+# on parquet's truncated string statistics (a truncated max is not a
+# valid upper bound for pruning).
+_STATS_MAX_STR = 64
 
 
 def _txn_dir(sink_dir: str) -> str:
@@ -132,8 +164,8 @@ def _scan_log(sink_dir: str) -> dict[int, str]:
 def versions(sink_dir: str) -> list[int]:
     """Ascending committed snapshot versions (the manifest history —
     Delta's DESCRIBE HISTORY analog). Entries are a few bytes each;
-    a retention policy would prune them together with vacuum's
-    superseded data files."""
+    :func:`prune_log` retires those older than the retained
+    horizon."""
     return sorted(_scan_log(sink_dir))
 
 
@@ -142,12 +174,28 @@ def _read_entry(sink_dir: str, fname: str) -> list[str]:
         return [line.rstrip("\n") for line in f if line.strip()]
 
 
-def _listing_at(sink_dir: str, version: int) -> list[str]:
-    """Reconstruct the full file listing of snapshot ``version``:
-    nearest checkpoint at-or-below it, then forward-apply the deltas
-    — at most CHECKPOINT_EVERY-1 of them. Delta ops: ``+path`` adds
+def _split_stats(token: str) -> tuple[str, str | None]:
+    """A manifest line's payload is ``path`` or ``path\\t{stats
+    json}`` — the tab can't occur in either half. Round-5 entries
+    (no stats) parse unchanged."""
+    if "\t" in token:
+        path, stats = token.split("\t", 1)
+        return path, stats
+    return token, None
+
+
+def _snapshot_at(
+    sink_dir: str, version: int
+) -> tuple[dict[str, str | None], str | None]:
+    """Reconstruct snapshot ``version`` as ``({relative path ->
+    stats json or None}, schema DDL or None)``: nearest checkpoint
+    at-or-below it, then forward-apply the deltas — at most
+    CHECKPOINT_EVERY-1 of them. Delta ops: ``+path[\\tstats]`` adds
     a file, ``~dir`` retires every current file in partition ``dir``
-    (the replace commit)."""
+    (the replace commit), ``#schema\\t<ddl>`` sets the snapshot's
+    read schema from this version on (SCHEMA EVOLUTION, round 6 —
+    Delta's metaData action); checkpoints carry the current schema
+    line forward, and later schema lines win."""
     log = _scan_log(sink_dir)
     if version not in log:
         raise FileNotFoundError(
@@ -161,14 +209,50 @@ def _listing_at(sink_dir: str, version: int) -> list[str]:
         raise FileNotFoundError(
             f"no checkpoint at or below version {version} in {sink_dir}"
         )
-    listing = _read_entry(sink_dir, log[ckpt])
+    listing: dict[str, str | None] = {}
+    schema: str | None = None
+    for line in _read_entry(sink_dir, log[ckpt]):
+        if line.startswith("#schema\t"):
+            schema = line.split("\t", 1)[1]
+            continue
+        if line.startswith("#"):
+            continue  # unknown metadata line kinds: forward-compat
+        path, stats = _split_stats(line)
+        listing[path] = stats
     for seq in range(ckpt + 1, version + 1):
         ops = _read_entry(sink_dir, log[seq])
         drops = {op[1:] for op in ops if op.startswith("~")}
         if drops:
-            listing = [f for f in listing if os.path.dirname(f) not in drops]
-        listing += [op[1:] for op in ops if op.startswith("+")]
-    return listing
+            listing = {
+                p: s
+                for p, s in listing.items()
+                if os.path.dirname(p) not in drops
+            }
+        for op in ops:
+            if op.startswith("#schema\t"):
+                schema = op.split("\t", 1)[1]
+            elif op.startswith("+"):
+                path, stats = _split_stats(op[1:])
+                listing[path] = stats
+    return listing, schema
+
+
+def _entries_at(sink_dir: str, version: int) -> dict[str, str | None]:
+    return _snapshot_at(sink_dir, version)[0]
+
+
+def schema_at(sink_dir: str, version: int | None = None) -> str | None:
+    """The snapshot's recorded read-schema DDL (None when no commit
+    ever declared one — pre-round-6 sinks read with parquet's own
+    inferred schema, unchanged)."""
+    vs = versions(sink_dir)
+    if not vs:
+        return None
+    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[1]
+
+
+def _listing_at(sink_dir: str, version: int) -> list[str]:
+    return list(_entries_at(sink_dir, version))
 
 
 def listing_at(sink_dir: str, version: int) -> list[str]:
@@ -192,32 +276,191 @@ def committed_files(sink_dir: str) -> list[str]:
     return _listing_at(sink_dir, vs[-1])
 
 
-def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame | None:
+# ---------------------------------------------------------------
+# Data-skipping statistics (round 6)
+
+
+def _json_stat_value(v):
+    """Parquet footer stat -> JSON-safe bound, or None when the type
+    can't round-trip exactly (then the column simply isn't prunable
+    for this file — correctness-safe)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return None  # min/max on bool is useless for pruning
+    if isinstance(v, int) or isinstance(v, float):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return None  # lossy float conversion could fake a bound
+    return None
+
+
+def file_stats_json(path: str) -> str | None:
+    """Per-column [min, max] of one parquet file as a compact JSON
+    string, from the FOOTER only (no data read — the same bytes
+    Delta snapshots into its add-action ``stats``). A column is
+    included only when EVERY row group reports trustworthy min/max
+    for it; anything questionable (nested paths, truncation-length
+    strings, decimals) is dropped — a missing bound merely disables
+    pruning for that column, never a wrong skip."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema
+            if name in bad or "." in name:
+                bad.add(name)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            try:
+                # .min/.max themselves can raise for types pyarrow
+                # can't cast statistics for (has_min_max lies)
+                mn = _json_stat_value(st.min)
+                mx = _json_stat_value(st.max)
+            except Exception:
+                bad.add(name)
+                continue
+            if mn is None or mx is None:
+                bad.add(name)
+                continue
+            if name not in mins:
+                mins[name], maxs[name] = mn, mx
+            else:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+    cols = {n: [mins[n], maxs[n]] for n in sorted(mins) if n not in bad}
+    if not cols:
+        return None
+    return json.dumps(cols, separators=(",", ":"))
+
+
+def _collect_stats(sink_dir: str, new_files: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for rel in new_files:
+        s = file_stats_json(os.path.join(sink_dir, rel))
+        if s is not None:
+            out[rel] = s
+    return out
+
+
+def stats_at(
+    sink_dir: str, version: int | None = None
+) -> dict[str, dict[str, tuple]]:
+    """The snapshot's skipping index: {relative path -> {column ->
+    (min, max)}} read from the manifest alone (one checkpoint + few
+    deltas of BYTES — no data-file access). Files committed before
+    round 6 simply have no entry."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    v = vs[-1] if version is None else version
+    out: dict[str, dict[str, tuple]] = {}
+    for path, stats in _entries_at(sink_dir, v).items():
+        if stats is None:
+            out[path] = {}
+            continue
+        try:
+            cols = json.loads(stats)
+        except ValueError:
+            out[path] = {}
+            continue
+        out[path] = {c: (b[0], b[1]) for c, b in cols.items()}
+    return out
+
+
+def prune_files(
+    sink_dir: str,
+    predicate: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Min/max file skipping: return ``(kept_paths, total)`` for a
+    conjunction of range predicates ``{col: (lo, hi)}`` (either bound
+    may be None for one-sided ranges; timestamp bounds are ISO
+    strings matching the manifest encoding). A file is skipped ONLY
+    when its recorded bounds prove it cannot contain a matching row
+    (file_max < lo or file_min > hi); files without bounds for a
+    predicate column are always kept — pruning is an optimization,
+    never a filter, so the caller still applies the exact predicate
+    to the surviving rows (same contract as parquet row-group
+    skipping)."""
+    index = stats_at(sink_dir, version)
+    kept: list[str] = []
+    for path, cols in index.items():
+        skip = False
+        for col, (lo, hi) in predicate.items():
+            if col not in cols:
+                continue
+            mn, mx = cols[col]
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                skip = True
+                break
+        if not skip:
+            kept.append(path)
+    return kept, len(index)
+
+
+def read_committed(
+    spark: SparkSession,
+    sink_dir: str,
+    prune: dict[str, tuple] | None = None,
+) -> DataFrame | None:
     """DataFrame over exactly the committed snapshot, or None when no
     data has ever been committed. ``basePath`` recovers the hive
     partition columns so downstream partition-column filters still
-    prune (they filter the file list, same as directory reads)."""
-    files = committed_files(sink_dir)
+    prune (they filter the file list, same as directory reads).
+
+    With ``prune={col: (lo, hi)}`` the manifest's per-file min/max
+    bounds drop provably-excluded files BEFORE Spark ever sees them
+    — manifest-driven data skipping on non-partition columns. The
+    caller must still apply the exact predicate (kept files may
+    contain non-matching rows)."""
+    if prune:
+        files, _total = prune_files(sink_dir, prune)
+    else:
+        files = committed_files(sink_dir)
     if not files:
         return None
-    return (
-        spark.read.option("basePath", sink_dir)
-        .parquet(*[os.path.join(sink_dir, f) for f in files])
-    )
+    reader = spark.read.option("basePath", sink_dir)
+    schema = schema_at(sink_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(sink_dir, f) for f in files])
 
 
 def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     """Time travel: DataFrame over exactly the snapshot a past commit
     published (Delta's ``versionAsOf``). Works because data files are
     immutable once committed and superseded files survive until
-    vacuum — the log IS the table state."""
-    files = _listing_at(sink_dir, version)
+    vacuum — the log IS the table state. After :func:`prune_log`,
+    versions beyond the retained horizon raise FileNotFoundError
+    (clean refusal, never a wrong snapshot)."""
+    entries, schema = _snapshot_at(sink_dir, version)
+    files = list(entries)
     if not files:
         return spark.read.format("parquet").schema("__empty STRING").load()
-    return (
-        spark.read.option("basePath", sink_dir)
-        .parquet(*[os.path.join(sink_dir, f) for f in files])
-    )
+    reader = spark.read.option("basePath", sink_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(sink_dir, f) for f in files])
 
 
 def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) -> list[str]:
@@ -258,7 +501,9 @@ def _try_commit(sink_dir: str, seq: int, lines: list[str], is_checkpoint: bool) 
     exclusive create, so a reader can never observe a half-written
     entry and two writers can never both commit the same version.
     Returns False when a concurrent writer won this sequence number
-    (the CAS failure — caller re-reads the log and retries). Maps
+    (the CAS failure — caller re-reads the log and retries), or when
+    a concurrent vacuum reclaimed the temp file before the link
+    (same recovery: the retry loop writes a fresh temp file). Maps
     1:1 to S3 ``If-None-Match: *`` conditional PUT."""
     txn = _txn_dir(sink_dir)
     os.makedirs(txn, exist_ok=True)
@@ -272,8 +517,13 @@ def _try_commit(sink_dir: str, seq: int, lines: list[str], is_checkpoint: bool) 
         return True
     except FileExistsError:
         return False
+    except FileNotFoundError:
+        # the temp file vanished between write and publish (an
+        # over-eager concurrent vacuum) — nothing was committed
+        return False
     finally:
-        os.unlink(tmp)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
 
 
 def _commit(
@@ -281,17 +531,27 @@ def _commit(
     new_files: list[str],
     replace: bool,
     expected_version: int | None = None,
+    schema_ddl: str | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
     preserves both batches; a replace retried on a newer snapshot
     keeps last-replace-wins semantics for the touched partitions.
 
+    Each new file's line carries its footer min/max stats (collected
+    ONCE, outside the retry loop — O(batch) metadata reads).
+
     With ``expected_version`` set, the commit is CONDITIONAL: it only
     publishes while the log head is exactly that version (0 = no
     commits yet) and returns False the moment any other writer lands
     first — blind retry would be a lost update for a rewrite derived
     from the old snapshot (Delta's ConcurrentModificationException)."""
+    stats = _collect_stats(sink_dir, new_files)
+
+    def _token(path: str) -> str:
+        s = stats.get(path)
+        return path if s is None else f"{path}\t{s}"
+
     while True:
         vs = versions(sink_dir)
         head = vs[-1] if vs else 0
@@ -303,26 +563,47 @@ def _commit(
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
         )
         if is_ckpt:
-            base = _listing_at(sink_dir, vs[-1]) if vs else []
+            base, cur_schema = (
+                _snapshot_at(sink_dir, vs[-1]) if vs else ({}, None)
+            )
             if replace:
-                base = [
-                    f for f in base if os.path.dirname(f) not in set(replaced_dirs)
-                ]
-            lines = base + list(new_files)
+                drops = set(replaced_dirs)
+                base = {
+                    p: s
+                    for p, s in base.items()
+                    if os.path.dirname(p) not in drops
+                }
+            eff_schema = schema_ddl if schema_ddl is not None else cur_schema
+            lines = (
+                [f"#schema\t{eff_schema}"] if eff_schema is not None else []
+            ) + [
+                p if s is None else f"{p}\t{s}" for p, s in base.items()
+            ] + [_token(f) for f in new_files]
         else:
-            lines = [f"~{d}" for d in replaced_dirs] + [
-                f"+{f}" for f in new_files
+            lines = (
+                [f"#schema\t{schema_ddl}"] if schema_ddl is not None else []
+            ) + [f"~{d}" for d in replaced_dirs] + [
+                f"+{_token(f)}" for f in new_files
             ]
         if _try_commit(sink_dir, seq, lines, is_ckpt):
             return True
 
 
-def commit_append(sink_dir: str, new_files: list[str]) -> None:
+def commit_append(
+    sink_dir: str, new_files: list[str], schema_ddl: str | None = None
+) -> None:
     """Publish a new snapshot = current snapshot + ``new_files`` as
     ONE atomic log-entry create. O(batch) bytes written except at
     checkpoint versions; concurrent writers serialize through the
-    CAS retry loop, no update lost."""
-    _commit(sink_dir, list(new_files), replace=False)
+    CAS retry loop, no update lost.
+
+    ``schema_ddl`` (round 6) records a new READ SCHEMA with this
+    commit — Delta's add-column evolution: files committed under an
+    earlier, narrower schema are null-filled for the new columns at
+    read time (``read_version``/``read_committed`` apply the
+    snapshot's schema), and time travel to pre-evolution versions
+    still reads with THAT version's schema."""
+    _commit(sink_dir, list(new_files), replace=False, schema_ddl=schema_ddl)
 
 
 def commit_replace(sink_dir: str, new_files: list[str]) -> None:
@@ -355,15 +636,46 @@ def commit_replace_if(
     )
 
 
-def vacuum(sink_dir: str) -> list[str]:
-    """Delete data files the CURRENT committed snapshot does not
-    reference — crash orphans and files superseded by replace
-    commits. Returns the removed relative paths. Safe while readers
-    run ONLY for crash orphans (nothing can hold a handle to a file
-    that was never published); reclaiming superseded snapshot files
-    breaks time travel to those versions — a deployment that wants
-    both needs a retention window, i.e. Delta's VACUUM."""
-    committed = set(committed_files(sink_dir))
+def vacuum(
+    sink_dir: str,
+    retain_seconds: float = 0.0,
+    protect_log_versions: bool = False,
+) -> list[str]:
+    """Delete unreferenced data files — crash orphans and files
+    superseded by replace commits. Returns the removed relative
+    paths.
+
+    ``retain_seconds`` is the Delta-style RETENTION WINDOW (round-6,
+    advisor medium): a file is deleted only when its mtime is older
+    than the window, so a file a CONCURRENT writer has staged via
+    :func:`stage_append` but not yet committed is never reclaimed
+    from under its commit (the stage-to-commit latency is bounded by
+    the window; Delta defaults to 7 days for the same reason).
+    Leftover ``.tmp-`` entries of in-flight commits get the same age
+    gate, and :func:`_try_commit` additionally survives losing its
+    temp file mid-publish. The 0.0 default keeps the quiesced-sink
+    behavior (reclaim everything immediately) — correct ONLY when no
+    writer is in flight, which is how the test suites and the
+    single-writer streaming sinks call it.
+
+    ``protect_log_versions=True`` additionally keeps every file any
+    still-reconstructible log version references (union of the
+    retained manifest entries — O(log) bytes), so TIME TRAVEL keeps
+    working across the whole retained history; pair with
+    :func:`prune_log` to shrink that set. False (default) protects
+    only the CURRENT snapshot — past versions become unreadable, the
+    documented trade-off of immediate reclamation."""
+    protected = set(committed_files(sink_dir))
+    if protect_log_versions:
+        log = _scan_log(sink_dir)
+        for fname in log.values():
+            for line in _read_entry(sink_dir, fname):
+                if line.startswith(("~", "#")):
+                    continue
+                token = line[1:] if line.startswith("+") else line
+                path, _stats = _split_stats(token)
+                protected.add(path)
+    cutoff = time.time() - retain_seconds
     removed: list[str] = []
     for root, dirs, files in os.walk(sink_dir):
         # never descend into the txn/staging machinery
@@ -371,14 +683,57 @@ def vacuum(sink_dir: str) -> list[str]:
         for fname in files:
             if not fname.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, fname), sink_dir)
-            if rel not in committed:
-                os.remove(os.path.join(root, fname))
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, sink_dir)
+            if rel in protected:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                os.remove(full)
                 removed.append(rel)
-    # leftover commit temp files from crashed writers
+    # leftover commit temp files from crashed writers — same age gate
     txn = _txn_dir(sink_dir)
     if os.path.isdir(txn):
         for fname in os.listdir(txn):
             if fname.startswith(".tmp-"):
-                os.remove(os.path.join(txn, fname))
+                full = os.path.join(txn, fname)
+                with contextlib.suppress(FileNotFoundError):
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
     return sorted(removed)
+
+
+def prune_log(sink_dir: str, keep_versions: int = CHECKPOINT_EVERY) -> list[int]:
+    """Retire manifest entries no longer needed to reconstruct the
+    most recent ``keep_versions`` snapshots (round-6 — the log-side
+    half of the retention policy; Delta's metadata retention). Keeps
+    the newest checkpoint at-or-below the horizon plus everything
+    after it; versions OLDER than that checkpoint lose their entries
+    and :func:`read_version` then refuses them with
+    FileNotFoundError — a clean "beyond retention" failure, never a
+    wrong snapshot. Entries between that checkpoint and the horizon
+    survive as a conservative bonus. Returns the pruned versions.
+
+    Run :func:`vacuum(..., protect_log_versions=True)` AFTER pruning
+    to reclaim the data files only pre-horizon versions referenced —
+    prune-then-vacuum is the safe order (vacuum protects exactly
+    what the remaining log can still reach)."""
+    vs = versions(sink_dir)
+    if not vs:
+        return []
+    horizon = max(vs[-1] - keep_versions + 1, vs[0])
+    log = _scan_log(sink_dir)
+    base = max(
+        (s for s, f in log.items() if s <= horizon and f.endswith(_CKPT_SUFFIX)),
+        default=None,
+    )
+    if base is None:
+        return []
+    pruned: list[int] = []
+    for seq, fname in log.items():
+        if seq < base:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(_txn_dir(sink_dir), fname))
+            pruned.append(seq)
+    return sorted(pruned)

@@ -17,6 +17,8 @@ design, so it can't be oracle-diffed batch-style).
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -795,6 +797,17 @@ def q161_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint per run.
     tag = "state_q161_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ck, fresh = session_scratch_dir(spark, tag)
+    # Partial-build guard (round-5 advisor): session_scratch_dir
+    # registers the dir BEFORE the streaming probe runs, so a crash
+    # mid-build would hand every later invocation fresh=False over a
+    # broken checkpoint. A completion marker (written only after
+    # awaitTermination) is the q162-style version-count guard for a
+    # state-store checkpoint; absent marker → wipe and rebuild.
+    marker = os.path.join(ck, "_probe_complete")
+    if not fresh and not os.path.exists(marker):
+        shutil.rmtree(ck, ignore_errors=True)
+        os.makedirs(ck, exist_ok=True)
+        fresh = True
     if fresh:
         agg = (
             _events_stream(spark, sf_dir)
@@ -811,6 +824,8 @@ def q161_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok\n")
     state = spark.read.format("statestore").load(ck)
     return state.select(
         F.col("key.event_type").alias("event_type"),

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 198
+EXPECTED_QUERY_COUNT = 204
 
 
 def test_registry_complete():
@@ -65,75 +65,66 @@ def test_registry_complete():
 
 def test_priority_queries_inside_driver_cap():
     """Driver evidence says the correctness sweep caps at 50 queries
-    in registration order. Round-5 rotation: every query whose
-    implementation changed after its last driver check must sit
-    inside the first 50 so the driver officially re-checks it —
-    new round-5 queries, the q146 shim unlock, this round's
-    rewrites (q109/q143/q151/q161/q162/q164), the r3 rewrites last
-    checked in r2 (q35/q36/q63), the r4 scale-smell re-confirms,
-    and the streaming sinks moved onto the delta-log txn protocol."""
+    in registration order. Round-6 rotation (verdict item #2): the
+    cap leads with the round's new/rewritten queries and then swings
+    back to the OLDEST officially-checked rows — all 25 r1-checked
+    queries and the 14 oldest r2-checked ones — so no registry row's
+    last official check falls further behind."""
     first_50 = set(list(SPECS)[:50])
     must_lead = {
-        # (a) new round-5
-        "q175_skew_adaptive_agg",
-        "q176_keyset_pagination",
-        "q177_snapshot_changelog",
-        "q178_stratified_split",
-        "q179_merge_upsert",
-        "q180_zipf_slope",
-        "q181_ivf_density_sweep",
-        "q182_hamming_neardup",
-        "q183_important_parts",
-        "q184_top_supplier",
-        "q185_promo_revenue_share",
-        "q186_disjunctive_pred_join",
-        "q187_bilateral_trade",
-        "q188_compaction_audit",
-        "q189_selectivity_estimate",
-        "q190_trending_terms",
-        "q191_retrieval_ndcg",
-        "q192_semantic_decontamination",
-        "q193_bigram_surprisal",
-        "q194_priority_late_exists",
-        "q195_forecast_revenue",
-        "q196_market_share",
-        "q197_order_count_distribution",
-        "q198_bpe_merge_training",
-        "q199_lloyd_convergence",
+        # (a) new round-6
+        "q201_manifest_skipping",
+        "q202_ivfpq_search",
+        "q203_schema_evolution",
+        "q204_log_retention",
+        "q205_pii_redaction",
+        "q206_bpe_encode",
+        # (b) rewritten/affected round 6
+        "q163_zorder_locality",
         "q200_zipf_split_join",
-        # (c4) rewritten end of round 5 (bench overhead)
-        "q169_power_iteration",
-        "q170_jl_distortion",
-        # (c2) rewritten late round 5
-        "q43_embedding_neardup",
-        "q91_rank_propagation",
-        "q107_neardup_triangles",
-        "q172_pagerank_converged",
-        # (c3) 10x-sweep fallout
-        "q125_bm25_topk",
-        "q150_hybrid_bm25_cosine",
-        "q144_prefix_filter_join",
-        # (b) newly registered
-        "q146_stream_transform_with_state",
-        # (c) rewritten round 5
-        "q109_pareto_frontier",
-        "q143_equidepth_histogram",
-        "q151_length_bucketing",
-        "q161_state_store_reader",
+        "q188_compaction_audit",
         "q162_snapshot_time_travel",
-        "q164_sorted_neighborhood",
-        # (d) rewritten r3, last driver-checked r2
-        "q35_ngram_jaccard_pairs",
-        "q36_minhash_lsh_dedup",
-        "q63_decontamination",
-        # (e) r4 scale-smell re-confirmation
-        "q168_key_skew_diagnostics",
-        "q171_cbo_join_order",
-        # (f) delta-log txn adopters (q83/q97/q126 displaced by the
-        # q194-q197 TPC-H batch — same txn.commit code path as the
-        # three below, locally three-tier verified)
+        "q177_snapshot_changelog",
+        "q161_state_store_reader",
+        "q146_stream_transform_with_state",
         "q50_stream_hourly_rollup",
-        "q51_stream_dedup_replay",
-        "q120_stream_dedup_gate",
+        # (c) the oldest official checks: every r1-checked query ...
+        "q03_promo_stats_by_category",
+        "q04_non_promo_by_store",
+        "q05_recent_window",
+        "q06_barcode_compare",
+        "q07_cheapest_per_store",
+        "q08_lowest_prices_page",
+        "q09_basket_totals",
+        "q10_best_basket_summary",
+        "q11_price_history",
+        "q12_price_trend",
+        "q13_history_minmax",
+        "q14_distinct_categories",
+        "q15_store_stats",
+        "q16_store_directory",
+        "q17_revenue_by_nation",
+        "q18_order_lines_rollup",
+        "q19_customers_without_orders",
+        "q20_cheapest_supplier_per_part",
+        "q47_trigram_fuzzy_search",
+        "q48_price_percentiles",
+        "q53_asof_price",
+        "q54_price_validity_intervals",
+        "q55_price_spread",
+        "q56_shipping_priority",
+        "q57_large_volume_orders",
+        # (d) ... and the 14 oldest r2-checked ones
+        "q01_pricing_summary",
+        "q02_product_search",
+        "q21_events_daily",
+        "q22_user_running_totals",
+        "q23_event_gaps",
+        "q24_user_event_pivot",
+        "q25_scalar_showcase",
+        "q26_segment_balances",
+        "q27_set_operations",
+        "q28_revenue_rollup",
+        "q75_continuous_aggregate",
     }
     assert must_lead <= first_50, must_lead - first_50

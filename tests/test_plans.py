@@ -925,9 +925,23 @@ def test_q200_keeps_both_join_strategies(spark, sf_smoke):
     """q200 (hot/cold split join): the hot head must join broadcast,
     the cold tail must stay a co-keyed shuffle join (the merge hint
     pins it against Catalyst broadcasting the tiny test-tier tail),
-    and the hot list itself must be a parallel partial top-k."""
+    and the hot list itself must be a statistics predicate with no
+    global-order funnel."""
     plan = plan_of(spark, "q200_zipf_split_join", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
-    assert "TakeOrderedAndProject" in plan
+    # round 6: the hot list is a statistics predicate, not a top-k —
+    # no global-order operator (and no row_number funnel) anywhere
+    assert "TakeOrderedAndProject" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q163_audit_is_all_parallel(spark, sf_smoke):
+    """q163 (z-order locality audit): round 6 replaced the global
+    ntile window with equal-width value-range bucketing — the plan
+    must contain NO window operator and no single-partition global
+    sort; the per-file span aggregation must be hash-partitioned."""
+    plan = plan_of(spark, "q163_zorder_locality", sf_smoke)
+    assert "Window" not in plan
+    assert "ntile" not in plan
+    assert "hashpartitioning(layout" in plan

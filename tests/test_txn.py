@@ -125,8 +125,10 @@ def test_commit_cost_bounded_by_batch_not_table(spark, tmp_path):
     assert len(deltas) == 22
     delta_sizes = [os.path.getsize(os.path.join(log_dir, f)) for f in deltas]
     # every delta lists exactly its own batch: bytes per commit flat,
-    # independent of how many files the table already holds
-    assert max(delta_sizes) - min(delta_sizes) <= 4  # path-length jitter only
+    # independent of how many files the table already holds (small
+    # jitter from path lengths + the round-6 per-file stats JSON,
+    # whose digit counts vary — still O(batch), never O(table))
+    assert max(delta_sizes) - min(delta_sizes) <= 24
     # reconstruction crosses checkpoint boundaries exactly
     assert len(txn._listing_at(sink, 15)) == 15
     assert len(txn._listing_at(sink, 21)) == 21
@@ -298,3 +300,157 @@ def test_txn_compact_crash_before_commit_is_invisible(spark, tmp_path):
     removed = txn.vacuum(sink)
     assert removed  # the staged orphan rewrite
     assert _rows(spark, sink) == before_rows
+
+
+# ---------------------------------------------------------------
+# Round 6: retention window, log pruning, data-skipping statistics
+
+
+def test_vacuum_retention_window_protects_recent_files(spark, tmp_path):
+    """The advisor's concurrent-writer hazard: a file staged (but not
+    yet committed) by another writer must survive vacuum. With a
+    retention window, recently-written unreferenced files are kept;
+    with the quiesced default (0) they are reclaimed."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 2, "a"), sink, ("day",)))
+    staged = txn.stage_append(_mk(spark, 10, 12, "b"), sink, ("day",))
+    # in-flight batch is younger than the window -> untouchable
+    assert txn.vacuum(sink, retain_seconds=3600) == []
+    # the other writer's commit still succeeds afterwards
+    txn.commit_append(sink, staged)
+    assert _rows(spark, sink) == {(0, "a"), (1, "a"), (10, "b"), (11, "b")}
+    # quiesced reclaim still works for true orphans
+    orphan = txn.stage_append(_mk(spark, 99, 100, "c"), sink, ("day",))
+    assert set(orphan) <= set(txn.vacuum(sink))
+
+
+def test_vacuum_protect_log_versions_keeps_time_travel(spark, tmp_path):
+    """protect_log_versions=True keeps every file a reconstructible
+    version references: time travel across the whole retained
+    history survives vacuum; after prune_log the pre-horizon files
+    become reclaimable and read_version refuses cleanly."""
+    import pytest
+
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 2, "a"), sink, ("day",)))
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 2, 4, "b"), sink, ("day",)))
+    txn.commit_replace(sink, txn.stage_append(_mk(spark, 100, 101, "b"), sink, ("day",)))
+    assert txn.vacuum(sink, protect_log_versions=True) == []
+    v2 = {(r["id"], r["day"]) for r in txn.read_version(spark, sink, 2).collect()}
+    assert v2 == {(0, "a"), (1, "a"), (2, "b"), (3, "b")}  # superseded files intact
+    # 25 more commits push the head far past the old versions
+    for i in range(25):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, 200 + i, 201 + i, "a"), sink, ("day",))
+        )
+    head = txn.versions(sink)[-1]
+    pruned = txn.prune_log(sink, keep_versions=5)
+    assert pruned and max(pruned) < head - 4
+    # within the window: still reconstructible, exact content (the
+    # head-2 snapshot is live minus the last two single-row appends)
+    live = _rows(spark, sink)
+    v_old = {
+        (r["id"], r["day"]) for r in txn.read_version(spark, sink, head - 2).collect()
+    }
+    assert v_old == live - {(200 + 23, "a"), (200 + 24, "a")}
+    # beyond the window: clean refusal, never a wrong snapshot
+    with pytest.raises(FileNotFoundError):
+        txn.read_version(spark, sink, min(pruned))
+    # prune-then-vacuum reclaims the files only pre-horizon versions
+    # referenced (the replaced-away v2 'b' files), content unchanged
+    removed = txn.vacuum(sink, protect_log_versions=True)
+    assert any("day=b" in f for f in removed)
+    assert _rows(spark, sink) == live
+
+
+def test_manifest_stats_prune_files_skips_and_keeps_exactly(spark, tmp_path):
+    """Round-6 headline: per-file min/max bounds ride the manifest,
+    and prune_files skips exactly the files whose bounds exclude the
+    predicate — without touching any data file. Files must never be
+    wrongly skipped (bounds overlap -> kept)."""
+    sink = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn.commit_append(
+            sink,
+            txn.stage_append(_mk(spark, lo, lo + 10, "a").coalesce(1), sink, ("day",)),
+        )
+    # skipping index comes from the log alone
+    idx = txn.stats_at(sink)
+    assert len(idx) == 3
+    assert all("id" in cols for cols in idx.values())
+    kept, total = txn.prune_files(sink, {"id": (105, 115)})
+    assert total == 3 and len(kept) == 1
+    df = txn.read_committed(spark, sink, prune={"id": (105, 115)})
+    got = {r["id"] for r in df.where(F.col("id").between(105, 115)).collect()}
+    assert got == set(range(105, 110))
+    # one-sided ranges + missing-stats column -> conservative keep
+    kept_hi, _ = txn.prune_files(sink, {"id": (None, 50)})
+    assert len(kept_hi) == 1
+    kept_unknown, _ = txn.prune_files(sink, {"no_such_col": (1, 2)})
+    assert len(kept_unknown) == 3
+
+
+def test_manifest_stats_survive_checkpoint_and_replace(spark, tmp_path):
+    """Stats carry forward through checkpoint reconstruction and
+    replace commits: after 12 commits (crossing the v11 checkpoint)
+    and a partition replace, the surviving files' bounds are intact
+    and pruning still works on the latest snapshot."""
+    sink = str(tmp_path / "t")
+    for i in range(12):
+        txn.commit_append(
+            sink,
+            txn.stage_append(
+                _mk(spark, i * 10, i * 10 + 5, "a").coalesce(1), sink, ("day",)
+            ),
+        )
+    txn.commit_replace(
+        sink,
+        txn.stage_append(_mk(spark, 1000, 1002, "a").coalesce(1), sink, ("day",)),
+    )
+    idx = txn.stats_at(sink)
+    assert len(idx) == 1  # replace retired day=a entirely
+    (cols,) = idx.values()
+    assert cols["id"] == (1000, 1001)
+    kept, total = txn.prune_files(sink, {"id": (0, 5)})
+    assert (kept, total) == ([], 1)
+
+
+def test_schema_evolution_add_column_is_metadata_only(spark, tmp_path):
+    """Round-6: an add-column commit records the widened read schema
+    in the manifest; v1 files are null-filled for the new column at
+    the committed read, while time travel to v1 reads with v1's OWN
+    narrow schema. No old data file is rewritten."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink,
+        txn.stage_append(_mk(spark, 0, 3, "a").coalesce(1), sink, ("day",)),
+        schema_ddl="id BIGINT, day STRING",
+    )
+    v1_files = set(txn.committed_files(sink))
+    wide = spark.range(10, 12).select(
+        F.col("id"), F.lit("x").alias("extra"), F.lit("b").alias("day")
+    )
+    txn.commit_append(
+        sink,
+        txn.stage_append(wide.coalesce(1), sink, ("day",)),
+        schema_ddl="id BIGINT, extra STRING, day STRING",
+    )
+    assert txn.schema_at(sink, 1) == "id BIGINT, day STRING"
+    assert txn.schema_at(sink) == "id BIGINT, extra STRING, day STRING"
+    live = txn.read_committed(spark, sink)
+    assert live.columns == ["id", "extra", "day"]
+    got = {(r["id"], r["extra"], r["day"]) for r in live.collect()}
+    assert got == {(0, None, "a"), (1, None, "a"), (2, None, "a"),
+                   (10, "x", "b"), (11, "x", "b")}
+    old = txn.read_version(spark, sink, 1)
+    assert old.columns == ["id", "day"]  # v1's own schema, no extra
+    # metadata-only: the v1 data files are byte-identical members of
+    # the v2 snapshot (no rewrite)
+    assert v1_files <= set(txn.committed_files(sink))
+    # the schema line survives checkpoint reconstruction
+    for i in range(12):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, 100 + i, 101 + i, "a").coalesce(1),
+                                   sink, ("day",))
+        )
+    assert txn.schema_at(sink) == "id BIGINT, extra STRING, day STRING"
