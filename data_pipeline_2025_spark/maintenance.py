@@ -177,6 +177,7 @@ def txn_compact(
             return {}
         results: dict[str, tuple[int, int]] = {}
         new_files: list[str] = []
+        snapshot_dvs = txn.dv_at(sink_dir, head)
         for part_dir, files in sorted(todo.items()):
             paths = [os.path.join(sink_dir, f) for f in files]
             total_bytes = sum(os.path.getsize(p) for p in paths)
@@ -187,6 +188,13 @@ def txn_compact(
                 if "=" in seg
             )
             df = spark.read.option("basePath", sink_dir).parquet(*paths)
+            # Apply the snapshot's deletion vectors for these files:
+            # a raw-file rewrite would RESURRECT DV-deleted rows
+            # (round 6). The replace commit then retires the old
+            # files' DVs with the files, so the compacted output is
+            # DV-free by construction.
+            part_dvs = {f: v for f, v in snapshot_dvs.items() if f in set(files)}
+            df = txn._apply_dv(spark, df, sink_dir, part_dvs)
             staged = txn.stage_append(
                 df.coalesce(int(n_out)), sink_dir, partition_cols
             )

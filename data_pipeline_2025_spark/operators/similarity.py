@@ -2541,9 +2541,10 @@ def q202_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= IVFPQ_RERANK)
         .select("query_id", "vec_id", "qmv", "qn2")
     )
-    # re-rank: true-vector read for the shortlist only
-    rerank = shortlist.join(
-        vecs.select("vec_id", "mv", "n2"), "vec_id"
+    # re-rank: true-vector read for the shortlist only — the
+    # Q x RERANK shortlist broadcasts so the corpus NEVER shuffles
+    rerank = vecs.select("vec_id", "mv", "n2").join(
+        F.broadcast(shortlist), "vec_id"
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -2583,7 +2584,7 @@ def q202_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("candidates_scanned")
     )
     hits = (
-        finals.join(exact, ["query_id", "neighbor_id"])
+        finals.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits_at_10"))
     )

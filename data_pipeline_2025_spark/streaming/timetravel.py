@@ -693,3 +693,196 @@ def q204_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(travel_ok).cast("bigint").alias("travel_within_ok"),
         F.lit(refused_ok).cast("bigint").alias("refused_beyond_ok"),
     )
+
+
+# --------- q207: deletion vectors — row-level DELETE (round 6)
+#
+# The fourth lakehouse write primitive beside append/replace/schema:
+# DELETE FROM ... WHERE, executed as a deletion-vector commit
+# (txn.commit_delete / delete_where — Delta's DV sidecars). The
+# point at 100 TB: a selective delete (GDPR erasure, bad-batch
+# takeback) cannot pay an O(partition rewrite); a DV commit is
+# O(deleted positions) manifest bytes, readers anti-join
+# (file, row_index) against the broadcast DV set, and every data
+# file stays byte-identical — which ALSO keeps time travel to the
+# pre-delete snapshot exact. This query builds a day-partitioned
+# events sink, deletes event_id % 7 == 3 through the real
+# machinery, and emits per-day surviving rows + exact value totals
+# (hash-checked against batch SQL with the same predicate), the
+# deleted-row count recomputed FROM THE MANIFEST's DVs, the
+# pre-delete row count via time travel, and a files_unchanged flag
+# comparing the v1 and v2 file sets. Scale shape: the DV set is
+# bounded by deleted rows (bitmap seam documented in txn.py); the
+# read is the plain snapshot scan plus one broadcast anti-join.
+
+_DV_MOD = 7
+_DV_REM = 3
+
+_ORACLE_Q207 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) FILTER (WHERE event_id % {_DV_MOD} <> {_DV_REM})
+            AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+                  FILTER (WHERE event_id % {_DV_MOD} <> {_DV_REM}), 2)
+            AS DOUBLE) AS total_value_d,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_id % {_DV_MOD} = {_DV_REM}) AS deleted_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS pre_rows,
+       CAST(1 AS BIGINT) AS files_unchanged
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "q207_deletion_vectors",
+    oracle=_ORACLE_Q207,
+    doc="Row-level DELETE as a deletion-vector commit (Delta DV "
+    "analog): event_id % 7 == 3 rows deleted with zero data files "
+    "touched; per-day survivors + exact value totals hash-checked, "
+    "the deleted count recomputed from the manifest's DVs, the "
+    "pre-delete snapshot read back via time travel, and the v1/v2 "
+    "file sets compared byte-identical — the metadata-only erasure "
+    "a 100 TB sink needs.",
+    tags=("streaming", "txn", "delete", "dv"),
+)
+def q207_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "dv_q207_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(ev, sink, ("day",)))
+        txn.delete_where(
+            spark, sink, F.col("event_id") % _DV_MOD == _DV_REM
+        )
+    deleted_rows = sum(len(v) for v in txn.dv_at(sink).values())
+    pre_rows = txn.read_version(spark, sink, 1).count()
+    files_unchanged = (
+        1
+        if sorted(txn.listing_at(sink, 1)) == sorted(txn.committed_files(sink))
+        else 0
+    )
+    return (
+        txn.read_committed(spark, sink)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .withColumn("deleted_rows", F.lit(deleted_rows).cast("bigint"))
+        .withColumn("pre_rows", F.lit(pre_rows).cast("bigint"))
+        .withColumn("files_unchanged", F.lit(files_unchanged).cast("bigint"))
+        .orderBy("day")
+    )
+
+
+# --------- q208: DV-backed MERGE (round 6)
+#
+# q179 applies a CDC upsert by REWRITING partitions (the only
+# option without row-level machinery); with round-6 deletion
+# vectors the same MERGE is ONE metadata commit: matched rows are
+# DV-deleted in place, matched-rewrites + brand-new rows append,
+# atomically (txn.merge_upsert_dv). Update set: every event_id
+# % 10 == 0 gets value + 1.0 (an UPDATE); every event_id % 97 == 0
+# is cloned to a new id + 10,000,000 (an INSERT). The audit reads
+# back per-day rows + exact value totals (hash-checked against the
+# set-algebra oracle), recomputes matched from the manifest's DVs
+# and inserted from the pre/post row delta (both via time travel),
+# and pins originals_intact: every v1 data file is still a byte-
+# identical member of the v2 listing — the no-rewrite proof.
+_MERGE_UPD_MOD = 10
+_MERGE_INS_MOD = 97
+_MERGE_ID_OFFSET = 10_000_000
+
+_ORACLE_Q208 = f"""
+WITH keep AS (
+    SELECT event_id, value, CAST(ts AS DATE) AS day FROM events
+    WHERE event_id % {_MERGE_UPD_MOD} <> 0
+),
+upd AS (
+    SELECT event_id, value + 1.0 AS value, CAST(ts AS DATE) AS day FROM events
+    WHERE event_id % {_MERGE_UPD_MOD} = 0
+),
+ins AS (
+    SELECT event_id + {_MERGE_ID_OFFSET} AS event_id, value,
+           CAST(ts AS DATE) AS day
+    FROM events WHERE event_id % {_MERGE_INS_MOD} = 0
+),
+merged AS (
+    SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_value_d,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_id % {_MERGE_UPD_MOD} = 0) AS matched_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_id % {_MERGE_INS_MOD} = 0) AS inserted_rows,
+       CAST(1 AS BIGINT) AS originals_intact
+FROM merged
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register(
+    "q208_dv_merge",
+    oracle=_ORACLE_Q208,
+    doc="MERGE as one DV-backed atomic commit (Delta's row-level "
+    "upsert): matched rows deletion-vector-deleted in place, "
+    "rewrites + inserts appended in the same log entry — zero "
+    "data files rewritten (originals_intact pins the v1 files as "
+    "byte-identical members of the merged snapshot); per-day rows "
+    "+ exact value totals hash-checked against set algebra, "
+    "matched/inserted recomputed from the manifest DVs and the "
+    "time-travel row delta.",
+    tags=("streaming", "txn", "merge", "dv"),
+)
+def q208_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "mrg_q208_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(ev, sink, ("day",)))
+        upd = ev.where(F.col("event_id") % _MERGE_UPD_MOD == 0).select(
+            "event_id", (F.col("value") + F.lit(1.0)).alias("value"), "day"
+        )
+        ins = ev.where(F.col("event_id") % _MERGE_INS_MOD == 0).select(
+            (F.col("event_id") + F.lit(_MERGE_ID_OFFSET)).alias("event_id"),
+            "value",
+            "day",
+        )
+        txn.merge_upsert_dv(
+            spark, sink, upd.unionByName(ins), "event_id", ("day",)
+        )
+    matched = sum(len(v) for v in txn.dv_at(sink).values())
+    pre_rows = txn.read_version(spark, sink, 1).count()
+    post = txn.read_committed(spark, sink)
+    inserted = post.count() - pre_rows
+    v1_files = set(txn.listing_at(sink, 1))
+    intact = 1 if v1_files <= set(txn.committed_files(sink)) else 0
+    return (
+        post.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .withColumn("matched_rows", F.lit(matched).cast("bigint"))
+        .withColumn("inserted_rows", F.lit(inserted).cast("bigint"))
+        .withColumn("originals_intact", F.lit(intact).cast("bigint"))
+        .orderBy("day")
+    )

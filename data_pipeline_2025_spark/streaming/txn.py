@@ -186,16 +186,21 @@ def _split_stats(token: str) -> tuple[str, str | None]:
 
 def _snapshot_at(
     sink_dir: str, version: int
-) -> tuple[dict[str, str | None], str | None]:
+) -> tuple[dict[str, str | None], str | None, dict[str, list[int]]]:
     """Reconstruct snapshot ``version`` as ``({relative path ->
-    stats json or None}, schema DDL or None)``: nearest checkpoint
+    stats json or None}, schema DDL or None, {relative path ->
+    sorted deleted row positions})``: nearest checkpoint
     at-or-below it, then forward-apply the deltas — at most
-    CHECKPOINT_EVERY-1 of them. Delta ops: ``+path[\\tstats]`` adds
+    CHECKPOINT_EVERY-1 of them. Delta ops: ``+path[\tstats]`` adds
     a file, ``~dir`` retires every current file in partition ``dir``
-    (the replace commit), ``#schema\\t<ddl>`` sets the snapshot's
-    read schema from this version on (SCHEMA EVOLUTION, round 6 —
-    Delta's metaData action); checkpoints carry the current schema
-    line forward, and later schema lines win."""
+    (the replace commit), ``#schema\t<ddl>`` sets the snapshot's
+    read schema from this version on (SCHEMA EVOLUTION — Delta's
+    metaData action), ``-path\t[positions]`` marks row positions of
+    ``path`` deleted (DELETION VECTORS, round 6 — Delta's DV
+    sidecars: row-level deletes without rewriting the file; unions
+    accumulate across commits, and a retired file's DV retires with
+    it). Checkpoints carry schema + live DVs forward; later schema
+    lines win."""
     log = _scan_log(sink_dir)
     if version not in log:
         raise FileNotFoundError(
@@ -211,14 +216,27 @@ def _snapshot_at(
         )
     listing: dict[str, str | None] = {}
     schema: str | None = None
-    for line in _read_entry(sink_dir, log[ckpt]):
+    dvs: dict[str, set[int]] = {}
+
+    def _apply(line: str) -> None:
+        nonlocal schema
         if line.startswith("#schema\t"):
             schema = line.split("\t", 1)[1]
-            continue
-        if line.startswith("#"):
-            continue  # unknown metadata line kinds: forward-compat
-        path, stats = _split_stats(line)
-        listing[path] = stats
+        elif line.startswith("#"):
+            pass  # unknown metadata line kinds: forward-compat
+        elif line.startswith("-"):
+            path, posjson = _split_stats(line[1:])
+            if posjson:
+                dvs.setdefault(path, set()).update(json.loads(posjson))
+        elif line.startswith("+"):
+            path, stats = _split_stats(line[1:])
+            listing[path] = stats
+        else:
+            path, stats = _split_stats(line)
+            listing[path] = stats
+
+    for line in _read_entry(sink_dir, log[ckpt]):
+        _apply(line)
     for seq in range(ckpt + 1, version + 1):
         ops = _read_entry(sink_dir, log[seq])
         drops = {op[1:] for op in ops if op.startswith("~")}
@@ -228,13 +246,16 @@ def _snapshot_at(
                 for p, s in listing.items()
                 if os.path.dirname(p) not in drops
             }
+            dvs = {
+                p: v
+                for p, v in dvs.items()
+                if os.path.dirname(p) not in drops
+            }
         for op in ops:
-            if op.startswith("#schema\t"):
-                schema = op.split("\t", 1)[1]
-            elif op.startswith("+"):
-                path, stats = _split_stats(op[1:])
-                listing[path] = stats
-    return listing, schema
+            if not op.startswith("~"):
+                _apply(op)
+    dvs = {p: v for p, v in dvs.items() if p in listing}
+    return listing, schema, {p: sorted(v) for p, v in dvs.items()}
 
 
 def _entries_at(sink_dir: str, version: int) -> dict[str, str | None]:
@@ -249,6 +270,59 @@ def schema_at(sink_dir: str, version: int | None = None) -> str | None:
     if not vs:
         return None
     return _snapshot_at(sink_dir, vs[-1] if version is None else version)[1]
+
+
+def dv_at(sink_dir: str, version: int | None = None) -> dict[str, list[int]]:
+    """The snapshot's deletion vectors: {relative path -> sorted
+    deleted row positions} (empty for sinks that never deleted)."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[2]
+
+
+def commit_delete(sink_dir: str, dv: dict[str, list[int]]) -> None:
+    """Row-level DELETE without rewriting any data file (round 6 —
+    Delta's deletion vectors): publish ONE atomic log entry marking
+    ``{relative path -> row positions}`` deleted. Readers anti-join
+    the committed DVs against ``_metadata.row_index``, so the delete
+    is metadata-only — the O(rewrite) cost a 100 TB point-delete
+    cannot pay is replaced by O(deleted positions) manifest bytes.
+    Positions accumulate across delete commits; a replace commit of
+    the partition retires the file AND its DV. At production scale
+    the position lists become roaring bitmaps in sidecar files (the
+    Delta/Iceberg format seam); the protocol — versioned, CAS-
+    committed, checkpoint-carried — is identical."""
+    _commit(sink_dir, [], replace=False, delete_dv=dict(dv))
+
+
+def _apply_dv(spark, df, sink_dir: str, dvs: dict[str, list[int]]):
+    """Filter a snapshot DataFrame through its deletion vectors: an
+    anti-join of (file, row position) against the broadcast DV set,
+    using the parquet reader's ``_metadata`` columns. No-op (and no
+    plan change) for DV-free snapshots. Paths are normalized to
+    absolute form on both sides (the reader reports file:-prefixed
+    URIs)."""
+    if not dvs:
+        return df
+    from pyspark.sql import functions as F
+
+    rows = [
+        (os.path.abspath(os.path.join(sink_dir, p)), int(i))
+        for p, positions in dvs.items()
+        for i in positions
+    ]
+    dv_df = spark.createDataFrame(rows, "__dv_path string, __dv_pos long")
+    cols = df.columns
+    keyed = df.withColumn(
+        "__p", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    ).withColumn("__i", F.col("_metadata.row_index"))
+    return keyed.join(
+        F.broadcast(dv_df),
+        (keyed["__p"] == dv_df["__dv_path"]) & (keyed["__i"] == dv_df["__dv_pos"]),
+        "left_anti",
+    ).select(*cols)
+
 
 
 def _listing_at(sink_dir: str, version: int) -> list[str]:
@@ -443,7 +517,8 @@ def read_committed(
     schema = schema_at(sink_dir)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*[os.path.join(sink_dir, f) for f in files])
+    df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
+    return _apply_dv(spark, df, sink_dir, dv_at(sink_dir))
 
 
 def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
@@ -453,14 +528,15 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     vacuum — the log IS the table state. After :func:`prune_log`,
     versions beyond the retained horizon raise FileNotFoundError
     (clean refusal, never a wrong snapshot)."""
-    entries, schema = _snapshot_at(sink_dir, version)
+    entries, schema, dvs = _snapshot_at(sink_dir, version)
     files = list(entries)
     if not files:
         return spark.read.format("parquet").schema("__empty STRING").load()
     reader = spark.read.option("basePath", sink_dir)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*[os.path.join(sink_dir, f) for f in files])
+    df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
+    return _apply_dv(spark, df, sink_dir, dvs)
 
 
 def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) -> list[str]:
@@ -532,6 +608,7 @@ def _commit(
     replace: bool,
     expected_version: int | None = None,
     schema_ddl: str | None = None,
+    delete_dv: dict[str, list[int]] | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
@@ -563,8 +640,8 @@ def _commit(
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
         )
         if is_ckpt:
-            base, cur_schema = (
-                _snapshot_at(sink_dir, vs[-1]) if vs else ({}, None)
+            base, cur_schema, cur_dvs = (
+                _snapshot_at(sink_dir, vs[-1]) if vs else ({}, None, {})
             )
             if replace:
                 drops = set(replaced_dirs)
@@ -573,17 +650,30 @@ def _commit(
                     for p, s in base.items()
                     if os.path.dirname(p) not in drops
                 }
+                cur_dvs = {
+                    p: v
+                    for p, v in cur_dvs.items()
+                    if os.path.dirname(p) not in drops
+                }
+            if delete_dv:
+                for p, v in delete_dv.items():
+                    cur_dvs[p] = sorted(set(cur_dvs.get(p, [])) | set(v))
             eff_schema = schema_ddl if schema_ddl is not None else cur_schema
             lines = (
                 [f"#schema\t{eff_schema}"] if eff_schema is not None else []
             ) + [
                 p if s is None else f"{p}\t{s}" for p, s in base.items()
-            ] + [_token(f) for f in new_files]
+            ] + [_token(f) for f in new_files] + [
+                f"-{p}\t{json.dumps(v)}" for p, v in sorted(cur_dvs.items())
+            ]
         else:
             lines = (
                 [f"#schema\t{schema_ddl}"] if schema_ddl is not None else []
             ) + [f"~{d}" for d in replaced_dirs] + [
                 f"+{_token(f)}" for f in new_files
+            ] + [
+                f"-{p}\t{json.dumps(sorted(v))}"
+                for p, v in sorted((delete_dv or {}).items())
             ]
         if _try_commit(sink_dir, seq, lines, is_ckpt):
             return True
@@ -670,7 +760,7 @@ def vacuum(
         log = _scan_log(sink_dir)
         for fname in log.values():
             for line in _read_entry(sink_dir, fname):
-                if line.startswith(("~", "#")):
+                if line.startswith(("~", "#", "-")):
                     continue
                 token = line[1:] if line.startswith("+") else line
                 path, _stats = _split_stats(token)
@@ -737,3 +827,125 @@ def prune_log(sink_dir: str, keep_versions: int = CHECKPOINT_EVERY) -> list[int]
                 os.remove(os.path.join(_txn_dir(sink_dir), fname))
             pruned.append(seq)
     return sorted(pruned)
+
+
+def delete_where(
+    spark: SparkSession, sink_dir: str, condition, max_attempts: int = 5
+) -> int:
+    """DELETE FROM sink WHERE condition — as one deletion-vector
+    commit (no data file touched). Matching rows are located with
+    the parquet reader's ``_metadata`` columns, aggregated to one
+    position-list row per file (Spark-side), and published via a
+    CONDITIONAL commit against the snapshot version the positions
+    were computed from (optimistic concurrency — Delta's DELETE
+    conflict detection): row positions stay valid across concurrent
+    APPENDS but not across a concurrent REPLACE/compaction of the
+    same files, so on losing the race the whole locate-and-commit
+    cycle recomputes from the new head rather than publishing stale
+    positions. Returns the number of rows deleted. Already-deleted
+    rows never rematch (the read applies current DVs), so repeating
+    a delete is a no-op. Driver memory is O(deleted positions) —
+    the documented seam where production swaps JSON lists for
+    per-file roaring-bitmap sidecars."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_attempts):
+        vs = versions(sink_dir)
+        head = vs[-1] if vs else 0
+        df = read_committed(spark, sink_dir)
+        if df is None:
+            return 0
+        base = os.path.abspath(sink_dir)
+        per_file = (
+            df.where(condition)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("__p"),
+                F.col("_metadata.row_index").alias("__i"),
+            )
+            .groupBy("__p")
+            .agg(F.sort_array(F.collect_list("__i")).alias("__is"))
+            .collect()
+        )
+        if not per_file:
+            return 0
+        dv = {
+            os.path.relpath(r["__p"], base): [int(i) for i in r["__is"]]
+            for r in per_file
+        }
+        if _commit(
+            sink_dir, [], replace=False, delete_dv=dv, expected_version=head
+        ):
+            return sum(len(v) for v in dv.values())
+    raise RuntimeError(
+        f"delete_where lost the commit race {max_attempts} times on {sink_dir}"
+    )
+
+
+def merge_upsert_dv(
+    spark: SparkSession,
+    sink_dir: str,
+    updates: DataFrame,
+    key: str,
+    partition_by: tuple[str, ...],
+    max_attempts: int = 5,
+) -> tuple[int, int]:
+    """MERGE (upsert) as ONE atomic commit — Delta's DV-backed MERGE:
+    rows of the current snapshot whose ``key`` appears in
+    ``updates`` are deleted via deletion vectors, and ALL update
+    rows (matched rewrites + brand-new keys) are appended, in a
+    single log entry — so a reader sees either the whole merge or
+    none of it, and no existing data file is rewritten (the q179
+    CDC-apply rewrites whole partitions; this is the row-level,
+    metadata-only variant a 100 TB upsert needs). Optimistic
+    concurrency like :func:`delete_where`: positions are computed
+    against a pinned snapshot and the commit is conditional on that
+    version; a lost race recomputes. Returns (matched, inserted).
+    The staged files of a lost attempt stay manifest-invisible
+    until vacuum."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_attempts):
+        vs = versions(sink_dir)
+        head = vs[-1] if vs else 0
+        current = read_committed(spark, sink_dir)
+        base = os.path.abspath(sink_dir)
+        dv: dict[str, list[int]] = {}
+        matched = 0
+        if current is not None:
+            # project the hidden _metadata columns straight off the
+            # scan BEFORE joining — metadata columns propagate
+            # through projections but are unresolvable after a join
+            keyed = current.select(
+                F.col(key),
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("__p"),
+                F.col("_metadata.row_index").alias("__i"),
+            )
+            per_file = (
+                keyed.join(
+                    F.broadcast(updates.select(key).distinct()), key
+                )
+                .groupBy("__p")
+                .agg(F.sort_array(F.collect_list("__i")).alias("__is"))
+                .collect()
+            )
+            dv = {
+                os.path.relpath(r["__p"], base): [int(i) for i in r["__is"]]
+                for r in per_file
+            }
+            matched = sum(len(v) for v in dv.values())
+        staged = stage_append(updates, sink_dir, partition_by)
+        if _commit(
+            sink_dir,
+            staged,
+            replace=False,
+            delete_dv=dv,
+            expected_version=head,
+        ):
+            return matched, updates.count() - matched
+    raise RuntimeError(
+        f"merge_upsert_dv lost the commit race {max_attempts} times on {sink_dir}"
+    )

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 204
+EXPECTED_QUERY_COUNT = 206
 
 
 def test_registry_complete():
@@ -79,6 +79,8 @@ def test_priority_queries_inside_driver_cap():
         "q204_log_retention",
         "q205_pii_redaction",
         "q206_bpe_encode",
+        "q207_deletion_vectors",
+        "q208_dv_merge",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -123,8 +125,6 @@ def test_priority_queries_inside_driver_cap():
         "q24_user_event_pivot",
         "q25_scalar_showcase",
         "q26_segment_balances",
-        "q27_set_operations",
-        "q28_revenue_rollup",
         "q75_continuous_aggregate",
     }
     assert must_lead <= first_50, must_lead - first_50

@@ -945,3 +945,14 @@ def test_q163_audit_is_all_parallel(spark, sf_smoke):
     assert "Window" not in plan
     assert "ntile" not in plan
     assert "hashpartitioning(layout" in plan
+
+
+def test_q202_ivfpq_no_shuffle_joins_on_corpus(spark, sf_smoke):
+    """q202 (IVF-PQ): every join that touches the corpus side must be
+    broadcast — the probe list onto the assignment, the shortlist
+    onto the true-vector read. A SortMergeJoin anywhere would mean
+    the corpus shuffles for a 60-row build side."""
+    plan = plan_of(spark, "q202_ivfpq_search", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -454,3 +454,83 @@ def test_schema_evolution_add_column_is_metadata_only(spark, tmp_path):
                                    sink, ("day",))
         )
     assert txn.schema_at(sink) == "id BIGINT, extra STRING, day STRING"
+
+
+def test_deletion_vectors_delete_without_rewrite(spark, tmp_path):
+    """Round-6 deletion vectors: a DELETE publishes one DV commit —
+    no data file is touched, the committed read drops exactly the
+    deleted rows, time travel still shows them, DVs survive
+    checkpoint reconstruction, accumulate across commits, and
+    compaction applies them instead of resurrecting deleted rows."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 5, "a").coalesce(1), sink, ("day",))
+    )
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 5, 10, "a").coalesce(1), sink, ("day",))
+    )
+    files_v1 = sorted(txn.committed_files(sink))
+    deleted = txn.delete_where(spark, sink, F.col("id").isin(2, 5, 7))
+    assert deleted == 3
+    assert sorted(txn.committed_files(sink)) == files_v1  # no file changed
+    assert {r["id"] for r in txn.read_committed(spark, sink).collect()} == (
+        set(range(10)) - {2, 5, 7}
+    )
+    # time travel: pre-delete snapshot intact
+    assert {r["id"] for r in txn.read_version(spark, sink, 2).collect()} == set(
+        range(10)
+    )
+    # repeat delete is a no-op (already-deleted rows never rematch)
+    assert txn.delete_where(spark, sink, F.col("id").isin(2, 5, 7)) == 0
+    # accumulation + checkpoint carry: another delete, then push the
+    # log across the v11 checkpoint
+    assert txn.delete_where(spark, sink, F.col("id") == 9) == 1
+    for i in range(8):
+        txn.commit_append(
+            sink,
+            txn.stage_append(_mk(spark, 100 + i, 101 + i, "b").coalesce(1),
+                             sink, ("day",)),
+        )
+    assert txn.versions(sink)[-1] >= 11
+    a_rows = {
+        r["id"]
+        for r in txn.read_committed(spark, sink).where(F.col("day") == "a").collect()
+    }
+    assert a_rows == set(range(10)) - {2, 5, 7, 9}
+    # compaction applies DVs and retires them with the old files
+    from data_pipeline_2025_spark import maintenance
+
+    res = maintenance.txn_compact(spark, sink, min_files=2)
+    assert "day=a" in res  # both day=a files rewritten into one
+    assert all("day=a" not in p for p in txn.dv_at(sink))  # DVs retired
+    post = {
+        r["id"]
+        for r in txn.read_committed(spark, sink).where(F.col("day") == "a").collect()
+    }
+    assert post == set(range(10)) - {2, 5, 7, 9}
+
+
+def test_merge_upsert_dv_is_one_atomic_metadata_commit(spark, tmp_path):
+    """Round-6 DV MERGE: matched rows DV-deleted and updates +
+    inserts appended in ONE log entry — a single new version, no
+    data file rewritten, time travel to the pre-merge snapshot
+    exact."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 6, "a").coalesce(1), sink, ("day",))
+    )
+    files_v1 = sorted(txn.committed_files(sink))
+    # updates: rewrite ids 2,4 onto day b; inserts: brand-new 100,101
+    upd = spark.createDataFrame(
+        [(2, "b"), (4, "b"), (100, "b"), (101, "b")], "id long, day string"
+    )
+    matched, inserted = txn.merge_upsert_dv(spark, sink, upd, "id", ("day",))
+    assert (matched, inserted) == (2, 2)
+    assert txn.versions(sink) == [1, 2]  # ONE commit for the whole merge
+    got = {(r["id"], r["day"]) for r in txn.read_committed(spark, sink).collect()}
+    assert got == {(0, "a"), (1, "a"), (3, "a"), (5, "a"),
+                   (2, "b"), (4, "b"), (100, "b"), (101, "b")}
+    # originals untouched, pre-merge snapshot intact
+    assert set(files_v1) <= set(txn.committed_files(sink))
+    v1 = {(r["id"], r["day"]) for r in txn.read_version(spark, sink, 1).collect()}
+    assert v1 == {(i, "a") for i in range(6)}
