@@ -89,6 +89,10 @@ HEADLINE = (
     # + re-rank + recall evidence).
     "q201_manifest_skipping",
     "q202_ivfpq_search",
+    # Late round-6 addition: the DV-backed MERGE is the write-path
+    # representative (deletion-vector locate + atomic combined
+    # commit + DV-filtered read-back).
+    "q208_dv_merge",
 )
 
 

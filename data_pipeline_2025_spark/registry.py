@@ -134,6 +134,8 @@ _PRIORITY = (
     "q206_bpe_encode",
     "q207_deletion_vectors",
     "q208_dv_merge",
+    "q209_metadata_only_agg",
+    "q210_check_constraints",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -175,17 +177,15 @@ _PRIORITY = (
     "q55_price_spread",
     "q56_shipping_priority",
     "q57_large_volume_orders",
-    # (d) oldest official checks, r2 (9 — q75 swapped in for its
-    # txn-adopter cagg sink; q27/q28/q29/q30/q34 displaced by the
-    # q204-q208 additions, resume next round with the rest)
+    # (d) oldest official checks, r2 (7 — q75 swapped in for its
+    # txn-adopter cagg sink; q25/q26/q27/q28/q29/q30/q34 displaced
+    # by the q204-q210 additions, resume next round with the rest)
     "q01_pricing_summary",
     "q02_product_search",
     "q21_events_daily",
     "q22_user_running_totals",
     "q23_event_gaps",
     "q24_user_event_pivot",
-    "q25_scalar_showcase",
-    "q26_segment_balances",
     "q75_continuous_aggregate",
 )
 

@@ -886,3 +886,177 @@ def q208_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("originals_intact", F.lit(intact).cast("bigint"))
         .orderBy("day")
     )
+
+
+# --------- q209: metadata-only aggregation (round 6)
+#
+# Delta's metadata-only query optimization: COUNT(*) (and, for a
+# DV-free snapshot, column MIN/MAX) answered from the manifest's
+# per-file footer statistics without opening ONE data file
+# (txn.metadata_agg). At 100 TB this is the difference between a
+# multi-minute scan and a few KB of manifest reads — the optimization
+# every lakehouse engine applies to SELECT COUNT(*). Exactness rules
+# mirrored from Delta: the count stays exact across deletion-vector
+# deletes (sum of footer counts minus DV lengths — positions are
+# per-file unique), but ANY DV invalidates metadata min/max (the
+# deleted row could be the extremum), so the call refuses with None
+# and the engine falls back to a scan — the query pins BOTH the
+# refusal and that the metadata count still equals the scan count
+# after the delete. Reference analog: Postgres answers these with an
+# index/seq scan every time (salim/tables.sql has no materialized
+# counts); the manifest gives them for free.
+
+_META_DEL_MOD = 9
+_META_DEL_REM = 4
+
+_ORACLE_Q209 = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+       CAST(COUNT(*) FILTER (WHERE event_id % {_META_DEL_MOD} <> {_META_DEL_REM})
+            AS BIGINT) AS rows_live,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(1 AS BIGINT) AS minmax_refused_after_delete,
+       CAST(1 AS BIGINT) AS meta_equals_scan
+FROM events
+"""
+
+
+@register(
+    "q209_metadata_only_agg",
+    oracle=_ORACLE_Q209,
+    doc="Metadata-only COUNT/MIN/MAX from the manifest's per-file "
+    "footer statistics (Delta's numRecords optimization): zero data "
+    "files opened for the pre-delete count and event_id bounds; "
+    "after a deletion-vector delete the count stays exact (footer "
+    "sums minus DV lengths, proven equal to the scan) while min/max "
+    "correctly refuses — a DV could have deleted the extremum.",
+    tags=("streaming", "txn", "metadata", "stats"),
+)
+def q209_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "meta_q209_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(ev, sink, ("day",)))
+        txn.delete_where(
+            spark, sink, F.col("event_id") % _META_DEL_MOD == _META_DEL_REM
+        )
+    pre = txn.metadata_agg(sink, "event_id", version=1)
+    post = txn.metadata_agg(sink, "event_id")
+    refused = 1 if post["min"] is None and post["max"] is None else 0
+    scan_rows = txn.read_committed(spark, sink).count()
+    meta_eq = 1 if post["count"] == scan_rows else 0
+    return spark.createDataFrame(
+        [
+            (
+                int(pre["count"]),
+                int(post["count"]),
+                int(pre["min"]),
+                int(pre["max"]),
+                refused,
+                meta_eq,
+            )
+        ],
+        "rows_total bigint, rows_live bigint, min_event_id bigint, "
+        "max_event_id bigint, minmax_refused_after_delete bigint, "
+        "meta_equals_scan bigint",
+    )
+
+
+# --------- q210: CHECK constraints enforced at commit (round 6)
+#
+# Delta's table constraints as manifest metadata: #check lines ride
+# the log (checkpoint-carried like the schema), txn.add_check
+# validates EXISTING data before recording (Delta's ADD CONSTRAINT
+# rule), and txn.commit_append_checked validates each staged batch —
+# O(batch), never O(table) — refusing atomically: a violating batch
+# leaves NOTHING visible. This is the write-side quality gate of a
+# training-data ingest (schema held, values in range) — at 100 TB a
+# bad batch caught at commit time costs one batch scan; caught
+# downstream it costs a table audit plus a DV erasure. SQL CHECK
+# NULL semantics: only literally-false rows violate. Reference
+# analog: the silver store's typed-insert coercions
+# (rabbitmq-to-postgres/app.py) plus Postgres column constraints —
+# here the constraint set is itself versioned table metadata.
+
+_CHK_BAD_MOD = 13
+
+_ORACLE_Q210 = f"""
+SELECT CAST(2 AS BIGINT) AS checks_recorded,
+       CAST(COUNT(*) AS BIGINT) AS rows_committed,
+       CAST(COUNT(*) FILTER (WHERE event_id % {_CHK_BAD_MOD} = 0)
+            AS BIGINT) AS violations_detected,
+       CAST(1 AS BIGINT) AS refused_ok
+FROM events
+"""
+
+
+@register(
+    "q210_check_constraints",
+    oracle=_ORACLE_Q210,
+    doc="CHECK constraints recorded as versioned manifest metadata "
+    "and enforced at commit time (Delta's ADD CONSTRAINT): a clean "
+    "batch commits, a batch with negated values is refused "
+    "atomically (violation count surfaced, nothing visible), and "
+    "the committed row count proves the refusal left the snapshot "
+    "untouched.",
+    tags=("streaming", "txn", "constraints", "quality"),
+)
+def q210_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "chk_q210_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    violations = 0
+    refused = 0
+    if fresh:
+        txn.add_check(spark, sink, "value_nonneg", "value >= 0")
+        txn.add_check(spark, sink, "day_not_null", "day IS NOT NULL")
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        txn.commit_append_checked(
+            spark, sink, txn.stage_append(ev, sink, ("day",))
+        )
+        bad = ev.withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % _CHK_BAD_MOD == 0, -F.col("value")
+            ).otherwise(F.col("value")),
+        )
+        staged_bad = txn.stage_append(bad, sink, ("day",))
+        try:
+            txn.commit_append_checked(spark, sink, staged_bad)
+        except txn.CheckViolation as exc:
+            violations = exc.violations
+            refused = 1
+    else:
+        # deterministic on re-invocation: the violation count is
+        # re-derivable from the table and the refusal from the
+        # unchanged version count
+        ev = Catalog(spark, sf_dir).events
+        violations = ev.where(
+            F.col("event_id") % _CHK_BAD_MOD == 0
+        ).count()
+        refused = 1 if len(txn.versions(sink)) == 3 else 0
+    committed = txn.read_committed(spark, sink).count()
+    return spark.createDataFrame(
+        [
+            (
+                len(txn.checks_at(sink)),
+                int(committed),
+                int(violations),
+                int(refused),
+            )
+        ],
+        "checks_recorded bigint, rows_committed bigint, "
+        "violations_detected bigint, refused_ok bigint",
+    )

@@ -186,21 +186,29 @@ def _split_stats(token: str) -> tuple[str, str | None]:
 
 def _snapshot_at(
     sink_dir: str, version: int
-) -> tuple[dict[str, str | None], str | None, dict[str, list[int]]]:
+) -> tuple[
+    dict[str, str | None],
+    str | None,
+    dict[str, list[int]],
+    dict[str, str],
+]:
     """Reconstruct snapshot ``version`` as ``({relative path ->
     stats json or None}, schema DDL or None, {relative path ->
-    sorted deleted row positions})``: nearest checkpoint
-    at-or-below it, then forward-apply the deltas — at most
-    CHECKPOINT_EVERY-1 of them. Delta ops: ``+path[\tstats]`` adds
-    a file, ``~dir`` retires every current file in partition ``dir``
-    (the replace commit), ``#schema\t<ddl>`` sets the snapshot's
-    read schema from this version on (SCHEMA EVOLUTION — Delta's
-    metaData action), ``-path\t[positions]`` marks row positions of
+    sorted deleted row positions}, {check name -> SQL expr})``:
+    nearest checkpoint at-or-below it, then forward-apply the
+    deltas — at most CHECKPOINT_EVERY-1 of them. Delta ops:
+    ``+path[\tstats]`` adds a file, ``~dir`` retires every current
+    file in partition ``dir`` (the replace commit),
+    ``#schema\t<ddl>`` sets the snapshot's read schema from this
+    version on (SCHEMA EVOLUTION — Delta's metaData action),
+    ``#check\t<name>\t<expr>`` records a CHECK constraint enforced
+    on every subsequent append (round 6 — Delta's table
+    constraints), ``-path\t[positions]`` marks row positions of
     ``path`` deleted (DELETION VECTORS, round 6 — Delta's DV
     sidecars: row-level deletes without rewriting the file; unions
     accumulate across commits, and a retired file's DV retires with
-    it). Checkpoints carry schema + live DVs forward; later schema
-    lines win."""
+    it). Checkpoints carry schema + checks + live DVs forward;
+    later schema lines win."""
     log = _scan_log(sink_dir)
     if version not in log:
         raise FileNotFoundError(
@@ -217,11 +225,15 @@ def _snapshot_at(
     listing: dict[str, str | None] = {}
     schema: str | None = None
     dvs: dict[str, set[int]] = {}
+    checks: dict[str, str] = {}
 
     def _apply(line: str) -> None:
         nonlocal schema
         if line.startswith("#schema\t"):
             schema = line.split("\t", 1)[1]
+        elif line.startswith("#check\t"):
+            _, name, expr = line.split("\t", 2)
+            checks[name] = expr
         elif line.startswith("#"):
             pass  # unknown metadata line kinds: forward-compat
         elif line.startswith("-"):
@@ -255,7 +267,7 @@ def _snapshot_at(
             if not op.startswith("~"):
                 _apply(op)
     dvs = {p: v for p, v in dvs.items() if p in listing}
-    return listing, schema, {p: sorted(v) for p, v in dvs.items()}
+    return listing, schema, {p: sorted(v) for p, v in dvs.items()}, checks
 
 
 def _entries_at(sink_dir: str, version: int) -> dict[str, str | None]:
@@ -279,6 +291,17 @@ def dv_at(sink_dir: str, version: int | None = None) -> dict[str, list[int]]:
     if not vs:
         return {}
     return _snapshot_at(sink_dir, vs[-1] if version is None else version)[2]
+
+
+def checks_at(sink_dir: str, version: int | None = None) -> dict[str, str]:
+    """The snapshot's CHECK constraints: {name -> SQL expression}
+    (empty for sinks that never declared one). Carried through
+    checkpoints like the schema line; enforced by
+    :func:`commit_append_checked` on every new batch."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[3]
 
 
 def commit_delete(sink_dir: str, dv: dict[str, list[int]]) -> None:
@@ -377,13 +400,17 @@ def _json_stat_value(v):
 
 
 def file_stats_json(path: str) -> str | None:
-    """Per-column [min, max] of one parquet file as a compact JSON
-    string, from the FOOTER only (no data read — the same bytes
-    Delta snapshots into its add-action ``stats``). A column is
-    included only when EVERY row group reports trustworthy min/max
-    for it; anything questionable (nested paths, truncation-length
-    strings, decimals) is dropped — a missing bound merely disables
-    pruning for that column, never a wrong skip."""
+    """One parquet file's manifest statistics as a compact JSON
+    string — ``{"n": row count, "c": {column: [min, max]}}`` — from
+    the FOOTER only (no data read; the same bytes Delta snapshots
+    into its add-action ``stats``, whose numRecords field is what
+    makes metadata-only COUNT(*) answerable). A column is included
+    only when EVERY row group reports trustworthy min/max for it;
+    anything questionable (nested paths, truncation-length strings,
+    decimals) is dropped — a missing bound merely disables pruning
+    for that column, never a wrong skip. Round-6 entries written
+    before the ``n`` field used a flat ``{column: [min, max]}``
+    form; :func:`_parse_stats` accepts both."""
     try:
         import pyarrow.parquet as pq
 
@@ -422,9 +449,30 @@ def file_stats_json(path: str) -> str | None:
                 mins[name] = min(mins[name], mn)
                 maxs[name] = max(maxs[name], mx)
     cols = {n: [mins[n], maxs[n]] for n in sorted(mins) if n not in bad}
-    if not cols:
-        return None
-    return json.dumps(cols, separators=(",", ":"))
+    return json.dumps({"n": md.num_rows, "c": cols}, separators=(",", ":"))
+
+
+def _parse_stats(stats: str | None) -> tuple[int | None, dict[str, tuple]]:
+    """A manifest stats token -> (row count or None, {column ->
+    (min, max)}). Accepts both the current ``{"n":…, "c":…}`` form
+    and the earlier flat ``{column: [min, max]}`` form (those lines
+    simply have no row count). Unparseable stats degrade to
+    (None, {}) — no pruning, no metadata count, never an error."""
+    if stats is None:
+        return None, {}
+    try:
+        parsed = json.loads(stats)
+    except ValueError:
+        return None, {}
+    if not isinstance(parsed, dict):
+        return None, {}
+    if isinstance(parsed.get("c"), dict):
+        n = parsed.get("n")
+        return (
+            int(n) if isinstance(n, int) and not isinstance(n, bool) else None,
+            {c: (b[0], b[1]) for c, b in parsed["c"].items()},
+        )
+    return None, {c: (b[0], b[1]) for c, b in parsed.items()}
 
 
 def _collect_stats(sink_dir: str, new_files: list[str]) -> dict[str, str]:
@@ -447,18 +495,55 @@ def stats_at(
     if not vs:
         return {}
     v = vs[-1] if version is None else version
-    out: dict[str, dict[str, tuple]] = {}
-    for path, stats in _entries_at(sink_dir, v).items():
-        if stats is None:
-            out[path] = {}
-            continue
-        try:
-            cols = json.loads(stats)
-        except ValueError:
-            out[path] = {}
-            continue
-        out[path] = {c: (b[0], b[1]) for c, b in cols.items()}
-    return out
+    return {
+        path: _parse_stats(stats)[1]
+        for path, stats in _entries_at(sink_dir, v).items()
+    }
+
+
+def metadata_agg(
+    sink_dir: str, col: str | None = None, version: int | None = None
+) -> dict:
+    """Answer COUNT(*)/MIN/MAX from the manifest alone — Delta's
+    metadata-only query optimization: a snapshot's row count is the
+    sum of per-file footer counts minus its deletion-vector lengths
+    (exact even after row-level deletes, since DV positions are
+    per-file unique), and a column's global min/max is the fold of
+    the per-file bounds. Returns ``{"count":…, "min":…, "max":…}``
+    with None for anything the manifest cannot answer EXACTLY:
+    count needs every file to carry a row count (pre-round-6 stats
+    lines don't), min/max additionally need bounds for ``col`` in
+    every file AND a DV-free snapshot — a deleted row could be the
+    extremum, so any DV forces the caller back to a scan (the same
+    rule Delta applies). Zero data files are opened at any size."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {"count": None, "min": None, "max": None}
+    v = vs[-1] if version is None else version
+    entries, _schema, dvs, _checks = _snapshot_at(sink_dir, v)
+    total = 0
+    count_ok = True
+    mn = mx = None
+    minmax_ok = col is not None and bool(entries) and not dvs
+    for path, stats in entries.items():
+        n, cols = _parse_stats(stats)
+        if n is None:
+            count_ok = False
+        else:
+            total += n
+        if col is not None:
+            if col in cols:
+                lo, hi = cols[col]
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            else:
+                minmax_ok = False
+    deleted = sum(len(p) for p in dvs.values())
+    return {
+        "count": (total - deleted) if count_ok else None,
+        "min": mn if minmax_ok else None,
+        "max": mx if minmax_ok else None,
+    }
 
 
 def prune_files(
@@ -528,7 +613,7 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     vacuum — the log IS the table state. After :func:`prune_log`,
     versions beyond the retained horizon raise FileNotFoundError
     (clean refusal, never a wrong snapshot)."""
-    entries, schema, dvs = _snapshot_at(sink_dir, version)
+    entries, schema, dvs, _checks = _snapshot_at(sink_dir, version)
     files = list(entries)
     if not files:
         return spark.read.format("parquet").schema("__empty STRING").load()
@@ -609,6 +694,7 @@ def _commit(
     expected_version: int | None = None,
     schema_ddl: str | None = None,
     delete_dv: dict[str, list[int]] | None = None,
+    add_check: tuple[str, str] | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
@@ -640,8 +726,8 @@ def _commit(
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
         )
         if is_ckpt:
-            base, cur_schema, cur_dvs = (
-                _snapshot_at(sink_dir, vs[-1]) if vs else ({}, None, {})
+            base, cur_schema, cur_dvs, cur_checks = (
+                _snapshot_at(sink_dir, vs[-1]) if vs else ({}, None, {}, {})
             )
             if replace:
                 drops = set(replaced_dirs)
@@ -658,10 +744,14 @@ def _commit(
             if delete_dv:
                 for p, v in delete_dv.items():
                     cur_dvs[p] = sorted(set(cur_dvs.get(p, [])) | set(v))
+            if add_check:
+                cur_checks = {**cur_checks, add_check[0]: add_check[1]}
             eff_schema = schema_ddl if schema_ddl is not None else cur_schema
             lines = (
                 [f"#schema\t{eff_schema}"] if eff_schema is not None else []
             ) + [
+                f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
+            ] + [
                 p if s is None else f"{p}\t{s}" for p, s in base.items()
             ] + [_token(f) for f in new_files] + [
                 f"-{p}\t{json.dumps(v)}" for p, v in sorted(cur_dvs.items())
@@ -669,6 +759,8 @@ def _commit(
         else:
             lines = (
                 [f"#schema\t{schema_ddl}"] if schema_ddl is not None else []
+            ) + (
+                [f"#check\t{add_check[0]}\t{add_check[1]}"] if add_check else []
             ) + [f"~{d}" for d in replaced_dirs] + [
                 f"+{_token(f)}" for f in new_files
             ] + [
@@ -694,6 +786,68 @@ def commit_append(
     snapshot's schema), and time travel to pre-evolution versions
     still reads with THAT version's schema."""
     _commit(sink_dir, list(new_files), replace=False, schema_ddl=schema_ddl)
+
+
+class CheckViolation(Exception):
+    """A batch (or, for :func:`add_check`, the existing table)
+    violates a CHECK constraint — the commit was refused and
+    NOTHING became visible (staged files stay manifest-invisible
+    until vacuum reclaims them)."""
+
+    def __init__(self, name: str, expr: str, violations: int):
+        super().__init__(
+            f"check constraint {name!r} ({expr}) violated by "
+            f"{violations} row(s)"
+        )
+        self.name = name
+        self.expr = expr
+        self.violations = violations
+
+
+def add_check(spark: SparkSession, sink_dir: str, name: str, expr: str) -> None:
+    """Record a CHECK constraint in the manifest (round 6 — Delta's
+    ``ALTER TABLE ADD CONSTRAINT``): one ``#check\\t<name>\\t<expr>``
+    metadata line, carried through checkpoints like the schema line
+    and enforced by :func:`commit_append_checked` on every later
+    batch. Like Delta, the EXISTING data must already satisfy the
+    constraint — one validating scan here, else CheckViolation and
+    no commit. SQL CHECK semantics: NULL evaluations pass; only
+    rows where the expression is literally false violate."""
+    cur = read_committed(spark, sink_dir)
+    if cur is not None:
+        from pyspark.sql import functions as F
+
+        bad = cur.where(~F.expr(expr)).count()
+        if bad:
+            raise CheckViolation(name, expr, bad)
+    _commit(sink_dir, [], replace=False, add_check=(name, expr))
+
+
+def commit_append_checked(
+    spark: SparkSession, sink_dir: str, new_files: list[str]
+) -> None:
+    """:func:`commit_append` gated on the snapshot's CHECK
+    constraints: the staged batch is validated (one scan of the NEW
+    files only — O(batch), never O(table)) and a violating batch
+    raises CheckViolation without publishing anything — readers
+    never observe a row that failed a check, which is the write-side
+    quality gate a 100 TB ingest needs (a bad batch caught at commit
+    time costs one batch scan; caught downstream it costs a
+    table-wide audit + DV erasure)."""
+    checks = checks_at(sink_dir)
+    if checks and new_files:
+        from pyspark.sql import functions as F
+
+        reader = spark.read.option("basePath", sink_dir)
+        schema = schema_at(sink_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[os.path.join(sink_dir, f) for f in new_files])
+        for name, expr in sorted(checks.items()):
+            bad = df.where(~F.expr(expr)).count()
+            if bad:
+                raise CheckViolation(name, expr, bad)
+    commit_append(sink_dir, new_files)
 
 
 def commit_replace(sink_dir: str, new_files: list[str]) -> None:

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 206
+EXPECTED_QUERY_COUNT = 208
 
 
 def test_registry_complete():
@@ -81,6 +81,8 @@ def test_priority_queries_inside_driver_cap():
         "q206_bpe_encode",
         "q207_deletion_vectors",
         "q208_dv_merge",
+        "q209_metadata_only_agg",
+        "q210_check_constraints",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -116,15 +118,13 @@ def test_priority_queries_inside_driver_cap():
         "q55_price_spread",
         "q56_shipping_priority",
         "q57_large_volume_orders",
-        # (d) ... and the 14 oldest r2-checked ones
+        # (d) ... and the oldest r2-checked ones still inside the cap
         "q01_pricing_summary",
         "q02_product_search",
         "q21_events_daily",
         "q22_user_running_totals",
         "q23_event_gaps",
         "q24_user_event_pivot",
-        "q25_scalar_showcase",
-        "q26_segment_balances",
         "q75_continuous_aggregate",
     }
     assert must_lead <= first_50, must_lead - first_50

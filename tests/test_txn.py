@@ -534,3 +534,98 @@ def test_merge_upsert_dv_is_one_atomic_metadata_commit(spark, tmp_path):
     assert set(files_v1) <= set(txn.committed_files(sink))
     v1 = {(r["id"], r["day"]) for r in txn.read_version(spark, sink, 1).collect()}
     assert v1 == {(i, "a") for i in range(6)}
+
+
+def test_metadata_agg_counts_and_bounds_without_scans(spark, tmp_path):
+    """Round-6 metadata-only aggregation: COUNT(*)/MIN/MAX answered
+    from footer stats in the manifest; count stays exact across a
+    DV delete (footer sums minus DV lengths) while min/max refuses
+    the moment any DV exists — the deleted row could have been the
+    extremum (Delta's rule)."""
+    sink = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn.commit_append(
+            sink,
+            txn.stage_append(
+                _mk(spark, lo, lo + 10, "a").coalesce(1), sink, ("day",)
+            ),
+        )
+    agg = txn.metadata_agg(sink, "id")
+    scan = txn.read_committed(spark, sink)
+    assert agg["count"] == scan.count() == 30
+    got = scan.agg(F.min("id"), F.max("id")).first()
+    assert (agg["min"], agg["max"]) == (got[0], got[1]) == (0, 209)
+    # col without bounds -> min/max None, count still exact
+    nostats = txn.metadata_agg(sink, "no_such_col")
+    assert nostats["count"] == 30
+    assert nostats["min"] is None and nostats["max"] is None
+    # DV delete: count remains exact, min/max refuses
+    assert txn.delete_where(spark, sink, F.col("id") >= 205) == 5
+    agg2 = txn.metadata_agg(sink, "id")
+    assert agg2["count"] == txn.read_committed(spark, sink).count() == 25
+    assert agg2["min"] is None and agg2["max"] is None
+    # the pre-delete version still answers min/max (its snapshot is
+    # DV-free) — metadata time travel
+    agg1 = txn.metadata_agg(sink, "id", version=3)
+    assert (agg1["count"], agg1["min"], agg1["max"]) == (30, 0, 209)
+    # legacy flat-form stats lines (round-6 pre-"n" format): counts
+    # refuse (None), bounds still parse
+    n, cols = txn._parse_stats('{"id":[1,9]}')
+    assert n is None and cols == {"id": (1, 9)}
+
+
+def test_check_constraints_enforced_at_commit(spark, tmp_path):
+    """Round-6 CHECK constraints: recorded as #check manifest lines,
+    enforced on every checked append (O(batch) — only the staged
+    files are scanned), violating batches refused with NOTHING
+    visible; adding a check over already-violating data refuses;
+    checks survive checkpoint reconstruction; SQL NULL semantics
+    (NULL passes, only literal false violates)."""
+    import pytest
+
+    sink = str(tmp_path / "t")
+    txn.add_check(spark, sink, "id_nonneg", "id >= 0")
+    assert txn.checks_at(sink) == {"id_nonneg": "id >= 0"}
+    txn.commit_append_checked(
+        spark, sink, txn.stage_append(_mk(spark, 0, 5, "a"), sink, ("day",))
+    )
+    assert _rows(spark, sink) == {(i, "a") for i in range(5)}
+    # violating batch: refused atomically, snapshot untouched
+    bad = spark.range(-3, 0).select(F.col("id"), F.lit("b").alias("day"))
+    staged = txn.stage_append(bad, sink, ("day",))
+    with pytest.raises(txn.CheckViolation) as exc:
+        txn.commit_append_checked(spark, sink, staged)
+    assert exc.value.violations == 3 and exc.value.name == "id_nonneg"
+    assert _rows(spark, sink) == {(i, "a") for i in range(5)}
+    # adding a check the existing data violates: refused, not recorded
+    with pytest.raises(txn.CheckViolation):
+        txn.add_check(spark, sink, "id_big", "id >= 100")
+    assert set(txn.checks_at(sink)) == {"id_nonneg"}
+    # NULL evaluations pass (SQL CHECK semantics)
+    nullish = spark.range(1).select(
+        F.lit(None).cast("bigint").alias("id"), F.lit("c").alias("day")
+    )
+    txn.commit_append_checked(
+        spark, sink, txn.stage_append(nullish, sink, ("day",))
+    )
+    assert (None, "c") in _rows(spark, sink)
+    # checks survive checkpoint reconstruction (cross v11)
+    for i in range(10):
+        txn.commit_append_checked(
+            spark,
+            sink,
+            txn.stage_append(
+                _mk(spark, 10 + i, 11 + i, "a").coalesce(1), sink, ("day",)
+            ),
+        )
+    assert txn.checks_at(sink) == {"id_nonneg": "id >= 0"}
+    with pytest.raises(txn.CheckViolation):
+        txn.commit_append_checked(
+            spark,
+            sink,
+            txn.stage_append(
+                spark.range(-1, 0).select(F.col("id"), F.lit("a").alias("day")),
+                sink,
+                ("day",),
+            ),
+        )
