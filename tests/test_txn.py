@@ -629,3 +629,52 @@ def test_check_constraints_enforced_at_commit(spark, tmp_path):
                 ("day",),
             ),
         )
+
+
+def test_deletion_vectors_compose_with_schema_evolution(spark, tmp_path):
+    """Interaction pin: a DV delete on a schema-evolved table applies
+    to OLD (narrow) files through the widened read schema — the
+    null-filled evolution column doesn't shift row positions — and
+    time travel before/after the delete keeps each version's own
+    schema AND its own DV state."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink,
+        txn.stage_append(_mk(spark, 0, 6, "a").coalesce(1), sink, ("day",)),
+        schema_ddl="id BIGINT, day STRING",
+    )
+    wide = spark.range(10, 14).select(
+        F.col("id"), F.lit("x").alias("extra"), F.lit("b").alias("day")
+    )
+    txn.commit_append(
+        sink,
+        txn.stage_append(wide.coalesce(1), sink, ("day",)),
+        schema_ddl="id BIGINT, extra STRING, day STRING",
+    )
+    # delete rows from BOTH eras in one DV commit (v3)
+    assert txn.delete_where(spark, sink, F.col("id").isin(2, 4, 11)) == 3
+    live = txn.read_committed(spark, sink)
+    got = {(r["id"], r["extra"]) for r in live.collect()}
+    assert got == {(0, None), (1, None), (3, None), (5, None),
+                   (10, "x"), (12, "x"), (13, "x")}
+    # v2 (pre-delete): full rows, wide schema; v1: narrow schema
+    assert txn.read_version(spark, sink, 2).count() == 10
+    assert txn.read_version(spark, sink, 1).columns == ["id", "day"]
+    # metadata count stays exact through both features
+    assert txn.metadata_agg(sink)["count"] == 7
+
+
+def test_changelog_cdc_sees_dv_deletes(spark, tmp_path):
+    """Interaction pin: version-over-version CDC (the q177 key
+    anti-join shape) reports a DV delete as removed rows — the DV
+    commit IS a change event even though no data file changed."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 8, "a").coalesce(1), sink, ("day",))
+    )
+    assert txn.delete_where(spark, sink, F.col("id") % 3 == 0) == 3
+    v1 = txn.read_version(spark, sink, 1)
+    v2 = txn.read_version(spark, sink, 2)
+    deleted = {r["id"] for r in v1.join(v2, "id", "left_anti").collect()}
+    inserted = v2.join(v1, "id", "left_anti").count()
+    assert deleted == {0, 3, 6} and inserted == 0
