@@ -136,6 +136,7 @@ _PRIORITY = (
     "q208_dv_merge",
     "q209_metadata_only_agg",
     "q210_check_constraints",
+    "q211_restore_table",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -177,15 +178,14 @@ _PRIORITY = (
     "q55_price_spread",
     "q56_shipping_priority",
     "q57_large_volume_orders",
-    # (d) oldest official checks, r2 (7 — q75 swapped in for its
-    # txn-adopter cagg sink; q25/q26/q27/q28/q29/q30/q34 displaced
-    # by the q204-q210 additions, resume next round with the rest)
+    # (d) oldest official checks, r2 (6 — q75 swapped in for its
+    # txn-adopter cagg sink; q24/q25/q26/q27/q28/q29/q30/q34
+    # displaced by the q204-q211 additions, resume next round)
     "q01_pricing_summary",
     "q02_product_search",
     "q21_events_daily",
     "q22_user_running_totals",
     "q23_event_gaps",
-    "q24_user_event_pivot",
     "q75_continuous_aggregate",
 )
 

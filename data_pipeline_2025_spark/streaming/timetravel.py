@@ -1060,3 +1060,87 @@ def q210_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checks_recorded bigint, rows_committed bigint, "
         "violations_detected bigint, refused_ok bigint",
     )
+
+
+# --------- q211: RESTORE TABLE (round 6)
+#
+# The last lakehouse write primitive: roll the table back to an
+# earlier version as ONE metadata commit (txn.restore — Delta's
+# RESTORE TABLE ... VERSION AS OF). At 100 TB this is the incident
+# response for a bad batch/delete/merge: no data file moves, the
+# restore costs O(listing) manifest bytes, and HISTORY is preserved
+# — the bad head stays time-travelable for the post-mortem, and a
+# bad restore is itself restorable. This query deletes 1/11th of an
+# events sink via deletion vectors, restores to the pre-delete
+# version through the real machinery, and proves: the restored
+# per-day rows + exact value totals equal the original table
+# (hash-checked), the DV-delete head is still readable with its
+# deletes applied (v2_rows), the delete's DV count is recomputable
+# from the manifest at v2 (deleted_at_v2), and the restored head is
+# DV-free at exactly version 3 (restore_clean).
+
+_RST_MOD = 11
+_RST_REM = 5
+
+_ORACLE_Q211 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_value_d,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_id % {_RST_MOD} = {_RST_REM}) AS deleted_at_v2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_id % {_RST_MOD} <> {_RST_REM}) AS v2_rows,
+       CAST(1 AS BIGINT) AS restore_clean
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "q211_restore_table",
+    oracle=_ORACLE_Q211,
+    doc="RESTORE TABLE as one metadata commit (Delta's VERSION AS "
+    "OF rollback): a deletion-vector delete is undone by restoring "
+    "the pre-delete snapshot — per-day rows + exact value totals "
+    "prove the rollback is exact, the deleted head stays "
+    "time-travelable for post-mortem, the DV count is recomputed "
+    "from the v2 manifest, and the restored head is DV-free.",
+    tags=("streaming", "txn", "restore", "dv"),
+)
+def q211_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "rst_q211_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(ev, sink, ("day",)))
+        txn.delete_where(
+            spark, sink, F.col("event_id") % _RST_MOD == _RST_REM
+        )
+        txn.restore(sink, 1)
+    deleted_at_v2 = sum(len(v) for v in txn.dv_at(sink, 2).values())
+    v2_rows = txn.read_version(spark, sink, 2).count()
+    restore_clean = (
+        1
+        if txn.dv_at(sink) == {} and len(txn.versions(sink)) == 3
+        else 0
+    )
+    return (
+        txn.read_committed(spark, sink)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .withColumn("deleted_at_v2", F.lit(deleted_at_v2).cast("bigint"))
+        .withColumn("v2_rows", F.lit(v2_rows).cast("bigint"))
+        .withColumn("restore_clean", F.lit(restore_clean).cast("bigint"))
+        .orderBy("day")
+    )

@@ -788,6 +788,67 @@ def commit_append(
     _commit(sink_dir, list(new_files), replace=False, schema_ddl=schema_ddl)
 
 
+def restore(sink_dir: str, version: int) -> int:
+    """Delta's ``RESTORE TABLE ... VERSION AS OF``: publish ONE new
+    commit whose snapshot is identical to ``version``'s — listing
+    (with its stats), read schema, and deletion vectors all roll
+    back — while HISTORY is preserved: the pre-restore head stays
+    time-travelable, so a bad restore is itself restorable. No data
+    file is touched; the target's files must still exist (i.e. the
+    target is within the vacuum retention window) — a reclaimed
+    file raises FileNotFoundError and nothing is committed. Two
+    deliberate semantics, both Delta's: CHECK constraints are
+    administrative metadata and stay at their CURRENT set, and when
+    the target predates the first schema declaration the current
+    (wider, backward-compatible) read schema remains. The delta
+    entry is the existing grammar composed: ``~dir`` for every
+    current-or-target partition (which also clears their DVs),
+    ``+path\\tstats`` re-adds the target listing, ``-path [pos]``
+    re-declares the target's DVs. Returns the new head version."""
+    target, t_schema, t_dvs, _t_checks = _snapshot_at(sink_dir, version)
+    missing = [
+        p for p in target if not os.path.exists(os.path.join(sink_dir, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to v{version} impossible: {len(missing)} data "
+            f"file(s) already vacuumed, e.g. {missing[0]}"
+        )
+    t_tokens = [p if s is None else f"{p}\t{s}" for p, s in target.items()]
+    t_dv_lines = [
+        f"-{p}\t{json.dumps(v)}" for p, v in sorted(t_dvs.items())
+    ]
+    while True:
+        vs = versions(sink_dir)
+        head = vs[-1] if vs else 0
+        seq = head + 1
+        is_ckpt = seq % CHECKPOINT_EVERY == 1
+        cur, cur_schema, _cur_dvs, cur_checks = (
+            _snapshot_at(sink_dir, head) if vs else ({}, None, {}, {})
+        )
+        eff_schema = t_schema if t_schema is not None else cur_schema
+        schema_lines = (
+            [f"#schema\t{eff_schema}"] if eff_schema is not None else []
+        )
+        check_lines = [
+            f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
+        ]
+        if is_ckpt:
+            lines = schema_lines + check_lines + t_tokens + t_dv_lines
+        else:
+            dirs = sorted(
+                {os.path.dirname(p) for p in list(cur) + list(target)}
+            )
+            lines = (
+                schema_lines
+                + [f"~{d}" for d in dirs]
+                + [f"+{t}" for t in t_tokens]
+                + t_dv_lines
+            )
+        if _try_commit(sink_dir, seq, lines, is_ckpt):
+            return seq
+
+
 class CheckViolation(Exception):
     """A batch (or, for :func:`add_check`, the existing table)
     violates a CHECK constraint — the commit was refused and

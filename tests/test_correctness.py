@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 208
+EXPECTED_QUERY_COUNT = 209
 
 
 def test_registry_complete():
@@ -83,6 +83,7 @@ def test_priority_queries_inside_driver_cap():
         "q208_dv_merge",
         "q209_metadata_only_agg",
         "q210_check_constraints",
+        "q211_restore_table",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -124,7 +125,6 @@ def test_priority_queries_inside_driver_cap():
         "q21_events_daily",
         "q22_user_running_totals",
         "q23_event_gaps",
-        "q24_user_event_pivot",
         "q75_continuous_aggregate",
     }
     assert must_lead <= first_50, must_lead - first_50

@@ -678,3 +678,62 @@ def test_changelog_cdc_sees_dv_deletes(spark, tmp_path):
     deleted = {r["id"] for r in v1.join(v2, "id", "left_anti").collect()}
     inserted = v2.join(v1, "id", "left_anti").count()
     assert deleted == {0, 3, 6} and inserted == 0
+
+
+def test_restore_rolls_back_listing_schema_and_dvs(spark, tmp_path):
+    """Round-6 RESTORE TABLE: one metadata commit rolls the snapshot
+    back to an earlier version — listing, schema, and deletion
+    vectors included — while the pre-restore head stays
+    time-travelable (a bad restore is itself restorable). Also
+    exercises the checkpoint-version branch (a restore landing on
+    v11 writes a full checkpoint) and the clean refusal when the
+    target's files were already vacuumed."""
+    import pytest
+
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink,
+        txn.stage_append(_mk(spark, 0, 6, "a").coalesce(1), sink, ("day",)),
+        schema_ddl="id BIGINT, day STRING",
+    )
+    wide = spark.range(10, 14).select(
+        F.col("id"), F.lit("x").alias("extra"), F.lit("b").alias("day")
+    )
+    txn.commit_append(
+        sink,
+        txn.stage_append(wide.coalesce(1), sink, ("day",)),
+        schema_ddl="id BIGINT, extra STRING, day STRING",
+    )
+    assert txn.delete_where(spark, sink, F.col("id").isin(1, 11)) == 2
+    assert txn.read_committed(spark, sink).count() == 8
+    # v4 = restore to v2: deletes undone, wide schema kept
+    assert txn.restore(sink, 2) == 4
+    live = txn.read_committed(spark, sink)
+    assert live.count() == 10 and txn.dv_at(sink) == {}
+    # v5 = restore to v1: narrow schema, day=b gone
+    assert txn.restore(sink, 1) == 5
+    live = txn.read_committed(spark, sink)
+    assert live.columns == ["id", "day"] and live.count() == 6
+    # history preserved: the DV-delete head is still travelable
+    assert txn.read_version(spark, sink, 3).count() == 8
+    # restore landing exactly on a checkpoint version (v11)
+    for i in range(5):
+        txn.commit_append(
+            sink,
+            txn.stage_append(
+                _mk(spark, 100 + i, 101 + i, "a").coalesce(1), sink, ("day",)
+            ),
+        )
+    assert txn.restore(sink, 3) == 11  # checkpoint branch
+    assert txn.read_committed(spark, sink).count() == 8
+    assert sum(len(v) for v in txn.dv_at(sink).values()) == 2
+    assert txn.metadata_agg(sink)["count"] == 8
+    # vacuumed target refuses cleanly: replace day=a, vacuum the
+    # superseded files, then try to restore past them
+    txn.commit_replace(
+        sink,
+        txn.stage_append(_mk(spark, 200, 202, "a").coalesce(1), sink, ("day",)),
+    )
+    txn.vacuum(sink, retain_seconds=0, protect_log_versions=False)
+    with pytest.raises(FileNotFoundError):
+        txn.restore(sink, 11)
