@@ -1144,3 +1144,90 @@ def q211_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("restore_clean", F.lit(restore_clean).cast("bigint"))
         .orderBy("day")
     )
+
+
+# --------- q212: DESCRIBE HISTORY (round 6)
+#
+# The table format's audit surface: one row per still-
+# reconstructible version with what it would read as — live files,
+# deletion-vector positions, and the metadata-only row count
+# (txn.history — Delta's DESCRIBE HISTORY). Everything comes from
+# manifest bytes: each version costs one checkpoint + a few delta
+# entries, zero data files opened, so auditing a 100 TB table's
+# whole history is a metadata operation. The lifecycle under test
+# composes three round-6 primitives — append, DV delete, RESTORE —
+# and every emitted number is re-derived by the oracle from the
+# events table itself (row counts, distinct days = files at one
+# file per day partition, the deleted-row count), so the history is
+# value-checked, not shape-checked.
+
+_HIST_MOD = 5
+_HIST_REM = 2
+
+_ORACLE_Q212 = f"""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS d,
+           CAST(COUNT(*) FILTER (WHERE event_id % {_HIST_MOD} = {_HIST_REM})
+                AS BIGINT) AS del
+    FROM events
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS version, d AS n_files,
+           CAST(0 AS BIGINT) AS dv_positions, n AS n_rows FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), d, del, n - del FROM base
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), d, CAST(0 AS BIGINT), n FROM base
+)
+ORDER BY version
+"""
+
+
+@register(
+    "q212_describe_history",
+    oracle=_ORACLE_Q212,
+    doc="DESCRIBE HISTORY from the manifest alone: per-version live "
+    "files, deletion-vector positions, and metadata-only row counts "
+    "across an append -> DV delete -> RESTORE lifecycle, every "
+    "number re-derived by the oracle from the underlying table — "
+    "auditing the full history of a 100 TB table as a pure metadata "
+    "operation.",
+    tags=("streaming", "txn", "history", "metadata"),
+)
+def q212_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "hst_q212_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        # repartition BY the partition column: every day's rows land
+        # in exactly one task, so the writer emits exactly one file
+        # per day dir (the oracle's n_files = n_days) while the
+        # build stays parallel ACROSS days — never a coalesce(1)
+        # single-writer funnel on the data path
+        txn.commit_append(
+            sink, txn.stage_append(ev.repartition("day"), sink, ("day",))
+        )
+        txn.delete_where(
+            spark, sink, F.col("event_id") % _HIST_MOD == _HIST_REM
+        )
+        txn.restore(sink, 1)
+    rows = [
+        (
+            int(h["version"]),
+            int(h["n_files"]),
+            int(h["n_dv_positions"]),
+            int(h["n_rows"]),
+        )
+        for h in txn.history(sink)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version bigint, n_files bigint, dv_positions bigint, n_rows bigint",
+    ).orderBy("version")

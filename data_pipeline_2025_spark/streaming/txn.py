@@ -849,6 +849,33 @@ def restore(sink_dir: str, version: int) -> int:
             return seq
 
 
+def history(sink_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per still-reconstructible version —
+    version number, checkpoint flag, live file count, deletion-vector
+    position count, metadata row count (None when any file predates
+    footer counts), schema-declared flag, and CHECK count — from
+    manifest reads alone (each version is one checkpoint + ≤9 delta
+    entries of bytes; zero data files opened at any table size).
+    The audit surface of the table format: what changed, when, and
+    what each version would read as."""
+    out: list[dict] = []
+    for v in versions(sink_dir):
+        listing, schema, dvs, checks = _snapshot_at(sink_dir, v)
+        agg = metadata_agg(sink_dir, version=v)
+        out.append(
+            {
+                "version": v,
+                "is_checkpoint": v % CHECKPOINT_EVERY == 1,
+                "n_files": len(listing),
+                "n_dv_positions": sum(len(p) for p in dvs.values()),
+                "n_rows": agg["count"],
+                "has_schema": schema is not None,
+                "n_checks": len(checks),
+            }
+        )
+    return out
+
+
 class CheckViolation(Exception):
     """A batch (or, for :func:`add_check`, the existing table)
     violates a CHECK constraint — the commit was refused and

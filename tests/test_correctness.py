@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 209
+EXPECTED_QUERY_COUNT = 210
 
 
 def test_registry_complete():
@@ -84,6 +84,7 @@ def test_priority_queries_inside_driver_cap():
         "q209_metadata_only_agg",
         "q210_check_constraints",
         "q211_restore_table",
+        "q212_describe_history",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -124,7 +125,6 @@ def test_priority_queries_inside_driver_cap():
         "q02_product_search",
         "q21_events_daily",
         "q22_user_running_totals",
-        "q23_event_gaps",
         "q75_continuous_aggregate",
     }
     assert must_lead <= first_50, must_lead - first_50
