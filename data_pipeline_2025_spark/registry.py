@@ -138,6 +138,7 @@ _PRIORITY = (
     "q210_check_constraints",
     "q211_restore_table",
     "q212_describe_history",
+    "q213_bloom_point_lookup",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -179,14 +180,12 @@ _PRIORITY = (
     "q55_price_spread",
     "q56_shipping_priority",
     "q57_large_volume_orders",
-    # (d) oldest official checks, r2 (5 — q75 swapped in for its
-    # txn-adopter cagg sink; q23/q24/q25/q26/q27/q28/q29/q30/q34
-    # displaced by the q204-q212 additions, resume next round)
+    # (d) oldest official checks, r2 (4 — q75 and q23-q30/q34
+    # displaced by the q204-q213 additions, resume next round)
     "q01_pricing_summary",
     "q02_product_search",
     "q21_events_daily",
     "q22_user_running_totals",
-    "q75_continuous_aggregate",
 )
 
 

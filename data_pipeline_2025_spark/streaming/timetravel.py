@@ -1231,3 +1231,172 @@ def q212_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version bigint, n_files bigint, dv_positions bigint, n_rows bigint",
     ).orderBy("version")
+
+
+# --------- q213: bloom-filter point-lookup skipping (round 6)
+#
+# q201 proved min/max manifest bounds prune RANGE predicates; they
+# are useless for a POINT LOOKUP on a high-cardinality column whose
+# values interleave across every file (each file's [min, max] spans
+# the probe). Delta's answer is per-file bloom filter indexes; this
+# is that feature on the txn manifest (txn.build_bloom — one
+# O(batch) aggregation at commit time, hex bitmaps in the stats
+# JSON, checkpoint-carried). Layout: events bucketed user_id % 12,
+# one committed file per bucket — by construction every file's
+# user_id bounds span the probe, so ONLY the bloom can prune.
+# Probes: the 6 smallest user_ids (each lives in exactly one file;
+# no false negatives means files_kept >= 1 and the row totals are
+# exact) plus 2 absent ids (a bloom-only engine proves absence
+# without reading ANY file). The bit positions come from the repo's
+# two-engine md5 hash family, so the oracle re-derives the EXACT
+# keep/skip decision — bit-identical false positives included —
+# from SQL algebra, and the row/value sums prove no wrong skip.
+# Scale shape: the index is O(m) manifest bytes per file (the
+# documented sidecar seam), probing is a driver-side manifest scan,
+# and a 100 TB point lookup reads ~1 file instead of the table.
+
+_BLOOM_FILES = 12
+_BLOOM_PRESENT = 6
+
+_ORACLE_Q213 = f"""
+WITH pres AS (
+    SELECT DISTINCT user_id AS probe FROM events ORDER BY probe
+    LIMIT {_BLOOM_PRESENT}
+),
+allp AS (
+    SELECT probe, CAST(1 AS BIGINT) AS present FROM pres
+    UNION ALL
+    SELECT MAX(user_id) + 1000, CAST(0 AS BIGINT) FROM events
+    UNION ALL
+    SELECT MAX(user_id) + 2000, CAST(0 AS BIGINT) FROM events
+),
+bu AS (SELECT DISTINCT user_id % {_BLOOM_FILES} AS bkt, user_id FROM events),
+msz AS (
+    SELECT bkt,
+           GREATEST(64, ((COUNT(*) * 16 + 63) // 64) * 64) AS m,
+           MIN(user_id) AS umin, MAX(user_id) AS umax
+    FROM bu GROUP BY bkt
+),
+fileset AS (
+    SELECT DISTINCT hb.bkt, (hb.a + g.i * hb.b) % s.m AS pos
+    FROM (
+        SELECT bkt,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS a,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 12))::BIGINT AS b
+        FROM bu
+    ) hb
+    JOIN msz s ON s.bkt = hb.bkt
+    CROSS JOIN generate_series(0, 4) AS g(i)
+),
+ppos AS (
+    SELECT pb.probe, s.bkt, g.i, (pb.a + g.i * pb.b) % s.m AS pos,
+           s.umin, s.umax
+    FROM (
+        SELECT probe,
+               ('0x' || substr(md5(CAST(probe AS VARCHAR)), 1, 12))::BIGINT AS a,
+               ('0x' || substr(md5(CAST(probe AS VARCHAR)), 17, 12))::BIGINT AS b
+        FROM allp
+    ) pb
+    CROSS JOIN msz s
+    CROSS JOIN generate_series(0, 4) AS g(i)
+),
+kept AS (
+    SELECT pp.probe, pp.bkt
+    FROM ppos pp
+    LEFT JOIN fileset fs ON fs.bkt = pp.bkt AND fs.pos = pp.pos
+    WHERE pp.probe BETWEEN pp.umin AND pp.umax
+    GROUP BY pp.probe, pp.bkt
+    HAVING COUNT(fs.pos) = 5
+)
+SELECT p.probe AS probe_user, p.present,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM msz) AS files_total,
+       CAST((SELECT COUNT(*) FROM kept k WHERE k.probe = p.probe)
+            AS BIGINT) AS files_kept,
+       CAST((SELECT COUNT(*) FROM events e WHERE e.user_id = p.probe)
+            AS BIGINT) AS n_rows,
+       CAST(ROUND(COALESCE(
+            (SELECT SUM(CAST(value AS DECIMAL(12,2))) FROM events e
+              WHERE e.user_id = p.probe), 0), 2) AS DOUBLE) AS value_sum_d
+FROM allp p
+ORDER BY probe_user
+"""
+
+
+def _build_bloom_sink(spark: SparkSession, sf_dir: str) -> str:
+    tag = "bloom_q213_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 1:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.expr(f"user_id % {_BLOOM_FILES}").alias("bkt"),
+        )
+        staged = txn.stage_append(ev.repartition(F.col("bkt")), sink, ("bkt",))
+        txn.commit_append(
+            sink, staged, bloom=txn.build_bloom(spark, sink, staged, "user_id")
+        )
+    return sink
+
+
+@register(
+    "q213_bloom_point_lookup",
+    oracle=_ORACLE_Q213,
+    doc="Per-file bloom-filter indexes in the txn manifest (Delta "
+    "bloom index analog): events bucketed so min/max bounds CANNOT "
+    "prune a user_id point lookup, blooms built with one O(batch) "
+    "aggregation at commit time; present probes keep ~1 of 12 files "
+    "(row/value sums prove no wrong skip), absent probes prove "
+    "absence reading zero files. The two-engine md5 hash family "
+    "lets the oracle re-derive the exact keep/skip set — false "
+    "positives included — from SQL algebra.",
+    tags=("txn", "skipping", "bloom"),
+)
+def q213_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    sink = _build_bloom_sink(spark, sf_dir)
+    ev = Catalog(spark, sf_dir).events
+    present = [
+        int(r[0])
+        for r in ev.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(_BLOOM_PRESENT)
+        .collect()
+    ]
+    umax = int(ev.agg(F.max("user_id")).first()[0])
+    probes = [(u, 1) for u in present] + [
+        (umax + 1000, 0),
+        (umax + 2000, 0),
+    ]
+    parts = []
+    for u, is_present in probes:
+        kept, total = txn.prune_files_eq(sink, "user_id", u)
+        pruned = txn.read_committed(spark, sink, prune_eq=("user_id", u))
+        if pruned is None:
+            agg = spark.createDataFrame(
+                [(0, 0.0)], "n_rows bigint, value_sum_d double"
+            )
+        else:
+            agg = pruned.where(F.col("user_id") == u).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    money_out(F.sum(dec("value"))), F.lit(0.0)
+                ).alias("value_sum_d"),
+            )
+        parts.append(
+            agg.select(
+                F.lit(u).cast("bigint").alias("probe_user"),
+                F.lit(is_present).cast("bigint").alias("present"),
+                F.lit(total).cast("bigint").alias("files_total"),
+                F.lit(len(kept)).cast("bigint").alias("files_kept"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                "value_sum_d",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).orderBy("probe_user")

@@ -466,11 +466,15 @@ def _parse_stats(stats: str | None) -> tuple[int | None, dict[str, tuple]]:
         return None, {}
     if not isinstance(parsed, dict):
         return None, {}
-    if isinstance(parsed.get("c"), dict):
+    if {"n", "c", "b"} & parsed.keys():
+        # current structured form: {"n": rows, "c": bounds, "b": blooms}
+        cols = parsed.get("c")
         n = parsed.get("n")
         return (
             int(n) if isinstance(n, int) and not isinstance(n, bool) else None,
-            {c: (b[0], b[1]) for c, b in parsed["c"].items()},
+            {c: (b[0], b[1]) for c, b in cols.items()}
+            if isinstance(cols, dict)
+            else {},
         )
     return None, {c: (b[0], b[1]) for c, b in parsed.items()}
 
@@ -577,10 +581,203 @@ def prune_files(
     return kept, len(index)
 
 
+# ---------------------------------------------------------------
+# Bloom-filter file skipping (round 6)
+#
+# Min/max bounds cannot prune a POINT LOOKUP on a high-cardinality
+# column whose values are spread across every file (each file's
+# [min, max] spans the probe). Delta solves this with per-file bloom
+# filter indexes; this is that feature on the manifest: an optional
+# per-file, per-column bloom filter stored in the stats JSON under
+# "b" — {col: {"m": bits, "k": hashes, "h": hex bitmap}} — built
+# with ONE O(batch) aggregation over the staged files at commit
+# time and carried through checkpoints like every other stat. The
+# hash family is the repo's two-engine md5 convention
+# (operators/dedup.py:306): a, b = first/second 48-bit halves of
+# md5(CAST(value AS STRING)); position_i = (a + i*b) mod m — exact
+# bigint arithmetic in Spark, DuckDB, and driver-side Python, so an
+# oracle can re-derive the exact keep/skip decision. A membership
+# test has NO false negatives (a file containing the value is
+# always kept — pruning stays an optimization, never a filter);
+# false positives only cost a wasted file read. The hex bitmaps are
+# O(m) manifest bytes per file — the same documented seam as the DV
+# position lists, where production swaps in sidecar files.
+
+BLOOM_K = 5
+BLOOM_BITS_PER_KEY = 16  # fpp ≈ (1 - e^(-k·n/m))^k ≈ 1.4e-3
+
+
+def _bloom_m(n_distinct: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    """Filter size in bits for a file with ``n_distinct`` keys:
+    bits_per_key·n rounded up to a 64-bit word, floor 64. The oracle
+    replicates this exact formula (integer arithmetic only)."""
+    return max(64, ((n_distinct * bits_per_key + 63) // 64) * 64)
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """The k bit positions of ``value`` — driver-side half of the
+    two-engine hash: md5 of the value's canonical string form (str()
+    of a Python int == Spark CAST(bigint AS STRING) == DuckDB
+    CAST(... AS VARCHAR))."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    a, b = int(h[0:12], 16), int(h[16:28], 16)
+    return [(a + i * b) % m for i in range(k)]
+
+
+def build_bloom(
+    spark: SparkSession,
+    sink_dir: str,
+    new_files: list[str],
+    col: str,
+    k: int = BLOOM_K,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+) -> dict[str, dict]:
+    """Per-file bloom filters over ``col`` for a staged batch — pass
+    the result to :func:`commit_append(bloom=...)`. Cost: one
+    distinct-(file, value) aggregation plus one positions
+    aggregation over the NEW files only (O(batch), never O(table));
+    per-file driver state is bounded by m bits. Files where every
+    value is null get no filter (conservative keep at read time)."""
+    from pyspark.sql import functions as F
+
+    if not new_files:
+        return {}
+    base = os.path.abspath(sink_dir)
+    paths = [os.path.join(sink_dir, f) for f in new_files]
+    distinct = (
+        spark.read.option("basePath", sink_dir)
+        .parquet(*paths)
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ).alias("__p"),
+            F.col(col).cast("string").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .distinct()
+    )
+    counts = {
+        r["__p"]: r["n"]
+        for r in distinct.groupBy("__p").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    m_map = {p: _bloom_m(n, bits_per_key) for p, n in counts.items()}
+    m_df = spark.createDataFrame(
+        [(p, m) for p, m in m_map.items()], "__p string, __m long"
+    )
+    # a + i·b with 48-bit halves and i < k stays well under 2^53 —
+    # exact in every engine's bigint/double
+    per_file = (
+        distinct.select("__p", F.md5("__v").alias("h"))
+        .select(
+            "__p",
+            F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("a"),
+            F.conv(F.substring("h", 17, 12), 16, 10).cast("bigint").alias("b"),
+        )
+        .join(F.broadcast(m_df), "__p")
+        .select(
+            "__p",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+            "a",
+            "b",
+            "__m",
+        )
+        .select(
+            "__p",
+            ((F.col("a") + F.col("i") * F.col("b")) % F.col("__m")).alias("pos"),
+        )
+        .groupBy("__p")
+        .agg(F.collect_set("pos").alias("ps"))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in per_file:
+        m = m_map[r["__p"]]
+        nib = [0] * (m // 4)
+        for pos in r["ps"]:
+            nib[int(pos) >> 2] |= 1 << (int(pos) & 3)
+        out[os.path.relpath(r["__p"], base)] = {
+            col: {"m": m, "k": k, "h": "".join("%x" % v for v in nib)}
+        }
+    return out
+
+
+def blooms_at(
+    sink_dir: str, version: int | None = None
+) -> dict[str, dict[str, tuple[int, int, str]]]:
+    """The snapshot's bloom index: {relative path -> {column ->
+    (m, k, hex bitmap)}} from manifest bytes alone. Files committed
+    without a bloom simply have no entry."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    v = vs[-1] if version is None else version
+    out: dict[str, dict[str, tuple[int, int, str]]] = {}
+    for path, stats in _entries_at(sink_dir, v).items():
+        if stats is None:
+            continue
+        try:
+            parsed = json.loads(stats)
+        except ValueError:
+            continue
+        blooms = parsed.get("b") if isinstance(parsed, dict) else None
+        if not isinstance(blooms, dict):
+            continue
+        per_col: dict[str, tuple[int, int, str]] = {}
+        for c, spec in blooms.items():
+            if (
+                isinstance(spec, dict)
+                and isinstance(spec.get("m"), int)
+                and isinstance(spec.get("k"), int)
+                and isinstance(spec.get("h"), str)
+                and len(spec["h"]) * 4 == spec["m"]
+            ):
+                per_col[c] = (spec["m"], spec["k"], spec["h"])
+        if per_col:
+            out[path] = per_col
+    return out
+
+
+def prune_files_eq(
+    sink_dir: str, col: str, value, version: int | None = None
+) -> tuple[list[str], int]:
+    """Point-lookup file skipping: ``(kept_paths, total)`` for the
+    predicate ``col = value``, combining BOTH skip indexes the way a
+    real engine does — a file is skipped when its min/max bounds
+    exclude the value OR its bloom filter proves absence (any of the
+    k bits unset). No false negatives by construction; files without
+    stats/bloom for ``col`` are kept. The caller still applies the
+    exact predicate to the survivors."""
+    index = stats_at(sink_dir, version)
+    blooms = blooms_at(sink_dir, version)
+    kept: list[str] = []
+    for path, cols in index.items():
+        skip = False
+        if col in cols:
+            mn, mx = cols[col]
+            try:
+                skip = value < mn or value > mx
+            except TypeError:
+                skip = False  # incomparable bound types: keep
+        if not skip and col in blooms.get(path, {}):
+            m, k, h = blooms[path][col]
+            for pos in _bloom_positions(value, m, k):
+                if not (int(h[pos >> 2], 16) >> (pos & 3)) & 1:
+                    skip = True
+                    break
+        if not skip:
+            kept.append(path)
+    return kept, len(index)
+
+
 def read_committed(
     spark: SparkSession,
     sink_dir: str,
     prune: dict[str, tuple] | None = None,
+    prune_eq: tuple | None = None,
 ) -> DataFrame | None:
     """DataFrame over exactly the committed snapshot, or None when no
     data has ever been committed. ``basePath`` recovers the hive
@@ -589,10 +786,14 @@ def read_committed(
 
     With ``prune={col: (lo, hi)}`` the manifest's per-file min/max
     bounds drop provably-excluded files BEFORE Spark ever sees them
-    — manifest-driven data skipping on non-partition columns. The
-    caller must still apply the exact predicate (kept files may
+    — manifest-driven data skipping on non-partition columns. With
+    ``prune_eq=(col, value)`` the point-lookup path additionally
+    consults the per-file bloom filters (:func:`prune_files_eq`).
+    The caller must still apply the exact predicate (kept files may
     contain non-matching rows)."""
-    if prune:
+    if prune_eq is not None:
+        files, _total = prune_files_eq(sink_dir, prune_eq[0], prune_eq[1])
+    elif prune:
         files, _total = prune_files(sink_dir, prune)
     else:
         files = committed_files(sink_dir)
@@ -695,6 +896,7 @@ def _commit(
     schema_ddl: str | None = None,
     delete_dv: dict[str, list[int]] | None = None,
     add_check: tuple[str, str] | None = None,
+    bloom: dict[str, dict] | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
@@ -710,6 +912,18 @@ def _commit(
     first — blind retry would be a lost update for a rewrite derived
     from the old snapshot (Delta's ConcurrentModificationException)."""
     stats = _collect_stats(sink_dir, new_files)
+    if bloom:
+        for path, per_col in bloom.items():
+            try:
+                parsed = json.loads(stats[path]) if path in stats else {}
+            except ValueError:
+                parsed = {}
+            if not isinstance(parsed, dict):
+                parsed = {}
+            elif parsed and not ({"n", "c", "b"} & parsed.keys()):
+                parsed = {"c": parsed}  # legacy flat bounds form
+            parsed["b"] = {**parsed.get("b", {}), **per_col}
+            stats[path] = json.dumps(parsed, separators=(",", ":"))
 
     def _token(path: str) -> str:
         s = stats.get(path)
@@ -772,7 +986,10 @@ def _commit(
 
 
 def commit_append(
-    sink_dir: str, new_files: list[str], schema_ddl: str | None = None
+    sink_dir: str,
+    new_files: list[str],
+    schema_ddl: str | None = None,
+    bloom: dict[str, dict] | None = None,
 ) -> None:
     """Publish a new snapshot = current snapshot + ``new_files`` as
     ONE atomic log-entry create. O(batch) bytes written except at
@@ -784,8 +1001,14 @@ def commit_append(
     earlier, narrower schema are null-filled for the new columns at
     read time (``read_version``/``read_committed`` apply the
     snapshot's schema), and time travel to pre-evolution versions
-    still reads with THAT version's schema."""
-    _commit(sink_dir, list(new_files), replace=False, schema_ddl=schema_ddl)
+    still reads with THAT version's schema.
+
+    ``bloom`` (round 6) merges per-file bloom filters from
+    :func:`build_bloom` into the files' stats lines — the
+    point-lookup half of the skipping index."""
+    _commit(
+        sink_dir, list(new_files), replace=False, schema_ddl=schema_ddl, bloom=bloom
+    )
 
 
 def restore(sink_dir: str, version: int) -> int:

@@ -737,3 +737,98 @@ def test_restore_rolls_back_listing_schema_and_dvs(spark, tmp_path):
     txn.vacuum(sink, retain_seconds=0, protect_log_versions=False)
     with pytest.raises(FileNotFoundError):
         txn.restore(sink, 11)
+
+
+def test_bloom_point_lookup_prunes_without_false_negatives(spark, tmp_path):
+    """Per-file bloom filters (round 6): a point lookup keeps every
+    file that contains the value (no false negatives — structural),
+    prunes files that provably lack it, and an absent value prunes
+    everything (bar the tiny documented fp rate, which is
+    deterministic — asserted exactly via the shared hash)."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("day"),
+    )
+    staged = txn.stage_append(df.repartition(F.col("day")), sink, ("day",))
+    blooms = txn.build_bloom(spark, sink, staged, "k")
+    assert set(blooms) == set(staged)  # one filter per staged file
+    txn.commit_append(sink, staged, bloom=blooms)
+
+    # every present value: its owning file is ALWAYS kept and the
+    # pruned read returns exactly its rows
+    for v in (0, 1, 29, 58, 59):
+        kept, total = txn.prune_files_eq(sink, "k", v)
+        assert total == 3
+        got = (
+            txn.read_committed(spark, sink, prune_eq=("k", v))
+            .where(F.col("k") == v)
+            .count()
+        )
+        assert got == 1, f"wrong skip for k={v}"
+        # the keep set must match the pure-python bloom simulation
+        expected = []
+        for path, per_col in txn.blooms_at(sink).items():
+            m, kk, h = per_col["k"]
+            member = all(
+                (int(h[p >> 2], 16) >> (p & 3)) & 1
+                for p in txn._bloom_positions(v, m, kk)
+            )
+            if member:
+                expected.append(path)
+        assert sorted(kept) == sorted(expected)
+
+    # absent value beyond every file's max: bounds alone prune all
+    kept, _ = txn.prune_files_eq(sink, "k", 10_000)
+    assert kept == []
+    # absent value INSIDE the global range: only the bloom can prune
+    # (every file's [min, max] spans it) — simulate to get the exact
+    # deterministic keep count, which the machinery must reproduce
+    probe = 1_000_003  # arbitrary; not in any file
+    kept2, _ = txn.prune_files_eq(sink, "k", probe)
+    sim = [
+        path
+        for path, per_col in txn.blooms_at(sink).items()
+        if all(
+            (int(per_col["k"][2][p >> 2], 16) >> (p & 3)) & 1
+            for p in txn._bloom_positions(
+                probe, per_col["k"][0], per_col["k"][1]
+            )
+        )
+    ]
+    assert kept2 == sorted(sim) or set(kept2) == set(sim)
+
+
+def test_bloom_survives_checkpoint_and_conservative_without(spark, tmp_path):
+    """Blooms ride the stats JSON through checkpoint reconstruction
+    (v11 is a full-listing checkpoint), and files committed WITHOUT
+    a bloom are always kept (pruning is an optimization)."""
+    sink = str(tmp_path / "t")
+    first = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("a").alias("day")
+    )
+    staged = txn.stage_append(first.coalesce(1), sink, ("day",))
+    txn.commit_append(
+        sink, staged, bloom=txn.build_bloom(spark, sink, staged, "k")
+    )
+    # ten more bloom-less commits push past the v11 checkpoint
+    for i in range(10):
+        more = spark.range(100 + i, 101 + i).select(
+            F.col("id").alias("k"), F.lit("b").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(more.coalesce(1), sink, ("day",)))
+    assert len(txn.versions(sink)) == 11
+    blooms = txn.blooms_at(sink)
+    assert list(blooms) == staged  # v1's bloom survived the checkpoint
+    # the two indexes compose: the bloom proves 105 absent from v1's
+    # file, min/max bounds prune the 9 bloom-less singleton files
+    # that don't contain it, and the one file holding 105 is kept
+    kept, total = txn.prune_files_eq(sink, "k", 105)
+    assert total == 11
+    assert staged[0] not in kept  # bloom proves absence of 105 in v1's file
+    assert len(kept) == 1 and kept[0].startswith("day=b/")
+    # and with bounds unable to decide (probe inside v1's range) the
+    # bloom-less files' fate rests on bounds alone: probe 5 keeps
+    # v1's file (bloom hit) and prunes every singleton by bounds
+    kept5, _ = txn.prune_files_eq(sink, "k", 5)
+    assert kept5 == staged
