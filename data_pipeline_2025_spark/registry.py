@@ -139,6 +139,8 @@ _PRIORITY = (
     "q211_restore_table",
     "q212_describe_history",
     "q213_bloom_point_lookup",
+    "q214_change_data_feed",
+    "q215_incremental_matview",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -180,12 +182,10 @@ _PRIORITY = (
     "q55_price_spread",
     "q56_shipping_priority",
     "q57_large_volume_orders",
-    # (d) oldest official checks, r2 (4 — q75 and q23-q30/q34
-    # displaced by the q204-q213 additions, resume next round)
+    # (d) oldest official checks, r2 (2 — q75 and q21-q30/q34
+    # displaced by the q204-q215 additions, resume next round)
     "q01_pricing_summary",
     "q02_product_search",
-    "q21_events_daily",
-    "q22_user_running_totals",
 )
 
 

@@ -1400,3 +1400,221 @@ def q213_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, parts).orderBy("probe_user")
+
+
+# --------- q214/q215: change data feed + incremental mat-view
+#
+# q177 checks CDC by DIFFING two whole snapshots — O(table) per
+# comparison. txn.read_changes is the O(delta) variant a 100 TB
+# table needs (Delta's readChangeFeed): each commit's row-level
+# changes derived from its MANIFEST DIFF (files added → inserts,
+# files retired → deletes, DV positions added → deletes, DV
+# positions removed by RESTORE → inserts), opening only the CHANGED
+# files. q214 proves the feed itself over an append → append → DV
+# delete → DV merge lifecycle; q215 proves the flagship consumer —
+# a per-user materialized aggregate maintained INCREMENTALLY from
+# the feed (apply ±value per change), bit-identical to a full
+# recompute of the head snapshot. At 100 TB the recompute is a full
+# table scan; the incremental path reads only the few files the
+# last commits touched — this pair is the evidence the O(delta)
+# claim rests on.
+
+_CDF_MOD, _CDF_REM = 7, 3
+
+
+def _cdf_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Shared 4-version lifecycle sink for q214/q215: v1 append
+    (pre-split events), v2 append (the rest), v3 DELETE WHERE
+    event_id % 7 == 3 (deletion vectors), v4 MERGE doubling the
+    min-user's rows (DV delete + re-insert in ONE commit — note the
+    merge's update set comes from the BASE table, so it also
+    re-inserts that user's v3-deleted rows with doubled values)."""
+    tag = "cdf_q214_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 4:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "user_id", "value", F.to_date("ts").alias("day"), "ts"
+        )
+        split = F.lit(_TT_SPLIT).cast("timestamp")
+        cols = ["event_id", "user_id", "value", "day"]
+        pre = ev.where(F.col("ts") < split).select(*cols)
+        post = ev.where(F.col("ts") >= split).select(*cols)
+        txn.commit_append(
+            sink, txn.stage_append(pre.repartition("day"), sink, ("day",))
+        )
+        txn.commit_append(
+            sink, txn.stage_append(post.repartition("day"), sink, ("day",))
+        )
+        txn.delete_where(
+            spark, sink, F.col("event_id") % _CDF_MOD == _CDF_REM
+        )
+        mu = int(ev.agg(F.min("user_id")).first()[0])
+        upd = ev.where(F.col("user_id") == mu).select(
+            "event_id",
+            "user_id",
+            money_out(dec("value") * 2).alias("value"),
+            "day",
+        )
+        txn.merge_upsert_dv(spark, sink, upd, "event_id", ("day",))
+    return sink
+
+
+_ORACLE_Q214 = f"""
+WITH mu AS (SELECT MIN(user_id) AS mu FROM events),
+chg AS (
+    SELECT 1 AS commit_version, 'insert' AS change_type,
+           COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s
+    FROM events WHERE ts < TIMESTAMP '{_TT_SPLIT}'
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*), SUM(CAST(value AS DECIMAL(12,2)))
+    FROM events WHERE ts >= TIMESTAMP '{_TT_SPLIT}'
+    UNION ALL
+    SELECT 3, 'delete', COUNT(*), SUM(CAST(value AS DECIMAL(12,2)))
+    FROM events WHERE event_id % {_CDF_MOD} = {_CDF_REM}
+    UNION ALL
+    SELECT 4, 'delete', COUNT(*), SUM(CAST(value AS DECIMAL(12,2)))
+    FROM events, mu
+    WHERE user_id = mu AND event_id % {_CDF_MOD} <> {_CDF_REM}
+    UNION ALL
+    SELECT 4, 'insert', COUNT(*), SUM(2 * CAST(value AS DECIMAL(12,2)))
+    FROM events, mu WHERE user_id = mu
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version,
+       change_type,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ROUND(s, 2) AS DOUBLE) AS value_sum_d
+FROM chg
+ORDER BY commit_version, change_type
+"""
+
+
+@register(
+    "q214_change_data_feed",
+    oracle=_ORACLE_Q214,
+    doc="Change data feed from the manifest diff (Delta "
+    "readChangeFeed analog): row-level inserts/deletes per commit "
+    "over an append → append → DV delete → DV merge lifecycle, "
+    "derived by opening only each commit's CHANGED files — O(delta) "
+    "per version, never O(table). The merge surfaces as "
+    "delete+insert of the same keys (Delta's DV-merge CDF shape); "
+    "every (version, change_type) count and value sum is "
+    "hash-checked against batch algebra over events.",
+    tags=("streaming", "txn", "cdf"),
+)
+def q214_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _cdf_sink(spark, sf_dir)
+    ch = txn.read_changes(spark, sink, 0, 4)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("value_sum_d"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+_ORACLE_Q215 = f"""
+WITH mu AS (SELECT MIN(user_id) AS mu FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(
+           CASE WHEN user_id = mu THEN 2 * CAST(value AS DECIMAL(12,2))
+                ELSE CAST(value AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+           AS value_sum_d,
+       CAST(1 AS BIGINT) AS mv_matches_scan
+FROM events, mu
+WHERE user_id = mu OR event_id % {_CDF_MOD} <> {_CDF_REM}
+GROUP BY user_id, mu
+ORDER BY user_id
+"""
+
+
+@register(
+    "q215_incremental_matview",
+    oracle=_ORACLE_Q215,
+    doc="Incremental materialized-view maintenance over the change "
+    "feed: a per-user (count, sum) aggregate materialized at v2 is "
+    "advanced to the head by applying ±value per change from "
+    "txn.read_changes(2, 4) — reading only the files the last two "
+    "commits touched — and proven bit-identical (exact decimal "
+    "arithmetic) to a full recompute of the head snapshot, whose "
+    "mismatch count is pinned at 0 in the emitted flag. The "
+    "O(delta)-not-O(table) maintenance pattern a 100 TB downstream "
+    "aggregate needs.",
+    tags=("streaming", "txn", "cdf", "matview"),
+)
+def q215_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _cdf_sink(spark, sf_dir)
+    zero = F.expr("CAST(0 AS DECIMAL(12,2))")
+    mv = (
+        txn.read_version(spark, sink, 2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(dec("value")).alias("s0"),
+        )
+    )
+    ch = txn.read_changes(spark, sink, 2, 4)
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = ch.groupBy("user_id").agg(
+        F.sum(sgn).alias("dn"),
+        F.sum(sgn * dec("value")).alias("ds"),
+    )
+    inc = (
+        mv.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (F.coalesce("s0", zero) + F.coalesce("ds", zero)).alias("sd"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    # full recompute of the head snapshot — the O(table) path the
+    # incremental one must match exactly
+    scan = (
+        txn.read_committed(spark, sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("value")).alias("sd"),
+        )
+    )
+    mismatches = (
+        inc.select("user_id", "n_rows", money_out(F.col("sd")).alias("v"))
+        .join(
+            scan.select(
+                "user_id",
+                F.col("n_rows").alias("n2"),
+                money_out(F.col("sd")).alias("v2"),
+            ),
+            "user_id",
+            "full_outer",
+        )
+        .where(
+            F.col("n_rows").isNull()
+            | F.col("n2").isNull()
+            | (F.col("n_rows") != F.col("n2"))
+            | (F.col("v") != F.col("v2"))
+        )
+        .count()
+    )
+    return inc.select(
+        "user_id",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        money_out(F.col("sd")).alias("value_sum_d"),
+        F.lit(1 if mismatches == 0 else 0).cast("bigint").alias(
+            "mv_matches_scan"
+        ),
+    ).orderBy("user_id")

@@ -1414,3 +1414,165 @@ def merge_upsert_dv(
     raise RuntimeError(
         f"merge_upsert_dv lost the commit race {max_attempts} times on {sink_dir}"
     )
+
+
+# ---------------------------------------------------------------
+# Change data feed (round 6)
+
+
+def _files_df(
+    spark: SparkSession,
+    sink_dir: str,
+    files: list[str],
+    schema: str | None,
+):
+    """Read specific committed files keyed by (normalized path, row
+    position) — the building block of the change feed."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.option("basePath", sink_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
+    return df.withColumn(
+        "__p", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    ).withColumn("__i", F.col("_metadata.row_index"))
+
+
+def _pos_join(spark, keyed, sink_dir: str, posmap: dict[str, list[int]], how: str):
+    """Semi/anti join a keyed file read against a broadcast position
+    set ({relative path -> row positions})."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (os.path.abspath(os.path.join(sink_dir, p)), int(i))
+        for p, positions in posmap.items()
+        for i in positions
+    ]
+    if not rows:
+        return keyed if how == "left_anti" else keyed.limit(0)
+    pos_df = spark.createDataFrame(rows, "__dp string, __di long")
+    return keyed.join(
+        F.broadcast(pos_df),
+        (keyed["__p"] == pos_df["__dp"]) & (keyed["__i"] == pos_df["__di"]),
+        how,
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    sink_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """CHANGE DATA FEED: the row-level changes between two snapshot
+    versions, derived from the MANIFEST DIFF of each intervening
+    commit — Delta's ``readChangeFeed`` semantics without rewriting
+    a byte at write time. Emits the data columns (under
+    ``to_version``'s read schema, older files null-filled) plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    Per version v the diff against v-1 decomposes into:
+
+    - files added        → their rows (minus any DV positions placed
+                           on them in the same commit) are inserts;
+    - files retired      → their still-live rows (minus the DV
+                           positions already dead at v-1) are deletes;
+    - DV positions added on surviving files → deletes;
+    - DV positions removed on surviving files (a RESTORE undoing a
+      delete) → inserts.
+
+    An update (MERGE) therefore appears as delete+insert of the same
+    key — exactly Delta CDF's representation for DV-backed merges.
+    Cost is O(changed files + DV positions) per version — the
+    listing diff is manifest bytes, and only changed files are ever
+    opened — which is what makes a downstream incremental consumer
+    (see operators using this for materialized-view maintenance)
+    O(delta) instead of O(table) at 100 TB. Returns None when the
+    range contains no versions. A ``from_version`` of 0 means "from
+    the beginning" (every v1 row is an insert). Versions must still
+    be reconstructible (within the :func:`prune_log` horizon) and
+    retired files still present (within the vacuum retention
+    window) — outside either, this raises FileNotFoundError, the
+    same clean refusal as time travel."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    vs = versions(sink_dir)
+    if to_version is None:
+        to_version = vs[-1] if vs else 0
+    if to_version <= from_version:
+        return None
+    target_schema = schema_at(sink_dir, to_version)
+
+    if from_version == 0:
+        prev_listing: dict[str, str | None] = {}
+        prev_dvs: dict[str, list[int]] = {}
+    else:
+        prev_listing_full, _s, prev_dvs, _c = _snapshot_at(sink_dir, from_version)
+        prev_listing = prev_listing_full
+
+    pieces = []
+    for v in range(from_version + 1, to_version + 1):
+        if v not in _scan_log(sink_dir):
+            continue
+        cur_listing, _s, cur_dvs, _c = _snapshot_at(sink_dir, v)
+        added = [p for p in cur_listing if p not in prev_listing]
+        removed = [p for p in prev_listing if p not in cur_listing]
+        if added:
+            ins = _files_df(spark, sink_dir, added, target_schema)
+            ins = _pos_join(
+                spark,
+                ins,
+                sink_dir,
+                {p: cur_dvs.get(p, []) for p in added},
+                "left_anti",
+            )
+            pieces.append((v, "insert", ins))
+        if removed:
+            dels = _files_df(spark, sink_dir, removed, target_schema)
+            dels = _pos_join(
+                spark,
+                dels,
+                sink_dir,
+                {p: prev_dvs.get(p, []) for p in removed},
+                "left_anti",
+            )
+            pieces.append((v, "delete", dels))
+        surviving = [p for p in cur_listing if p in prev_listing]
+        new_dead = {
+            p: sorted(set(cur_dvs.get(p, [])) - set(prev_dvs.get(p, [])))
+            for p in surviving
+        }
+        new_dead = {p: v_ for p, v_ in new_dead.items() if v_}
+        if new_dead:
+            d = _files_df(spark, sink_dir, sorted(new_dead), target_schema)
+            pieces.append(
+                (v, "delete", _pos_join(spark, d, sink_dir, new_dead, "left_semi"))
+            )
+        undead = {
+            p: sorted(set(prev_dvs.get(p, [])) - set(cur_dvs.get(p, [])))
+            for p in surviving
+        }
+        undead = {p: v_ for p, v_ in undead.items() if v_}
+        if undead:
+            u = _files_df(spark, sink_dir, sorted(undead), target_schema)
+            pieces.append(
+                (v, "insert", _pos_join(spark, u, sink_dir, undead, "left_semi"))
+            )
+        prev_listing, prev_dvs = cur_listing, cur_dvs
+
+    if not pieces:
+        return None
+    data_cols = [
+        c for c in pieces[0][2].columns if c not in ("__p", "__i", "__dp", "__di")
+    ]
+    labeled = [
+        df.select(
+            *data_cols,
+            F.lit(kind).alias("_change_type"),
+            F.lit(v).cast("bigint").alias("_commit_version"),
+        )
+        for v, kind, df in pieces
+    ]
+    return reduce(DataFrame.unionByName, labeled)

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 211
+EXPECTED_QUERY_COUNT = 213
 
 
 def test_registry_complete():
@@ -86,6 +86,8 @@ def test_priority_queries_inside_driver_cap():
         "q211_restore_table",
         "q212_describe_history",
         "q213_bloom_point_lookup",
+        "q214_change_data_feed",
+        "q215_incremental_matview",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -124,8 +126,6 @@ def test_priority_queries_inside_driver_cap():
         # (d) ... and the oldest r2-checked ones still inside the cap
         "q01_pricing_summary",
         "q02_product_search",
-        "q21_events_daily",
-        "q22_user_running_totals",
-        # q75 displaced by q213; resumes next round
+        # q21/q22/q75 displaced by q213-q215; resume next round
     }
     assert must_lead <= first_50, must_lead - first_50

@@ -832,3 +832,61 @@ def test_bloom_survives_checkpoint_and_conservative_without(spark, tmp_path):
     # v1's file (bloom hit) and prunes every singleton by bounds
     kept5, _ = txn.prune_files_eq(sink, "k", 5)
     assert kept5 == staged
+
+
+def test_read_changes_reconstructs_every_snapshot(spark, tmp_path):
+    """The change feed (round 6) is derived from manifest diffs —
+    applying the cumulative changes to an empty state must
+    reproduce the head snapshot exactly, across appends, DV
+    deletes, a DV merge, and a RESTORE (whose un-deletes surface as
+    inserts). Also pins the O(delta) window read: changes (2, head]
+    touch only post-v2 commits."""
+    import collections
+
+    sink = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+        F.lit("a").alias("day"),
+    )
+    txn.commit_append(sink, txn.stage_append(mk(0, 5).coalesce(1), sink, ("day",)))
+    txn.commit_append(sink, txn.stage_append(mk(5, 8).coalesce(1), sink, ("day",)))
+    txn.delete_where(spark, sink, F.col("k") % 2 == 0)  # v3: 0,2,4,6
+    upd = spark.createDataFrame(
+        [(3, 999.0, "a"), (100, 1.0, "a")], "k long, v double, day string"
+    )
+    txn.merge_upsert_dv(spark, sink, upd, "k", ("day",))  # v4
+    txn.restore(sink, 2)  # v5: un-deletes + removes merge rows
+
+    ch = txn.read_changes(spark, sink, 0)
+    state: collections.Counter = collections.Counter()
+    for r in ch.collect():
+        state[(r["k"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    applied = {key for key, c in state.items() if c == 1}
+    assert not [c for c in state.values() if c not in (0, 1)]
+    final = {
+        (r["k"], r["v"])
+        for r in txn.read_committed(spark, sink).select("k", "v").collect()
+    }
+    assert applied == final == {(i, i * 10.0) for i in range(8)}
+
+    # windowed read: (2, 5] only — v1/v2 inserts absent
+    win = txn.read_changes(spark, sink, 2, 5)
+    assert win.where(F.col("_commit_version") <= 2).count() == 0
+    # v5 (restore) emits exactly: deletes of the merge's two rows,
+    # re-inserts of the four v3-deleted rows and of key 3's original
+    v5 = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in win.where(F.col("_commit_version") == 5).collect()
+    }
+    assert v5 == {
+        (3, 999.0, "delete"),
+        (100, 1.0, "delete"),
+        (0, 0.0, "insert"),
+        (2, 20.0, "insert"),
+        (4, 40.0, "insert"),
+        (6, 60.0, "insert"),
+        (3, 30.0, "insert"),
+    }
+    # empty window → None
+    assert txn.read_changes(spark, sink, 5, 5) is None
