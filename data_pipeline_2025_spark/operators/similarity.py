@@ -2604,3 +2604,73 @@ def q202_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------------------------------ SemDeDup (round 6)
+#
+# Semantic deduplication in embedding space (the SemDeDup recipe:
+# cluster, then drop within-cluster semantic duplicates) — the
+# curation step a training corpus runs AFTER lexical dedup, because
+# paraphrases share no shingles (same motivation as q192's
+# embedding-space decontamination). This implementation rides the
+# adaptive-IVF machinery end to end: clusters are the q43 buckets
+# (K = max(8, ceil(N/64)) keeps occupancy bounded, so the in-cluster
+# pair set stays LINEAR in N — never all-pairs), the similarity
+# graph is the session-materialized neardup_pairs_df, and the keep
+# rule is the parallel deterministic one: a vector is dropped iff
+# ANY smaller-id in-cluster neighbor sits above the threshold
+# (one anti-join — no sequential scan over cluster members, which
+# is what makes the rule embarrassingly parallel at 100 TB; the
+# paper's "keep one random member" differs only in which
+# representative survives, not in what counts as a duplicate).
+
+_ORACLE_Q217 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+{_ADAPTIVE_CENT_SQL},
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM aassign a
+    JOIN aassign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE round(list_dot_product(na.v, nb.v)
+                / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {NEARDUP_COS}
+),
+dropped AS (SELECT DISTINCT vec_b FROM pairs)
+SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       CAST(CASE WHEN d.vec_b IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM aassign a
+LEFT JOIN dropped d ON d.vec_b = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@register(
+    "q217_semdedup",
+    oracle=_ORACLE_Q217,
+    doc="SemDeDup-style semantic dedup: adaptive-IVF clusters "
+    "(occupancy-bounded, in-cluster pairs linear in N), the "
+    "materialized q43 cosine graph, and a parallel min-id keep "
+    "rule — one anti-join decides every vector, no sequential "
+    "cluster scan. Per-vector (cluster, is_dup) verdicts "
+    "value-checked against the full SQL restatement.",
+    tags=("similarity", "dedup", "curation"),
+)
+def q217_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _ivf_assign_adaptive(spark, sf_dir)
+    dropped = (
+        neardup_pairs_df(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            F.coalesce("__dup", F.lit(0)).cast("bigint").alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

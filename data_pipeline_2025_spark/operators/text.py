@@ -1848,3 +1848,122 @@ def q205_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------- sequence packing (round 6)
+#
+# The last mile of a training-data pipeline: documents are
+# concatenated and cut into fixed-length context windows (the
+# GPT-style "concat then chunk" packing — no padding between docs,
+# a document may straddle a window boundary). At 100 TB packing
+# cannot be a global sequential scan, so the corpus is first split
+# into independent PACK STREAMS by a deterministic hash bucket
+# (production: one stream per output shard); each stream is packed
+# by a window cumsum PARTITIONED by stream — hash-partitioned,
+# embarrassingly parallel across streams, no global sort anywhere.
+# Integer algebra only (window id = cumsum div C), identical in
+# both engines; the emitted per-stream padding/fill/straddle
+# numbers are the packing-efficiency metrics a data team actually
+# watches (fill_ratio is one IEEE division of two exact integers —
+# bit-stable).
+
+PACK_WINDOW = 256  # tokens per training sequence
+PACK_STREAMS = 8
+
+_ORACLE_Q216 = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % {PACK_STREAMS} AS stream,
+           len({TOKENS_SQL}) AS n_tok
+    FROM documents
+    WHERE len({TOKENS_SQL}) > 0
+),
+c AS (
+    SELECT doc_id, stream, n_tok,
+           SUM(n_tok) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM d
+)
+SELECT CAST(stream AS BIGINT) AS stream,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tok) + {PACK_WINDOW} - 1) // {PACK_WINDOW} AS BIGINT)
+           AS n_sequences,
+       CAST(SUM(CASE WHEN (cum - n_tok) // {PACK_WINDOW}
+                       <> (cum - 1) // {PACK_WINDOW}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_straddling,
+       CAST((SUM(n_tok) + {PACK_WINDOW} - 1) // {PACK_WINDOW}
+            * {PACK_WINDOW} - SUM(n_tok) AS BIGINT) AS padding_tokens,
+       CAST(SUM(n_tok) AS DOUBLE)
+           / ((SUM(n_tok) + {PACK_WINDOW} - 1) // {PACK_WINDOW}
+              * {PACK_WINDOW}) AS fill_ratio
+FROM c
+GROUP BY stream
+ORDER BY stream
+"""
+
+
+@register(
+    "q216_sequence_packing",
+    oracle=_ORACLE_Q216,
+    doc="Concat-then-chunk sequence packing into fixed token "
+    "windows, parallelized as deterministic hash-bucketed pack "
+    "streams: per-stream window cumsum (hash-partitioned, no "
+    "global sort) yields sequence counts, boundary-straddling "
+    "docs, tail padding, and fill ratio — the packing-efficiency "
+    "metrics of the training-data last mile.",
+    tags=("text", "packing", "training"),
+)
+def q216_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = (
+        fan_out(cat.documents, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % PACK_STREAMS).alias("stream"),
+            F.size(tokens_col()).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    straddles = F.when(
+        F.expr(f"(cum - n_tok) div {PACK_WINDOW}")
+        != F.expr(f"(cum - 1) div {PACK_WINDOW}"),
+        1,
+    ).otherwise(0)
+    return (
+        c.withColumn("straddle", straddles)
+        .groupBy(F.col("stream").cast("bigint").alias("stream"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("straddle").alias("docs_straddling"),
+        )
+        .select(
+            "stream",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.expr(
+                f"(total_tokens + {PACK_WINDOW - 1}) div {PACK_WINDOW}"
+            ).alias("n_sequences"),
+            F.col("docs_straddling").cast("bigint").alias("docs_straddling"),
+            F.expr(
+                f"(total_tokens + {PACK_WINDOW - 1}) div {PACK_WINDOW} "
+                f"* {PACK_WINDOW} - total_tokens"
+            ).alias("padding_tokens"),
+            (
+                F.col("total_tokens").cast("double")
+                / F.expr(
+                    f"(total_tokens + {PACK_WINDOW - 1}) div {PACK_WINDOW} "
+                    f"* {PACK_WINDOW}"
+                )
+            ).alias("fill_ratio"),
+        )
+        .orderBy("stream")
+    )

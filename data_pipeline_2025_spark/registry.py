@@ -141,6 +141,8 @@ _PRIORITY = (
     "q213_bloom_point_lookup",
     "q214_change_data_feed",
     "q215_incremental_matview",
+    "q216_sequence_packing",
+    "q217_semdedup",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -182,10 +184,9 @@ _PRIORITY = (
     "q55_price_spread",
     "q56_shipping_priority",
     "q57_large_volume_orders",
-    # (d) oldest official checks, r2 (2 — q75 and q21-q30/q34
-    # displaced by the q204-q215 additions, resume next round)
-    "q01_pricing_summary",
-    "q02_product_search",
+    # (d) r2-era rows (q01/q02/q21-q30/q34/q75) fully displaced by
+    # the q204-q217 additions — they resume the rotation next round
+    # (q01 still runs every round as the entry() flagship smoke).
 )
 
 

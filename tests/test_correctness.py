@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 213
+EXPECTED_QUERY_COUNT = 215
 
 
 def test_registry_complete():
@@ -88,6 +88,8 @@ def test_priority_queries_inside_driver_cap():
         "q213_bloom_point_lookup",
         "q214_change_data_feed",
         "q215_incremental_matview",
+        "q216_sequence_packing",
+        "q217_semdedup",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -124,8 +126,7 @@ def test_priority_queries_inside_driver_cap():
         "q56_shipping_priority",
         "q57_large_volume_orders",
         # (d) ... and the oldest r2-checked ones still inside the cap
-        "q01_pricing_summary",
-        "q02_product_search",
-        # q21/q22/q75 displaced by q213-q215; resume next round
+        # q01/q02/q21/q22/q75 displaced by q213-q217; resume next
+        # round (q01 still runs as the entry() flagship smoke)
     }
     assert must_lead <= first_50, must_lead - first_50
