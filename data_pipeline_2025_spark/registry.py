@@ -143,6 +143,8 @@ _PRIORITY = (
     "q215_incremental_matview",
     "q216_sequence_packing",
     "q217_semdedup",
+    "q218_partition_evolution",
+    "q219_write_audit_publish",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -182,8 +184,8 @@ _PRIORITY = (
     "q53_asof_price",
     "q54_price_validity_intervals",
     "q55_price_spread",
-    "q56_shipping_priority",
-    "q57_large_volume_orders",
+    # q56/q57 displaced by q218/q219 (r1-checked, still re-verified
+    # locally every round; resume next rotation)
     # (d) r2-era rows (q01/q02/q21-q30/q34/q75) fully displaced by
     # the q204-q217 additions — they resume the rotation next round
     # (q01 still runs every round as the entry() flagship smoke).

@@ -1618,3 +1618,305 @@ def q215_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mv_matches_scan"
         ),
     ).orderBy("user_id")
+
+
+# --------- q218: partition-spec evolution (round 6)
+#
+# Iceberg's signature capability: changing HOW a table is
+# partitioned without rewriting a byte. The manifest records the
+# active spec as a `#partspec` metadata line (checkpoint-carried,
+# restore-rolled-back like the schema); files written under the
+# old spec are never touched. The read side is HIDDEN PARTITIONING:
+# pruning is driven by each file's per-column STATS, not by its
+# directory layout, so a query predicate prunes era-appropriate
+# files — a day predicate prunes era-1 files by their tight day
+# bounds AND era-2 files by their (looser) day bounds; a user point
+# probe prunes era-2 files to one bucket while keeping era-1 files
+# conservatively. Build: era 1 splits pre-split events one file per
+# day (spec day(d)); era 2 splits the rest one file per
+# user_id%8 bucket (spec bucket(8, user_id)). Reads use an explicit
+# schema over the pruned file list — layout-agnostic, so the mixed
+# hive dirs of the two eras never meet a partition-discovery
+# conflict. The oracle re-derives files_total/kept from per-group
+# bounds algebra and the row/value totals prove no wrong skip.
+# Scale shape: at 100 TB a spec change is ONE manifest line; the
+# alternative (rewrite the table into the new layout) is the cost
+# this feature exists to avoid.
+
+_EVOLVE_BUCKETS = 8
+
+
+def _evolution_sink(spark: SparkSession, sf_dir: str) -> str:
+    tag = "pevo_q218_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias("d"),
+            "ts",
+        )
+        split = F.lit(_TT_SPLIT).cast("timestamp")
+        cols = ["event_id", "user_id", "value", "d"]
+        era1 = (
+            ev.where(F.col("ts") < split)
+            .select(*cols)
+            .withColumn("dp", F.col("d"))
+        )
+        txn.commit_append(
+            sink,
+            txn.stage_append(era1.repartition(F.col("dp")), sink, ("dp",)),
+            partspec="day(d)",
+        )
+        era2 = (
+            ev.where(F.col("ts") >= split)
+            .select(*cols)
+            .withColumn("up", F.expr(f"user_id % {_EVOLVE_BUCKETS}"))
+        )
+        txn.commit_append(
+            sink,
+            txn.stage_append(era2.repartition(F.col("up")), sink, ("up",)),
+            partspec=f"bucket({_EVOLVE_BUCKETS}, user_id)",
+        )
+    return sink
+
+
+def _evo_read(spark: SparkSession, sink: str, files: list[str]) -> DataFrame:
+    # explicit schema + explicit file list: partition discovery never
+    # runs, so the two eras' different hive layouts cannot conflict
+    # (hidden partitioning — the layout is an implementation detail)
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, d INT"
+    ).parquet(*[os.path.join(sink, f) for f in files])
+
+
+_ORACLE_Q218 = f"""
+WITH base AS (
+    SELECT event_id, user_id, value,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS d,
+           ts < TIMESTAMP '{_TT_SPLIT}' AS pre
+    FROM events
+),
+e1 AS (
+    SELECT MIN(d) AS dmin, MAX(d) AS dmax,
+           MIN(user_id) AS umin, MAX(user_id) AS umax
+    FROM base WHERE pre GROUP BY d
+),
+e2 AS (
+    SELECT MIN(d) AS dmin, MAX(d) AS dmax,
+           MIN(user_id) AS umin, MAX(user_id) AS umax
+    FROM base WHERE NOT pre GROUP BY user_id % {_EVOLVE_BUCKETS}
+),
+files AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+mu AS (SELECT MIN(user_id) AS mu FROM events)
+SELECT * FROM (
+    SELECT 'day_range' AS predicate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM files) AS files_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM files
+             WHERE dmax >= {_SKIP_D_LO} AND dmin <= {_SKIP_D_HI})
+               AS files_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+             WHERE d BETWEEN {_SKIP_D_LO} AND {_SKIP_D_HI}) AS n_rows,
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE)
+              FROM base WHERE d BETWEEN {_SKIP_D_LO} AND {_SKIP_D_HI})
+               AS value_sum_d,
+           CAST(2 AS BIGINT) AS n_specs
+    UNION ALL
+    SELECT 'user_point',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM files),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM files, mu
+             WHERE umin <= mu AND umax >= mu),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base, mu
+             WHERE user_id = mu),
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE)
+              FROM base, mu WHERE user_id = mu),
+           CAST(2 AS BIGINT)
+)
+ORDER BY predicate
+"""
+
+
+@register(
+    "q218_partition_evolution",
+    oracle=_ORACLE_Q218,
+    doc="Iceberg-style partition-spec evolution: era 1 committed "
+    "one-file-per-day under spec day(d), era 2 one-file-per-user-"
+    "bucket under bucket(8, user_id) — the spec change is one "
+    "#partspec manifest line, zero files rewritten. Reads are "
+    "hidden-partitioned (stats-driven pruning, explicit-schema "
+    "layout-agnostic scan): a day range prunes across BOTH eras, "
+    "a user point probe prunes era 2 to one bucket; all counts "
+    "and value sums oracle-checked against bounds algebra.",
+    tags=("txn", "skipping", "partition-evolution"),
+)
+def q218_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    sink = _evolution_sink(spark, sf_dir)
+    n_specs = len(
+        {
+            txn.partspec_at(sink, v)
+            for v in txn.versions(sink)
+            if txn.partspec_at(sink, v) is not None
+        }
+    )
+    mu = int(
+        Catalog(spark, sf_dir).events.agg(F.min("user_id")).first()[0]
+    )
+    cases = [
+        ("day_range", {"d": (_SKIP_D_LO, _SKIP_D_HI)},
+         F.col("d").between(_SKIP_D_LO, _SKIP_D_HI)),
+        ("user_point", {"user_id": (mu, mu)}, F.col("user_id") == mu),
+    ]
+    parts = []
+    for name, pred, exact in cases:
+        kept, total = txn.prune_files(sink, pred)
+        agg = (
+            _evo_read(spark, sink, kept)
+            .where(exact)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                money_out(F.sum(dec("value"))).alias("value_sum_d"),
+            )
+        )
+        parts.append(
+            agg.select(
+                F.lit(name).alias("predicate"),
+                F.lit(total).cast("bigint").alias("files_total"),
+                F.lit(len(kept)).cast("bigint").alias("files_kept"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                "value_sum_d",
+                F.lit(n_specs).cast("bigint").alias("n_specs"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).orderBy("predicate")
+
+
+# --------- q219: write-audit-publish (round 6)
+#
+# Iceberg's WAP pattern as a checked query: production ingest at
+# 100 TB does not append straight to the serving table — it stages
+# on a branch, AUDITS the would-be table (the quality gate that
+# catches a bad upstream drop before anyone reads it), and
+# publishes atomically only when the audit passes. Lifecycle here:
+# v1 commits the pre-split events; v2 adds a CHECK (value >= 0);
+# a 'bad' branch stages a corrupted batch (negated values) whose
+# publish is REFUSED by the check — main stays byte-identical —
+# and is abandoned (its files are vacuum fodder); a 'good' branch
+# stages the post-split events in two batches, the audit view
+# (main + branch) sees the full table while production readers
+# still see v2, and wap_publish lands BOTH batches as ONE commit
+# (v3). Rebuilt per invocation: the lifecycle IS the query (a
+# cached end state cannot re-prove the refusal); the build is two
+# parallel stage writes of the events halves. Every row/value
+# figure and version number is oracle-checked.
+
+_ORACLE_Q219 = f"""
+WITH pre AS (SELECT * FROM events WHERE ts < TIMESTAMP '{_TT_SPLIT}')
+SELECT * FROM (
+    SELECT 'main_before_publish' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pre) AS n_rows,
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) FROM pre) AS value_sum_d,
+           CAST(2 AS BIGINT) AS head_version,
+           CAST(1 AS BIGINT) AS bad_branch_refused
+    UNION ALL
+    SELECT 'branch_audit_view',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) FROM events),
+           CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'main_after_publish',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) FROM events),
+           CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+)
+ORDER BY stage
+"""
+
+
+@register(
+    "q219_write_audit_publish",
+    oracle=_ORACLE_Q219,
+    doc="Iceberg WAP pattern: batches staged on a branch are "
+    "invisible to production readers; a corrupted branch's publish "
+    "is refused atomically by the table's CHECK constraint (main "
+    "byte-identical, branch abandoned to vacuum); the good "
+    "branch's audit view sees the would-be table, and publish "
+    "lands both staged batches as ONE commit. Row/value figures "
+    "at every stage plus version numbers oracle-checked.",
+    tags=("txn", "wap", "quality"),
+)
+def q219_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    tag = "wap_q219_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, _fresh = session_scratch_dir(spark, tag)
+    # the lifecycle IS the query — always rebuild from empty
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day"), "ts"
+    )
+    split = F.lit(_TT_SPLIT).cast("timestamp")
+    cols = ["event_id", "user_id", "value", "day"]
+    pre = ev.where(F.col("ts") < split).select(*cols)
+    post = ev.where(F.col("ts") >= split).select(*cols)
+    txn.commit_append(
+        sink, txn.stage_append(pre.repartition("day"), sink, ("day",))
+    )
+    txn.add_check(spark, sink, "nonneg_value", "value >= 0")  # v2
+    # bad branch: a corrupted batch — negated values violate the check
+    bad = post.withColumn("value", -F.col("value") - F.lit(1.0))
+    txn.wap_stage(
+        sink, "bad", txn.stage_append(bad.repartition("day"), sink, ("day",))
+    )
+    refused = 0
+    try:
+        txn.wap_publish(spark, sink, "bad")
+    except txn.CheckViolation:
+        refused = 1
+    txn.wap_abandon(sink, "bad")
+    # good branch: two staged batches, audited together, one commit
+    for half in (0, 1):
+        txn.wap_stage(
+            sink,
+            "good",
+            txn.stage_append(
+                post.where(F.col("event_id") % 2 == half).repartition("day"),
+                sink,
+                ("day",),
+            ),
+        )
+
+    def _agg(df: DataFrame, stage: str, head: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("value_sum_d"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "value_sum_d",
+            F.lit(head).cast("bigint").alias("head_version"),
+            F.lit(refused).cast("bigint").alias("bad_branch_refused"),
+        )
+
+    head = txn.versions(sink)[-1]  # 2: the refusal left main untouched
+    rows = [
+        _agg(txn.read_committed(spark, sink), "main_before_publish", head),
+        _agg(txn.wap_read(spark, sink, "good"), "branch_audit_view", head),
+    ]
+    new_head = txn.wap_publish(spark, sink, "good")
+    rows.append(
+        _agg(txn.read_committed(spark, sink), "main_after_publish", new_head)
+    )
+    return reduce(DataFrame.unionByName, rows).orderBy("stage")

@@ -191,10 +191,12 @@ def _snapshot_at(
     str | None,
     dict[str, list[int]],
     dict[str, str],
+    str | None,
 ]:
     """Reconstruct snapshot ``version`` as ``({relative path ->
     stats json or None}, schema DDL or None, {relative path ->
-    sorted deleted row positions}, {check name -> SQL expr})``:
+    sorted deleted row positions}, {check name -> SQL expr},
+    partition spec or None)``:
     nearest checkpoint at-or-below it, then forward-apply the
     deltas — at most CHECKPOINT_EVERY-1 of them. Delta ops:
     ``+path[\tstats]`` adds a file, ``~dir`` retires every current
@@ -207,8 +209,14 @@ def _snapshot_at(
     ``path`` deleted (DELETION VECTORS, round 6 — Delta's DV
     sidecars: row-level deletes without rewriting the file; unions
     accumulate across commits, and a retired file's DV retires with
-    it). Checkpoints carry schema + checks + live DVs forward;
-    later schema lines win."""
+    it), ``#partspec\t<desc>`` records the ACTIVE partition spec
+    from this version on (round 6 — Iceberg's partition-spec
+    evolution: a spec change is ONE metadata line; files written
+    under earlier specs are never rewritten, and reads/pruning stay
+    correct because skipping is driven by per-file STATS, not by
+    directory layout — hidden partitioning). Checkpoints carry
+    schema + checks + partspec + live DVs forward; later
+    schema/partspec lines win."""
     log = _scan_log(sink_dir)
     if version not in log:
         raise FileNotFoundError(
@@ -224,13 +232,16 @@ def _snapshot_at(
         )
     listing: dict[str, str | None] = {}
     schema: str | None = None
+    partspec: str | None = None
     dvs: dict[str, set[int]] = {}
     checks: dict[str, str] = {}
 
     def _apply(line: str) -> None:
-        nonlocal schema
+        nonlocal schema, partspec
         if line.startswith("#schema\t"):
             schema = line.split("\t", 1)[1]
+        elif line.startswith("#partspec\t"):
+            partspec = line.split("\t", 1)[1]
         elif line.startswith("#check\t"):
             _, name, expr = line.split("\t", 2)
             checks[name] = expr
@@ -267,7 +278,13 @@ def _snapshot_at(
             if not op.startswith("~"):
                 _apply(op)
     dvs = {p: v for p, v in dvs.items() if p in listing}
-    return listing, schema, {p: sorted(v) for p, v in dvs.items()}, checks
+    return (
+        listing,
+        schema,
+        {p: sorted(v) for p, v in dvs.items()},
+        checks,
+        partspec,
+    )
 
 
 def _entries_at(sink_dir: str, version: int) -> dict[str, str | None]:
@@ -282,6 +299,17 @@ def schema_at(sink_dir: str, version: int | None = None) -> str | None:
     if not vs:
         return None
     return _snapshot_at(sink_dir, vs[-1] if version is None else version)[1]
+
+
+def partspec_at(sink_dir: str, version: int | None = None) -> str | None:
+    """The snapshot's ACTIVE partition spec (None when no commit ever
+    declared one). Spec history across still-reconstructible
+    versions is ``[(v, partspec_at(sink, v)) for v in versions(...)]``
+    — each lookup is manifest bytes only."""
+    vs = versions(sink_dir)
+    if not vs:
+        return None
+    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[4]
 
 
 def dv_at(sink_dir: str, version: int | None = None) -> dict[str, list[int]]:
@@ -524,7 +552,7 @@ def metadata_agg(
     if not vs:
         return {"count": None, "min": None, "max": None}
     v = vs[-1] if version is None else version
-    entries, _schema, dvs, _checks = _snapshot_at(sink_dir, v)
+    entries, _schema, dvs, _checks, _ps = _snapshot_at(sink_dir, v)
     total = 0
     count_ok = True
     mn = mx = None
@@ -814,7 +842,7 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     vacuum — the log IS the table state. After :func:`prune_log`,
     versions beyond the retained horizon raise FileNotFoundError
     (clean refusal, never a wrong snapshot)."""
-    entries, schema, dvs, _checks = _snapshot_at(sink_dir, version)
+    entries, schema, dvs, _checks, _ps = _snapshot_at(sink_dir, version)
     files = list(entries)
     if not files:
         return spark.read.format("parquet").schema("__empty STRING").load()
@@ -897,6 +925,7 @@ def _commit(
     delete_dv: dict[str, list[int]] | None = None,
     add_check: tuple[str, str] | None = None,
     bloom: dict[str, dict] | None = None,
+    partspec: str | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
@@ -940,8 +969,10 @@ def _commit(
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
         )
         if is_ckpt:
-            base, cur_schema, cur_dvs, cur_checks = (
-                _snapshot_at(sink_dir, vs[-1]) if vs else ({}, None, {}, {})
+            base, cur_schema, cur_dvs, cur_checks, cur_partspec = (
+                _snapshot_at(sink_dir, vs[-1])
+                if vs
+                else ({}, None, {}, {}, None)
             )
             if replace:
                 drops = set(replaced_dirs)
@@ -961,8 +992,13 @@ def _commit(
             if add_check:
                 cur_checks = {**cur_checks, add_check[0]: add_check[1]}
             eff_schema = schema_ddl if schema_ddl is not None else cur_schema
+            eff_partspec = partspec if partspec is not None else cur_partspec
             lines = (
                 [f"#schema\t{eff_schema}"] if eff_schema is not None else []
+            ) + (
+                [f"#partspec\t{eff_partspec}"]
+                if eff_partspec is not None
+                else []
             ) + [
                 f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
             ] + [
@@ -973,6 +1009,8 @@ def _commit(
         else:
             lines = (
                 [f"#schema\t{schema_ddl}"] if schema_ddl is not None else []
+            ) + (
+                [f"#partspec\t{partspec}"] if partspec is not None else []
             ) + (
                 [f"#check\t{add_check[0]}\t{add_check[1]}"] if add_check else []
             ) + [f"~{d}" for d in replaced_dirs] + [
@@ -990,6 +1028,7 @@ def commit_append(
     new_files: list[str],
     schema_ddl: str | None = None,
     bloom: dict[str, dict] | None = None,
+    partspec: str | None = None,
 ) -> None:
     """Publish a new snapshot = current snapshot + ``new_files`` as
     ONE atomic log-entry create. O(batch) bytes written except at
@@ -1005,9 +1044,19 @@ def commit_append(
 
     ``bloom`` (round 6) merges per-file bloom filters from
     :func:`build_bloom` into the files' stats lines — the
-    point-lookup half of the skipping index."""
+    point-lookup half of the skipping index.
+
+    ``partspec`` (round 6) records a new ACTIVE partition spec with
+    this commit — Iceberg's partition-spec evolution: one metadata
+    line, no rewrite of files written under earlier specs; pruning
+    stays stats-driven so reads are layout-agnostic."""
     _commit(
-        sink_dir, list(new_files), replace=False, schema_ddl=schema_ddl, bloom=bloom
+        sink_dir,
+        list(new_files),
+        replace=False,
+        schema_ddl=schema_ddl,
+        bloom=bloom,
+        partspec=partspec,
     )
 
 
@@ -1028,7 +1077,7 @@ def restore(sink_dir: str, version: int) -> int:
     current-or-target partition (which also clears their DVs),
     ``+path\\tstats`` re-adds the target listing, ``-path [pos]``
     re-declares the target's DVs. Returns the new head version."""
-    target, t_schema, t_dvs, _t_checks = _snapshot_at(sink_dir, version)
+    target, t_schema, t_dvs, _t_checks, t_partspec = _snapshot_at(sink_dir, version)
     missing = [
         p for p in target if not os.path.exists(os.path.join(sink_dir, p))
     ]
@@ -1046,13 +1095,14 @@ def restore(sink_dir: str, version: int) -> int:
         head = vs[-1] if vs else 0
         seq = head + 1
         is_ckpt = seq % CHECKPOINT_EVERY == 1
-        cur, cur_schema, _cur_dvs, cur_checks = (
-            _snapshot_at(sink_dir, head) if vs else ({}, None, {}, {})
+        cur, cur_schema, _cur_dvs, cur_checks, cur_partspec = (
+            _snapshot_at(sink_dir, head) if vs else ({}, None, {}, {}, None)
         )
         eff_schema = t_schema if t_schema is not None else cur_schema
+        eff_ps = t_partspec if t_partspec is not None else cur_partspec
         schema_lines = (
             [f"#schema\t{eff_schema}"] if eff_schema is not None else []
-        )
+        ) + ([f"#partspec\t{eff_ps}"] if eff_ps is not None else [])
         check_lines = [
             f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
         ]
@@ -1083,7 +1133,7 @@ def history(sink_dir: str) -> list[dict]:
     what each version would read as."""
     out: list[dict] = []
     for v in versions(sink_dir):
-        listing, schema, dvs, checks = _snapshot_at(sink_dir, v)
+        listing, schema, dvs, checks, partspec = _snapshot_at(sink_dir, v)
         agg = metadata_agg(sink_dir, version=v)
         out.append(
             {
@@ -1094,6 +1144,7 @@ def history(sink_dir: str) -> list[dict]:
                 "n_rows": agg["count"],
                 "has_schema": schema is not None,
                 "n_checks": len(checks),
+                "partspec": partspec,
             }
         )
     return out
@@ -1221,6 +1272,20 @@ def vacuum(
     only the CURRENT snapshot — past versions become unreadable, the
     documented trade-off of immediate reclamation."""
     protected = set(committed_files(sink_dir))
+    # files staged on a live WAP branch (round 6) are not orphans —
+    # they are awaiting audit/publish and may outlive any retention
+    # window; Iceberg likewise protects branch-referenced files.
+    # wap_abandon removes the records, at which point the files
+    # become ordinary vacuum fodder.
+    wapd = _wap_dir(sink_dir)
+    if os.path.isdir(wapd):
+        for fname in os.listdir(wapd):
+            if fname.endswith(".txt"):
+                with contextlib.suppress(FileNotFoundError):
+                    with open(os.path.join(wapd, fname), encoding="utf-8") as f:
+                        protected.update(
+                            line.strip() for line in f if line.strip()
+                        )
     if protect_log_versions:
         log = _scan_log(sink_dir)
         for fname in log.values():
@@ -1509,14 +1574,14 @@ def read_changes(
         prev_listing: dict[str, str | None] = {}
         prev_dvs: dict[str, list[int]] = {}
     else:
-        prev_listing_full, _s, prev_dvs, _c = _snapshot_at(sink_dir, from_version)
+        prev_listing_full, _s, prev_dvs, _c, _ps = _snapshot_at(sink_dir, from_version)
         prev_listing = prev_listing_full
 
     pieces = []
     for v in range(from_version + 1, to_version + 1):
         if v not in _scan_log(sink_dir):
             continue
-        cur_listing, _s, cur_dvs, _c = _snapshot_at(sink_dir, v)
+        cur_listing, _s, cur_dvs, _c, _ps = _snapshot_at(sink_dir, v)
         added = [p for p in cur_listing if p not in prev_listing]
         removed = [p for p in prev_listing if p not in cur_listing]
         if added:
@@ -1576,3 +1641,109 @@ def read_changes(
         for v, kind, df in pieces
     ]
     return reduce(DataFrame.unionByName, labeled)
+
+
+# ---------------------------------------------------------------
+# Write-audit-publish (round 6)
+#
+# Iceberg's WAP pattern: an ingest job stages its output on a
+# BRANCH, an audit job validates the branch (quality checks, row
+# counts, reconciliation) while production readers still see the
+# untouched main table, and only then is the branch PUBLISHED —
+# one atomic commit making every audited batch visible at once.
+# On this log a branch is a set of staged-file records under
+# ``_txn/wap/`` (exclusive-create entries, so concurrent stagers
+# on the same branch serialize like commits); the data files are
+# the ordinary manifest-invisible staged files, so an abandoned
+# branch is reclaimed by vacuum like any crash orphan. Publish
+# funnels through the snapshot's CHECK constraints (one scan of
+# the BRANCH files only — O(branch), not O(table)) and refuses
+# atomically: a failed audit leaves main byte-identical.
+
+_WAP_DIR = "wap"
+
+
+def _wap_dir(sink_dir: str) -> str:
+    return os.path.join(_txn_dir(sink_dir), _WAP_DIR)
+
+
+def wap_stage(sink_dir: str, branch: str, new_files: list[str]) -> int:
+    """Record a staged batch on ``branch`` — the files stay
+    manifest-invisible to main readers. Returns the branch entry
+    sequence. Exclusive-create per (branch, seq): two stagers race,
+    the loser retries the next sequence — no record lost."""
+    d = _wap_dir(sink_dir)
+    os.makedirs(d, exist_ok=True)
+    seq = 1
+    while True:
+        path = os.path.join(d, f"{branch}-{seq:04d}.txt")
+        try:
+            with open(path, "x", encoding="utf-8") as f:
+                f.write("\n".join(new_files) + ("\n" if new_files else ""))
+                f.flush()
+                os.fsync(f.fileno())
+            return seq
+        except FileExistsError:
+            seq += 1
+
+
+def wap_files(sink_dir: str, branch: str) -> list[str]:
+    """Every file staged on ``branch``, in stage order."""
+    d = _wap_dir(sink_dir)
+    if not os.path.isdir(d):
+        return []
+    out: list[str] = []
+    for fname in sorted(os.listdir(d)):
+        if fname.startswith(f"{branch}-") and fname.endswith(".txt"):
+            with open(os.path.join(d, fname), encoding="utf-8") as f:
+                out.extend(line.strip() for line in f if line.strip())
+    return out
+
+
+def wap_read(
+    spark: SparkSession, sink_dir: str, branch: str
+) -> DataFrame | None:
+    """The AUDIT view: main's committed snapshot plus the branch's
+    staged batches — what the table WOULD look like after publish.
+    Production readers (read_committed) never see any of it."""
+    staged = wap_files(sink_dir, branch)
+    main = read_committed(spark, sink_dir)
+    if not staged:
+        return main
+    reader = spark.read.option("basePath", sink_dir)
+    schema = schema_at(sink_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    branch_df = reader.parquet(*[os.path.join(sink_dir, f) for f in staged])
+    if main is None:
+        return branch_df
+    return main.unionByName(branch_df, allowMissingColumns=True)
+
+
+def wap_publish(spark: SparkSession, sink_dir: str, branch: str) -> int:
+    """Fast-forward main to include every batch staged on
+    ``branch`` as ONE atomic commit, gated on the snapshot's CHECK
+    constraints (scanning only the branch files — O(branch)). On
+    CheckViolation NOTHING publishes and the branch stays staged
+    (fix or abandon). Returns the new head version; the branch
+    records are retired on success."""
+    staged = wap_files(sink_dir, branch)
+    commit_append_checked(spark, sink_dir, staged)
+    wap_abandon(sink_dir, branch)  # retire records; files are now committed
+    return versions(sink_dir)[-1]
+
+
+def wap_abandon(sink_dir: str, branch: str) -> int:
+    """Drop every branch record — the staged data files become
+    ordinary manifest-invisible orphans, reclaimed by
+    :func:`vacuum`. Returns the number of records removed."""
+    d = _wap_dir(sink_dir)
+    if not os.path.isdir(d):
+        return 0
+    n = 0
+    for fname in os.listdir(d):
+        if fname.startswith(f"{branch}-") and fname.endswith(".txt"):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(d, fname))
+                n += 1
+    return n

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 215
+EXPECTED_QUERY_COUNT = 217
 
 
 def test_registry_complete():
@@ -90,6 +90,8 @@ def test_priority_queries_inside_driver_cap():
         "q215_incremental_matview",
         "q216_sequence_packing",
         "q217_semdedup",
+        "q218_partition_evolution",
+        "q219_write_audit_publish",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -123,8 +125,7 @@ def test_priority_queries_inside_driver_cap():
         "q53_asof_price",
         "q54_price_validity_intervals",
         "q55_price_spread",
-        "q56_shipping_priority",
-        "q57_large_volume_orders",
+        # q56/q57 displaced by q218/q219; resume next rotation
         # (d) ... and the oldest r2-checked ones still inside the cap
         # q01/q02/q21/q22/q75 displaced by q213-q217; resume next
         # round (q01 still runs as the entry() flagship smoke)

@@ -890,3 +890,83 @@ def test_read_changes_reconstructs_every_snapshot(spark, tmp_path):
     }
     # empty window → None
     assert txn.read_changes(spark, sink, 5, 5) is None
+
+
+def test_partspec_evolution_is_metadata_only(spark, tmp_path):
+    """Partition-spec evolution (round 6): the active spec is one
+    #partspec manifest line — carried through checkpoints, versioned
+    per snapshot, rolled back by RESTORE — and changing it touches
+    no data file."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink,
+        txn.stage_append(_mk(spark, 0, 3, "a"), sink, ("day",)),
+        partspec="day(d)",
+    )
+    before = set(txn.committed_files(sink))
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 3, 5, "a"), sink, ("day",))
+    )
+    # v2 declared nothing: the spec carries forward
+    assert txn.partspec_at(sink) == "day(d)"
+    txn.commit_append(
+        sink,
+        txn.stage_append(_mk(spark, 5, 6, "b"), sink, ("day",)),
+        partspec="bucket(4, id)",
+    )
+    assert txn.partspec_at(sink) == "bucket(4, id)"
+    assert txn.partspec_at(sink, 2) == "day(d)"  # per-version spec
+    assert before <= set(txn.committed_files(sink))  # nothing rewritten
+    # survives checkpoint reconstruction (v11 is a checkpoint)
+    for i in range(8):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, 10 + i, 11 + i, "b"), sink, ("day",))
+        )
+    assert len(txn.versions(sink)) == 11
+    assert txn.partspec_at(sink) == "bucket(4, id)"
+    # restore rolls the spec back with the snapshot
+    txn.restore(sink, 2)
+    assert txn.partspec_at(sink) == "day(d)"
+    assert txn.history(sink)[-1]["partspec"] == "day(d)"
+
+
+def test_wap_branch_stage_audit_publish_abandon(spark, tmp_path):
+    """Write-audit-publish (round 6): staged branches are invisible
+    to main readers, the audit view is main+branch, publish is one
+    atomic commit gated on CHECK constraints (refusal leaves main
+    byte-identical), and an abandoned branch's files are vacuum
+    fodder."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 3, "a"), sink, ("day",)))
+    txn.add_check(spark, sink, "pos", "id >= 0")
+    head = txn.versions(sink)[-1]
+
+    # stage two batches on a branch: main readers see nothing
+    txn.wap_stage(sink, "b1", txn.stage_append(_mk(spark, 3, 5, "a"), sink, ("day",)))
+    txn.wap_stage(sink, "b1", txn.stage_append(_mk(spark, 5, 6, "b"), sink, ("day",)))
+    assert _rows(spark, sink) == {(i, "a") for i in range(3)}
+    # audit view = main + both staged batches
+    audit = {
+        (r["id"], r["day"]) for r in txn.wap_read(spark, sink, "b1").collect()
+    }
+    assert audit == {(i, "a") for i in range(5)} | {(5, "b")}
+    # a violating branch refuses atomically
+    bad = spark.range(1).select(F.lit(-7).alias("id"), F.lit("a").alias("day"))
+    txn.wap_stage(sink, "evil", txn.stage_append(bad, sink, ("day",)))
+    import pytest as _pytest
+
+    with _pytest.raises(txn.CheckViolation):
+        txn.wap_publish(spark, sink, "evil")
+    assert txn.versions(sink)[-1] == head  # nothing published
+    assert _rows(spark, sink) == {(i, "a") for i in range(3)}
+    evil_files = txn.wap_files(sink, "evil")
+    assert txn.wap_abandon(sink, "evil") == 1
+    b1_files = set(txn.wap_files(sink, "b1"))
+    removed = txn.vacuum(sink)
+    assert set(evil_files) <= set(removed)  # abandoned batch reclaimed
+    assert not b1_files & set(removed)  # live branch files protected
+    # good branch publishes BOTH batches as ONE commit
+    v = txn.wap_publish(spark, sink, "b1")
+    assert v == head + 1
+    assert _rows(spark, sink) == audit
+    assert txn.wap_files(sink, "b1") == []  # records retired
