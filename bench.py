@@ -93,6 +93,12 @@ HEADLINE = (
     # representative (deletion-vector locate + atomic combined
     # commit + DV-filtered read-back).
     "q208_dv_merge",
+    # Second round-6 batch: the change-data-feed consumer (manifest
+    # diff + changed-file reads + incremental aggregate vs full
+    # recompute — the O(delta) claim under timing guard) and the
+    # sequence-packing corpus pass (hash-bucketed window cumsum).
+    "q215_incremental_matview",
+    "q216_sequence_packing",
 )
 
 

@@ -956,3 +956,13 @@ def test_q202_ivfpq_no_shuffle_joins_on_corpus(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q216_packing_window_is_hash_partitioned(spark, sf_smoke):
+    """q216 (sequence packing): the cumsum window must be partitioned
+    by the pack stream (hash-partitioned, parallel across streams) —
+    a global-ordering window (empty partition spec) would serialize
+    the whole corpus through one task."""
+    plan = plan_of(spark, "q216_sequence_packing", sf_smoke)
+    assert "Window" in plan
+    assert "hashpartitioning(stream" in plan
