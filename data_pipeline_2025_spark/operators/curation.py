@@ -1468,3 +1468,96 @@ def q178_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------- q221: filter calibration (round 6)
+#
+# Curation filters are tuned, not trusted: before setting a quality
+# threshold, a data team cross-tabulates the quality score against
+# an independent signal — here EXACT DUPLICATION (q34's fingerprint)
+# per quality bucket. The join of two per-document signals is the
+# whole operator: quality is q30's composite, bucketed by an
+# EXACT-INTEGER rule (floor(10*score) rewritten as
+# (cb*w + 10*u) div (2*w) with cb in {10, 5} — no float multiply at
+# the bucket boundary, so both engines bucket identically), and the
+# dup flag marks every member of a multi-copy fingerprint group.
+# Scale shape: two embarrassingly-parallel per-doc projections, one
+# fingerprint groupBy (partial-aggregatable), one co-keyed join —
+# no new machinery, which is the point: calibration audits must be
+# cheap enough to run per ingest batch.
+
+_ORACLE_Q221 = f"""
+WITH d AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len({TOKENS_SQL}) AS w,
+           len(list_distinct({TOKENS_SQL})) AS u
+    FROM documents
+    WHERE len({TOKENS_SQL}) > 0
+),
+b AS (
+    SELECT fp,
+           ((CASE WHEN w BETWEEN 20 AND 80 THEN 10 ELSE 5 END) * w
+            + 10 * u) // (2 * w) AS bucket
+    FROM d
+),
+c AS (SELECT fp, COUNT(*) AS copies FROM d GROUP BY fp)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_rate
+FROM b JOIN c USING (fp)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q221_quality_dup_calibration",
+    oracle=_ORACLE_Q221,
+    doc="Filter-calibration audit: q30's quality score bucketed by "
+    "an exact-integer floor(10*score) rule crossed with q34's "
+    "exact-dup fingerprint — per-bucket doc counts and duplicate "
+    "rates, the cross-tab a data team reads before choosing a "
+    "quality threshold. Two per-doc projections + one fingerprint "
+    "groupBy + one co-keyed join; nothing new to operate at 100 TB.",
+    tags=("curation", "quality", "dedup"),
+)
+def q221_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = tokens_col()
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    d = cat.documents.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.size(toks).alias("w"),
+        F.size(F.array_distinct(toks)).alias("u"),
+    ).where(F.col("w") > 0)
+    # exact integer division (no float at the bucket boundary)
+    bucketed = d.select(
+        "fp",
+        F.expr(
+            "CAST(((CASE WHEN w BETWEEN 20 AND 80 THEN 10 ELSE 5 END) * w"
+            " + 10 * u) DIV (2 * w) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    copies = d.groupBy("fp").agg(F.count(F.lit(1)).alias("copies"))
+    j = bucketed.join(copies, "fp")
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias("n_dups"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_dups").cast("bigint").alias("n_dups"),
+            (F.col("n_dups").cast("double") / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -145,6 +145,8 @@ _PRIORITY = (
     "q217_semdedup",
     "q218_partition_evolution",
     "q219_write_audit_publish",
+    "q220_stream_dv_upsert",
+    "q221_quality_dup_calibration",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -182,9 +184,7 @@ _PRIORITY = (
     "q47_trigram_fuzzy_search",
     "q48_price_percentiles",
     "q53_asof_price",
-    "q54_price_validity_intervals",
-    "q55_price_spread",
-    # q56/q57 displaced by q218/q219 (r1-checked, still re-verified
+    # q54-q57 displaced by q218-q221 (r1-checked, still re-verified
     # locally every round; resume next rotation)
     # (d) r2-era rows (q01/q02/q21-q30/q34/q75) fully displaced by
     # the q204-q217 additions — they resume the rotation next round

@@ -790,7 +790,18 @@ def prune_files_eq(
                 skip = value < mn or value > mx
             except TypeError:
                 skip = False  # incomparable bound types: keep
-        if not skip and col in blooms.get(path, {}):
+        # the bloom path requires the probe's string rendering to be
+        # IDENTICAL to the Spark-side CAST(col AS STRING) used at
+        # build time — guaranteed for ints and strings, not for
+        # floats/timestamps (engine-dependent rendering would make a
+        # membership test wrongly negative = a wrong skip). Other
+        # types fall back to bounds-only pruning, never a wrong skip.
+        if (
+            not skip
+            and isinstance(value, (int, str))
+            and not isinstance(value, bool)
+            and col in blooms.get(path, {})
+        ):
             m, k, h = blooms[path][col]
             for pos in _bloom_positions(value, m, k):
                 if not (int(h[pos >> 2], 16) >> (pos & 3)) & 1:

@@ -831,3 +831,138 @@ def q161_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("bigint").alias("n"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------- q220 (round 6)
+#
+# The streaming half of the DV merge (q208): a Structured Streaming
+# ingest whose sink is a TRANSACTIONAL UPSERT — every micro-batch
+# lands through txn.merge_upsert_dv (matched keys deleted via
+# deletion vectors + rewrites appended, ONE atomic commit per
+# batch). This is the Delta streaming-upsert idiom
+# (foreachBatch + MERGE), and it is what makes at-least-once
+# delivery EFFECTIVELY-ONCE at the table: the stream here delivers
+# every event TWICE (two unioned readers — q51's redelivery
+# simulation), in-batch duplicates collapse via dropDuplicates
+# (upsert batches must be key-unique), and cross-delivery
+# duplicates hit their own key and rewrite the same row. The
+# clincher: the WHOLE stream is replayed from a fresh checkpoint
+# (the crash-recovery worst case — every batch redelivered) and
+# the table content is proven row-identical (full-outer compare,
+# mismatch count pinned 0 in the emitted flag). Rebuilt per
+# invocation: the replay proof IS the query. Scale shape: each
+# micro-batch costs one key-locate scan + O(batch) writes — the
+# metadata-only upsert a 100 TB streaming sink needs (q179's
+# partition-rewrite alternative costs a partition per touched key).
+
+_ORACLE_Q220 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS value_sum_d,
+       CAST(1 AS BIGINT) AS replay_idempotent
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q220_stream_dv_upsert",
+    oracle=_ORACLE_Q220,
+    doc="Streaming transactional upsert sink: foreachBatch + "
+    "DV-backed MERGE per micro-batch (one atomic commit each), "
+    "duplicate delivery collapsed by key, and a full from-scratch "
+    "stream replay proven row-identical at the table — "
+    "at-least-once transport made effectively-once at the sink, "
+    "the Delta streaming-upsert idiom on the txn log.",
+    tags=("streaming", "txn", "upsert", "dv"),
+)
+def q220_stream_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ..session import session_scratch_dir
+    from . import txn
+
+    import hashlib as _hashlib
+
+    tag = "dvup_q220_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, _fresh = session_scratch_dir(spark, tag)
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+    ckpt_root = sink + "_ckpt"
+    shutil.rmtree(ckpt_root, ignore_errors=True)
+
+    def _run_stream() -> None:
+        # duplicate delivery: every event arrives twice
+        doubled = _events_stream(spark, sf_dir).unionByName(
+            _events_stream(spark, sf_dir)
+        )
+        sel = doubled.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.to_date("ts").alias("day"),
+        )
+
+        def _apply(batch: DataFrame, _bid: int) -> None:
+            # upsert batches must be key-unique; in-batch duplicates
+            # (the doubled delivery) collapse here, cross-batch and
+            # cross-replay duplicates collapse via the merge itself
+            txn.merge_upsert_dv(
+                spark,
+                sink,
+                batch.dropDuplicates(["event_id"]),
+                "event_id",
+                ("day",),
+            )
+
+        q = (
+            sel.writeStream.foreachBatch(_apply)
+            .option(
+                "checkpointLocation",
+                os.path.join(ckpt_root, _uuid.uuid4().hex[:12]),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run_stream()
+    first = txn.read_committed(spark, sink)  # snapshot-isolated plan
+    # crash-recovery worst case: replay the WHOLE stream from a
+    # fresh checkpoint — every batch redelivered, table unchanged
+    _run_stream()
+    second = txn.read_committed(spark, sink)
+    a = first.select(
+        "event_id",
+        F.col("event_type").alias("t1"),
+        F.col("value").alias("v1"),
+    )
+    b = second.select(
+        "event_id",
+        F.col("event_type").alias("t2"),
+        F.col("value").alias("v2"),
+    )
+    mismatches = (
+        a.join(b, "event_id", "full_outer")
+        .where(
+            F.col("t1").isNull()
+            | F.col("t2").isNull()
+            | (F.col("t1") != F.col("t2"))
+            | (F.col("v1") != F.col("v2"))
+        )
+        .count()
+    )
+    return (
+        second.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("value_sum_d"),
+        )
+        .withColumn(
+            "replay_idempotent",
+            F.lit(1 if mismatches == 0 else 0).cast("bigint"),
+        )
+        .orderBy("event_type")
+    )

@@ -970,3 +970,26 @@ def test_wap_branch_stage_audit_publish_abandon(spark, tmp_path):
     assert v == head + 1
     assert _rows(spark, sink) == audit
     assert txn.wap_files(sink, "b1") == []  # records retired
+
+
+def test_bloom_probe_type_guard_falls_back_to_bounds(spark, tmp_path):
+    """A probe type whose string rendering Spark and Python may
+    disagree on (float here) must NOT take the bloom path — a
+    divergent rendering would produce a wrongly-unset bit and a
+    WRONG SKIP. Bounds-only pruning still applies; the file holding
+    the value is always kept."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        (F.col("id").cast("double") / 2).alias("x"),
+        (F.col("id") % 2).cast("string").alias("day"),
+    )
+    staged = txn.stage_append(df.repartition(F.col("day")), sink, ("day",))
+    txn.commit_append(
+        sink, staged, bloom=txn.build_bloom(spark, sink, staged, "x")
+    )
+    # float probe: bloom bypassed (type guard), bounds keep both files
+    kept, total = txn.prune_files_eq(sink, "x", 2.5)
+    assert total == 2 and len(kept) == 2
+    # out-of-range float still pruned by bounds alone
+    kept_hi, _ = txn.prune_files_eq(sink, "x", 1e6)
+    assert kept_hi == []
