@@ -1565,11 +1565,18 @@ def read_changes(
     (see operators using this for materialized-view maintenance)
     O(delta) instead of O(table) at 100 TB. Returns None when the
     range contains no versions. A ``from_version`` of 0 means "from
-    the beginning" (every v1 row is an insert). Versions must still
-    be reconstructible (within the :func:`prune_log` horizon) and
-    retired files still present (within the vacuum retention
-    window) — outside either, this raises FileNotFoundError, the
-    same clean refusal as time travel."""
+    the beginning" (every v1 row is an insert).
+
+    Retention interaction: ``from_version`` (and the versions whose
+    files must be read) must be within the :func:`prune_log` /
+    vacuum horizons — outside them this raises FileNotFoundError,
+    the same clean refusal as time travel. An INTERMEDIATE version
+    pruned from the log does not raise: its net changes fold into
+    the next surviving version's diff (nothing is ever lost — the
+    diff is taken against the last SEEN snapshot — but per-version
+    attribution coarsens to the surviving version), matching the
+    consumer contract that replaying the feed reproduces the head
+    snapshot exactly."""
     from functools import reduce
 
     from pyspark.sql import functions as F
