@@ -147,6 +147,8 @@ _PRIORITY = (
     "q219_write_audit_publish",
     "q220_stream_dv_upsert",
     "q221_quality_dup_calibration",
+    "q222_snapshot_tags",
+    "q223_metadata_partition_counts",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -182,10 +184,8 @@ _PRIORITY = (
     "q19_customers_without_orders",
     "q20_cheapest_supplier_per_part",
     "q47_trigram_fuzzy_search",
-    "q48_price_percentiles",
-    "q53_asof_price",
-    # q54-q57 displaced by q218-q221 (r1-checked, still re-verified
-    # locally every round; resume next rotation)
+    # q48/q53-q57 displaced by q218-q223 (r1-checked, still
+    # re-verified locally every round; resume next rotation)
     # (d) r2-era rows (q01/q02/q21-q30/q34/q75) fully displaced by
     # the q204-q217 additions — they resume the rotation next round
     # (q01 still runs every round as the entry() flagship smoke).

@@ -1920,3 +1920,142 @@ def q219_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         _agg(txn.read_committed(spark, sink), "main_after_publish", new_head)
     )
     return reduce(DataFrame.unionByName, rows).orderBy("stage")
+
+
+# --------- q222/q223: snapshot tags + metadata partition counts
+#
+# q222 — Iceberg's TAGS: a durable name for a snapshot that
+# survives log retention. History: 25 single-key nation appends;
+# v15 tagged 'baseline' (and a 'latest' tag first mis-placed at v10
+# then MOVED to v25 — re-tagging is atomic last-write-wins);
+# prune_log(keep_versions=1) then retires exactly v1–v10 (the kept
+# range extends back to v11, the checkpoint the tag needs), the
+# tagged snapshot stays readable BY NAME with exact content, and
+# untagged v5 refuses cleanly. Rebuilt per invocation (metadata-
+# sized: 25 one-row commits). q223 — the partition-level extension
+# of q209's metadata-only aggregation: COUNT(*) GROUP BY partition
+# dir from manifest footer counts minus per-file DV lengths, exact
+# across a row-level DELETE, zero data files opened — the partition
+# histogram a 100 TB planner asks for constantly. Both oracles
+# re-derive every figure from base-table algebra.
+
+_TAG_AT, _TAG_PRUNED = 15, 10
+
+_ORACLE_Q222 = f"""
+SELECT CAST({_TAG_AT} AS BIGINT) AS tagged_version,
+       CAST(COUNT(*) AS BIGINT) AS rows_at_tag,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum_at_tag,
+       CAST({_TAG_PRUNED} AS BIGINT) AS entries_pruned,
+       CAST(1 AS BIGINT) AS untagged_refused,
+       CAST(2 AS BIGINT) AS n_tags,
+       CAST(25 AS BIGINT) AS latest_version
+FROM nation WHERE n_nationkey < {_TAG_AT}
+"""
+
+
+@register(
+    "q222_snapshot_tags",
+    oracle=_ORACLE_Q222,
+    doc="Iceberg-style snapshot tags: a named version survives "
+    "prune_log (the kept range extends to the oldest checkpoint "
+    "any tag needs), re-tagging is atomic last-write-wins, the "
+    "tagged snapshot reads back exactly by name, and an untagged "
+    "pre-horizon version refuses cleanly — the named-baseline "
+    "retention rule of a production table format.",
+    tags=("txn", "tags", "retention"),
+)
+def q222_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag_dir = "tags_q222_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, _fresh = session_scratch_dir(spark, tag_dir)
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+    nation = Catalog(spark, sf_dir).nation.select("n_nationkey", "n_name")
+    for k in range(25):
+        txn.commit_append(
+            sink,
+            txn.stage_append(
+                nation.where(F.col("n_nationkey") == k).coalesce(1), sink, ()
+            ),
+        )
+    txn.tag(sink, "baseline", _TAG_AT)
+    txn.tag(sink, "latest", 10)
+    txn.tag(sink, "latest")  # moved to the head — last write wins
+    pruned = txn.prune_log(sink, keep_versions=1)
+    tagged = txn.read_tag(spark, sink, "baseline")
+    at_tag = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").alias("s"),
+    ).first()
+    refused = 0
+    try:
+        txn.read_version(spark, sink, 5)
+    except FileNotFoundError:
+        refused = 1
+    return spark.createDataFrame(
+        [
+            (
+                txn.tags(sink)["baseline"],
+                int(at_tag["n"]),
+                int(at_tag["s"]),
+                len(pruned),
+                refused,
+                len(txn.tags(sink)),
+                txn.tags(sink)["latest"],
+            )
+        ],
+        "tagged_version bigint, rows_at_tag bigint, key_sum_at_tag "
+        "bigint, entries_pruned bigint, untagged_refused bigint, "
+        "n_tags bigint, latest_version bigint",
+    )
+
+
+_META_MOD, _META_REM = 5, 1
+
+_ORACLE_Q223 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) FILTER (event_id % {_META_MOD} <> {_META_REM})
+            AS BIGINT) AS n_rows_meta,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_before_delete
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register(
+    "q223_metadata_partition_counts",
+    oracle=_ORACLE_Q223,
+    doc="Metadata-only COUNT(*) GROUP BY partition: per-day row "
+    "counts from manifest footer counts minus per-file DV lengths "
+    "— exact across a row-level DELETE, zero data files opened; "
+    "the partition histogram of a 100 TB table as a pure manifest "
+    "read (q209's metadata aggregation extended to partition "
+    "grain).",
+    tags=("txn", "metadata", "skipping"),
+)
+def q223_metadata_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "meta_q223_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        txn.commit_append(
+            sink, txn.stage_append(ev.repartition("day"), sink, ("day",))
+        )
+        txn.delete_where(
+            spark, sink, F.col("event_id") % _META_MOD == _META_REM
+        )
+    live = txn.metadata_count_by_dir(sink)  # after the DV delete
+    before = txn.metadata_count_by_dir(sink, version=1)
+    rows = [
+        (d.split("=", 1)[1], int(n), int(before[d]))
+        for d, n in sorted(live.items())
+    ]
+    return spark.createDataFrame(
+        rows, "day string, n_rows_meta bigint, n_rows_before_delete bigint"
+    ).orderBy("day")

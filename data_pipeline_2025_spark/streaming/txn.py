@@ -1349,18 +1349,33 @@ def prune_log(sink_dir: str, keep_versions: int = CHECKPOINT_EVERY) -> list[int]
     Run :func:`vacuum(..., protect_log_versions=True)` AFTER pruning
     to reclaim the data files only pre-horizon versions referenced —
     prune-then-vacuum is the safe order (vacuum protects exactly
-    what the remaining log can still reach)."""
+    what the remaining log can still reach).
+
+    TAGGED versions (round 6 — :func:`tag`) are protected like the
+    retention window: the kept range extends back to the oldest
+    checkpoint any tag needs, so a named snapshot stays
+    time-travelable no matter how far the head moves (Iceberg's
+    tag-retention rule). Conservative in between — entries between
+    a tag's checkpoint and the horizon survive too — never a
+    broken tag."""
     vs = versions(sink_dir)
     if not vs:
         return []
     horizon = max(vs[-1] - keep_versions + 1, vs[0])
     log = _scan_log(sink_dir)
-    base = max(
-        (s for s, f in log.items() if s <= horizon and f.endswith(_CKPT_SUFFIX)),
-        default=None,
-    )
-    if base is None:
+    protected = [horizon] + [
+        v for v in tags(sink_dir).values() if v in log
+    ]
+    bases = [
+        max(
+            (s for s, f in log.items() if s <= p and f.endswith(_CKPT_SUFFIX)),
+            default=None,
+        )
+        for p in protected
+    ]
+    if any(b is None for b in bases):
         return []
+    base = min(bases)
     pruned: list[int] = []
     for seq, fname in log.items():
         if seq < base:
@@ -1765,3 +1780,95 @@ def wap_abandon(sink_dir: str, branch: str) -> int:
                 os.remove(os.path.join(d, fname))
                 n += 1
     return n
+
+
+# ---------------------------------------------------------------
+# Snapshot tags (round 6)
+#
+# Iceberg's tags: durable NAMES for versions ("baseline",
+# "v2024-audit") that survive log retention — a tagged snapshot
+# stays reconstructible after prune_log retires the untagged
+# history around it. A tag is one tiny file under ``_txn/tags/``
+# (atomic replace, so re-tagging is last-write-wins like Iceberg's
+# replace-tag); prune_log keeps every manifest entry from the
+# OLDEST checkpoint any protected version (retention window or
+# tag) needs — conservative in between, never a broken tag; and
+# vacuum(protect_log_versions=True) already protects every file a
+# surviving log version references, tags included.
+
+
+def _tags_dir(sink_dir: str) -> str:
+    return os.path.join(_txn_dir(sink_dir), "tags")
+
+
+def tag(sink_dir: str, name: str, version: int | None = None) -> int:
+    """Name a snapshot. Defaults to the current head. Re-tagging an
+    existing name moves it (atomic replace). Returns the tagged
+    version."""
+    vs = versions(sink_dir)
+    if not vs:
+        raise FileNotFoundError(f"no commits to tag in {sink_dir}")
+    v = vs[-1] if version is None else version
+    if v not in _scan_log(sink_dir):
+        raise FileNotFoundError(f"cannot tag missing version {v}")
+    d = _tags_dir(sink_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{v}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, f"{name}.txt"))
+    return v
+
+
+def tags(sink_dir: str) -> dict[str, int]:
+    """{tag name -> version}."""
+    d = _tags_dir(sink_dir)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for fname in os.listdir(d):
+        if fname.endswith(".txt") and not fname.startswith("."):
+            with contextlib.suppress(OSError, ValueError):
+                with open(os.path.join(d, fname), encoding="utf-8") as f:
+                    out[fname[:-4]] = int(f.read().strip())
+    return out
+
+
+def read_tag(spark: SparkSession, sink_dir: str, name: str) -> DataFrame:
+    """Time travel by tag name."""
+    t = tags(sink_dir)
+    if name not in t:
+        raise FileNotFoundError(f"no tag {name!r} in {sink_dir}")
+    return read_version(spark, sink_dir, t[name])
+
+
+# ---------------------------------------------------------------
+# Metadata-only partition counts (round 6)
+
+
+def metadata_count_by_dir(
+    sink_dir: str, version: int | None = None
+) -> dict[str, int] | None:
+    """COUNT(*) GROUP BY partition directory from the manifest
+    alone — the partition-level extension of :func:`metadata_agg`:
+    per-file footer row counts summed per directory, minus each
+    file's deletion-vector length (exact under DVs — positions are
+    per-file). Returns None when any file lacks a footer count
+    (pre-round-6 stats lines). Zero data files opened at any table
+    size — the manifest answers the partition histogram a 100 TB
+    table's planner (and its operator dashboards) ask constantly."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    v = vs[-1] if version is None else version
+    entries, _s, dvs, _c, _ps = _snapshot_at(sink_dir, v)
+    out: dict[str, int] = {}
+    for path, stats in entries.items():
+        n, _cols = _parse_stats(stats)
+        if n is None:
+            return None
+        d = os.path.dirname(path)
+        out[d] = out.get(d, 0) + n - len(dvs.get(path, []))
+    return out

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 219
+EXPECTED_QUERY_COUNT = 221
 
 
 def test_registry_complete():
@@ -94,6 +94,8 @@ def test_priority_queries_inside_driver_cap():
         "q219_write_audit_publish",
         "q220_stream_dv_upsert",
         "q221_quality_dup_calibration",
+        "q222_snapshot_tags",
+        "q223_metadata_partition_counts",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -123,9 +125,7 @@ def test_priority_queries_inside_driver_cap():
         "q19_customers_without_orders",
         "q20_cheapest_supplier_per_part",
         "q47_trigram_fuzzy_search",
-        "q48_price_percentiles",
-        "q53_asof_price",
-        # q54-q57 displaced by q218-q221; resume next rotation
+        # q48/q53-q57 displaced by q218-q223; resume next rotation
         # (d) ... and the oldest r2-checked ones still inside the cap
         # q01/q02/q21/q22/q75 displaced by q213-q217; resume next
         # round (q01 still runs as the entry() flagship smoke)

@@ -993,3 +993,70 @@ def test_bloom_probe_type_guard_falls_back_to_bounds(spark, tmp_path):
     # out-of-range float still pruned by bounds alone
     kept_hi, _ = txn.prune_files_eq(sink, "x", 1e6)
     assert kept_hi == []
+
+
+def test_tags_protect_snapshots_from_log_pruning(spark, tmp_path):
+    """Snapshot tags (round 6): a tagged version survives prune_log
+    (kept range extends to the tag's checkpoint), re-tagging is
+    last-write-wins, and vacuum(protect_log_versions=True) keeps
+    the tagged snapshot's files."""
+    import pytest as _pytest
+
+    sink = str(tmp_path / "t")
+    for i in range(25):
+        txn.commit_append(
+            sink, txn.stage_append(_mk(spark, i, i + 1, "a"), sink, ("day",))
+        )
+    txn.tag(sink, "keepme", 15)
+    txn.tag(sink, "head", 3)
+    assert txn.tag(sink, "head") == 25  # moved to head
+    assert txn.tags(sink) == {"keepme": 15, "head": 25}
+    pruned = txn.prune_log(sink, keep_versions=1)
+    # kept range extends back to v11 (the checkpoint v15 needs)
+    assert pruned == list(range(1, 11))
+    got = {r["id"] for r in txn.read_tag(spark, sink, "keepme").collect()}
+    assert got == set(range(15))
+    with _pytest.raises(FileNotFoundError):
+        txn.read_version(spark, sink, 5)  # untagged, pre-horizon
+    # protected vacuum keeps every surviving version's files
+    removed = txn.vacuum(sink, protect_log_versions=True)
+    assert removed == []
+    assert {r["id"] for r in txn.read_tag(spark, sink, "keepme").collect()} == set(
+        range(15)
+    )
+    # tagging a pruned version refuses cleanly
+    with _pytest.raises(FileNotFoundError):
+        txn.tag(sink, "gone", 5)
+
+
+def test_metadata_count_by_dir_exact_under_dvs(spark, tmp_path):
+    """Partition-grain metadata counts: footer sums minus per-file
+    DV lengths, exact across a row-level delete, from manifest
+    bytes alone."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("day")
+    )
+    txn.commit_append(
+        sink, txn.stage_append(df.repartition(F.col("day")), sink, ("day",))
+    )
+    assert txn.metadata_count_by_dir(sink) == {
+        "day=0": 10,
+        "day=1": 10,
+        "day=2": 10,
+    }
+    txn.delete_where(spark, sink, F.col("id") % 5 == 0)  # 0,5,10,...
+    got = txn.metadata_count_by_dir(sink)
+    expect = {}
+    for i in range(30):
+        if i % 5 == 0:
+            continue
+        d = f"day={i % 3}"
+        expect[d] = expect.get(d, 0) + 1
+    assert got == expect
+    # pre-delete version still answers via metadata time travel
+    assert txn.metadata_count_by_dir(sink, version=1) == {
+        "day=0": 10,
+        "day=1": 10,
+        "day=2": 10,
+    }
