@@ -1060,3 +1060,25 @@ def test_metadata_count_by_dir_exact_under_dvs(spark, tmp_path):
         "day=1": 10,
         "day=2": 10,
     }
+
+
+def test_wap_republish_after_crash_is_idempotent(spark, tmp_path):
+    """A crash between wap_publish's commit and its branch-record
+    retirement leaves records pointing at now-committed files; the
+    recovery re-publish must be harmless — re-adding a path the
+    listing already holds is idempotent (the manifest keys by
+    path), so content is unchanged and the branch then retires."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 3, "a"), sink, ("day",)))
+    txn.wap_stage(sink, "b", txn.stage_append(_mk(spark, 3, 5, "a"), sink, ("day",)))
+    staged = txn.wap_files(sink, "b")
+    # simulate the crash window: the commit landed but the branch
+    # records were never retired
+    txn.commit_append_checked(spark, sink, staged)
+    assert txn.wap_files(sink, "b") == staged  # records survived "crash"
+    before = _rows(spark, sink)
+    v = txn.wap_publish(spark, sink, "b")  # recovery re-publish
+    assert _rows(spark, sink) == before == {(i, "a") for i in range(5)}
+    assert txn.wap_files(sink, "b") == []
+    assert v == txn.versions(sink)[-1]
+    assert len(set(txn.committed_files(sink))) == len(txn.committed_files(sink))
