@@ -149,6 +149,7 @@ _PRIORITY = (
     "q221_quality_dup_calibration",
     "q222_snapshot_tags",
     "q223_metadata_partition_counts",
+    "q224_column_rename",
     # (b) rewritten/affected this round: q163 (value-range-bucket
     # audit harness replaced the global ntile), q200 (hot list now
     # statistics-driven via the fair-share criterion), q188 (oracle
@@ -183,8 +184,7 @@ _PRIORITY = (
     "q18_order_lines_rollup",
     "q19_customers_without_orders",
     "q20_cheapest_supplier_per_part",
-    "q47_trigram_fuzzy_search",
-    # q48/q53-q57 displaced by q218-q223 (r1-checked, still
+    # q47/q48/q53-q57 displaced by q218-q224 (r1-checked, still
     # re-verified locally every round; resume next rotation)
     # (d) r2-era rows (q01/q02/q21-q30/q34/q75) fully displaced by
     # the q204-q217 additions — they resume the rotation next round

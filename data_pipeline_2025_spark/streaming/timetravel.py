@@ -2059,3 +2059,87 @@ def q223_metadata_partition_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         rows, "day string, n_rows_meta bigint, n_rows_before_delete bigint"
     ).orderBy("day")
+
+
+# --------- q224: column rename via column mapping (round 6)
+#
+# The last schema-evolution primitive after q203's add-column:
+# RENAME COLUMN as pure metadata (Delta's column-mapping analog).
+# Physical names in data files are frozen; a rename is one #colmap
+# manifest line (checkpoint-carried, restore-rolled-back), every
+# read path applies the snapshot's mapping, and writers stage
+# logically-named frames through txn.to_physical (the translation
+# Delta writers do via field IDs). Lifecycle: v1 commits pre-split
+# events with physical column `value`; v2 renames it to `amount`
+# (zero files touched — the emitted flag pins the listing
+# identity); v3 appends the post-split era written back to
+# physical names. The live read rolls up `amount` across BOTH
+# eras; v1 time travel still reads `value` (per-version names).
+# At 100 TB the alternative to this feature is rewriting every
+# file to rename one column.
+
+_ORACLE_Q224 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS amount_sum_d,
+       CAST(0 AS BIGINT) AS rename_rewrote_files,
+       CAST(1 AS BIGINT) AS v1_reads_old_name
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register(
+    "q224_column_rename",
+    oracle=_ORACLE_Q224,
+    doc="RENAME COLUMN as one column-mapping metadata commit: "
+    "physical file names frozen, logical surface renamed on every "
+    "read path, per-version names preserved by time travel, "
+    "writers translated back via to_physical — the rollup reads "
+    "`amount` across files physically named `value` and files "
+    "written after the rename, with the zero-rewrite flag pinned.",
+    tags=("txn", "schema-evolution", "column-mapping"),
+)
+def q224_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "cmap_q224_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    rewrote = 0
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day"), "ts"
+        )
+        split = F.lit(_TT_SPLIT).cast("timestamp")
+        pre = ev.where(F.col("ts") < split).select("event_id", "value", "day")
+        txn.commit_append(
+            sink, txn.stage_append(pre.repartition("day"), sink, ("day",))
+        )
+        before = set(txn.committed_files(sink))
+        txn.rename_column(sink, "value", "amount")  # v2: metadata only
+        rewrote = 0 if set(txn.committed_files(sink)) == before else 1
+        post = ev.where(F.col("ts") >= split).select(
+            "event_id", F.col("value").alias("amount"), "day"
+        )
+        txn.commit_append(
+            sink,
+            txn.stage_append(
+                txn.to_physical(post.repartition("day"), sink), sink, ("day",)
+            ),
+        )
+    v1_old = 1 if "value" in txn.read_version(spark, sink, 1).columns else 0
+    live = txn.read_committed(spark, sink)  # logical: amount
+    return (
+        live.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("amount"))).alias("amount_sum_d"),
+        )
+        .withColumn("rename_rewrote_files", F.lit(rewrote).cast("bigint"))
+        .withColumn("v1_reads_old_name", F.lit(v1_old).cast("bigint"))
+        .orderBy("day")
+    )

@@ -192,11 +192,12 @@ def _snapshot_at(
     dict[str, list[int]],
     dict[str, str],
     str | None,
+    dict[str, str],
 ]:
     """Reconstruct snapshot ``version`` as ``({relative path ->
     stats json or None}, schema DDL or None, {relative path ->
     sorted deleted row positions}, {check name -> SQL expr},
-    partition spec or None)``:
+    partition spec or None, {physical column -> logical name})``:
     nearest checkpoint at-or-below it, then forward-apply the
     deltas — at most CHECKPOINT_EVERY-1 of them. Delta ops:
     ``+path[\tstats]`` adds a file, ``~dir`` retires every current
@@ -233,15 +234,25 @@ def _snapshot_at(
     listing: dict[str, str | None] = {}
     schema: str | None = None
     partspec: str | None = None
+    colmap: dict[str, str] = {}
     dvs: dict[str, set[int]] = {}
     checks: dict[str, str] = {}
 
     def _apply(line: str) -> None:
-        nonlocal schema, partspec
+        nonlocal schema, partspec, colmap
         if line.startswith("#schema\t"):
             schema = line.split("\t", 1)[1]
         elif line.startswith("#partspec\t"):
             partspec = line.split("\t", 1)[1]
+        elif line.startswith("#colmap\t"):
+            # COLUMN MAPPING (round 6 — Delta's column-mapping
+            # analog): {physical name -> logical name}. Physical
+            # names are frozen at table creation; a RENAME is one
+            # metadata line changing only the logical surface.
+            with contextlib.suppress(ValueError):
+                parsed = json.loads(line.split("\t", 1)[1])
+                if isinstance(parsed, dict):
+                    colmap = {str(k): str(v) for k, v in parsed.items()}
         elif line.startswith("#check\t"):
             _, name, expr = line.split("\t", 2)
             checks[name] = expr
@@ -284,6 +295,7 @@ def _snapshot_at(
         {p: sorted(v) for p, v in dvs.items()},
         checks,
         partspec,
+        colmap,
     )
 
 
@@ -552,7 +564,7 @@ def metadata_agg(
     if not vs:
         return {"count": None, "min": None, "max": None}
     v = vs[-1] if version is None else version
-    entries, _schema, dvs, _checks, _ps = _snapshot_at(sink_dir, v)
+    entries, _schema, dvs, _checks, _ps, _cm = _snapshot_at(sink_dir, v)
     total = 0
     count_ok = True
     mn = mx = None
@@ -843,7 +855,8 @@ def read_committed(
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
-    return _apply_dv(spark, df, sink_dir, dv_at(sink_dir))
+    df = _apply_dv(spark, df, sink_dir, dv_at(sink_dir))
+    return _apply_colmap(df, colmap_at(sink_dir))
 
 
 def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
@@ -853,7 +866,7 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     vacuum — the log IS the table state. After :func:`prune_log`,
     versions beyond the retained horizon raise FileNotFoundError
     (clean refusal, never a wrong snapshot)."""
-    entries, schema, dvs, _checks, _ps = _snapshot_at(sink_dir, version)
+    entries, schema, dvs, _checks, _ps, colmap = _snapshot_at(sink_dir, version)
     files = list(entries)
     if not files:
         return spark.read.format("parquet").schema("__empty STRING").load()
@@ -861,7 +874,7 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
-    return _apply_dv(spark, df, sink_dir, dvs)
+    return _apply_colmap(_apply_dv(spark, df, sink_dir, dvs), colmap)
 
 
 def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) -> list[str]:
@@ -937,6 +950,7 @@ def _commit(
     add_check: tuple[str, str] | None = None,
     bloom: dict[str, dict] | None = None,
     partspec: str | None = None,
+    colmap: dict[str, str] | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
     Appends commute, so a loser's retry on top of the winner's commit
@@ -980,10 +994,10 @@ def _commit(
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
         )
         if is_ckpt:
-            base, cur_schema, cur_dvs, cur_checks, cur_partspec = (
+            base, cur_schema, cur_dvs, cur_checks, cur_partspec, cur_cm = (
                 _snapshot_at(sink_dir, vs[-1])
                 if vs
-                else ({}, None, {}, {}, None)
+                else ({}, None, {}, {}, None, {})
             )
             if replace:
                 drops = set(replaced_dirs)
@@ -1004,11 +1018,16 @@ def _commit(
                 cur_checks = {**cur_checks, add_check[0]: add_check[1]}
             eff_schema = schema_ddl if schema_ddl is not None else cur_schema
             eff_partspec = partspec if partspec is not None else cur_partspec
+            eff_cm = colmap if colmap is not None else cur_cm
             lines = (
                 [f"#schema\t{eff_schema}"] if eff_schema is not None else []
             ) + (
                 [f"#partspec\t{eff_partspec}"]
                 if eff_partspec is not None
+                else []
+            ) + (
+                [f"#colmap\t{json.dumps(eff_cm, sort_keys=True)}"]
+                if eff_cm
                 else []
             ) + [
                 f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
@@ -1022,6 +1041,10 @@ def _commit(
                 [f"#schema\t{schema_ddl}"] if schema_ddl is not None else []
             ) + (
                 [f"#partspec\t{partspec}"] if partspec is not None else []
+            ) + (
+                [f"#colmap\t{json.dumps(colmap, sort_keys=True)}"]
+                if colmap is not None
+                else []
             ) + (
                 [f"#check\t{add_check[0]}\t{add_check[1]}"] if add_check else []
             ) + [f"~{d}" for d in replaced_dirs] + [
@@ -1088,7 +1111,7 @@ def restore(sink_dir: str, version: int) -> int:
     current-or-target partition (which also clears their DVs),
     ``+path\\tstats`` re-adds the target listing, ``-path [pos]``
     re-declares the target's DVs. Returns the new head version."""
-    target, t_schema, t_dvs, _t_checks, t_partspec = _snapshot_at(sink_dir, version)
+    target, t_schema, t_dvs, _t_checks, t_partspec, t_cm = _snapshot_at(sink_dir, version)
     missing = [
         p for p in target if not os.path.exists(os.path.join(sink_dir, p))
     ]
@@ -1106,14 +1129,25 @@ def restore(sink_dir: str, version: int) -> int:
         head = vs[-1] if vs else 0
         seq = head + 1
         is_ckpt = seq % CHECKPOINT_EVERY == 1
-        cur, cur_schema, _cur_dvs, cur_checks, cur_partspec = (
-            _snapshot_at(sink_dir, head) if vs else ({}, None, {}, {}, None)
+        cur, cur_schema, _cur_dvs, cur_checks, cur_partspec, cur_cm = (
+            _snapshot_at(sink_dir, head)
+            if vs
+            else ({}, None, {}, {}, None, {})
         )
         eff_schema = t_schema if t_schema is not None else cur_schema
         eff_ps = t_partspec if t_partspec is not None else cur_partspec
+        # colmap rolls back EXACTLY (unlike the schema, where keeping
+        # the current wider schema is the backward-compatible choice):
+        # a target without a mapping means physical names ARE the
+        # logical names, and the explicit `{}` line resets any
+        # current mapping (an absent delta line would mean no change)
         schema_lines = (
             [f"#schema\t{eff_schema}"] if eff_schema is not None else []
-        ) + ([f"#partspec\t{eff_ps}"] if eff_ps is not None else [])
+        ) + ([f"#partspec\t{eff_ps}"] if eff_ps is not None else []) + (
+            [f"#colmap\t{json.dumps(t_cm, sort_keys=True)}"]
+            if (t_cm or cur_cm)
+            else []
+        )
         check_lines = [
             f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
         ]
@@ -1144,7 +1178,7 @@ def history(sink_dir: str) -> list[dict]:
     what each version would read as."""
     out: list[dict] = []
     for v in versions(sink_dir):
-        listing, schema, dvs, checks, partspec = _snapshot_at(sink_dir, v)
+        listing, schema, dvs, checks, partspec, _cm = _snapshot_at(sink_dir, v)
         agg = metadata_agg(sink_dir, version=v)
         out.append(
             {
@@ -1215,7 +1249,10 @@ def commit_append_checked(
         schema = schema_at(sink_dir)
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.parquet(*[os.path.join(sink_dir, f) for f in new_files])
+        df = _apply_colmap(
+            reader.parquet(*[os.path.join(sink_dir, f) for f in new_files]),
+            colmap_at(sink_dir),
+        )
         for name, expr in sorted(checks.items()):
             bad = df.where(~F.expr(expr)).count()
             if bad:
@@ -1607,14 +1644,14 @@ def read_changes(
         prev_listing: dict[str, str | None] = {}
         prev_dvs: dict[str, list[int]] = {}
     else:
-        prev_listing_full, _s, prev_dvs, _c, _ps = _snapshot_at(sink_dir, from_version)
+        prev_listing_full, _s, prev_dvs, _c, _ps, _cm = _snapshot_at(sink_dir, from_version)
         prev_listing = prev_listing_full
 
     pieces = []
     for v in range(from_version + 1, to_version + 1):
         if v not in _scan_log(sink_dir):
             continue
-        cur_listing, _s, cur_dvs, _c, _ps = _snapshot_at(sink_dir, v)
+        cur_listing, _s, cur_dvs, _c, _ps, _cm2 = _snapshot_at(sink_dir, v)
         added = [p for p in cur_listing if p not in prev_listing]
         removed = [p for p in prev_listing if p not in cur_listing]
         if added:
@@ -1747,7 +1784,10 @@ def wap_read(
     schema = schema_at(sink_dir)
     if schema is not None:
         reader = reader.schema(schema)
-    branch_df = reader.parquet(*[os.path.join(sink_dir, f) for f in staged])
+    branch_df = _apply_colmap(
+        reader.parquet(*[os.path.join(sink_dir, f) for f in staged]),
+        colmap_at(sink_dir),
+    )
     if main is None:
         return branch_df
     return main.unionByName(branch_df, allowMissingColumns=True)
@@ -1863,7 +1903,7 @@ def metadata_count_by_dir(
     if not vs:
         return {}
     v = vs[-1] if version is None else version
-    entries, _s, dvs, _c, _ps = _snapshot_at(sink_dir, v)
+    entries, _s, dvs, _c, _ps, _cm = _snapshot_at(sink_dir, v)
     out: dict[str, int] = {}
     for path, stats in entries.items():
         n, _cols = _parse_stats(stats)
@@ -1872,3 +1912,81 @@ def metadata_count_by_dir(
         d = os.path.dirname(path)
         out[d] = out.get(d, 0) + n - len(dvs.get(path, []))
     return out
+
+
+# ---------------------------------------------------------------
+# Column mapping / RENAME COLUMN (round 6)
+
+
+def _apply_colmap(df, colmap: dict[str, str]):
+    """Rename physical columns to their logical names (no-op for
+    tables that never renamed; unknown physical names tolerated)."""
+    if df is None or not colmap:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+    )
+
+
+def colmap_at(sink_dir: str, version: int | None = None) -> dict[str, str]:
+    """The snapshot's column mapping: {physical name -> logical
+    name} (empty when no rename ever happened)."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[5]
+
+
+def to_physical(df, sink_dir: str):
+    """Rename a logically-named DataFrame back to the sink's
+    PHYSICAL column names before staging — the writer-side half of
+    column mapping (Delta writers do the same translation via field
+    IDs). Callers that never renamed pass through untouched."""
+    cm = colmap_at(sink_dir)
+    if not cm:
+        return df
+    from pyspark.sql import functions as F
+
+    inv = {v: k for k, v in cm.items()}
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+
+def rename_column(sink_dir: str, old: str, new: str) -> None:
+    """RENAME COLUMN as ONE metadata commit — Delta's column-mapping
+    analog: physical names in data files are FROZEN at creation;
+    a rename changes only the logical surface via a ``#colmap``
+    manifest line (checkpoint-carried, restore-rolled-back). Every
+    read path (committed, time travel, WAP audit view, CHECK
+    validation) applies the snapshot's mapping, so old files are
+    never rewritten and per-version names survive time travel.
+    Writers keep producing PHYSICAL names — stage logically-named
+    frames through :func:`to_physical` first (the same
+    translation Delta writers do via field IDs)."""
+    cur = colmap_at(sink_dir)
+    # find the physical column whose CURRENT logical name is `old`
+    logical = {p: cur.get(p, p) for p in _physical_columns(sink_dir)}
+    phys = [p for p, l in logical.items() if l == old]
+    if not phys:
+        raise KeyError(f"no column with logical name {old!r}")
+    updated = {**cur, phys[0]: new}
+    _commit(sink_dir, [], replace=False, colmap=updated)
+
+
+def _physical_columns(sink_dir: str) -> list[str]:
+    """Physical column names of the current snapshot: from the
+    declared read schema when present, else from any committed
+    file's footer stats keys plus partition dirs (best effort —
+    enough to resolve a rename target)."""
+    schema = schema_at(sink_dir)
+    if schema is not None:
+        return [f.split()[0] for f in schema.split(",")]
+    cols: set[str] = set()
+    for path, stats in _entries_at(sink_dir, versions(sink_dir)[-1]).items():
+        _n, bounds = _parse_stats(stats)
+        cols.update(bounds)
+        d = os.path.dirname(path)
+        if "=" in d:
+            cols.add(d.split("=", 1)[0])
+    return sorted(cols)

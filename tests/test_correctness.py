@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 221
+EXPECTED_QUERY_COUNT = 222
 
 
 def test_registry_complete():
@@ -96,6 +96,7 @@ def test_priority_queries_inside_driver_cap():
         "q221_quality_dup_calibration",
         "q222_snapshot_tags",
         "q223_metadata_partition_counts",
+        "q224_column_rename",
         # (b) rewritten/affected round 6
         "q163_zorder_locality",
         "q200_zipf_split_join",
@@ -124,8 +125,7 @@ def test_priority_queries_inside_driver_cap():
         "q18_order_lines_rollup",
         "q19_customers_without_orders",
         "q20_cheapest_supplier_per_part",
-        "q47_trigram_fuzzy_search",
-        # q48/q53-q57 displaced by q218-q223; resume next rotation
+        # q47/q48/q53-q57 displaced by q218-q224; resume next rotation
         # (d) ... and the oldest r2-checked ones still inside the cap
         # q01/q02/q21/q22/q75 displaced by q213-q217; resume next
         # round (q01 still runs as the entry() flagship smoke)

@@ -1082,3 +1082,61 @@ def test_wap_republish_after_crash_is_idempotent(spark, tmp_path):
     assert txn.wap_files(sink, "b") == []
     assert v == txn.versions(sink)[-1]
     assert len(set(txn.committed_files(sink))) == len(txn.committed_files(sink))
+
+
+def test_rename_column_is_metadata_only_and_composes(spark, tmp_path):
+    """Column mapping (round 6): RENAME is one #colmap metadata
+    line — physical file names frozen, logical surface renamed on
+    every read path; survives checkpoints; restore rolls it back;
+    writers stage through to_physical; CHECKs and row-level DELETE
+    keep working against the logical name."""
+    import pytest as _pytest
+
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 5, "a"), sink, ("day",)))
+    files_v1 = set(txn.committed_files(sink))
+    txn.rename_column(sink, "id", "key")  # v2: metadata only
+    assert set(txn.committed_files(sink)) == files_v1  # nothing rewritten
+    live = txn.read_committed(spark, sink)
+    assert "key" in live.columns and "id" not in live.columns
+    # per-version names survive time travel
+    assert "id" in txn.read_version(spark, sink, 1).columns
+    # writers produce physical names via to_physical
+    more = spark.range(5, 8).select(
+        F.col("id").alias("key"), F.lit("a").alias("day")
+    )
+    txn.commit_append(
+        sink, txn.stage_append(txn.to_physical(more, sink), sink, ("day",))
+    )
+    assert {r["key"] for r in txn.read_committed(spark, sink).collect()} == set(
+        range(8)
+    )
+    # CHECK against the LOGICAL name gates future appends
+    txn.add_check(spark, sink, "key_nonneg", "key >= 0")
+    bad = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("key"), F.lit("a").alias("day")
+    )
+    with _pytest.raises(txn.CheckViolation):
+        txn.commit_append_checked(
+            spark, sink, txn.stage_append(txn.to_physical(bad, sink), sink, ("day",))
+        )
+    # row-level DELETE with a logical-name condition
+    deleted = txn.delete_where(spark, sink, F.col("key") % 2 == 1)
+    assert deleted == 4  # 1,3,5,7
+    assert {r["key"] for r in txn.read_committed(spark, sink).collect()} == {
+        0, 2, 4, 6,
+    }
+    # mapping survives a checkpoint reconstruction
+    for i in range(10):
+        one = spark.range(100 + i, 101 + i).select(
+            F.col("id").alias("key"), F.lit("b").alias("day")
+        )
+        txn.commit_append(
+            sink, txn.stage_append(txn.to_physical(one, sink), sink, ("day",))
+        )
+    assert txn.colmap_at(sink) == {"id": "key"}
+    assert "key" in txn.read_committed(spark, sink).columns
+    # restore to v1 rolls the mapping back (v1 had none)
+    txn.restore(sink, 1)
+    assert txn.colmap_at(sink) == {}
+    assert "id" in txn.read_committed(spark, sink).columns
