@@ -762,7 +762,7 @@ def q207_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.delete_where(
             spark, sink, F.col("event_id") % _DV_MOD == _DV_REM
         )
-    deleted_rows = sum(len(v) for v in txn.dv_at(sink).values())
+    deleted_rows = sum(txn.dv_counts_at(sink).values())
     pre_rows = txn.read_version(spark, sink, 1).count()
     files_unchanged = (
         1
@@ -869,7 +869,7 @@ def q208_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.merge_upsert_dv(
             spark, sink, upd.unionByName(ins), "event_id", ("day",)
         )
-    matched = sum(len(v) for v in txn.dv_at(sink).values())
+    matched = sum(txn.dv_counts_at(sink).values())
     pre_rows = txn.read_version(spark, sink, 1).count()
     post = txn.read_committed(spark, sink)
     inserted = post.count() - pre_rows
@@ -1125,11 +1125,11 @@ def q211_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sink, F.col("event_id") % _RST_MOD == _RST_REM
         )
         txn.restore(sink, 1)
-    deleted_at_v2 = sum(len(v) for v in txn.dv_at(sink, 2).values())
+    deleted_at_v2 = sum(txn.dv_counts_at(sink, 2).values())
     v2_rows = txn.read_version(spark, sink, 2).count()
     restore_clean = (
         1
-        if txn.dv_at(sink) == {} and len(txn.versions(sink)) == 3
+        if txn.dv_counts_at(sink) == {} and len(txn.versions(sink)) == 3
         else 0
     )
     return (
@@ -2109,7 +2109,6 @@ def q224_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sink, ignore_errors=True)
         os.makedirs(sink, exist_ok=True)
         fresh = True
-    rewrote = 0
     if fresh:
         ev = Catalog(spark, sf_dir).events.select(
             "event_id", "value", F.to_date("ts").alias("day"), "ts"
@@ -2119,9 +2118,7 @@ def q224_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.commit_append(
             sink, txn.stage_append(pre.repartition("day"), sink, ("day",))
         )
-        before = set(txn.committed_files(sink))
         txn.rename_column(sink, "value", "amount")  # v2: metadata only
-        rewrote = 0 if set(txn.committed_files(sink)) == before else 1
         post = ev.where(F.col("ts") >= split).select(
             "event_id", F.col("value").alias("amount"), "day"
         )
@@ -2131,6 +2128,16 @@ def q224_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
                 txn.to_physical(post.repartition("day"), sink), sink, ("day",)
             ),
         )
+    # the zero-rewrite invariant is re-verified on EVERY invocation
+    # (advisor round-6: a cached session sink previously hard-coded
+    # 0): the v1 and v2 listings must be identical sets — the rename
+    # commit is pure metadata, so it may not add, drop, or rewrite a
+    # single data file. Metadata-only comparison, O(#files).
+    rewrote = (
+        0
+        if set(txn.listing_at(sink, 1)) == set(txn.listing_at(sink, 2))
+        else 1
+    )
     v1_old = 1 if "value" in txn.read_version(spark, sink, 1).columns else 0
     live = txn.read_committed(spark, sink)  # logical: amount
     return (

@@ -193,11 +193,13 @@ def _snapshot_at(
     dict[str, str],
     str | None,
     dict[str, str],
+    dict[str, dict[str, int]],
 ]:
     """Reconstruct snapshot ``version`` as ``({relative path ->
     stats json or None}, schema DDL or None, {relative path ->
     sorted deleted row positions}, {check name -> SQL expr},
-    partition spec or None, {physical column -> logical name})``:
+    partition spec or None, {physical column -> logical name},
+    {DV sidecar ref -> {relative path -> deleted-row count}})``:
     nearest checkpoint at-or-below it, then forward-apply the
     deltas — at most CHECKPOINT_EVERY-1 of them. Delta ops:
     ``+path[\tstats]`` adds a file, ``~dir`` retires every current
@@ -210,7 +212,13 @@ def _snapshot_at(
     ``path`` deleted (DELETION VECTORS, round 6 — Delta's DV
     sidecars: row-level deletes without rewriting the file; unions
     accumulate across commits, and a retired file's DV retires with
-    it), ``#partspec\t<desc>`` records the ACTIVE partition spec
+    it), ``%dv\t<ref>\t{path: count}`` references an EXECUTOR-WRITTEN
+    deletion-vector sidecar (round 7 — Delta's real DV shape: the
+    position lists live in a parquet sidecar under ``_txn/<ref>``,
+    the manifest carries only the ref plus O(#files) per-file
+    counts, so a 10⁹-row erasure costs the manifest — and the
+    driver — nothing proportional to deleted rows),
+    ``#partspec\t<desc>`` records the ACTIVE partition spec
     from this version on (round 6 — Iceberg's partition-spec
     evolution: a spec change is ONE metadata line; files written
     under earlier specs are never rewritten, and reads/pruning stay
@@ -236,11 +244,22 @@ def _snapshot_at(
     partspec: str | None = None
     colmap: dict[str, str] = {}
     dvs: dict[str, set[int]] = {}
+    dvrefs: dict[str, dict[str, int]] = {}
     checks: dict[str, str] = {}
 
     def _apply(line: str) -> None:
         nonlocal schema, partspec, colmap
-        if line.startswith("#schema\t"):
+        if line.startswith("%dv\t"):
+            _kind, ref, counts_json = line.split("\t", 2)
+            with contextlib.suppress(ValueError):
+                parsed = json.loads(counts_json)
+                if isinstance(parsed, dict):
+                    dvrefs[ref] = {
+                        str(p): int(n) for p, n in parsed.items()
+                    }
+        elif line.startswith("%"):
+            pass  # unknown sidecar line kinds: forward-compat
+        elif line.startswith("#schema\t"):
             schema = line.split("\t", 1)[1]
         elif line.startswith("#partspec\t"):
             partspec = line.split("\t", 1)[1]
@@ -285,10 +304,24 @@ def _snapshot_at(
                 for p, v in dvs.items()
                 if os.path.dirname(p) not in drops
             }
+            dvrefs = {
+                r: kept
+                for r, c in dvrefs.items()
+                if (kept := {
+                    p: n
+                    for p, n in c.items()
+                    if os.path.dirname(p) not in drops
+                })
+            }
         for op in ops:
             if not op.startswith("~"):
                 _apply(op)
     dvs = {p: v for p, v in dvs.items() if p in listing}
+    dvrefs = {
+        r: kept
+        for r, c in dvrefs.items()
+        if (kept := {p: n for p, n in c.items() if p in listing})
+    }
     return (
         listing,
         schema,
@@ -296,6 +329,7 @@ def _snapshot_at(
         checks,
         partspec,
         colmap,
+        dvrefs,
     )
 
 
@@ -325,12 +359,75 @@ def partspec_at(sink_dir: str, version: int | None = None) -> str | None:
 
 
 def dv_at(sink_dir: str, version: int | None = None) -> dict[str, list[int]]:
-    """The snapshot's deletion vectors: {relative path -> sorted
-    deleted row positions} (empty for sinks that never deleted)."""
+    """The snapshot's deletion vectors MATERIALIZED: {relative path
+    -> sorted deleted row positions}, merging manifest-inline
+    position lists with executor-written sidecar refs (round 7).
+    Inspection/test API — materializing is O(deleted rows) DRIVER
+    memory by definition; production paths never call this (reads
+    anti-join the sidecars as DataFrames via :func:`_apply_dv`,
+    counting uses :func:`dv_counts_at` — O(#files))."""
     vs = versions(sink_dir)
     if not vs:
         return {}
-    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[2]
+    v = vs[-1] if version is None else version
+    snap = _snapshot_at(sink_dir, v)
+    out: dict[str, set[int]] = {p: set(ps) for p, ps in snap[2].items()}
+    for ref, counts in snap[6].items():
+        for path, pos in _read_dv_sidecar(sink_dir, ref):
+            if path in counts:
+                out.setdefault(path, set()).add(pos)
+    return {p: sorted(v) for p, v in out.items()}
+
+
+def dvrefs_at(
+    sink_dir: str, version: int | None = None
+) -> dict[str, dict[str, int]]:
+    """The snapshot's DV sidecar references: {sidecar ref ->
+    {relative data-file path -> deleted-row count}} — manifest bytes
+    only, O(#files) regardless of deleted-row count."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    return _snapshot_at(sink_dir, vs[-1] if version is None else version)[6]
+
+
+def dv_counts_at(
+    sink_dir: str, version: int | None = None
+) -> dict[str, int]:
+    """Per-file deleted-row COUNTS of the snapshot — inline position
+    lists plus sidecar count maps, from manifest bytes alone
+    (O(#files) driver memory at any deleted-row count; the scale-safe
+    replacement for ``sum(len(v) for v in dv_at(...).values())``).
+    Disjointness across sources is by construction: delete_where /
+    merge_upsert_dv locate against the DV-applied snapshot, so a
+    position is never deleted twice while dead."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {}
+    snap = _snapshot_at(sink_dir, vs[-1] if version is None else version)
+    out: dict[str, int] = {p: len(ps) for p, ps in snap[2].items()}
+    for counts in snap[6].values():
+        for path, n in counts.items():
+            out[path] = out.get(path, 0) + n
+    return out
+
+
+def _read_dv_sidecar(sink_dir: str, ref: str) -> list[tuple[str, int]]:
+    """Driver-side sidecar read (pyarrow) for the inspection APIs —
+    returns [(relative path, position)]. Production read paths go
+    through Spark instead (:func:`_dv_pos_df`)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(_txn_dir(sink_dir), ref)
+    rows: list[tuple[str, int]] = []
+    for fname in sorted(os.listdir(d)):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(d, fname), columns=["path", "pos"])
+        rows.extend(
+            zip(t.column("path").to_pylist(), t.column("pos").to_pylist())
+        )
+    return rows
 
 
 def checks_at(sink_dir: str, version: int | None = None) -> dict[str, str]:
@@ -359,29 +456,94 @@ def commit_delete(sink_dir: str, dv: dict[str, list[int]]) -> None:
     _commit(sink_dir, [], replace=False, delete_dv=dict(dv))
 
 
-def _apply_dv(spark, df, sink_dir: str, dvs: dict[str, list[int]]):
-    """Filter a snapshot DataFrame through its deletion vectors: an
-    anti-join of (file, row position) against the broadcast DV set,
-    using the parquet reader's ``_metadata`` columns. No-op (and no
-    plan change) for DV-free snapshots. Paths are normalized to
-    absolute form on both sides (the reader reports file:-prefixed
-    URIs)."""
-    if not dvs:
-        return df
+def _dv_pos_df(
+    spark,
+    sink_dir: str,
+    dvs: dict[str, list[int]],
+    dvrefs: dict[str, dict[str, int]] | None = None,
+    restrict: set[str] | None = None,
+):
+    """The deleted positions of a snapshot as a DataFrame
+    ``(__dv_path string — ABSOLUTE, __dv_pos long)``: inline
+    manifest position lists (driver-built, small by contract) union
+    the executor-read sidecar parquets (never materialized on the
+    driver). ``restrict`` limits output to those relative data-file
+    paths (used by compaction and the change feed). Returns None
+    when there is nothing deleted."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
+    base = os.path.abspath(sink_dir)
+    pieces = []
+    inline = {
+        p: ps
+        for p, ps in (dvs or {}).items()
+        if restrict is None or p in restrict
+    }
     rows = [
-        (os.path.abspath(os.path.join(sink_dir, p)), int(i))
-        for p, positions in dvs.items()
+        (os.path.join(base, p), int(i))
+        for p, positions in inline.items()
         for i in positions
     ]
-    dv_df = spark.createDataFrame(rows, "__dv_path string, __dv_pos long")
+    if rows:
+        pieces.append(
+            spark.createDataFrame(rows, "__dv_path string, __dv_pos long")
+        )
+    for ref, counts in sorted((dvrefs or {}).items()):
+        live = [
+            p for p in counts if restrict is None or p in restrict
+        ]
+        if not live:
+            continue
+        side = spark.read.parquet(os.path.join(_txn_dir(sink_dir), ref))
+        keep = spark.createDataFrame([(p,) for p in live], "path string")
+        # the path filter is O(#files) rows — always broadcastable;
+        # it also drops positions of files retired after the sidecar
+        # was written (the manifest's count map is the live set)
+        pieces.append(
+            side.join(F.broadcast(keep), "path").select(
+                F.concat(F.lit(base + os.sep), F.col("path")).alias(
+                    "__dv_path"
+                ),
+                F.col("pos").cast("long").alias("__dv_pos"),
+            )
+        )
+    if not pieces:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def _apply_dv(
+    spark,
+    df,
+    sink_dir: str,
+    dvs: dict[str, list[int]],
+    dvrefs: dict[str, dict[str, int]] | None = None,
+):
+    """Filter a snapshot DataFrame through its deletion vectors: an
+    anti-join of (file, row position) against the DV set — inline
+    lists broadcast, sidecar refs read executor-side (round 7: the
+    positions of a 10⁹-row delete never touch the driver). No-op
+    (and no plan change) for DV-free snapshots. Paths are normalized
+    to absolute form on both sides (the reader reports
+    file:-prefixed URIs)."""
+    from pyspark.sql import functions as F
+
+    dv_df = _dv_pos_df(spark, sink_dir, dvs, dvrefs)
+    if dv_df is None:
+        return df
+    # inline-only DV sets are small by contract → force the
+    # broadcast; sidecar-backed sets can be arbitrarily large → let
+    # AQE choose (it still broadcasts the common small case)
+    if not dvrefs:
+        dv_df = F.broadcast(dv_df)
     cols = df.columns
     keyed = df.withColumn(
         "__p", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
     ).withColumn("__i", F.col("_metadata.row_index"))
     return keyed.join(
-        F.broadcast(dv_df),
+        dv_df,
         (keyed["__p"] == dv_df["__dv_path"]) & (keyed["__i"] == dv_df["__dv_pos"]),
         "left_anti",
     ).select(*cols)
@@ -564,11 +726,11 @@ def metadata_agg(
     if not vs:
         return {"count": None, "min": None, "max": None}
     v = vs[-1] if version is None else version
-    entries, _schema, dvs, _checks, _ps, _cm = _snapshot_at(sink_dir, v)
+    entries, _schema, dvs, _checks, _ps, _cm, dvrefs = _snapshot_at(sink_dir, v)
     total = 0
     count_ok = True
     mn = mx = None
-    minmax_ok = col is not None and bool(entries) and not dvs
+    minmax_ok = col is not None and bool(entries) and not dvs and not dvrefs
     for path, stats in entries.items():
         n, cols = _parse_stats(stats)
         if n is None:
@@ -582,7 +744,9 @@ def metadata_agg(
                 mx = hi if mx is None else max(mx, hi)
             else:
                 minmax_ok = False
-    deleted = sum(len(p) for p in dvs.values())
+    deleted = sum(len(p) for p in dvs.values()) + sum(
+        n for counts in dvrefs.values() for n in counts.values()
+    )
     return {
         "count": (total - deleted) if count_ok else None,
         "min": mn if minmax_ok else None,
@@ -679,16 +843,32 @@ def build_bloom(
     distinct-(file, value) aggregation plus one positions
     aggregation over the NEW files only (O(batch), never O(table));
     per-file driver state is bounded by m bits. Files where every
-    value is null get no filter (conservative keep at read time)."""
+    value is null get no filter (conservative keep at read time).
+
+    The spec records the column's LOGICAL TYPE class (``"t"``:
+    ``"i"`` integral / ``"s"`` string / the Spark typeName
+    otherwise) so the probe-time guard can require an exact match:
+    the bloom hashed ``CAST(col AS STRING)``, and only for integral
+    and string columns is that rendering canonical for a Python
+    int/str probe (advisor round-6 medium: an int probe against a
+    DOUBLE column would hash ``"5"`` while the filter holds
+    ``"5.0"`` — every bit misses and a file holding the value would
+    be WRONGLY skipped)."""
     from pyspark.sql import functions as F
 
     if not new_files:
         return {}
     base = os.path.abspath(sink_dir)
     paths = [os.path.join(sink_dir, f) for f in new_files]
+    src = spark.read.option("basePath", sink_dir).parquet(*paths)
+    dt = src.schema[col].dataType.typeName()
+    tcode = (
+        "i"
+        if dt in ("byte", "short", "integer", "long")
+        else ("s" if dt == "string" else dt)
+    )
     distinct = (
-        spark.read.option("basePath", sink_dir)
-        .parquet(*paths)
+        src
         .select(
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:/*", "/"
@@ -740,22 +920,29 @@ def build_bloom(
         for pos in r["ps"]:
             nib[int(pos) >> 2] |= 1 << (int(pos) & 3)
         out[os.path.relpath(r["__p"], base)] = {
-            col: {"m": m, "k": k, "h": "".join("%x" % v for v in nib)}
+            col: {
+                "m": m,
+                "k": k,
+                "t": tcode,
+                "h": "".join("%x" % v for v in nib),
+            }
         }
     return out
 
 
 def blooms_at(
     sink_dir: str, version: int | None = None
-) -> dict[str, dict[str, tuple[int, int, str]]]:
+) -> dict[str, dict[str, tuple[int, int, str, str | None]]]:
     """The snapshot's bloom index: {relative path -> {column ->
-    (m, k, hex bitmap)}} from manifest bytes alone. Files committed
-    without a bloom simply have no entry."""
+    (m, k, hex bitmap, type code or None)}} from manifest bytes
+    alone. Files committed without a bloom simply have no entry; a
+    ``None`` type code marks a pre-type-guard spec (probe-time
+    guard then falls back to the column's BOUNDS type)."""
     vs = versions(sink_dir)
     if not vs:
         return {}
     v = vs[-1] if version is None else version
-    out: dict[str, dict[str, tuple[int, int, str]]] = {}
+    out: dict[str, dict[str, tuple[int, int, str, str | None]]] = {}
     for path, stats in _entries_at(sink_dir, v).items():
         if stats is None:
             continue
@@ -766,7 +953,7 @@ def blooms_at(
         blooms = parsed.get("b") if isinstance(parsed, dict) else None
         if not isinstance(blooms, dict):
             continue
-        per_col: dict[str, tuple[int, int, str]] = {}
+        per_col: dict[str, tuple[int, int, str, str | None]] = {}
         for c, spec in blooms.items():
             if (
                 isinstance(spec, dict)
@@ -775,7 +962,13 @@ def blooms_at(
                 and isinstance(spec.get("h"), str)
                 and len(spec["h"]) * 4 == spec["m"]
             ):
-                per_col[c] = (spec["m"], spec["k"], spec["h"])
+                t = spec.get("t")
+                per_col[c] = (
+                    spec["m"],
+                    spec["k"],
+                    spec["h"],
+                    t if isinstance(t, str) else None,
+                )
         if per_col:
             out[path] = per_col
     return out
@@ -804,21 +997,37 @@ def prune_files_eq(
                 skip = False  # incomparable bound types: keep
         # the bloom path requires the probe's string rendering to be
         # IDENTICAL to the Spark-side CAST(col AS STRING) used at
-        # build time — guaranteed for ints and strings, not for
-        # floats/timestamps (engine-dependent rendering would make a
-        # membership test wrongly negative = a wrong skip). Other
-        # types fall back to bounds-only pruning, never a wrong skip.
-        if (
-            not skip
-            and isinstance(value, (int, str))
-            and not isinstance(value, bool)
-            and col in blooms.get(path, {})
-        ):
-            m, k, h = blooms[path][col]
-            for pos in _bloom_positions(value, m, k):
-                if not (int(h[pos >> 2], 16) >> (pos & 3)) & 1:
-                    skip = True
-                    break
+        # build time. That needs BOTH sides type-checked (advisor
+        # round-6 medium): an int/str probe AND an integral/string
+        # COLUMN — an int probe against a DOUBLE column hashes "5"
+        # while the filter holds "5.0", every bit misses, and a file
+        # holding the value would be wrongly skipped. The column's
+        # type comes from the spec's recorded type code; legacy
+        # specs without one fall back to the bounds' JSON type
+        # (an int column's bounds parse as Python int, a string
+        # column's as str). Any mismatch or unknown → bounds-only
+        # pruning, never a wrong skip.
+        spec = blooms.get(path, {}).get(col)
+        if not skip and spec is not None and not isinstance(value, bool):
+            m, k, h, t = spec
+            if isinstance(value, int):
+                want = "i"
+                bounds_ok = col in cols and all(
+                    isinstance(b, int) and not isinstance(b, bool)
+                    for b in cols[col]
+                )
+            elif isinstance(value, str):
+                want = "s"
+                bounds_ok = col in cols and all(
+                    isinstance(b, str) for b in cols[col]
+                )
+            else:
+                want, bounds_ok = None, False
+            if want is not None and (t == want if t is not None else bounds_ok):
+                for pos in _bloom_positions(value, m, k):
+                    if not (int(h[pos >> 2], 16) >> (pos & 3)) & 1:
+                        skip = True
+                        break
         if not skip:
             kept.append(path)
     return kept, len(index)
@@ -855,8 +1064,10 @@ def read_committed(
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
-    df = _apply_dv(spark, df, sink_dir, dv_at(sink_dir))
-    return _apply_colmap(df, colmap_at(sink_dir))
+    vs = versions(sink_dir)
+    snap = _snapshot_at(sink_dir, vs[-1])
+    df = _apply_dv(spark, df, sink_dir, snap[2], snap[6])
+    return _apply_colmap(df, snap[5])
 
 
 def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
@@ -866,7 +1077,9 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     vacuum — the log IS the table state. After :func:`prune_log`,
     versions beyond the retained horizon raise FileNotFoundError
     (clean refusal, never a wrong snapshot)."""
-    entries, schema, dvs, _checks, _ps, colmap = _snapshot_at(sink_dir, version)
+    entries, schema, dvs, _checks, _ps, colmap, dvrefs = _snapshot_at(
+        sink_dir, version
+    )
     files = list(entries)
     if not files:
         return spark.read.format("parquet").schema("__empty STRING").load()
@@ -874,7 +1087,7 @@ def read_version(spark: SparkSession, sink_dir: str, version: int) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(*[os.path.join(sink_dir, f) for f in files])
-    return _apply_colmap(_apply_dv(spark, df, sink_dir, dvs), colmap)
+    return _apply_colmap(_apply_dv(spark, df, sink_dir, dvs, dvrefs), colmap)
 
 
 def stage_append(df: DataFrame, sink_dir: str, partition_by: tuple[str, ...]) -> list[str]:
@@ -951,8 +1164,14 @@ def _commit(
     bloom: dict[str, dict] | None = None,
     partspec: str | None = None,
     colmap: dict[str, str] | None = None,
+    dv_ref: tuple[str, dict[str, int]] | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
+
+    ``dv_ref=(ref, {path: count})`` (round 7) publishes an
+    executor-written deletion-vector SIDECAR: the manifest carries
+    only the ref plus per-file counts (O(#files) bytes), the
+    position lists live in parquet under ``_txn/<ref>``.
     Appends commute, so a loser's retry on top of the winner's commit
     preserves both batches; a replace retried on a newer snapshot
     keeps last-replace-wins semantics for the touched partitions.
@@ -994,10 +1213,18 @@ def _commit(
             sorted({os.path.dirname(f) for f in new_files}) if replace else []
         )
         if is_ckpt:
-            base, cur_schema, cur_dvs, cur_checks, cur_partspec, cur_cm = (
+            (
+                base,
+                cur_schema,
+                cur_dvs,
+                cur_checks,
+                cur_partspec,
+                cur_cm,
+                cur_dvrefs,
+            ) = (
                 _snapshot_at(sink_dir, vs[-1])
                 if vs
-                else ({}, None, {}, {}, None, {})
+                else ({}, None, {}, {}, None, {}, {})
             )
             if replace:
                 drops = set(replaced_dirs)
@@ -1011,9 +1238,20 @@ def _commit(
                     for p, v in cur_dvs.items()
                     if os.path.dirname(p) not in drops
                 }
+                cur_dvrefs = {
+                    r: kept
+                    for r, c in cur_dvrefs.items()
+                    if (kept := {
+                        p: n
+                        for p, n in c.items()
+                        if os.path.dirname(p) not in drops
+                    })
+                }
             if delete_dv:
                 for p, v in delete_dv.items():
                     cur_dvs[p] = sorted(set(cur_dvs.get(p, [])) | set(v))
+            if dv_ref:
+                cur_dvrefs = {**cur_dvrefs, dv_ref[0]: dict(dv_ref[1])}
             if add_check:
                 cur_checks = {**cur_checks, add_check[0]: add_check[1]}
             eff_schema = schema_ddl if schema_ddl is not None else cur_schema
@@ -1035,6 +1273,9 @@ def _commit(
                 p if s is None else f"{p}\t{s}" for p, s in base.items()
             ] + [_token(f) for f in new_files] + [
                 f"-{p}\t{json.dumps(v)}" for p, v in sorted(cur_dvs.items())
+            ] + [
+                f"%dv\t{r}\t{json.dumps(c, sort_keys=True)}"
+                for r, c in sorted(cur_dvrefs.items())
             ]
         else:
             lines = (
@@ -1052,7 +1293,14 @@ def _commit(
             ] + [
                 f"-{p}\t{json.dumps(sorted(v))}"
                 for p, v in sorted((delete_dv or {}).items())
-            ]
+            ] + (
+                [
+                    f"%dv\t{dv_ref[0]}\t"
+                    f"{json.dumps(dv_ref[1], sort_keys=True)}"
+                ]
+                if dv_ref
+                else []
+            )
         if _try_commit(sink_dir, seq, lines, is_ckpt):
             return True
 
@@ -1111,28 +1359,40 @@ def restore(sink_dir: str, version: int) -> int:
     current-or-target partition (which also clears their DVs),
     ``+path\\tstats`` re-adds the target listing, ``-path [pos]``
     re-declares the target's DVs. Returns the new head version."""
-    target, t_schema, t_dvs, _t_checks, t_partspec, t_cm = _snapshot_at(sink_dir, version)
+    target, t_schema, t_dvs, _t_checks, t_partspec, t_cm, t_dvrefs = (
+        _snapshot_at(sink_dir, version)
+    )
     missing = [
         p for p in target if not os.path.exists(os.path.join(sink_dir, p))
+    ] + [
+        r
+        for r in t_dvrefs
+        if not os.path.isdir(os.path.join(_txn_dir(sink_dir), r))
     ]
     if missing:
         raise FileNotFoundError(
-            f"restore to v{version} impossible: {len(missing)} data "
+            f"restore to v{version} impossible: {len(missing)} data/DV "
             f"file(s) already vacuumed, e.g. {missing[0]}"
         )
     t_tokens = [p if s is None else f"{p}\t{s}" for p, s in target.items()]
     t_dv_lines = [
         f"-{p}\t{json.dumps(v)}" for p, v in sorted(t_dvs.items())
+    ] + [
+        # sidecar refs roll back by RE-REFERENCE — the immutable
+        # sidecar files are shared between the target version and
+        # the restore commit (protected from vacuum by either)
+        f"%dv\t{r}\t{json.dumps(c, sort_keys=True)}"
+        for r, c in sorted(t_dvrefs.items())
     ]
     while True:
         vs = versions(sink_dir)
         head = vs[-1] if vs else 0
         seq = head + 1
         is_ckpt = seq % CHECKPOINT_EVERY == 1
-        cur, cur_schema, _cur_dvs, cur_checks, cur_partspec, cur_cm = (
+        cur, cur_schema, _cur_dvs, cur_checks, cur_partspec, cur_cm, _cur_refs = (
             _snapshot_at(sink_dir, head)
             if vs
-            else ({}, None, {}, {}, None, {})
+            else ({}, None, {}, {}, None, {}, {})
         )
         eff_schema = t_schema if t_schema is not None else cur_schema
         eff_ps = t_partspec if t_partspec is not None else cur_partspec
@@ -1178,14 +1438,16 @@ def history(sink_dir: str) -> list[dict]:
     what each version would read as."""
     out: list[dict] = []
     for v in versions(sink_dir):
-        listing, schema, dvs, checks, partspec, _cm = _snapshot_at(sink_dir, v)
+        listing, schema, dvs, checks, partspec, _cm, _refs = _snapshot_at(
+            sink_dir, v
+        )
         agg = metadata_agg(sink_dir, version=v)
         out.append(
             {
                 "version": v,
                 "is_checkpoint": v % CHECKPOINT_EVERY == 1,
                 "n_files": len(listing),
-                "n_dv_positions": sum(len(p) for p in dvs.values()),
+                "n_dv_positions": sum(dv_counts_at(sink_dir, v).values()),
                 "n_rows": agg["count"],
                 "has_schema": schema is not None,
                 "n_checks": len(checks),
@@ -1334,11 +1596,22 @@ def vacuum(
                         protected.update(
                             line.strip() for line in f if line.strip()
                         )
+    # DV sidecars referenced by the CURRENT snapshot are always
+    # protected; with protect_log_versions, every ref any retained
+    # manifest entry mentions is (time travel + restore both
+    # re-reference immutable sidecars rather than copying them)
+    vs = versions(sink_dir)
+    protected_refs: set[str] = (
+        set(_snapshot_at(sink_dir, vs[-1])[6]) if vs else set()
+    )
     if protect_log_versions:
         log = _scan_log(sink_dir)
         for fname in log.values():
             for line in _read_entry(sink_dir, fname):
-                if line.startswith(("~", "#", "-")):
+                if line.startswith("%dv\t"):
+                    protected_refs.add(line.split("\t", 2)[1])
+                    continue
+                if line.startswith(("~", "#", "-", "%")):
                     continue
                 token = line[1:] if line.startswith("+") else line
                 path, _stats = _split_stats(token)
@@ -1369,6 +1642,24 @@ def vacuum(
                 with contextlib.suppress(FileNotFoundError):
                     if os.path.getmtime(full) <= cutoff:
                         os.remove(full)
+    # orphaned DV sidecars — staged by a crashed/raced delete whose
+    # commit never published, or stranded by prune_log retiring every
+    # version that referenced them. Same age gate as data files (a
+    # concurrent delete_where's sidecar between stage and commit is
+    # never reclaimed within the retention window).
+    import shutil
+
+    dv_root = os.path.join(txn, "dv")
+    if os.path.isdir(dv_root):
+        for name in os.listdir(dv_root):
+            ref = f"dv/{name}"
+            full = os.path.join(dv_root, name)
+            if ref in protected_refs:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                if os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(os.path.join("_txn", ref))
     return sorted(removed)
 
 
@@ -1422,55 +1713,92 @@ def prune_log(sink_dir: str, keep_versions: int = CHECKPOINT_EVERY) -> list[int]
     return sorted(pruned)
 
 
+def _located_positions(df, sink_dir: str, condition=None, extra: tuple = ()):
+    """Project a committed read down to ``(path, pos[, *extra])`` of
+    the rows matching ``condition`` — sink-RELATIVE paths via the
+    parquet reader's hidden ``_metadata`` columns, projected
+    straight off the scan (metadata columns don't survive joins)."""
+    from pyspark.sql import functions as F
+
+    base = os.path.abspath(sink_dir)
+    out = df.where(condition) if condition is not None else df
+    return out.select(
+        F.expr(
+            f"substring(regexp_replace(_metadata.file_path,"
+            f" '^file:/*', '/'), {len(base) + 2})"
+        ).alias("path"),
+        F.col("_metadata.row_index").cast("long").alias("pos"),
+        *[F.col(c) for c in extra],
+    )
+
+
+def _stage_dv(
+    spark: SparkSession, sink_dir: str, positions
+) -> tuple[str, dict[str, int]] | None:
+    """Write a deletion-vector SIDECAR from a ``(path, pos)``
+    DataFrame — parquet under ``_txn/dv/<uuid>``, written by the
+    EXECUTORS (the positions of a 10⁹-row delete never pass through
+    the driver). Returns ``(ref, {path: count})`` for
+    ``_commit(dv_ref=...)`` — the counts map (O(#files)) is the only
+    driver-side state, read back from the sidecar itself so it can
+    never disagree with the published positions. None when the
+    locate matched nothing (the empty sidecar dir is removed)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ref = f"dv/{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(_txn_dir(sink_dir), ref)
+    positions.write.mode("overwrite").parquet(out_dir)
+    counts = {
+        r["path"]: int(r["n"])
+        for r in spark.read.parquet(out_dir)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return None
+    return ref, counts
+
+
 def delete_where(
     spark: SparkSession, sink_dir: str, condition, max_attempts: int = 5
 ) -> int:
     """DELETE FROM sink WHERE condition — as one deletion-vector
     commit (no data file touched). Matching rows are located with
-    the parquet reader's ``_metadata`` columns, aggregated to one
-    position-list row per file (Spark-side), and published via a
+    the parquet reader's ``_metadata`` columns and written straight
+    from the EXECUTORS into a parquet sidecar (round 7 —
+    :func:`_stage_dv`; the manifest carries the ref + O(#files)
+    counts, never the positions, and driver memory is O(#files) at
+    any deleted-row count — the roaring-bitmap-sidecar seam the
+    round-6 design documented, now real). Published via a
     CONDITIONAL commit against the snapshot version the positions
     were computed from (optimistic concurrency — Delta's DELETE
     conflict detection): row positions stay valid across concurrent
     APPENDS but not across a concurrent REPLACE/compaction of the
     same files, so on losing the race the whole locate-and-commit
     cycle recomputes from the new head rather than publishing stale
-    positions. Returns the number of rows deleted. Already-deleted
-    rows never rematch (the read applies current DVs), so repeating
-    a delete is a no-op. Driver memory is O(deleted positions) —
-    the documented seam where production swaps JSON lists for
-    per-file roaring-bitmap sidecars."""
-    from pyspark.sql import functions as F
-
+    positions (the loser's sidecar stays unreferenced — vacuum
+    fodder, like any crash orphan). Returns the number of rows
+    deleted. Already-deleted rows never rematch (the read applies
+    current DVs), so repeating a delete is a no-op."""
     for _ in range(max_attempts):
         vs = versions(sink_dir)
         head = vs[-1] if vs else 0
         df = read_committed(spark, sink_dir)
         if df is None:
             return 0
-        base = os.path.abspath(sink_dir)
-        per_file = (
-            df.where(condition)
-            .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ).alias("__p"),
-                F.col("_metadata.row_index").alias("__i"),
-            )
-            .groupBy("__p")
-            .agg(F.sort_array(F.collect_list("__i")).alias("__is"))
-            .collect()
+        staged = _stage_dv(
+            spark, sink_dir, _located_positions(df, sink_dir, condition)
         )
-        if not per_file:
+        if staged is None:
             return 0
-        dv = {
-            os.path.relpath(r["__p"], base): [int(i) for i in r["__is"]]
-            for r in per_file
-        }
         if _commit(
-            sink_dir, [], replace=False, delete_dv=dv, expected_version=head
+            sink_dir, [], replace=False, dv_ref=staged, expected_version=head
         ):
-            return sum(len(v) for v in dv.values())
+            return sum(staged[1].values())
     raise RuntimeError(
         f"delete_where lost the commit race {max_attempts} times on {sink_dir}"
     )
@@ -1503,39 +1831,33 @@ def merge_upsert_dv(
         vs = versions(sink_dir)
         head = vs[-1] if vs else 0
         current = read_committed(spark, sink_dir)
-        base = os.path.abspath(sink_dir)
-        dv: dict[str, list[int]] = {}
+        dv_ref: tuple[str, dict[str, int]] | None = None
         matched = 0
         if current is not None:
             # project the hidden _metadata columns straight off the
             # scan BEFORE joining — metadata columns propagate
             # through projections but are unresolvable after a join
-            keyed = current.select(
-                F.col(key),
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ).alias("__p"),
-                F.col("_metadata.row_index").alias("__i"),
-            )
-            per_file = (
-                keyed.join(
-                    F.broadcast(updates.select(key).distinct()), key
-                )
-                .groupBy("__p")
-                .agg(F.sort_array(F.collect_list("__i")).alias("__is"))
-                .collect()
-            )
-            dv = {
-                os.path.relpath(r["__p"], base): [int(i) for i in r["__is"]]
-                for r in per_file
-            }
-            matched = sum(len(v) for v in dv.values())
-        staged = stage_append(updates, sink_dir, partition_by)
+            keyed = _located_positions(current, sink_dir, extra=(key,))
+            hits = keyed.join(
+                F.broadcast(updates.select(key).distinct()), key
+            ).select("path", "pos")
+            # matched positions go straight from the executors into
+            # a parquet sidecar (round 7) — driver holds only the
+            # O(#files) counts map
+            dv_ref = _stage_dv(spark, sink_dir, hits)
+            if dv_ref is not None:
+                matched = sum(dv_ref[1].values())
+        # the locate-join above runs on LOGICAL names (read_committed
+        # applies the column mapping), but parquet files must carry
+        # the table's frozen PHYSICAL names — translate before
+        # staging (advisor round-6 medium: writing logical names
+        # would schema-mix old and new files and null-fill one side)
+        staged = stage_append(to_physical(updates, sink_dir), sink_dir, partition_by)
         if _commit(
             sink_dir,
             staged,
             replace=False,
-            delete_dv=dv,
+            dv_ref=dv_ref,
             expected_version=head,
         ):
             return matched, updates.count() - matched
@@ -1567,22 +1889,19 @@ def _files_df(
     ).withColumn("__i", F.col("_metadata.row_index"))
 
 
-def _pos_join(spark, keyed, sink_dir: str, posmap: dict[str, list[int]], how: str):
-    """Semi/anti join a keyed file read against a broadcast position
-    set ({relative path -> row positions})."""
-    from pyspark.sql import functions as F
-
-    rows = [
-        (os.path.abspath(os.path.join(sink_dir, p)), int(i))
-        for p, positions in posmap.items()
-        for i in positions
-    ]
-    if not rows:
+def _pos_join_df(keyed, pos_df, how: str):
+    """Semi/anti join a keyed file read against a deleted-position
+    DataFrame from :func:`_dv_pos_df` (absolute ``__dv_path`` +
+    ``__dv_pos``). ``pos_df=None`` means no positions: an anti join
+    passes everything through, a semi join yields nothing. No
+    broadcast hint — inline position sets are small, sidecar-backed
+    ones may not be; AQE still broadcasts the small case."""
+    if pos_df is None:
         return keyed if how == "left_anti" else keyed.limit(0)
-    pos_df = spark.createDataFrame(rows, "__dp string, __di long")
     return keyed.join(
-        F.broadcast(pos_df),
-        (keyed["__p"] == pos_df["__dp"]) & (keyed["__i"] == pos_df["__di"]),
+        pos_df,
+        (keyed["__p"] == pos_df["__dv_path"])
+        & (keyed["__i"] == pos_df["__dv_pos"]),
         how,
     )
 
@@ -1643,68 +1962,99 @@ def read_changes(
     if from_version == 0:
         prev_listing: dict[str, str | None] = {}
         prev_dvs: dict[str, list[int]] = {}
+        prev_refs: dict[str, dict[str, int]] = {}
     else:
-        prev_listing_full, _s, prev_dvs, _c, _ps, _cm = _snapshot_at(sink_dir, from_version)
-        prev_listing = prev_listing_full
+        prev_snap = _snapshot_at(sink_dir, from_version)
+        prev_listing, prev_dvs, prev_refs = (
+            prev_snap[0],
+            prev_snap[2],
+            prev_snap[6],
+        )
 
     pieces = []
     for v in range(from_version + 1, to_version + 1):
         if v not in _scan_log(sink_dir):
             continue
-        cur_listing, _s, cur_dvs, _c, _ps, _cm2 = _snapshot_at(sink_dir, v)
+        snap = _snapshot_at(sink_dir, v)
+        cur_listing, cur_dvs, cur_refs = snap[0], snap[2], snap[6]
         added = [p for p in cur_listing if p not in prev_listing]
         removed = [p for p in prev_listing if p not in cur_listing]
+        # DV diff at the SIDECAR-REF level (round 7): a ref is
+        # immutable, so refs present in both snapshots contribute no
+        # row-level change; added refs are new deletes, removed refs
+        # (a RESTORE) are un-deletes. A restore chain that re-deletes
+        # the same position under a fresh ref can emit a cancelling
+        # delete+insert pair within one version — net-preserving for
+        # any replaying consumer (the replay test pins this).
+        added_refs = {r: c for r, c in cur_refs.items() if r not in prev_refs}
+        removed_refs = {
+            r: c for r, c in prev_refs.items() if r not in cur_refs
+        }
         if added:
             ins = _files_df(spark, sink_dir, added, target_schema)
-            ins = _pos_join(
+            pos = _dv_pos_df(
                 spark,
-                ins,
                 sink_dir,
                 {p: cur_dvs.get(p, []) for p in added},
-                "left_anti",
+                cur_refs,
+                restrict=set(added),
             )
-            pieces.append((v, "insert", ins))
+            pieces.append((v, "insert", _pos_join_df(ins, pos, "left_anti")))
         if removed:
             dels = _files_df(spark, sink_dir, removed, target_schema)
-            dels = _pos_join(
+            pos = _dv_pos_df(
                 spark,
-                dels,
                 sink_dir,
                 {p: prev_dvs.get(p, []) for p in removed},
-                "left_anti",
+                prev_refs,
+                restrict=set(removed),
             )
-            pieces.append((v, "delete", dels))
-        surviving = [p for p in cur_listing if p in prev_listing]
+            pieces.append((v, "delete", _pos_join_df(dels, pos, "left_anti")))
+        surviving = {p for p in cur_listing if p in prev_listing}
         new_dead = {
-            p: sorted(set(cur_dvs.get(p, [])) - set(prev_dvs.get(p, [])))
+            p: srt
             for p in surviving
+            if (srt := sorted(set(cur_dvs.get(p, [])) - set(prev_dvs.get(p, []))))
         }
-        new_dead = {p: v_ for p, v_ in new_dead.items() if v_}
-        if new_dead:
-            d = _files_df(spark, sink_dir, sorted(new_dead), target_schema)
-            pieces.append(
-                (v, "delete", _pos_join(spark, d, sink_dir, new_dead, "left_semi"))
+        dead_paths = sorted(
+            set(new_dead)
+            | {p for c in added_refs.values() for p in c if p in surviving}
+        )
+        if dead_paths:
+            d = _files_df(spark, sink_dir, dead_paths, target_schema)
+            pos = _dv_pos_df(
+                spark, sink_dir, new_dead, added_refs, restrict=set(dead_paths)
             )
+            pieces.append((v, "delete", _pos_join_df(d, pos, "left_semi")))
         undead = {
-            p: sorted(set(prev_dvs.get(p, [])) - set(cur_dvs.get(p, [])))
+            p: srt
             for p in surviving
+            if (srt := sorted(set(prev_dvs.get(p, [])) - set(cur_dvs.get(p, []))))
         }
-        undead = {p: v_ for p, v_ in undead.items() if v_}
-        if undead:
-            u = _files_df(spark, sink_dir, sorted(undead), target_schema)
-            pieces.append(
-                (v, "insert", _pos_join(spark, u, sink_dir, undead, "left_semi"))
+        undead_paths = sorted(
+            set(undead)
+            | {p for c in removed_refs.values() for p in c if p in surviving}
+        )
+        if undead_paths:
+            u = _files_df(spark, sink_dir, undead_paths, target_schema)
+            pos = _dv_pos_df(
+                spark, sink_dir, undead, removed_refs, restrict=set(undead_paths)
             )
-        prev_listing, prev_dvs = cur_listing, cur_dvs
+            pieces.append((v, "insert", _pos_join_df(u, pos, "left_semi")))
+        prev_listing, prev_dvs, prev_refs = cur_listing, cur_dvs, cur_refs
 
     if not pieces:
         return None
     data_cols = [
         c for c in pieces[0][2].columns if c not in ("__p", "__i", "__dp", "__di")
     ]
+    # the feed emits LOGICAL column names under to_version's mapping,
+    # mirroring read_version — a renamed table's incremental consumer
+    # must see the same names its snapshot reads do (advisor round-6)
+    cm = colmap_at(sink_dir, to_version)
     labeled = [
         df.select(
-            *data_cols,
+            *[F.col(c).alias(cm.get(c, c)) for c in data_cols],
             F.lit(kind).alias("_change_type"),
             F.lit(v).cast("bigint").alias("_commit_version"),
         )
@@ -1903,14 +2253,15 @@ def metadata_count_by_dir(
     if not vs:
         return {}
     v = vs[-1] if version is None else version
-    entries, _s, dvs, _c, _ps, _cm = _snapshot_at(sink_dir, v)
+    entries = _entries_at(sink_dir, v)
+    deleted = dv_counts_at(sink_dir, v)
     out: dict[str, int] = {}
     for path, stats in entries.items():
         n, _cols = _parse_stats(stats)
         if n is None:
             return None
         d = os.path.dirname(path)
-        out[d] = out.get(d, 0) + n - len(dvs.get(path, []))
+        out[d] = out.get(d, 0) + n - deleted.get(path, 0)
     return out
 
 
@@ -1974,6 +2325,30 @@ def rename_column(sink_dir: str, old: str, new: str) -> None:
     _commit(sink_dir, [], replace=False, colmap=updated)
 
 
+def _split_ddl_top(schema: str) -> list[str]:
+    """Split a schema DDL string on TOP-LEVEL commas only, tracking
+    ``<>``/``()`` nesting depth — ``DECIMAL(12,2)``, ``STRUCT<...>``
+    and ``MAP<...>`` fields stay whole (advisor round-6: a bare
+    ``.split(",")`` yields pseudo-columns like ``2)`` and inner
+    struct field names, which a rename could wrongly resolve to)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _physical_columns(sink_dir: str) -> list[str]:
     """Physical column names of the current snapshot: from the
     declared read schema when present, else from any committed
@@ -1981,7 +2356,7 @@ def _physical_columns(sink_dir: str) -> list[str]:
     enough to resolve a rename target)."""
     schema = schema_at(sink_dir)
     if schema is not None:
-        return [f.split()[0] for f in schema.split(",")]
+        return [f.split()[0].strip("`") for f in _split_ddl_top(schema)]
     cols: set[str] = set()
     for path, stats in _entries_at(sink_dir, versions(sink_dir)[-1]).items():
         _n, bounds = _parse_stats(stats)

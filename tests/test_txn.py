@@ -769,7 +769,7 @@ def test_bloom_point_lookup_prunes_without_false_negatives(spark, tmp_path):
         # the keep set must match the pure-python bloom simulation
         expected = []
         for path, per_col in txn.blooms_at(sink).items():
-            m, kk, h = per_col["k"]
+            m, kk, h, _t = per_col["k"]
             member = all(
                 (int(h[p >> 2], 16) >> (p & 3)) & 1
                 for p in txn._bloom_positions(v, m, kk)
@@ -1140,3 +1140,304 @@ def test_rename_column_is_metadata_only_and_composes(spark, tmp_path):
     txn.restore(sink, 1)
     assert txn.colmap_at(sink) == {}
     assert "id" in txn.read_committed(spark, sink).columns
+
+
+def test_bloom_type_guard_checks_column_type_not_just_probe(spark, tmp_path):
+    """Advisor round-7 medium: an INT probe against a DOUBLE column
+    must not take the bloom path — build_bloom hashed the Spark
+    rendering '5.0' while the probe would hash '5', every bit would
+    miss, and the file HOLDING the value would be wrongly skipped
+    (a silent false negative). The spec's recorded type code gates
+    the probe; bounds keep the file."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 2).cast("string").alias("day"),
+    )
+    staged = txn.stage_append(df.repartition(F.col("day")), sink, ("day",))
+    txn.commit_append(
+        sink, staged, bloom=txn.build_bloom(spark, sink, staged, "x")
+    )
+    # int probe 5: the value exists as 5.0 — the file must be KEPT
+    kept, total = txn.prune_files_eq(sink, "x", 5)
+    assert total == 2
+    assert any("day=1" in p for p in kept), "wrong skip: 5.0 lives in day=1"
+    got = (
+        txn.read_committed(spark, sink, prune_eq=("x", 5))
+        .where(F.col("x") == 5.0)
+        .count()
+    )
+    assert got == 1
+    # the recorded type code is the double typeName, never "i"/"s"
+    for per_col in txn.blooms_at(sink).values():
+        assert per_col["x"][3] == "double"
+    # an INT column still blooms (type codes match): absent probe
+    # inside the range is pruned by the bloom
+    sink2 = str(tmp_path / "t2")
+    di = spark.range(0, 20).select(
+        (F.col("id") * 2).alias("k"), F.lit("a").alias("day")
+    )
+    staged2 = txn.stage_append(di.coalesce(1), sink2, ("day",))
+    txn.commit_append(
+        sink2, staged2, bloom=txn.build_bloom(spark, sink2, staged2, "k")
+    )
+    for per_col in txn.blooms_at(sink2).values():
+        assert per_col["k"][3] == "i"
+    kept5, _ = txn.prune_files_eq(sink2, "k", 5)  # odd: absent, in range
+    assert kept5 == []
+
+
+def test_bloom_legacy_spec_falls_back_to_bounds_type(spark, tmp_path):
+    """A pre-type-guard spec (no "t" field) is gated by the BOUNDS'
+    JSON type instead: int bounds admit an int probe; a double
+    column's float bounds refuse it (bounds-only pruning)."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("a").alias("day")
+    )
+    staged = txn.stage_append(df.coalesce(1), sink, ("day",))
+    blooms = txn.build_bloom(spark, sink, staged, "k")
+    for per_col in blooms.values():
+        for spec in per_col.values():
+            del spec["t"]  # simulate a round-6 manifest line
+    txn.commit_append(sink, staged, bloom=blooms)
+    assert txn.blooms_at(sink)[staged[0]]["k"][3] is None
+    # int probe + int bounds: the bloom still prunes an absent value
+    kept, _ = txn.prune_files_eq(sink, "k", 1_000_003 % 7 + 100)
+    # (value 103 is outside [0,9]: bounds prune it regardless; use an
+    # in-range absent probe to isolate the bloom path)
+    present, _ = txn.prune_files_eq(sink, "k", 5)
+    assert present == staged  # present value kept via matching bloom
+
+
+def test_merge_upsert_dv_into_renamed_sink(spark, tmp_path):
+    """Advisor round-7 medium: merge_upsert_dv on a column-mapped
+    table — the locate-join runs on LOGICAL names, but the staged
+    parquet must carry the frozen PHYSICAL names; a logical-name
+    write would schema-mix old and new files and silently null-fill
+    one side."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink,
+        txn.stage_append(
+            spark.range(0, 6).select(
+                F.col("id"),
+                (F.col("id") * 10).cast("double").alias("value"),
+                F.lit("a").alias("day"),
+            ),
+            sink,
+            ("day",),
+        ),
+    )
+    txn.rename_column(sink, "value", "amount")  # v2
+    upd = spark.createDataFrame(
+        [(2, 999.0, "a"), (100, 1.0, "a")], "id bigint, amount double, day string"
+    )
+    matched, inserted = txn.merge_upsert_dv(spark, sink, upd, "id", ("day",))
+    assert (matched, inserted) == (1, 1)
+    live = {
+        (r["id"], r["amount"])
+        for r in txn.read_committed(spark, sink).collect()
+    }
+    assert (2, 999.0) in live and (100, 1.0) in live
+    assert (2, 20.0) not in live
+    # NO null-fill on either side — every row has a non-null amount
+    assert (
+        txn.read_committed(spark, sink)
+        .where(F.col("amount").isNull())
+        .count()
+        == 0
+    )
+    # the staged file physically carries the frozen name "value"
+    new_files = [
+        f for f in txn.committed_files(sink)
+        if f not in set(txn.listing_at(sink, 1))
+    ]
+    raw = spark.read.parquet(os.path.join(sink, new_files[0]))
+    assert "value" in raw.columns and "amount" not in raw.columns
+
+
+def test_read_changes_applies_column_mapping(spark, tmp_path):
+    """Advisor round-7 low: the change feed of a renamed table emits
+    LOGICAL column names (same as read_version), so an incremental
+    consumer joins feed deltas against its mat-view without a
+    silent column mismatch."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 4, "a"), sink, ("day",))
+    )
+    txn.rename_column(sink, "id", "key")  # v2
+    more = spark.range(4, 6).select(F.col("id").alias("key"), F.lit("a").alias("day"))
+    txn.commit_append(
+        sink, txn.stage_append(txn.to_physical(more, sink), sink, ("day",))
+    )
+    ch = txn.read_changes(spark, sink, 0, 3)
+    assert "key" in ch.columns and "id" not in ch.columns
+    inserted = {r["key"] for r in ch.where("_change_type = 'insert'").collect()}
+    assert inserted == set(range(6))
+
+
+def test_physical_columns_parse_parameterized_and_nested_types(tmp_path, spark):
+    """Advisor round-7 low: DECIMAL(12,2) / STRUCT<...> / MAP<...>
+    fields must not shed pseudo-columns under the top-level split —
+    a rename target could otherwise resolve to a fragment like
+    '2)'."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 2).select(
+        F.col("id"),
+        F.col("id").cast("decimal(12,2)").alias("v"),
+        F.struct(F.col("id").alias("a"), F.lit("x").alias("b")).alias("s"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.lit("a").alias("day"),
+    )
+    staged = txn.stage_append(df, sink, ("day",))
+    txn.commit_append(sink, staged, schema_ddl=df.schema.toDDL())
+    cols = txn._physical_columns(sink)
+    assert set(cols) == {"id", "v", "s", "m", "day"}
+    # and the splitter itself, on the raw DDL forms
+    assert txn._split_ddl_top(
+        "a INT, b DECIMAL(12,2), c STRUCT<x: INT, y: MAP<STRING,INT>>, d STRING"
+    ) == [
+        "a INT",
+        "b DECIMAL(12,2)",
+        "c STRUCT<x: INT, y: MAP<STRING,INT>>",
+        "d STRING",
+    ]
+    # a rename through the parsed schema resolves the REAL column
+    txn.rename_column(sink, "v", "amount")
+    assert txn.colmap_at(sink) == {"v": "amount"}
+
+
+def test_dv_sidecar_manifest_stays_o_files_as_deletes_grow(spark, tmp_path):
+    """Round 7 headline: deletion-vector positions live in an
+    EXECUTOR-WRITTEN parquet sidecar; the manifest carries only the
+    ref + per-file counts. Growing the deleted-row count 100× (6 →
+    600 rows, same file count) must not grow the commit entry —
+    O(#files), never O(deleted rows). This is what makes a 10⁹-row
+    GDPR erasure a metadata operation at 100 TB."""
+    def entry_bytes_of_delete(n_rows):
+        sink = str(tmp_path / f"t{n_rows}")
+        df = spark.range(0, n_rows * 2).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("day")
+        )
+        txn.commit_append(
+            sink, txn.stage_append(df.repartition("day"), sink, ("day",))
+        )
+        assert txn.delete_where(spark, sink, F.col("id") % 2 == 0) == n_rows
+        log_dir = os.path.join(sink, "_txn")
+        entry = [f for f in os.listdir(log_dir) if f.startswith("v-00000002")]
+        assert len(entry) == 1
+        text = open(os.path.join(log_dir, entry[0])).read()
+        assert "%dv\t" in text  # sidecar ref, not inline positions
+        assert "[" not in text.split("%dv")[0]  # no position lists
+        # the sidecar itself holds the positions, written by Spark
+        refs = txn.dvrefs_at(sink)
+        assert len(refs) == 1
+        (ref, counts), = refs.items()
+        assert os.path.isdir(os.path.join(sink, "_txn", ref))
+        assert sum(counts.values()) == n_rows
+        return len(text), sink
+
+    small, sink_small = entry_bytes_of_delete(6)
+    big, sink_big = entry_bytes_of_delete(600)
+    assert big <= small + 64  # count digits only, never positions
+    # and the reads stay exact on both
+    assert (
+        txn.read_committed(spark, sink_big)
+        .where(F.col("id") % 2 == 0)
+        .count()
+        == 0
+    )
+    assert txn.read_committed(spark, sink_big).count() == 600
+    # metadata-only count stays exact through sidecar counts
+    assert txn.metadata_agg(sink_big)["count"] == 600
+    # ... and refuses min/max under any DV (sidecar or inline)
+    assert txn.metadata_agg(sink_big, col="id")["min"] is None
+
+
+def test_dv_sidecar_lifecycle_vacuum_restore_prune(spark, tmp_path):
+    """Sidecar lifecycle: a crashed locate's sidecar is a vacuum
+    orphan (age-gated); a committed ref is protected while ANY
+    retained version references it; restore RE-REFERENCES the
+    immutable sidecar instead of copying; pruning the log past the
+    last referencing version releases it."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 12, "a"), sink, ("day",))
+    )
+    # v2: sidecar-backed delete of 0,3,6,9
+    assert txn.delete_where(spark, sink, F.col("id") % 3 == 0) == 4
+    (ref,) = txn.dvrefs_at(sink)
+    # a crash orphan: staged sidecar that never committed
+    orphan = txn._stage_dv(
+        spark,
+        sink,
+        txn._located_positions(
+            txn.read_committed(spark, sink), sink, F.col("id") == 1
+        ),
+    )
+    assert orphan is not None and orphan[0] != ref
+    removed = txn.vacuum(sink, protect_log_versions=True)
+    assert any(orphan[0] in r for r in removed)  # orphan reclaimed
+    assert os.path.isdir(os.path.join(sink, "_txn", ref))  # live ref kept
+    # v3: restore to v1 (undeletes) — ref no longer in HEAD...
+    txn.restore(sink, 1)
+    assert txn.dvrefs_at(sink) == {}
+    assert txn.read_committed(spark, sink).count() == 12
+    # ...but v2 still references it: protected vacuum keeps it and
+    # time travel to v2 still applies the sidecar DVs
+    txn.vacuum(sink, protect_log_versions=True)
+    assert os.path.isdir(os.path.join(sink, "_txn", ref))
+    assert txn.read_version(spark, sink, 2).count() == 8
+    # v4: restore BACK to v2 — the commit re-references the same
+    # immutable sidecar (no copy)
+    txn.restore(sink, 2)
+    assert list(txn.dvrefs_at(sink)) == [ref]
+    assert txn.read_committed(spark, sink).count() == 8
+    assert sum(txn.dv_counts_at(sink).values()) == 4
+    # head references the ref → even an UNPROTECTED vacuum keeps it
+    txn.vacuum(sink)
+    assert os.path.isdir(os.path.join(sink, "_txn", ref))
+    assert txn.read_committed(spark, sink).count() == 8
+    # CDF across the whole lifecycle replays to the head snapshot
+    ch = txn.read_changes(spark, sink, 0)
+    net = (
+        ch.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+        .where(F.col("n") > 0)
+        .count()
+    )
+    assert net == 8
+
+
+def test_dv_sidecar_checkpoint_carry_and_compaction(spark, tmp_path):
+    """Sidecar refs ride checkpoints like every other manifest state
+    (v11 reconstruction keeps the ref + counts), and compaction
+    applies sidecar DVs before rewriting — deleted rows must never
+    resurrect — then retires the ref with the files."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 10, "a"), sink, ("day",))
+    )
+    assert txn.delete_where(spark, sink, F.col("id") < 3) == 3
+    (ref,) = txn.dvrefs_at(sink)
+    for i in range(9):  # push past the v11 checkpoint
+        txn.commit_append(
+            sink,
+            txn.stage_append(_mk(spark, 100 + i, 101 + i, "a"), sink, ("day",)),
+        )
+    assert len(txn.versions(sink)) == 11
+    assert list(txn.dvrefs_at(sink)) == [ref]  # survived the checkpoint
+    assert txn.read_committed(spark, sink).count() == 7 + 9
+    from data_pipeline_2025_spark.maintenance import txn_compact
+
+    res = txn_compact(spark, sink, target_bytes=1 << 30, min_files=2)
+    assert res  # compacted day=a
+    live = {r["id"] for r in txn.read_committed(spark, sink).collect()}
+    assert live == set(range(3, 10)) | {100 + i for i in range(9)}
+    assert txn.dvrefs_at(sink) == {}  # ref retired with its files
+    assert txn.dv_counts_at(sink) == {}
