@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "data_pipeline_2025_spark.streaming.dedupgate",  # q120 (round 3)
     "data_pipeline_2025_spark.streaming.ivf",  # q126 (round 3)
     "data_pipeline_2025_spark.streaming.timetravel",  # q162 (round 4)
+    "data_pipeline_2025_spark.streaming.cdfsource",  # q228 (round 7)
     "data_pipeline_2025_spark.operators.search",  # q67 never checked
     "data_pipeline_2025_spark.operators.temporal",  # q76 never checked
     # NEW round-3 modules/queries, inside the cap:
@@ -119,76 +120,62 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
-    # ROUND 6 ROTATION (verdict item #2): the 50-cap leads with the
-    # round's new/rewritten queries, then swings back to the OLDEST
-    # officially-checked rows — every r1-checked query plus the 14
-    # oldest r2-checked ones (four rounds of shared-infrastructure
-    # rewrites — Catalog, money.py, txn sinks — have run under them
-    # since their last official check). Groups, in order:
-    # (a) new round-6 queries (never driver-checked)
-    "q201_manifest_skipping",
-    "q202_ivfpq_search",
-    "q203_schema_evolution",
-    "q204_log_retention",
-    "q205_pii_redaction",
-    "q206_bpe_encode",
+    # ROUND 7 ROTATION (verdict item #3): the 50-cap leads with the
+    # round's new queries, then every query whose implementation the
+    # round-7 DV/bloom SIDECAR rewrite + advisor fixes touched, then
+    # swings back to the OLDEST officially-checked rows — the r2-era
+    # queries (q01/q02/q21-q30/q34/q47/q48/q53-q57, last official
+    # check r1/r2, five rounds of shared-infrastructure rewrites
+    # since). Groups, in order:
+    # (a) new round-7 queries (never driver-checked)
+    "q225_trained_ivfpq",
+    "q226_packed_sequences",
+    "q227_concurrent_dv_writers",
+    "q228_streaming_cdf_matview",
+    # (b) rewritten/affected this round: every DV consumer now rides
+    # executor-written sidecars (q207/q208/q211/q212/q214/q215/q220
+    # + metadata counting q209/q223), the bloom index moved to
+    # sidecar storage + the probe type guard (q213, q201 shares
+    # prune plumbing), vacuum's sidecar lifecycle (q204, q219), and
+    # the column-mapping advisor fixes (q224).
     "q207_deletion_vectors",
     "q208_dv_merge",
     "q209_metadata_only_agg",
-    "q210_check_constraints",
     "q211_restore_table",
     "q212_describe_history",
     "q213_bloom_point_lookup",
     "q214_change_data_feed",
     "q215_incremental_matview",
-    "q216_sequence_packing",
-    "q217_semdedup",
-    "q218_partition_evolution",
-    "q219_write_audit_publish",
     "q220_stream_dv_upsert",
-    "q221_quality_dup_calibration",
-    "q222_snapshot_tags",
     "q223_metadata_partition_counts",
+    "q201_manifest_skipping",
+    "q204_log_retention",
+    "q219_write_audit_publish",
     "q224_column_rename",
-    # (b) rewritten/affected this round: q163 (value-range-bucket
-    # audit harness replaced the global ntile), q200 (hot list now
-    # statistics-driven via the fair-share criterion), q188 (oracle
-    # de-hardcoded to the ceil(bytes/target) budget), the manifest
-    # protocol carriers (stats + schema lines + retention touched
-    # txn.py under q162/q177/q50), q161 (partial-build guard), and
-    # q146 (pbshim path-probe + scoped version gate).
-    "q163_zorder_locality",
-    "q200_zipf_split_join",
-    "q188_compaction_audit",
-    "q162_snapshot_time_travel",
-    "q177_snapshot_changelog",
-    "q161_state_store_reader",
-    "q146_stream_transform_with_state",
-    "q50_stream_hourly_rollup",
-    # (c) oldest official checks, r1 (all 25)
-    "q03_promo_stats_by_category",
-    "q04_non_promo_by_store",
-    "q05_recent_window",
-    "q06_barcode_compare",
-    "q07_cheapest_per_store",
-    "q08_lowest_prices_page",
-    "q09_basket_totals",
-    "q10_best_basket_summary",
-    "q11_price_history",
-    "q12_price_trend",
-    "q13_history_minmax",
-    "q14_distinct_categories",
-    "q15_store_stats",
-    "q16_store_directory",
-    "q17_revenue_by_nation",
-    "q18_order_lines_rollup",
-    "q19_customers_without_orders",
-    "q20_cheapest_supplier_per_part",
-    # q47/q48/q53-q57 displaced by q218-q224 (r1-checked, still
-    # re-verified locally every round; resume next rotation)
-    # (d) r2-era rows (q01/q02/q21-q30/q34/q75) fully displaced by
-    # the q204-q217 additions — they resume the rotation next round
-    # (q01 still runs every round as the entry() flagship smoke).
+    # (c) r2-era rows — the oldest official checks left (verdict #3
+    # names exactly this set)
+    "q01_pricing_summary",
+    "q02_product_search",
+    "q21_events_daily",
+    "q22_user_running_totals",
+    "q23_event_gaps",
+    "q24_user_event_pivot",
+    "q25_scalar_showcase",
+    "q26_segment_balances",
+    "q27_set_operations",
+    "q28_revenue_rollup",
+    "q29_sessionization",
+    "q30_text_quality",
+    "q34_dedup_exact",
+    "q47_trigram_fuzzy_search",
+    "q48_price_percentiles",
+    "q53_asof_price",
+    "q54_price_validity_intervals",
+    "q55_price_spread",
+    "q56_shipping_priority",
+    "q57_large_volume_orders",
+    # = 38 priority rows; the remaining ~12 driver-cap slots fall
+    # through to module registration order.
 )
 
 

@@ -803,9 +803,13 @@ def prune_files(
 # oracle can re-derive the exact keep/skip decision. A membership
 # test has NO false negatives (a file containing the value is
 # always kept — pruning stays an optimization, never a filter);
-# false positives only cost a wasted file read. The hex bitmaps are
-# O(m) manifest bytes per file — the same documented seam as the DV
-# position lists, where production swaps in sidecar files.
+# false positives only cost a wasted file read. Round 7: the
+# bitmaps live in EXECUTOR-WRITTEN parquet sidecars under
+# ``_txn/bloom/<uuid>`` (the manifest spec carries {"m","k","t",
+# "r": ref} — O(#files) manifest bytes at any bitmap size); the
+# driver loads a sidecar once per probe session (cached, immutable)
+# — the index read every point lookup pays. Round-6 inline hex
+# specs still parse.
 
 BLOOM_K = 5
 BLOOM_BITS_PER_KEY = 16  # fpp ≈ (1 - e^(-k·n/m))^k ≈ 1.4e-3
@@ -888,6 +892,33 @@ def build_bloom(
     m_df = spark.createDataFrame(
         [(p, m) for p, m in m_map.items()], "__p string, __m long"
     )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _pack_fn(ps, m):
+        # LSB-first bit layout: bit i lives at buf[i>>3], 1<<(i&7) —
+        # chosen so two hex nibbles per byte (low first) reproduce
+        # the round-6 nibble-hex layout exactly (blooms_at converts
+        # back, so the probe math and the q213 oracle are unchanged)
+        out = []
+        for positions, mm in zip(ps, m):
+            buf = bytearray(int(mm) // 8)
+            for pos in positions:
+                p = int(pos)
+                buf[p >> 3] |= 1 << (p & 7)
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    # real annotation objects: `from __future__ import annotations`
+    # would stringify inline hints, breaking pandas_udf's inference
+    _pack_fn.__annotations__ = {
+        "ps": pd.Series,
+        "m": pd.Series,
+        "return": pd.Series,
+    }
+    _pack = pandas_udf(_pack_fn, "binary")
+
     # a + i·b with 48-bit halves and i < k stays well under 2^53 —
     # exact in every engine's bigint/double
     per_file = (
@@ -908,36 +939,92 @@ def build_bloom(
         .select(
             "__p",
             ((F.col("a") + F.col("i") * F.col("b")) % F.col("__m")).alias("pos"),
+            "__m",
         )
-        .groupBy("__p")
+        .groupBy("__p", "__m")
         .agg(F.collect_set("pos").alias("ps"))
-        .collect()
+        .select(
+            F.expr(f"substring(__p, {len(base) + 2})").alias("path"),
+            F.col("__m").alias("m"),
+            F.lit(k).cast("long").alias("k"),
+            _pack("ps", "__m").alias("bits"),
+        )
     )
+    # the bitmaps are built and written EXECUTOR-side (round 7 —
+    # same sidecar discipline as the deletion vectors): the driver
+    # holds only the O(#files) spec map; the manifest stats JSON
+    # carries the ref, never the bitmap bytes
+    ref = f"bloom/{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(_txn_dir(sink_dir), ref)
+    per_file.write.mode("overwrite").parquet(out_dir)
     out: dict[str, dict] = {}
-    for r in per_file:
-        m = m_map[r["__p"]]
-        nib = [0] * (m // 4)
-        for pos in r["ps"]:
-            nib[int(pos) >> 2] |= 1 << (int(pos) & 3)
-        out[os.path.relpath(r["__p"], base)] = {
+    for r in spark.read.parquet(out_dir).select("path").collect():
+        out[r["path"]] = {
             col: {
-                "m": m,
+                "m": m_map[os.path.join(base, r["path"])],
                 "k": k,
                 "t": tcode,
-                "h": "".join("%x" % v for v in nib),
+                "r": ref,
             }
         }
+    if not out:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+def _bloom_sidecar(abs_dir: str) -> dict[str, tuple[int, bytes]]:
+    """Load one immutable bloom sidecar (driver-side pyarrow read —
+    the INDEX read of a point lookup): {relative data-file path ->
+    (m, bitmap bytes)}. Cached per directory (refs are uuid-named
+    and never rewritten); a vacuumed/unreadable sidecar returns {}
+    so pruning degrades to bounds-only — conservative, never a
+    wrong skip."""
+    if abs_dir in _BLOOM_CACHE:
+        return _BLOOM_CACHE[abs_dir]
+    out: dict[str, tuple[int, bytes]] = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for fname in sorted(os.listdir(abs_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(abs_dir, fname), columns=["path", "m", "bits"]
+            )
+            for p, m, b in zip(
+                t.column("path").to_pylist(),
+                t.column("m").to_pylist(),
+                t.column("bits").to_pylist(),
+            ):
+                if isinstance(b, (bytes, bytearray)) and len(b) * 8 == m:
+                    out[p] = (int(m), bytes(b))
+    except OSError:
+        out = {}
+    if len(_BLOOM_CACHE) > 64:
+        _BLOOM_CACHE.clear()
+    _BLOOM_CACHE[abs_dir] = out
+    return out
+
+
+_BLOOM_CACHE: dict[str, dict[str, tuple[int, bytes]]] = {}
 
 
 def blooms_at(
     sink_dir: str, version: int | None = None
 ) -> dict[str, dict[str, tuple[int, int, str, str | None]]]:
     """The snapshot's bloom index: {relative path -> {column ->
-    (m, k, hex bitmap, type code or None)}} from manifest bytes
-    alone. Files committed without a bloom simply have no entry; a
-    ``None`` type code marks a pre-type-guard spec (probe-time
-    guard then falls back to the column's BOUNDS type)."""
+    (m, k, hex bitmap, type code or None)}} from the manifest plus
+    (round 7) the referenced bloom SIDECARS — the manifest carries
+    only ``{"m","k","t","r"}`` specs, O(#files) bytes; bitmaps load
+    from ``_txn/bloom/<uuid>`` parquet on demand (cached — refs are
+    immutable). Sidecar bytes convert to the round-6 nibble-hex
+    layout so the probe math (and the q213 oracle) is storage-
+    independent. Files committed without a bloom simply have no
+    entry; a ``None`` type code marks a pre-type-guard spec
+    (probe-time guard then falls back to the column's BOUNDS
+    type)."""
     vs = versions(sink_dir)
     if not vs:
         return {}
@@ -955,20 +1042,25 @@ def blooms_at(
             continue
         per_col: dict[str, tuple[int, int, str, str | None]] = {}
         for c, spec in blooms.items():
-            if (
+            if not (
                 isinstance(spec, dict)
                 and isinstance(spec.get("m"), int)
                 and isinstance(spec.get("k"), int)
-                and isinstance(spec.get("h"), str)
-                and len(spec["h"]) * 4 == spec["m"]
             ):
-                t = spec.get("t")
-                per_col[c] = (
-                    spec["m"],
-                    spec["k"],
-                    spec["h"],
-                    t if isinstance(t, str) else None,
+                continue
+            t = spec.get("t")
+            t = t if isinstance(t, str) else None
+            if isinstance(spec.get("h"), str) and len(spec["h"]) * 4 == spec["m"]:
+                per_col[c] = (spec["m"], spec["k"], spec["h"], t)
+            elif isinstance(spec.get("r"), str):
+                side = _bloom_sidecar(
+                    os.path.join(_txn_dir(sink_dir), spec["r"])
                 )
+                if path in side and side[path][0] == spec["m"]:
+                    bits = side[path][1]
+                    hx = "".join("%x%x" % (b & 15, b >> 4) for b in bits)
+                    per_col[c] = (spec["m"], spec["k"], hx, t)
+                # missing sidecar → no entry → conservative keep
         if per_col:
             out[path] = per_col
     return out
@@ -1596,14 +1688,33 @@ def vacuum(
                         protected.update(
                             line.strip() for line in f if line.strip()
                         )
-    # DV sidecars referenced by the CURRENT snapshot are always
-    # protected; with protect_log_versions, every ref any retained
-    # manifest entry mentions is (time travel + restore both
-    # re-reference immutable sidecars rather than copying them)
+    # DV and BLOOM sidecars referenced by the CURRENT snapshot are
+    # always protected; with protect_log_versions, every ref any
+    # retained manifest entry mentions is (time travel + restore
+    # both re-reference immutable sidecars rather than copying them)
+    def _bloom_refs(stats: str | None) -> set[str]:
+        if not stats:
+            return set()
+        try:
+            parsed = json.loads(stats)
+        except ValueError:
+            return set()
+        b = parsed.get("b") if isinstance(parsed, dict) else None
+        if not isinstance(b, dict):
+            return set()
+        return {
+            spec["r"]
+            for spec in b.values()
+            if isinstance(spec, dict) and isinstance(spec.get("r"), str)
+        }
+
     vs = versions(sink_dir)
-    protected_refs: set[str] = (
-        set(_snapshot_at(sink_dir, vs[-1])[6]) if vs else set()
-    )
+    protected_refs: set[str] = set()
+    if vs:
+        head_snap = _snapshot_at(sink_dir, vs[-1])
+        protected_refs.update(head_snap[6])
+        for stats in head_snap[0].values():
+            protected_refs.update(_bloom_refs(stats))
     if protect_log_versions:
         log = _scan_log(sink_dir)
         for fname in log.values():
@@ -1611,11 +1722,14 @@ def vacuum(
                 if line.startswith("%dv\t"):
                     protected_refs.add(line.split("\t", 2)[1])
                     continue
-                if line.startswith(("~", "#", "-", "%")):
+                if line.startswith(("~", "#", "%")):
+                    continue
+                if line.startswith("-"):
                     continue
                 token = line[1:] if line.startswith("+") else line
-                path, _stats = _split_stats(token)
+                path, stats = _split_stats(token)
                 protected.add(path)
+                protected_refs.update(_bloom_refs(stats))
     cutoff = time.time() - retain_seconds
     removed: list[str] = []
     for root, dirs, files in os.walk(sink_dir):
@@ -1642,18 +1756,20 @@ def vacuum(
                 with contextlib.suppress(FileNotFoundError):
                     if os.path.getmtime(full) <= cutoff:
                         os.remove(full)
-    # orphaned DV sidecars — staged by a crashed/raced delete whose
-    # commit never published, or stranded by prune_log retiring every
-    # version that referenced them. Same age gate as data files (a
-    # concurrent delete_where's sidecar between stage and commit is
+    # orphaned DV/bloom sidecars — staged by a crashed/raced writer
+    # whose commit never published, or stranded by prune_log retiring
+    # every version that referenced them. Same age gate as data files
+    # (a concurrent writer's sidecar between stage and commit is
     # never reclaimed within the retention window).
     import shutil
 
-    dv_root = os.path.join(txn, "dv")
-    if os.path.isdir(dv_root):
-        for name in os.listdir(dv_root):
-            ref = f"dv/{name}"
-            full = os.path.join(dv_root, name)
+    for kind in ("dv", "bloom"):
+        root = os.path.join(txn, kind)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            ref = f"{kind}/{name}"
+            full = os.path.join(root, name)
             if ref in protected_refs:
                 continue
             with contextlib.suppress(FileNotFoundError):
@@ -1764,7 +1880,11 @@ def _stage_dv(
 
 
 def delete_where(
-    spark: SparkSession, sink_dir: str, condition, max_attempts: int = 5
+    spark: SparkSession,
+    sink_dir: str,
+    condition,
+    max_attempts: int = 5,
+    stats_out: dict | None = None,
 ) -> int:
     """DELETE FROM sink WHERE condition — as one deletion-vector
     commit (no data file touched). Matching rows are located with
@@ -1783,8 +1903,15 @@ def delete_where(
     positions (the loser's sidecar stays unreferenced — vacuum
     fodder, like any crash orphan). Returns the number of rows
     deleted. Already-deleted rows never rematch (the read applies
-    current DVs), so repeating a delete is a no-op."""
-    for _ in range(max_attempts):
+    current DVs), so repeating a delete is a no-op.
+
+    ``stats_out`` (round 7, optional) records concurrency evidence:
+    ``{"attempts": locate-and-commit cycles run, "refused":
+    conditional commits lost to a concurrent writer}``."""
+    for attempt in range(1, max_attempts + 1):
+        if stats_out is not None:
+            stats_out["attempts"] = attempt
+            stats_out.setdefault("refused", 0)
         vs = versions(sink_dir)
         head = vs[-1] if vs else 0
         df = read_committed(spark, sink_dir)
@@ -1799,6 +1926,8 @@ def delete_where(
             sink_dir, [], replace=False, dv_ref=staged, expected_version=head
         ):
             return sum(staged[1].values())
+        if stats_out is not None:
+            stats_out["refused"] += 1
     raise RuntimeError(
         f"delete_where lost the commit race {max_attempts} times on {sink_dir}"
     )
@@ -1811,6 +1940,7 @@ def merge_upsert_dv(
     key: str,
     partition_by: tuple[str, ...],
     max_attempts: int = 5,
+    stats_out: dict | None = None,
 ) -> tuple[int, int]:
     """MERGE (upsert) as ONE atomic commit — Delta's DV-backed MERGE:
     rows of the current snapshot whose ``key`` appears in
@@ -1827,7 +1957,10 @@ def merge_upsert_dv(
     until vacuum."""
     from pyspark.sql import functions as F
 
-    for _ in range(max_attempts):
+    for attempt in range(1, max_attempts + 1):
+        if stats_out is not None:
+            stats_out["attempts"] = attempt
+            stats_out.setdefault("refused", 0)
         vs = versions(sink_dir)
         head = vs[-1] if vs else 0
         current = read_committed(spark, sink_dir)
@@ -1861,6 +1994,8 @@ def merge_upsert_dv(
             expected_version=head,
         ):
             return matched, updates.count() - matched
+        if stats_out is not None:
+            stats_out["refused"] += 1
     raise RuntimeError(
         f"merge_upsert_dv lost the commit race {max_attempts} times on {sink_dir}"
     )

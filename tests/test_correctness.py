@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 222
+EXPECTED_QUERY_COUNT = 226
 
 
 def test_registry_complete():
@@ -65,69 +65,21 @@ def test_registry_complete():
 
 def test_priority_queries_inside_driver_cap():
     """Driver evidence says the correctness sweep caps at 50 queries
-    in registration order. Round-6 rotation (verdict item #2): the
-    cap leads with the round's new/rewritten queries and then swings
-    back to the OLDEST officially-checked rows — all 25 r1-checked
-    queries and the 14 oldest r2-checked ones — so no registry row's
-    last official check falls further behind."""
+    in registration order. Round-7 rotation (verdict item #3): the
+    cap leads with the round's 4 new queries, then every query the
+    DV/bloom sidecar rewrite + advisor fixes touched, then the
+    r2-era rows (last official check r1/r2) — so no registry row's
+    last official check falls further behind. The must-lead set IS
+    registry._PRIORITY: pinning the same tuple here guards against
+    a registration-order change silently pushing a row past the
+    cap."""
+    from data_pipeline_2025_spark import registry as _registry
+
     first_50 = set(list(SPECS)[:50])
-    must_lead = {
-        # (a) new round-6
-        "q201_manifest_skipping",
-        "q202_ivfpq_search",
-        "q203_schema_evolution",
-        "q204_log_retention",
-        "q205_pii_redaction",
-        "q206_bpe_encode",
-        "q207_deletion_vectors",
-        "q208_dv_merge",
-        "q209_metadata_only_agg",
-        "q210_check_constraints",
-        "q211_restore_table",
-        "q212_describe_history",
-        "q213_bloom_point_lookup",
-        "q214_change_data_feed",
-        "q215_incremental_matview",
-        "q216_sequence_packing",
-        "q217_semdedup",
-        "q218_partition_evolution",
-        "q219_write_audit_publish",
-        "q220_stream_dv_upsert",
-        "q221_quality_dup_calibration",
-        "q222_snapshot_tags",
-        "q223_metadata_partition_counts",
-        "q224_column_rename",
-        # (b) rewritten/affected round 6
-        "q163_zorder_locality",
-        "q200_zipf_split_join",
-        "q188_compaction_audit",
-        "q162_snapshot_time_travel",
-        "q177_snapshot_changelog",
-        "q161_state_store_reader",
-        "q146_stream_transform_with_state",
-        "q50_stream_hourly_rollup",
-        # (c) the oldest official checks: every r1-checked query ...
-        "q03_promo_stats_by_category",
-        "q04_non_promo_by_store",
-        "q05_recent_window",
-        "q06_barcode_compare",
-        "q07_cheapest_per_store",
-        "q08_lowest_prices_page",
-        "q09_basket_totals",
-        "q10_best_basket_summary",
-        "q11_price_history",
-        "q12_price_trend",
-        "q13_history_minmax",
-        "q14_distinct_categories",
-        "q15_store_stats",
-        "q16_store_directory",
-        "q17_revenue_by_nation",
-        "q18_order_lines_rollup",
-        "q19_customers_without_orders",
-        "q20_cheapest_supplier_per_part",
-        # q47/q48/q53-q57 displaced by q218-q224; resume next rotation
-        # (d) ... and the oldest r2-checked ones still inside the cap
-        # q01/q02/q21/q22/q75 displaced by q213-q217; resume next
-        # round (q01 still runs as the entry() flagship smoke)
-    }
+    must_lead = set(_registry._PRIORITY)
+    assert len(must_lead) == 38
+    # spot-pin the three rotation groups so _PRIORITY edits stay honest
+    assert "q225_trained_ivfpq" in must_lead  # (a) new round-7
+    assert "q208_dv_merge" in must_lead  # (b) sidecar-rewritten
+    assert "q21_events_daily" in must_lead  # (c) r2-era rotation
     assert must_lead <= first_50, must_lead - first_50

@@ -966,3 +966,26 @@ def test_q216_packing_window_is_hash_partitioned(spark, sf_smoke):
     plan = plan_of(spark, "q216_sequence_packing", sf_smoke)
     assert "Window" in plan
     assert "hashpartitioning(stream" in plan
+
+
+def test_q225_trained_ivfpq_no_shuffle_joins_on_corpus(spark, sf_smoke):
+    """q225 (trained IVF-PQ): like q202, every corpus-touching join
+    must be broadcast — including the candidate stream, which
+    carries its own PQ codes from the single encode pass instead of
+    joining back against a corpus-sized codes table (that join
+    would SortMergeJoin-shuffle the codes at 100 TB). Lloyd
+    training's only shuffles are the map-side-combinable
+    per-dimension sums."""
+    plan = plan_of(spark, "q225_trained_ivfpq", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q226_packing_assignment_window_is_hash_partitioned(spark, sf_smoke):
+    """q226 (materialized packing): same per-stream discipline as
+    q216 — the cumsum window hash-partitions on the pack stream; no
+    global-ordering window anywhere."""
+    plan = plan_of(spark, "q226_packed_sequences", sf_smoke)
+    assert "Window" in plan
+    assert "hashpartitioning(stream" in plan
