@@ -104,6 +104,12 @@ HEADLINE = (
     # materialized packing assignment (bounded-explode corpus pass).
     "q225_trained_ivfpq",
     "q226_packed_sequences",
+    # Round-7 continuation: the corpus-rewrite dedup (segment hash
+    # shuffle + per-doc rebuild — the heaviest new text pass) and
+    # the full OPTIMIZE ZORDER table rewrite (read + z-bucket +
+    # commit_replace_table + manifest-measured pruning).
+    "q229_segment_dedup_rebuild",
+    "q232_optimize_zorder",
 )
 
 

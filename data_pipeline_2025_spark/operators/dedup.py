@@ -2359,3 +2359,133 @@ def q165_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ------------------------------- q229: corpus-level segment dedup
+#
+# The REWRITE member of the dedup family (round 7). q34/q35/q115
+# decide which whole documents to drop; q69/q73 measure duplicated
+# spans and apply a drop-the-doc cut. C4/RefinedWeb-style pipelines
+# additionally REWRITE documents: remove the duplicated pieces
+# corpus-wide, keep the (now shorter) document. This implements that
+# operator at segment granularity:
+#
+# 1. segment every document into fixed 8-token windows (the same
+#    bounded-explode shape as q216's sequence packing — output is
+#    O(tokens), the operator's irreducible size);
+# 2. keep each distinct segment's FIRST occurrence in corpus order
+#    (row_number over md5(segment) ordered by (doc_id, seg_no) —
+#    one shuffle on the 32-byte hash, never on the text, the q34
+#    convention; a document's internal repeats dedup against
+#    themselves the same way);
+# 3. REBUILD every document as the ordered join of its kept
+#    segments (collect_list(struct(seg_no, seg)) → array_sort →
+#    array_join — per-doc state bounded by document size), keeping
+#    docs that lost everything as empty rebuilds.
+#
+# The md5 of the rebuilt text is emitted per document, so the oracle
+# (identical segmentation/keep/rebuild algebra in DuckDB) pins the
+# reconstruction BYTE-EXACT, not just the counts.
+#
+# 100 TB: one hash-partitioned shuffle of O(tokens) segment rows +
+# one doc_id-partitioned rebuild — both partial-aggregatable, no
+# all-pairs, no skew (md5 keys are uniform; the heaviest possible
+# key is one segment's duplicate count, bounded by corpus dup rate).
+# The first-occurrence rule makes the result deterministic under
+# ANY partitioning — a reshuffled cluster rebuilds identical docs.
+
+SEG_W = 8  # tokens per segment
+
+_ORACLE_Q229 = f"""
+WITH base AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), segs AS (
+    SELECT doc_id, i AS seg_no,
+           array_to_string(list_slice(toks, i * {SEG_W} + 1,
+                                      i * {SEG_W} + {SEG_W}), ' ') AS seg,
+           least(len(toks) - i * {SEG_W}, {SEG_W}) AS seg_len
+    FROM base,
+         LATERAL UNNEST(range(0, CAST(ceil(len(toks) / {SEG_W}.0) AS BIGINT)))
+             AS t(i)
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(seg)
+                                 ORDER BY doc_id, seg_no) AS rn
+    FROM segs
+), rebuilt AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS segs_total,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS segs_kept,
+           CAST(COALESCE(SUM(seg_len) FILTER (WHERE rn = 1), 0)
+                AS BIGINT) AS toks_after,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_no)
+                            FILTER (WHERE rn = 1), '')) AS rebuilt_md5
+    FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, r.segs_total, r.segs_kept, r.toks_after, r.rebuilt_md5
+FROM documents d JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q229_segment_dedup_rebuild",
+    oracle=_ORACLE_Q229,
+    doc="C4/RefinedWeb-style corpus-level duplicate-segment removal "
+    "WITH document reconstruction: 8-token segments, first corpus "
+    "occurrence kept (row_number over md5(segment)), every document "
+    "rebuilt as the ordered join of its kept segments — the rebuild "
+    "pinned byte-exact via md5 against the oracle's identical "
+    "algebra. One O(tokens) hash shuffle + one per-doc rebuild; "
+    "deterministic under any partitioning.",
+    tags=("dedup", "rewrite", "segments"),
+)
+def q229_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n_seg = F.ceil(F.size("toks") / F.lit(SEG_W)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                n_seg > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.slice(F.col("toks"), i * SEG_W + 1, SEG_W),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("seg_no", "seg_toks"),
+    ).select(
+        "doc_id",
+        "seg_no",
+        F.array_join("seg_toks", " ").alias("seg"),
+        F.size("seg_toks").cast("bigint").alias("seg_len"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg").cast("binary"))).orderBy(
+        "doc_id", "seg_no"
+    )
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    rebuilt = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("segs_total"),
+        F.sum(kept.cast("bigint")).cast("bigint").alias("segs_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("seg_len"))), F.lit(0)
+        ).cast("bigint").alias("toks_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("seg_no", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("rebuilt_md5"),
+    )
+    return rebuilt.select(
+        "doc_id", "segs_total", "segs_kept", "toks_after", "rebuilt_md5"
+    ).orderBy("doc_id")

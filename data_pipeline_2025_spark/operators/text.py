@@ -2085,3 +2085,80 @@ def q226_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("seq_id") * PACK_WINDOW
         ).cast("bigint").alias("end_offset"),
     ).orderBy("stream", "seq_id", "start_offset")
+
+
+# ------------------------- q231: unigram-LM rarity quality score
+#
+# The corpus-language-model quality signal LLM pipelines run beside
+# the rule-based filters (q30's ratios, q65's repetition rules): fit
+# a unigram model on the corpus itself, score every document by how
+# SURPRISING its tokens are under that model, and bucket the corpus
+# by the score. Production pipelines use log-perplexity; log() is
+# exactly the operation this repo's two-engine convention forbids
+# (text.py:347 — engines round transcendentals differently), so the
+# score is the log-free analog: the mean INVERSE token probability,
+#
+#     rarity_ppm(doc) = ( Σ_tok (T · 10⁶ DIV cnt(tok)) ) DIV n_tok
+#
+# with T = total corpus tokens — the arithmetic (not geometric) mean
+# of 1/P(tok) in parts-per-million, every step exact BIGINT algebra
+# both engines compute bit-identically. Monotone in the same
+# direction as perplexity: common-token boilerplate scores low, rare-
+# token documents score high.
+#
+# 100 TB: pass 1 is one partial-aggregatable groupBy(token) whose
+# result is VOCABULARY-sized (Heaps' law: ~10⁶–10⁷ rows at any
+# corpus size) — broadcast it; pass 2 re-tokenizes and aggregates
+# per document with a map-side join, so the corpus is never
+# shuffled. T·10⁶ stays under BIGINT range to T ≈ 9·10¹² tokens
+# (~40 TB of text); past that, drop the ppm scale to ppk. The
+# emitted rows are per-document — the downstream filter/mixer input.
+
+RARITY_SCALE = 1_000_000  # ppm
+
+_ORACLE_Q231 = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST({TOKENS_SQL}) AS tok FROM documents
+), vocab AS (
+    SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+), t AS (
+    SELECT SUM(cnt) AS total FROM vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM((SELECT total FROM t) * {RARITY_SCALE} // cnt)
+            // COUNT(*) AS BIGINT) AS rarity_ppm
+FROM tok JOIN vocab USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q231_unigram_rarity",
+    oracle=_ORACLE_Q231,
+    doc="Corpus-trained unigram-LM quality score: mean inverse token "
+    "probability in ppm — the log-free analog of unigram perplexity "
+    "(exact BIGINT algebra both engines compute bit-identically; "
+    "log() is engine-divergent, text.py:347). Vocabulary-sized "
+    "broadcast join, corpus never shuffled.",
+    tags=("text", "quality", "lm"),
+)
+def q231_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))  # one-row scalar
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.expr(
+                f"CAST(SUM(total * {RARITY_SCALE} DIV cnt)"
+                f" DIV COUNT(*) AS BIGINT)"
+            ).alias("rarity_ppm"),
+        )
+    )
+    return scored.select("doc_id", "n_tok", "rarity_ppm").orderBy("doc_id")

@@ -128,6 +128,11 @@ _PRIORITY = (
     # check r1/r2, five rounds of shared-infrastructure rewrites
     # since). Groups, in order:
     # (a) new round-7 queries (never driver-checked)
+    "q229_segment_dedup_rebuild",
+    "q233_hidden_partitioning",
+    "q230_dynamic_file_pruning",
+    "q231_unigram_rarity",
+    "q232_optimize_zorder",
     "q225_trained_ivfpq",
     "q226_packed_sequences",
     "q227_concurrent_dv_writers",

@@ -2257,3 +2257,366 @@ def q227_concurrent_dv_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("refused_commits", F.lit(refused).cast("bigint"))
         .orderBy("day")
     )
+
+
+# --------- q230: dynamic file pruning from a dimension filter (round 7)
+#
+# The missing member of the skipping family (q201 min/max literal
+# ranges, q213 bloom point lookups): DYNAMIC file pruning, where the
+# pruning predicate is not a literal in the query text but the KEY
+# SET a selective dimension filter produces at runtime — Delta's
+# dynamic file pruning / Iceberg's join-pushdown. The fact (orders,
+# custkey-range-clustered so each file carries tight o_custkey
+# bounds) is joined to a filtered customer dim; the dim's surviving
+# c_custkey values — bounded by the dim filter's selectivity, the
+# same cardinality a broadcast join ships anyway — are collected
+# once and prune fact files via txn.prune_files_in (bisect per file,
+# pure manifest metadata) BEFORE Spark reads anything. The exact
+# broadcast join then runs over the survivors, so pruning is an
+# optimization, never a filter. The oracle re-derives the bucket
+# layout, each bucket's true custkey bounds, and the EXISTS-key
+# keep/skip decision in plain SQL, plus the plain-join aggregate —
+# proving real files were pruned and never a wrong one. Reference
+# analog: the per-store price lookups (salim/api/main.py) whose
+# production shape is a selective dim driving a fact scan.
+
+_DFP_BUCKETS = 16
+_DFP_SEGMENT = "BUILDING"
+_DFP_NATIONS = 5  # c_nationkey < 5
+
+_ORACLE_Q230 = f"""
+WITH dim AS (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = '{_DFP_SEGMENT}' AND c_nationkey < {_DFP_NATIONS}
+), wdt AS (
+    SELECT (MAX(o_custkey) // {_DFP_BUCKETS}) + 1 AS w FROM orders
+), bounds AS (
+    SELECT o_custkey // (SELECT w FROM wdt) AS b,
+           MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+    FROM orders GROUP BY 1
+), kept AS (
+    SELECT b FROM bounds bo
+    WHERE EXISTS (SELECT 1 FROM dim WHERE c_custkey BETWEEN bo.mn AND bo.mx)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds) AS files_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS files_pruned,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_price_d
+FROM orders JOIN dim ON o_custkey = c_custkey
+"""
+
+
+def _build_dfp_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed custkey-range-clustered: bucket b = o_custkey
+    DIV w (w sized for _DFP_BUCKETS buckets over the live key range),
+    repartitioned on b then hive-partitioned by it so each bucket is
+    exactly one data file whose footer o_custkey bounds become the
+    skip index."""
+    tag = "dfp_q230_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 1:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ords = Catalog(spark, sf_dir).orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        mx = ords.agg(F.max("o_custkey")).first()[0]
+        w = mx // _DFP_BUCKETS + 1
+        bucketed = ords.withColumn("b", F.expr(f"o_custkey DIV {w}"))
+        txn.commit_append(
+            sink,
+            txn.stage_append(bucketed.repartition(F.col("b")), sink, ("b",)),
+        )
+    return sink
+
+
+@register(
+    "q230_dynamic_file_pruning",
+    oracle=_ORACLE_Q230,
+    doc="Dynamic file pruning (Delta DFP / Iceberg join-pushdown "
+    "analog): a selective customer-dim filter's key set prunes "
+    "custkey-clustered orders files via manifest bounds before any "
+    "data is read; the exact broadcast join runs over the "
+    "survivors. Oracle re-derives the bucket bounds and keep/skip "
+    "decisions in SQL — real files pruned, never a wrong one.",
+    tags=("txn", "skipping", "join", "dfp"),
+)
+def q230_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _build_dfp_sink(spark, sf_dir)
+    dim = (
+        Catalog(spark, sf_dir)
+        .customer.where(
+            (F.col("c_mktsegment") == _DFP_SEGMENT)
+            & (F.col("c_nationkey") < _DFP_NATIONS)
+        )
+        .select("c_custkey")
+    )
+    # bounded by the dim filter's selectivity — the same rows a
+    # broadcast join ships to every executor
+    keys = [r[0] for r in dim.collect()]
+    kept, total = txn.prune_files_in(sink, "o_custkey", keys)
+    pruned = txn.read_committed(spark, sink, prune_in=("o_custkey", keys))
+    joined = pruned.join(
+        F.broadcast(dim), pruned["o_custkey"] == dim["c_custkey"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_out(F.sum(dec("o_totalprice"))).alias("total_price_d"),
+    ).select(
+        F.lit(total).cast("bigint").alias("files_total"),
+        F.lit(total - len(kept)).cast("bigint").alias("files_pruned"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "total_price_d",
+    )
+
+
+# --------- q232: OPTIMIZE ZORDER as a committed table operation
+#
+# q163 proved z-order locality on loose parquet; q201 consumes an
+# already-z-bucketed layout. This closes the loop as a TABLE
+# OPERATION (Delta's OPTIMIZE ZORDER BY): v1 commits events in the
+# natural ingest layout — one file per day, so a predicate on the
+# u dimension can prune (almost) nothing — and the OPTIMIZE rewrites
+# the same rows into z(u, d)-bucketed files with ONE commit_replace
+# (crash-safe, time-travelable: version 1 keeps the old layout).
+# Both layouts' pruning effectiveness is measured from the manifest
+# alone via prune_files(version=...) on EVERY invocation (the q224
+# lesson: metadata-only, so cached sinks re-verify too), the
+# range aggregate runs over the pruned post-optimize read, and the
+# total row count comes from metadata_agg (zero files opened) —
+# proving the rewrite moved rows between files without creating or
+# losing any. The oracle re-derives per-day and per-z-bucket u
+# bounds and both keep counts from the shared interleave algebra.
+# At 100 TB: OPTIMIZE batches by partition and replaces only the
+# files it rewrote — the commit is O(#files) metadata like
+# compaction (maintenance.py), which this composes with.
+
+_OPT_U_LO, _OPT_U_HI = 3, 6
+
+_ORACLE_Q232 = f"""
+WITH base AS (
+    SELECT event_id, value,
+           user_id & {_SKIP_UMASK} AS u,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS d
+    FROM events
+), keyed AS (
+    SELECT *, {_skip_interleave_sql('u', 'd')} AS z FROM base
+), zr AS (
+    SELECT MIN(z) AS zmin, MAX(z) AS zmax FROM keyed
+), bucketed AS (
+    SELECT u, CAST(((z - zmin) * {_SKIP_BUCKETS}) // (zmax - zmin + 1)
+                   AS BIGINT) AS b
+    FROM keyed, zr
+), before_bounds AS (
+    SELECT d, MIN(u) AS umin, MAX(u) AS umax FROM base GROUP BY d
+), after_bounds AS (
+    SELECT b, MIN(u) AS umin, MAX(u) AS umax FROM bucketed GROUP BY b
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM before_bounds) AS files_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM after_bounds) AS files_after,
+  (SELECT CAST(COUNT(*) FILTER (WHERE umax >= {_OPT_U_LO}
+                                  AND umin <= {_OPT_U_HI}) AS BIGINT)
+     FROM before_bounds) AS kept_u_before,
+  (SELECT CAST(COUNT(*) FILTER (WHERE umax >= {_OPT_U_LO}
+                                  AND umin <= {_OPT_U_HI}) AS BIGINT)
+     FROM after_bounds) AS kept_u_after,
+  CAST(COUNT(*) FILTER (WHERE u BETWEEN {_OPT_U_LO} AND {_OPT_U_HI})
+       AS BIGINT) AS n_rows_range,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+             FILTER (WHERE u BETWEEN {_OPT_U_LO} AND {_OPT_U_HI}), 2)
+       AS DOUBLE) AS total_value_d,
+  CAST(COUNT(*) AS BIGINT) AS n_rows_total
+FROM base
+"""
+
+
+def _build_opt_sink(spark: SparkSession, sf_dir: str) -> str:
+    """v1: natural ingest layout (one file per day). v2: OPTIMIZE
+    ZORDER(u, d) — the same rows rewritten into z-bucketed files via
+    one commit_replace."""
+    tag = "opt_q232_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id",
+            "value",
+            F.expr(f"user_id & {_SKIP_UMASK}").alias("u"),
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias(
+                "d"
+            ),
+        )
+        txn.commit_append(
+            sink, txn.stage_append(ev.repartition(F.col("d")), sink, ("d",))
+        )
+        # OPTIMIZE ZORDER(u, d): read the committed snapshot, z-bucket
+        # it, replace the WHOLE file list in one crash-safe commit
+        # (full-snapshot replace — the day layout and the z layout
+        # live in different partition dir families)
+        cur = txn.read_committed(spark, sink)
+        keyed = cur.withColumn("z", F.expr(_skip_interleave_sql("u", "d")))
+        zmin, zmax = keyed.agg(F.min("z"), F.max("z")).first()
+        bucketed = keyed.withColumn(
+            "b",
+            F.expr(
+                f"CAST(((z - {zmin}) * {_SKIP_BUCKETS})"
+                f" DIV ({zmax} - {zmin} + 1) AS BIGINT)"
+            ),
+        ).drop("z")
+        txn.commit_replace_table(
+            sink,
+            txn.stage_append(bucketed.repartition(F.col("b")), sink, ("b",)),
+        )
+    return sink
+
+
+@register(
+    "q232_optimize_zorder",
+    oracle=_ORACLE_Q232,
+    doc="OPTIMIZE ZORDER as a committed table operation (Delta "
+    "OPTIMIZE ZORDER BY analog): day-files rewritten into "
+    "z(u, d)-bucketed files with one crash-safe commit_replace; "
+    "pruning effectiveness before/after measured from the manifest "
+    "alone on every invocation, the range aggregate over the pruned "
+    "post-optimize read, and row conservation via metadata_agg — "
+    "all re-derived by the oracle from the shared interleave "
+    "algebra.",
+    tags=("txn", "layout", "zorder", "skipping"),
+)
+def q232_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _build_opt_sink(spark, sf_dir)
+    rng = (_OPT_U_LO, _OPT_U_HI)
+    kept_b, total_b = txn.prune_files(sink, {"u": rng}, version=1)
+    kept_a, total_a = txn.prune_files(sink, {"u": rng})
+    n_total = txn.metadata_agg(sink)["count"]  # zero files opened
+    pruned = txn.read_committed(spark, sink, prune={"u": rng})
+    return (
+        pruned.where(F.col("u").between(*rng))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_range"),
+            money_out(F.sum(dec("value"))).alias("total_value_d"),
+        )
+        .select(
+            F.lit(total_b).cast("bigint").alias("files_before"),
+            F.lit(total_a).cast("bigint").alias("files_after"),
+            F.lit(len(kept_b)).cast("bigint").alias("kept_u_before"),
+            F.lit(len(kept_a)).cast("bigint").alias("kept_u_after"),
+            F.col("n_rows_range").cast("bigint").alias("n_rows_range"),
+            "total_value_d",
+            F.lit(n_total).cast("bigint").alias("n_rows_total"),
+        )
+    )
+
+
+# --------- q233: hidden partitioning (Iceberg predicate translation)
+#
+# Iceberg's core ergonomic claim: users filter on the SOURCE column
+# (ts); the table's partition spec — not the user's query — knows
+# the layout, and the engine translates the predicate. The sink
+# commits events day-clustered (the writer applies the spec's
+# days(ts, epoch) transform; a hive copy keeps exactly one file per
+# day so the footer d-bounds are tight) and records the transform in
+# the partspec line (`days(ts, 2024-01-01) AS d` — carried through
+# checkpoints like any metadata). The read side calls
+# txn.derive_partition_predicate with a pure TIMESTAMP range — no
+# mention of d — and prunes with the derived inclusive day range
+# (floor both ends: a wrong skip is impossible, the exact ts filter
+# still applies to survivors). The range's ragged edges (12:00 on
+# the first day, 06:00 on the last) pin the floor semantics: both
+# edge days' files are KEPT and the exact filter trims them. The
+# oracle re-derives per-day file bounds, the kept count, and the
+# exact aggregate. At 100 TB this is the difference between every
+# analyst knowing the bucketing scheme and nobody needing to.
+
+_HP_LO_TS = "2024-01-08 12:00:00"   # day 7, mid-day
+_HP_HI_TS = "2024-01-14 06:00:00"   # day 13, early
+_HP_D_LO, _HP_D_HI = 7, 13          # floor(days) of both edges
+
+_ORACLE_Q233 = f"""
+WITH base AS (
+    SELECT value, ts,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS d
+    FROM events
+), files AS (SELECT d FROM base GROUP BY d)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM files) AS files_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM files
+         WHERE d BETWEEN {_HP_D_LO} AND {_HP_D_HI}) AS files_kept,
+       CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_HP_LO_TS}'
+                               AND ts <= TIMESTAMP '{_HP_HI_TS}')
+            AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+                  FILTER (WHERE ts >= TIMESTAMP '{_HP_LO_TS}'
+                            AND ts <= TIMESTAMP '{_HP_HI_TS}'), 2)
+            AS DOUBLE) AS value_sum_d
+FROM base
+"""
+
+
+def _build_hp_sink(spark: SparkSession, sf_dir: str) -> str:
+    tag = "hp_q233_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 1:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id",
+            "value",
+            "ts",
+            # the WRITER applies the spec's transform — users never do
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias(
+                "d"
+            ),
+        ).withColumn("pd", F.col("d"))
+        txn.commit_append(
+            sink,
+            # hive-split on the pd copy => exactly one file per day,
+            # while d stays a data column with tight footer bounds
+            txn.stage_append(ev.repartition(F.col("pd")), sink, ("pd",)),
+            partspec=f"days(ts, {_Z_EPOCH}) AS d",
+        )
+    return sink
+
+
+@register(
+    "q233_hidden_partitioning",
+    oracle=_ORACLE_Q233,
+    doc="Iceberg hidden partitioning: the partspec records the "
+    "days(ts, epoch) transform, the reader filters on RAW ts and "
+    "txn.derive_partition_predicate translates the range to "
+    "day-number bounds (floor both ends — edge-day files kept, "
+    "exact filter trims them) for manifest pruning; the user never "
+    "names the layout. Oracle re-derives the per-day files, the "
+    "kept count, and the exact aggregate.",
+    tags=("txn", "skipping", "partspec", "hidden-partitioning"),
+)
+def q233_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _build_hp_sink(spark, sf_dir)
+    pred = txn.derive_partition_predicate(sink, "ts", _HP_LO_TS, _HP_HI_TS)
+    assert pred == {"d": (_HP_D_LO, _HP_D_HI)}  # the translation IS the test
+    kept, total = txn.prune_files(sink, pred)
+    lo = F.lit(_HP_LO_TS).cast("timestamp")
+    hi = F.lit(_HP_HI_TS).cast("timestamp")
+    agg = (
+        txn.read_committed(spark, sink, prune=pred)
+        .where(F.col("ts").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("value_sum_d"),
+        )
+    )
+    return agg.select(
+        F.lit(total).cast("bigint").alias("files_total"),
+        F.lit(len(kept)).cast("bigint").alias("files_kept"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "value_sum_d",
+    )

@@ -1125,11 +1125,106 @@ def prune_files_eq(
     return kept, len(index)
 
 
+def prune_files_in(
+    sink_dir: str,
+    col: str,
+    values,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """DYNAMIC file pruning for a key set (Delta's dynamic file
+    pruning / Iceberg's join-pushdown analog): ``(kept_paths,
+    total)`` for the predicate ``col IN values``, where the values
+    come from a runtime source — typically a selective dimension
+    filter on the probe side of a join — rather than a literal in
+    the query text. A file is kept iff its recorded [min, max]
+    bounds admit at least one key (one ``bisect`` over the sorted
+    key list per file — O(#files · log #keys) driver work, pure
+    metadata, no data file opened); files without bounds for
+    ``col`` are always kept, and incomparable bound/key types keep
+    the file — pruning is an optimization, NEVER a wrong skip, and
+    the caller still applies the exact join/filter to the
+    survivors (the :func:`prune_files` contract).
+
+    An EMPTY key set keeps nothing: ``col IN ()`` provably matches
+    no row, so reading zero files is the exact answer, not a
+    heuristic.
+
+    Scale: the key list is bounded by the DIMENSION filter's
+    selectivity — the same cardinality a broadcast join ships to
+    every executor, so collecting it once on the driver is strictly
+    cheaper than the join that follows. When even that is too large,
+    degrade to :func:`prune_files` with the key set's (min, max)
+    envelope and let the per-file bloom sidecars absorb point
+    selectivity."""
+    import bisect
+
+    keys = sorted(set(values))
+    index = stats_at(sink_dir, version)
+    if not keys:
+        return [], len(index)
+    kept: list[str] = []
+    for path, cols in index.items():
+        if col not in cols:
+            kept.append(path)
+            continue
+        mn, mx = cols[col]
+        try:
+            i = bisect.bisect_left(keys, mn)
+            if i < len(keys) and keys[i] <= mx:
+                kept.append(path)
+        except TypeError:
+            kept.append(path)  # incomparable types: keep, never wrong-skip
+    return kept, len(index)
+
+
+def derive_partition_predicate(
+    sink_dir: str,
+    src_col: str,
+    lo_ts: str,
+    hi_ts: str,
+    version: int | None = None,
+) -> dict[str, tuple] | None:
+    """Iceberg HIDDEN-PARTITIONING predicate translation: if the
+    active partition spec declares a day transform on ``src_col`` —
+    the partspec grammar ``days(src, YYYY-MM-DD) AS col`` — a
+    timestamp range ``[lo_ts, hi_ts]`` (ISO strings) on the SOURCE
+    column derives the inclusive day-number range on the generated
+    column: ``[days(lo), days(hi)]``, floor on both ends, so every
+    file that could hold an in-range row survives (a row at
+    ``lo_ts``'s own day may precede ``lo_ts`` within the day — the
+    exact predicate still applies to survivors). Returns None when
+    the spec declares no day transform on ``src_col`` — the caller
+    falls back to an unpruned read, never a wrong skip. Like
+    Iceberg, only a FIXED transform catalog participates in
+    translation (day here; Delta generated-column pruning has the
+    same closed list) — arbitrary expressions can't be inverted
+    safely."""
+    import re as _re
+    from datetime import date, datetime
+
+    spec = partspec_at(sink_dir, version)
+    if not spec:
+        return None
+    m = _re.search(
+        rf"days\(\s*{_re.escape(src_col)}\s*,\s*(\d{{4}}-\d{{2}}-\d{{2}})\s*\)"
+        rf"\s+AS\s+(\w+)",
+        spec,
+    )
+    if not m:
+        return None
+    epoch = date.fromisoformat(m.group(1))
+    col = m.group(2)
+    lo_d = (datetime.fromisoformat(lo_ts).date() - epoch).days
+    hi_d = (datetime.fromisoformat(hi_ts).date() - epoch).days
+    return {col: (lo_d, hi_d)}
+
+
 def read_committed(
     spark: SparkSession,
     sink_dir: str,
     prune: dict[str, tuple] | None = None,
     prune_eq: tuple | None = None,
+    prune_in: tuple | None = None,
 ) -> DataFrame | None:
     """DataFrame over exactly the committed snapshot, or None when no
     data has ever been committed. ``basePath`` recovers the hive
@@ -1141,10 +1236,16 @@ def read_committed(
     — manifest-driven data skipping on non-partition columns. With
     ``prune_eq=(col, value)`` the point-lookup path additionally
     consults the per-file bloom filters (:func:`prune_files_eq`).
+    With ``prune_in=(col, values)`` a runtime KEY SET — typically a
+    filtered dimension's join keys — prunes dynamically
+    (:func:`prune_files_in`); an empty key set reads no files and
+    returns None, which is the exact ``IN ()`` answer.
     The caller must still apply the exact predicate (kept files may
     contain non-matching rows)."""
     if prune_eq is not None:
         files, _total = prune_files_eq(sink_dir, prune_eq[0], prune_eq[1])
+    elif prune_in is not None:
+        files, _total = prune_files_in(sink_dir, prune_in[0], prune_in[1])
     elif prune:
         files, _total = prune_files(sink_dir, prune)
     else:
@@ -1257,6 +1358,7 @@ def _commit(
     partspec: str | None = None,
     colmap: dict[str, str] | None = None,
     dv_ref: tuple[str, dict[str, int]] | None = None,
+    replace_all: bool = False,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
 
@@ -1301,9 +1403,14 @@ def _commit(
             return False
         seq = head + 1
         is_ckpt = seq % CHECKPOINT_EVERY == 1  # v1, v11, v21, ...
-        replaced_dirs = (
-            sorted({os.path.dirname(f) for f in new_files}) if replace else []
-        )
+        drop_dirs = {os.path.dirname(f) for f in new_files} if replace else set()
+        if replace and replace_all and head:
+            # full-snapshot replace: every dir the CURRENT head lists
+            # drops too (recomputed per retry — the head may move)
+            drop_dirs |= {
+                os.path.dirname(f) for f in _listing_at(sink_dir, head)
+            }
+        replaced_dirs = sorted(drop_dirs)
         if is_ckpt:
             (
                 base,
@@ -1625,6 +1732,20 @@ def commit_replace(sink_dir: str, new_files: list[str]) -> None:
     cannot give. Superseded files stay on disk for in-flight readers
     until :func:`vacuum`."""
     _commit(sink_dir, list(new_files), replace=True)
+
+
+def commit_replace_table(sink_dir: str, new_files: list[str]) -> None:
+    """FULL-SNAPSHOT replace — Delta OPTIMIZE's table-wide rewrite or
+    a layout change (ZORDER re-clustering, re-bucketing) as ONE
+    atomic commit: every file the current head lists drops out,
+    whatever partition directory it lives in, and ``new_files``
+    become the table. Same ``~dir`` drop grammar as
+    :func:`commit_replace`, so replay, checkpoints, time travel,
+    vacuum, and the change feed need no new cases; superseded files
+    stay on disk for in-flight readers until :func:`vacuum`. The
+    drop set is O(#directories) manifest lines — metadata-sized at
+    any table size."""
+    _commit(sink_dir, list(new_files), replace=True, replace_all=True)
 
 
 def commit_replace_if(

@@ -426,3 +426,83 @@ def test_q225_training_improves_recall_at_equal_cost(spark, sf_smoke):
     cand_u = sum(r["cand_untrained"] for r in rows)
     cand_t = sum(r["cand_trained"] for r in rows)
     assert cand_t <= cand_u * 1.25  # no recall-by-brute-force cheat
+
+
+def test_q229_kept_segments_are_exactly_the_distinct_segments(spark, sf_smoke):
+    """Corpus-level segment dedup: the kept-segment total equals the
+    number of DISTINCT segments in the corpus (each survives exactly
+    once), rebuilt docs never gain tokens, and a doc whose segments
+    are all first occurrences rebuilds byte-identical to its
+    tokenized self."""
+    from data_pipeline_2025_spark.catalog import Catalog
+    from data_pipeline_2025_spark.operators.dedup import SEG_W
+
+    out = SPECS["q229_segment_dedup_rebuild"].spark_fn(spark, sf_smoke)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in Catalog(spark, sf_smoke).documents.collect()
+    }
+    # recompute ground truth driver-side (test scale only)
+    seen: set[str] = set()
+    kept_total = 0
+    first_doc_all_first = None
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        segs = [
+            " ".join(toks[i : i + SEG_W]) for i in range(0, len(toks), SEG_W)
+        ]
+        all_first = True
+        rebuilt: list[str] = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept_total += 1
+                rebuilt.append(s)
+            else:
+                all_first = False
+        r = rows[doc_id]
+        assert r["segs_total"] == len(segs)
+        assert r["toks_after"] <= len(toks)
+        import hashlib
+
+        want = hashlib.md5(" ".join(rebuilt).encode()).hexdigest()
+        assert r["rebuilt_md5"] == want, doc_id
+        if first_doc_all_first is None and all_first:
+            first_doc_all_first = doc_id
+    assert sum(r["segs_kept"] for r in rows.values()) == kept_total == len(seen)
+    # at least one doc (doc 0 at minimum) rebuilds unchanged
+    assert first_doc_all_first is not None
+    r0 = rows[first_doc_all_first]
+    assert r0["segs_kept"] == r0["segs_total"]
+
+
+def test_q231_rarity_orders_common_vs_rare(spark, sf_smoke):
+    """The unigram score must rank an all-stopword-ish doc (most
+    common tokens) below the corpus max, sit in [10^6/max_cnt-ish,
+    huge] bounds, and be exactly reproducible from driver-side
+    integer algebra."""
+    from collections import Counter
+
+    from data_pipeline_2025_spark.catalog import Catalog
+    from data_pipeline_2025_spark.operators.text import RARITY_SCALE
+
+    out = {
+        r["doc_id"]: (r["n_tok"], r["rarity_ppm"])
+        for r in SPECS["q231_unigram_rarity"].spark_fn(spark, sf_smoke).collect()
+    }
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in Catalog(spark, sf_smoke).documents.collect()
+    }
+    cnt: Counter = Counter()
+    for toks in docs.values():
+        cnt.update(toks)
+    total = sum(cnt.values())
+    for doc_id, toks in docs.items():
+        want = sum(total * RARITY_SCALE // cnt[t] for t in toks) // len(toks)
+        assert out[doc_id] == (len(toks), want), doc_id
+    # a doc made entirely of the most common token would score the
+    # corpus minimum possible value; every real doc scores >= that
+    floor = total * RARITY_SCALE // max(cnt.values())
+    assert all(ppm >= floor for _n, ppm in out.values())

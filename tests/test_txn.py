@@ -1675,3 +1675,128 @@ def test_cdf_matview_batch_apply_is_exactly_once(spark, tmp_path):
     apply(batch2, 1)
     final = {(r["user_id"], r["n"]) for r in txn.read_committed(spark, mv).collect()}
     assert final == {(7, 1), (8, 1)}
+
+
+# ---------------- round 7 (cont.): key-set pruning + full replace
+
+
+def test_prune_files_in_no_false_negatives_and_empty_set(spark, tmp_path):
+    """Dynamic file pruning: a file holding a key is NEVER skipped;
+    boundless columns keep; an empty key set keeps nothing (IN ()
+    provably matches no row)."""
+    sink = str(tmp_path / "t")
+    # three key-disjoint files: ids 0-9 / 100-109 / 200-209
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 10).coalesce(1).select(
+            F.col("id"), F.lit(f"g{lo}").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(df, sink, ("day",)))
+    kept, total = txn.prune_files_in(sink, "id", [5, 205])
+    assert total == 3 and len(kept) == 2
+    live = txn.read_committed(spark, sink, prune_in=("id", [5, 205]))
+    got = {r["id"] for r in live.collect() if r["id"] in (5, 205)}
+    assert got == {5, 205}  # the exact filter over survivors is exact
+    # key between two files' ranges: bounds exclude it everywhere
+    kept_none, _ = txn.prune_files_in(sink, "id", [50])
+    assert kept_none == []
+    # empty key set reads nothing
+    kept_empty, _ = txn.prune_files_in(sink, "id", [])
+    assert kept_empty == []
+    assert txn.read_committed(spark, sink, prune_in=("id", [])) is None
+    # a column with no recorded bounds keeps every file
+    kept_all, _ = txn.prune_files_in(sink, "nope", [1])
+    assert len(kept_all) == 3
+    # incomparable probe types keep (never a wrong skip)
+    kept_str, _ = txn.prune_files_in(sink, "id", ["5"])
+    assert len(kept_str) == 3
+
+
+def test_commit_replace_table_drops_every_old_dir(spark, tmp_path):
+    """Full-snapshot replace (OPTIMIZE's table rewrite): files from a
+    DIFFERENT partition family drop out too — dynamic-partition
+    commit_replace keeps them (pinned as the contrast), time travel
+    still reads the old layout, vacuum reclaims it."""
+    sink = str(tmp_path / "t")
+    v1 = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 4).alias("day")
+    )
+    txn.commit_append(sink, txn.stage_append(v1, sink, ("day",)))
+    # rewrite the same rows bucketed by a different column family
+    cur = txn.read_committed(spark, sink)
+    reb = cur.withColumn("b", F.col("id") % 2)
+    txn.commit_replace_table(
+        sink, txn.stage_append(reb.repartition(F.col("b")), sink, ("b",))
+    )
+    live = txn.committed_files(sink)
+    assert all(f.startswith("b=") for f in live), live
+    assert {r["id"] for r in txn.read_committed(spark, sink).collect()} == set(
+        range(20)
+    )
+    # row conservation is visible metadata-only
+    assert txn.metadata_agg(sink)["count"] == 20
+    # time travel: v1 keeps the day layout
+    old = txn.read_version(spark, sink, 1)
+    assert {r["id"] for r in old.collect()} == set(range(20))
+    # the superseded day=* files are vacuum fodder
+    removed = txn.vacuum(sink)
+    assert any("day=" in f for f in removed)
+    assert {r["id"] for r in txn.read_committed(spark, sink).collect()} == set(
+        range(20)
+    )
+
+
+def test_commit_replace_table_carries_dvs_on_untouched_files(spark, tmp_path):
+    """replace_all must not resurrect DV-deleted rows: the rewrite
+    reads the DV-APPLIED snapshot and the replace drops the old
+    files AND their DVs together."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 10).select(F.col("id"), F.lit("a").alias("day"))
+    txn.commit_append(sink, txn.stage_append(df, sink, ("day",)))
+    assert txn.delete_where(spark, sink, F.col("id") < 3) == 3
+    cur = txn.read_committed(spark, sink)  # 7 live rows
+    reb = cur.withColumn("b", F.col("id") % 2)
+    txn.commit_replace_table(
+        sink, txn.stage_append(reb.repartition(F.col("b")), sink, ("b",))
+    )
+    assert {r["id"] for r in txn.read_committed(spark, sink).collect()} == set(
+        range(3, 10)
+    )
+    assert txn.metadata_agg(sink)["count"] == 7
+
+
+def test_derive_partition_predicate_translation_and_fallback(spark, tmp_path):
+    """Hidden-partitioning translation: day transform inverts a ts
+    range with floor-both-ends (edge timestamps inside a day keep
+    that day); no spec / wrong source column / un-invertible spec
+    => None (caller falls back to unpruned — never a wrong skip)."""
+    sink = str(tmp_path / "t")
+    df = spark.range(0, 4).coalesce(1).select(
+        F.col("id"), F.lit("a").alias("day")
+    )
+    txn.commit_append(
+        sink,
+        txn.stage_append(df, sink, ("day",)),
+        partspec="days(ts, 2024-01-01) AS d",
+    )
+    got = txn.derive_partition_predicate(
+        sink, "ts", "2024-01-08 12:00:00", "2024-01-14 06:00:00"
+    )
+    assert got == {"d": (7, 13)}
+    # whole-day edges: midnight belongs to its own day
+    assert txn.derive_partition_predicate(
+        sink, "ts", "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    ) == {"d": (0, 1)}
+    # a different source column has no declared transform
+    assert txn.derive_partition_predicate(sink, "other", "2024-01-01", "2024-01-02") is None
+    # bucket specs are not invertible for ranges
+    sink2 = str(tmp_path / "t2")
+    txn.commit_append(
+        sink2,
+        txn.stage_append(df, sink2, ("day",)),
+        partspec="bucket(16, user_id)",
+    )
+    assert txn.derive_partition_predicate(sink2, "ts", "2024-01-01", "2024-01-02") is None
+    # no partspec at all
+    sink3 = str(tmp_path / "t3")
+    txn.commit_append(sink3, txn.stage_append(df, sink3, ("day",)))
+    assert txn.derive_partition_predicate(sink3, "ts", "2024-01-01", "2024-01-02") is None
