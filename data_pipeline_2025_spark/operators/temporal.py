@@ -390,3 +390,112 @@ def q140_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double(F.col("eff")).alias("nearest_price_d"),
         )
     )
+
+
+# ----------------- q234: regular-grid resample with forward fill
+#
+# The missing member of the time-series family (q53 as-of point
+# lookups, q54 validity intervals, q140 nearest-neighbor as-of):
+# RESAMPLING an irregular event stream onto a regular calendar grid
+# with forward fill — the "daily close, carried forward over quiet
+# days" shape every monitoring/feature pipeline needs. Per user:
+#
+# 1. daily close = the (ts, event_id)-last event per (user, day) —
+#    a row_number window over the composite order (total, so both
+#    engines pick the same row; window state is one row per group);
+# 2. the user's grid = every day from their first to their last
+#    event day (sequence + explode — bounded by the stream's span,
+#    the operator's output size);
+# 3. forward fill = last(close, ignorenulls) over (user, day) —
+#    one window per user partition, state is a single value.
+#
+# Scale: everything partitions on user_id; the explode emits
+# O(users · span_days) rows — the DEFINED output of resampling; no
+# cross-user traffic anywhere. The DuckDB oracle uses
+# generate_series + last_value IGNORE NULLS — the identical
+# algebra. Reference analog: the price-history endpoints
+# (salim/app/server/routes/products.py history queries) whose
+# charts want exactly this regularized series.
+
+_ORACLE_Q234 = """
+WITH ranked AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), closes AS (
+    SELECT user_id, day, value AS close_v FROM ranked WHERE rn = 1
+), spans AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+    FROM closes GROUP BY user_id
+), grid AS (
+    SELECT user_id,
+           CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans
+)
+SELECT g.user_id,
+       CAST(g.day AS VARCHAR) AS day,
+       CAST(CAST(last_value(c.close_v IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DECIMAL(12,2)) AS DOUBLE) AS close_d,
+       (c.close_v IS NOT NULL) AS observed
+FROM grid g LEFT JOIN closes c USING (user_id, day)
+ORDER BY user_id, day
+"""
+
+
+@register(
+    "q234_grid_resample_ffill",
+    oracle=_ORACLE_Q234,
+    doc="Irregular events resampled onto each user's daily grid "
+    "with forward-filled daily closes (row_number over the total "
+    "(ts, event_id) order so both engines pick the same row; "
+    "last-ignorenulls window fill). Partitions on user_id "
+    "end-to-end; output is O(users × span) by definition.",
+    tags=("temporal", "resample", "window"),
+)
+def q234_grid_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    wd = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closes = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("value").alias("close_v"),
+            F.row_number().over(wd).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    spans = closes.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(closes, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("close_v", ignorenulls=True).over(w).alias("ffill"),
+            F.col("close_v").isNotNull().alias("observed"),
+        )
+    )
+    return filled.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        to_double(F.col("ffill").cast("decimal(12,2)")).alias("close_d"),
+        "observed",
+    ).orderBy("user_id", "day")

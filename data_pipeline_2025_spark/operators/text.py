@@ -2162,3 +2162,98 @@ def q231_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.select("doc_id", "n_tok", "rarity_ppm").orderBy("doc_id")
+
+
+# --------------- q236: bigram predictability (the q231 complement)
+#
+# q231 scores documents by unigram RARITY (how surprising the
+# tokens are); this scores them by bigram PREDICTABILITY — the
+# fraction-style conditional frequency P(next | tok) a 2-gram LM
+# assigns, the standard "gibberish vs fluent" quality axis a
+# rarity score can't see (a doc of common tokens in random order
+# scores LOW here and unremarkable on q231). Same two-engine
+# discipline: the score is exact BIGINT algebra,
+#
+#     predictability_ppm(doc) =
+#         ( Σ_bigrams (cnt(tok,next) · 10⁶ DIV cnt_prefix(tok)) )
+#             DIV n_bigrams(doc)
+#
+# where cnt_prefix counts tok AS A BIGRAM PREFIX (so the estimator
+# is a proper conditional frequency that sums to ≤1 over next).
+#
+# Shape: NO join anywhere — the corpus bigram stream carries its
+# own counts via two window passes (count over (tok, next), count
+# over (tok)), then one per-doc aggregate. Three O(tokens)
+# hash-partitioned shuffles total; at 100 TB the bigram vocabulary
+# (10⁷-10⁸ rows) never needs to broadcast because it is never a
+# join side. Docs with <2 tokens have no bigrams and drop out —
+# both engines agree by construction.
+
+_ORACLE_Q236 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), big AS (
+    SELECT doc_id,
+           unnest([{{'t': toks[i], 'n': toks[i + 1]}}
+                   for i in range(1, len(toks))]) AS bg
+    FROM toks WHERE len(toks) >= 2
+), counted AS (
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY bg.t, bg.n) AS cnt_big,
+           COUNT(*) OVER (PARTITION BY bg.t) AS cnt_prefix
+    FROM big
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cnt_big * {RARITY_SCALE} // cnt_prefix)
+            // COUNT(*) AS BIGINT) AS predictability_ppm
+FROM counted
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q236_bigram_predictability",
+    oracle=_ORACLE_Q236,
+    doc="Bigram-LM predictability score (the q231 rarity "
+    "complement): mean conditional bigram frequency in ppm, exact "
+    "BIGINT algebra. Join-free — the bigram stream carries its own "
+    "counts via two window passes; the bigram vocabulary never "
+    "broadcasts because it is never a join side.",
+    tags=("text", "quality", "lm"),
+)
+def q236_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    big = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS t, toks[i] AS n))"
+                )
+            ).alias("bg"),
+        )
+    )
+    counted = big.select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bg.t", "bg.n"))
+        .alias("cnt_big"),
+        F.count(F.lit(1)).over(Window.partitionBy("bg.t")).alias("cnt_prefix"),
+    )
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                f"CAST(SUM(cnt_big * {RARITY_SCALE} DIV cnt_prefix)"
+                f" DIV COUNT(*) AS BIGINT)"
+            ).alias("predictability_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -130,6 +130,9 @@ _PRIORITY = (
     # (a) new round-7 queries (never driver-checked)
     "q229_segment_dedup_rebuild",
     "q233_hidden_partitioning",
+    "q234_grid_resample_ffill",
+    "q235_incremental_optimize",
+    "q236_bigram_predictability",
     "q230_dynamic_file_pruning",
     "q231_unigram_rarity",
     "q232_optimize_zorder",

@@ -2620,3 +2620,176 @@ def q233_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         "value_sum_d",
     )
+
+
+# --------- q235: INCREMENTAL optimize (round 7 cont.)
+#
+# Delta's actual OPTIMIZE behavior at scale: it does NOT rewrite the
+# table — it rewrites only files not yet optimized, and carries the
+# already-clustered files through untouched (their layout work is
+# never redone; at 100 TB re-clustering a petabyte because a day of
+# ingest arrived would be absurd). Lifecycle: v1 is the initial
+# OPTIMIZE output (gen-1 z-buckets over the pre-split half); v2 is
+# subsequent raw ingest (one file per day — the natural small-file
+# accumulation); v3 is the INCREMENTAL optimize: it reads ONLY the
+# raw files (explicit file list from the manifest — the log knows
+# which dirs are raw), z-buckets them as generation 2 (bucket ids
+# offset so the dir family never collides with gen 1), and commits
+# with txn.commit_replace_dirs — the rewritten raw dirs retire
+# EXPLICITLY while gen-1 files carry over byte-identical (pinned:
+# every gen-1 path still listed at head). Pruning on u then skips
+# across BOTH generations. All counts are recomputed from the
+# manifest on every invocation; the oracle re-derives both
+# generations' bucket algebra, the carry-over, and the exact range
+# aggregate.
+
+_IO_SPLIT_D = 15  # pre: d in [0, 14] -> gen-1; post: d >= 15 -> raw
+
+
+def _io_bucket_sql(zmin: int, zmax: int, offset: int) -> str:
+    return (
+        f"CAST({offset} + ((z - {zmin}) * {_SKIP_BUCKETS})"
+        f" DIV ({zmax} - {zmin} + 1) AS BIGINT)"
+    )
+
+
+_ORACLE_Q235 = f"""
+WITH base AS (
+    SELECT event_id, value,
+           user_id & {_SKIP_UMASK} AS u,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS d
+    FROM events
+), keyed AS (
+    SELECT *, {_skip_interleave_sql('u', 'd')} AS z FROM base
+), pre AS (
+    SELECT u, CAST(((z - zmin) * {_SKIP_BUCKETS}) // (zmax - zmin + 1)
+                   AS BIGINT) AS b
+    FROM keyed, (SELECT MIN(z) AS zmin, MAX(z) AS zmax FROM keyed
+                  WHERE d < {_IO_SPLIT_D})
+    WHERE d < {_IO_SPLIT_D}
+), post AS (
+    SELECT u, d, CAST(((z - zmin) * {_SKIP_BUCKETS}) // (zmax - zmin + 1)
+                      AS BIGINT) AS b
+    FROM keyed, (SELECT MIN(z) AS zmin, MAX(z) AS zmax FROM keyed
+                  WHERE d >= {_IO_SPLIT_D})
+    WHERE d >= {_IO_SPLIT_D}
+), g1 AS (SELECT b, MIN(u) AS umin, MAX(u) AS umax FROM pre GROUP BY b),
+   g2 AS (SELECT b, MIN(u) AS umin, MAX(u) AS umax FROM post GROUP BY b),
+   raw AS (SELECT d FROM post GROUP BY d)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM g1) AS files_gen1,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS files_raw,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM g2) AS files_gen2,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM g1) AS files_carried,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM g1)
+    + (SELECT CAST(COUNT(*) AS BIGINT) FROM g2) AS files_total,
+  (SELECT CAST(COUNT(*) FILTER (WHERE umax >= {_OPT_U_LO}
+                                  AND umin <= {_OPT_U_HI}) AS BIGINT)
+     FROM g1)
+    + (SELECT CAST(COUNT(*) FILTER (WHERE umax >= {_OPT_U_LO}
+                                      AND umin <= {_OPT_U_HI}) AS BIGINT)
+         FROM g2) AS kept_u,
+  CAST(COUNT(*) FILTER (WHERE u BETWEEN {_OPT_U_LO} AND {_OPT_U_HI})
+       AS BIGINT) AS n_rows_range,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+             FILTER (WHERE u BETWEEN {_OPT_U_LO} AND {_OPT_U_HI}), 2)
+       AS DOUBLE) AS value_sum_d,
+  CAST(COUNT(*) AS BIGINT) AS n_rows_total
+FROM base
+"""
+
+
+def _io_zbucket(df: DataFrame, offset: int) -> DataFrame:
+    keyed = df.withColumn("z", F.expr(_skip_interleave_sql("u", "d")))
+    zmin, zmax = keyed.agg(F.min("z"), F.max("z")).first()
+    return keyed.withColumn(
+        "zb", F.expr(_io_bucket_sql(zmin, zmax, offset))
+    ).drop("z")
+
+
+def _build_io_sink(spark: SparkSession, sf_dir: str) -> str:
+    tag = "io_q235_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id",
+            "value",
+            F.expr(f"user_id & {_SKIP_UMASK}").alias("u"),
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias(
+                "d"
+            ),
+        )
+        # v1: initial OPTIMIZE output (gen-1 z-buckets over pre half)
+        zb1 = _io_zbucket(ev.where(F.col("d") < _IO_SPLIT_D), 0)
+        txn.commit_append(
+            sink, txn.stage_append(zb1.repartition(F.col("zb")), sink, ("zb",))
+        )
+        # v2: subsequent raw ingest — one file per day, d kept as data
+        post = ev.where(F.col("d") >= _IO_SPLIT_D).withColumn(
+            "pd", F.col("d")
+        )
+        txn.commit_append(
+            sink, txn.stage_append(post.repartition(F.col("pd")), sink, ("pd",))
+        )
+        # v3: INCREMENTAL optimize — rewrite ONLY the raw files
+        raw_files = [
+            f for f in txn.committed_files(sink) if f.startswith("pd=")
+        ]
+        raw_dirs = sorted({os.path.dirname(f) for f in raw_files})
+        raw = spark.read.schema(
+            "event_id BIGINT, value DOUBLE, u BIGINT, d INT"
+        ).parquet(*[os.path.join(sink, f) for f in raw_files])
+        zb2 = _io_zbucket(raw, 100)  # dir family gen-2: zb=100..
+        txn.commit_replace_dirs(
+            sink,
+            txn.stage_append(zb2.repartition(F.col("zb")), sink, ("zb",)),
+            raw_dirs,
+        )
+    return sink
+
+
+@register(
+    "q235_incremental_optimize",
+    oracle=_ORACLE_Q235,
+    doc="Incremental OPTIMIZE (Delta's real behavior): only the raw "
+    "post-ingest files are rewritten into gen-2 z-buckets via "
+    "commit_replace_dirs (explicit retire of the rewritten dirs); "
+    "gen-1 optimized files carry over byte-identical — every gen-1 "
+    "path still listed at head, pinned — and u-pruning skips across "
+    "both generations. Counts recomputed from the manifest each "
+    "invocation; oracle re-derives both generations' bucket algebra.",
+    tags=("txn", "layout", "zorder", "optimize"),
+)
+def q235_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _build_io_sink(spark, sf_dir)
+    v1_files = set(txn.listing_at(sink, 1))
+    v2_raw = [f for f in txn.listing_at(sink, 2) if f.startswith("pd=")]
+    head_files = set(txn.committed_files(sink))
+    carried = len(v1_files & head_files)
+    assert carried == len(v1_files)  # gen-1 never rewritten
+    rng = (_OPT_U_LO, _OPT_U_HI)
+    kept, total = txn.prune_files(sink, {"u": rng})
+    n_total = txn.metadata_agg(sink)["count"]
+    agg = (
+        txn.read_committed(spark, sink, prune={"u": rng})
+        .where(F.col("u").between(*rng))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_range"),
+            money_out(F.sum(dec("value"))).alias("value_sum_d"),
+        )
+    )
+    return agg.select(
+        F.lit(len(v1_files)).cast("bigint").alias("files_gen1"),
+        F.lit(len(v2_raw)).cast("bigint").alias("files_raw"),
+        F.lit(len(head_files) - carried).cast("bigint").alias("files_gen2"),
+        F.lit(carried).cast("bigint").alias("files_carried"),
+        F.lit(total).cast("bigint").alias("files_total"),
+        F.lit(len(kept)).cast("bigint").alias("kept_u"),
+        F.col("n_rows_range").cast("bigint").alias("n_rows_range"),
+        "value_sum_d",
+        F.lit(n_total).cast("bigint").alias("n_rows_total"),
+    )

@@ -1139,11 +1139,17 @@ def prune_files_in(
     the query text. A file is kept iff its recorded [min, max]
     bounds admit at least one key (one ``bisect`` over the sorted
     key list per file — O(#files · log #keys) driver work, pure
-    metadata, no data file opened); files without bounds for
-    ``col`` are always kept, and incomparable bound/key types keep
-    the file — pruning is an optimization, NEVER a wrong skip, and
-    the caller still applies the exact join/filter to the
-    survivors (the :func:`prune_files` contract).
+    metadata, no data file opened) AND, when the file carries a
+    type-matched bloom sidecar for ``col``, at least one
+    bounds-admitted key passes the bloom — the leg that makes DFP
+    effective on an UNCLUSTERED column, where every file's range
+    spans most keys but each file holds few of them (worst case
+    O(#files · #keys · k) bit probes, still metadata-only). Files
+    without bounds for ``col`` are always kept; incomparable or
+    type-mismatched bound/key types keep the file — pruning is an
+    optimization, NEVER a wrong skip, and the caller still applies
+    the exact join/filter to the survivors (the
+    :func:`prune_files` contract).
 
     An EMPTY key set keeps nothing: ``col IN ()`` provably matches
     no row, so reading zero files is the exact answer, not a
@@ -1162,6 +1168,7 @@ def prune_files_in(
     index = stats_at(sink_dir, version)
     if not keys:
         return [], len(index)
+    blooms = blooms_at(sink_dir, version)
     kept: list[str] = []
     for path, cols in index.items():
         if col not in cols:
@@ -1170,10 +1177,46 @@ def prune_files_in(
         mn, mx = cols[col]
         try:
             i = bisect.bisect_left(keys, mn)
-            if i < len(keys) and keys[i] <= mx:
-                kept.append(path)
+            j = bisect.bisect_right(keys, mx)
         except TypeError:
             kept.append(path)  # incomparable types: keep, never wrong-skip
+            continue
+        if i >= j:
+            continue  # bounds exclude every key
+        # bounds admit keys[i:j]; the per-file BLOOM (when present
+        # and type-matched — the prune_files_eq guard) can refute
+        # each candidate key individually: skip the file only when
+        # EVERY candidate is provably absent. This is what makes DFP
+        # effective on an UNCLUSTERED column, where one file's
+        # [min, max] spans most of the key range.
+        spec = blooms.get(path, {}).get(col)
+        if spec is None:
+            kept.append(path)
+            continue
+        m, k, h, t = spec
+        bounds_int = all(
+            isinstance(b, int) and not isinstance(b, bool) for b in cols[col]
+        )
+        bounds_str = all(isinstance(b, str) for b in cols[col])
+
+        def _admits(v) -> bool:
+            if isinstance(v, bool):
+                return True
+            if isinstance(v, int):
+                ok = (t == "i") if t is not None else bounds_int
+            elif isinstance(v, str):
+                ok = (t == "s") if t is not None else bounds_str
+            else:
+                ok = False
+            if not ok:
+                return True  # type mismatch: cannot refute, keep
+            return all(
+                (int(h[pos >> 2], 16) >> (pos & 3)) & 1
+                for pos in _bloom_positions(v, m, k)
+            )
+
+        if any(_admits(v) for v in keys[i:j]):
+            kept.append(path)
     return kept, len(index)
 
 
@@ -1359,6 +1402,7 @@ def _commit(
     colmap: dict[str, str] | None = None,
     dv_ref: tuple[str, dict[str, int]] | None = None,
     replace_all: bool = False,
+    drop_dirs: list[str] | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
 
@@ -1403,14 +1447,19 @@ def _commit(
             return False
         seq = head + 1
         is_ckpt = seq % CHECKPOINT_EVERY == 1  # v1, v11, v21, ...
-        drop_dirs = {os.path.dirname(f) for f in new_files} if replace else set()
+        drop_set = {os.path.dirname(f) for f in new_files} if replace else set()
+        if replace and drop_dirs:
+            # explicit drop set (incremental OPTIMIZE: retire exactly
+            # the directories whose files were rewritten, even though
+            # the rewritten output lands in a different dir family)
+            drop_set |= set(drop_dirs)
         if replace and replace_all and head:
             # full-snapshot replace: every dir the CURRENT head lists
             # drops too (recomputed per retry — the head may move)
-            drop_dirs |= {
+            drop_set |= {
                 os.path.dirname(f) for f in _listing_at(sink_dir, head)
             }
-        replaced_dirs = sorted(drop_dirs)
+        replaced_dirs = sorted(drop_set)
         if is_ckpt:
             (
                 base,
@@ -1746,6 +1795,20 @@ def commit_replace_table(sink_dir: str, new_files: list[str]) -> None:
     drop set is O(#directories) manifest lines — metadata-sized at
     any table size."""
     _commit(sink_dir, list(new_files), replace=True, replace_all=True)
+
+
+def commit_replace_dirs(
+    sink_dir: str, new_files: list[str], drop_dirs: list[str]
+) -> None:
+    """Replace with an EXPLICIT drop set — the incremental-OPTIMIZE
+    commit (Delta's OPTIMIZE only rewrites not-yet-optimized files):
+    the rewritten input directories in ``drop_dirs`` retire even
+    though the optimized output lands in a different dir family,
+    previously-optimized files carry over untouched (their layout
+    work is never redone), and the whole swap is ONE atomic
+    log-entry create. Dirs touched by ``new_files`` drop as in
+    :func:`commit_replace`."""
+    _commit(sink_dir, list(new_files), replace=True, drop_dirs=list(drop_dirs))
 
 
 def commit_replace_if(

@@ -989,3 +989,44 @@ def test_q226_packing_assignment_window_is_hash_partitioned(spark, sf_smoke):
     plan = plan_of(spark, "q226_packed_sequences", sf_smoke)
     assert "Window" in plan
     assert "hashpartitioning(stream" in plan
+
+
+def test_q230_dfp_join_is_broadcast_no_smj(spark, sf_smoke):
+    """Dynamic file pruning: after the key-set prune, the exact
+    dim join must be broadcast-hash (the dim is the SAME bounded
+    set that was collected) — a sort-merge join would shuffle the
+    pruned fact for a dim that fits in one broadcast."""
+    plan = plan_of(spark, "q230_dynamic_file_pruning", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q231_rarity_joins_broadcast_corpus_never_shuffled(spark, sf_smoke):
+    """Unigram rarity: both the vocabulary join and the scalar-total
+    join must broadcast — the corpus-sized token stream is never
+    the shuffled side of a SortMergeJoin."""
+    plan = plan_of(spark, "q231_unigram_rarity", sf_smoke)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q229_segment_dedup_single_hash_shuffle_no_joins(spark, sf_smoke):
+    """Segment dedup: the keep decision is ONE window over the
+    segment hash plus a per-doc rebuild — no join of any kind, no
+    cartesian, and the window partitions on md5 (32-byte key), not
+    on the segment text."""
+    plan = plan_of(spark, "q229_segment_dedup_rebuild", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+
+
+def test_q233_hidden_partitioning_exact_filter_pushed(spark, sf_smoke):
+    """Hidden partitioning: manifest pruning picks the files, and
+    the residual EXACT ts predicate must still reach the parquet
+    scan (row-group pruning inside kept files)."""
+    plan = plan_of(spark, "q233_hidden_partitioning", sf_smoke)
+    assert "GreaterThanOrEqual(ts" in plan
+    assert "LessThanOrEqual(ts" in plan

@@ -1800,3 +1800,65 @@ def test_derive_partition_predicate_translation_and_fallback(spark, tmp_path):
     sink3 = str(tmp_path / "t3")
     txn.commit_append(sink3, txn.stage_append(df, sink3, ("day",)))
     assert txn.derive_partition_predicate(sink3, "ts", "2024-01-01", "2024-01-02") is None
+
+
+def test_commit_replace_dirs_retires_explicit_dirs_only(spark, tmp_path):
+    """Incremental-OPTIMIZE commit: the explicit drop set retires
+    even when the rewritten output lands in a different dir family,
+    while files in OTHER untouched dirs carry over byte-identical."""
+    sink = str(tmp_path / "t")
+    opt = spark.range(0, 10).coalesce(1).select(
+        F.col("id"), F.lit(0).alias("g")
+    )
+    txn.commit_append(sink, txn.stage_append(opt, sink, ("g",)))  # optimized
+    raw = spark.range(10, 20).coalesce(1).select(
+        F.col("id"), F.lit("x").alias("day")
+    )
+    txn.commit_append(sink, txn.stage_append(raw, sink, ("day",)))  # raw
+    gen1 = set(txn.listing_at(sink, 1))
+    # rewrite ONLY the raw files into a new generation dir
+    reb = spark.range(10, 20).coalesce(1).select(
+        F.col("id"), F.lit(1).alias("g")
+    )
+    txn.commit_replace_dirs(
+        sink, txn.stage_append(reb, sink, ("g",)), ["day=x"]
+    )
+    head = set(txn.committed_files(sink))
+    assert gen1 <= head  # optimized files carried, same paths
+    assert not any(f.startswith("day=") for f in head)  # raw retired
+    assert {r["id"] for r in txn.read_committed(spark, sink).collect()} == set(
+        range(20)
+    )
+    assert txn.metadata_agg(sink)["count"] == 20
+
+
+def test_prune_files_in_consults_blooms_on_unclustered_column(spark, tmp_path):
+    """Key-set pruning's bloom leg: three files whose [min, max] id
+    ranges all span the probe keys (bounds alone prune nothing), but
+    whose actual key sets are disjoint — the per-file blooms refute
+    the absent files and only the holder survives. A file holding a
+    probe key is NEVER skipped; a float-column probe falls back to
+    bounds-only (type guard)."""
+    sink = str(tmp_path / "t")
+    # interleaved ids: file g0 = {0,3,6,...}, g1 = {1,4,...}, g2 = {2,5,...}
+    for g in (0, 1, 2):
+        df = (
+            spark.range(0, 30)
+            .where(F.col("id") % 3 == g)
+            .coalesce(1)
+            .select(F.col("id"), F.lit(f"g{g}").alias("day"))
+        )
+        staged = txn.stage_append(df, sink, ("day",))
+        txn.commit_append(
+            sink, staged, bloom=txn.build_bloom(spark, sink, staged, "id")
+        )
+    # every file's bounds span [g, 27+g] — bounds admit key 9 and 21
+    # everywhere; the blooms know only g0 holds multiples of 3
+    kept, total = txn.prune_files_in(sink, "id", [9, 21])
+    assert total == 3 and len(kept) == 1 and "day=g0" in kept[0]
+    # a key set spanning two files keeps exactly those two
+    kept2, _ = txn.prune_files_in(sink, "id", [9, 22])
+    assert sorted("g0" if "g0" in f else "g1" for f in kept2) == ["g0", "g1"]
+    # survivors still contain the true matches
+    live = txn.read_committed(spark, sink, prune_in=("id", [9, 21]))
+    assert {r["id"] for r in live.collect() if r["id"] in (9, 21)} == {9, 21}
