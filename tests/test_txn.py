@@ -1862,3 +1862,115 @@ def test_prune_files_in_consults_blooms_on_unclustered_column(spark, tmp_path):
     # survivors still contain the true matches
     live = txn.read_committed(spark, sink, prune_in=("id", [9, 21]))
     assert {r["id"] for r in live.collect() if r["id"] in (9, 21)} == {9, 21}
+
+
+# ------------- randomized commit-grammar consistency (round 7 cont.)
+#
+# The unit tests pin each operation's semantics in isolation; this
+# pins their INTERACTIONS: seeded random sequences of append /
+# dynamic replace / explicit-dir replace / full-table replace /
+# DV delete / restore, checked after every step against a
+# driver-side model of the live row set, plus the metadata-only
+# count (which must agree with the actual read at every version —
+# the invariant every lakehouse feature rides on) and a final
+# time-travel sweep re-reading every historical version against
+# its model snapshot. Vacuum is excluded on purpose: it reclaims
+# superseded files, which legitimately ends time travel past it
+# (its lifecycle is pinned by the dedicated sidecar/WAP tests).
+
+import random as _random
+
+import pytest
+
+
+def _mk_batch(spark, ids, day):
+    return (
+        spark.createDataFrame([(i, day) for i in ids], "id BIGINT, day STRING")
+        .coalesce(1)
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 71])
+def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
+    rng = _random.Random(seed)
+    sink = str(tmp_path / f"t{seed}")
+    live: dict[int, str] = {}  # id -> day (model of the live table)
+    history: list[dict[int, str]] = []  # model snapshot per version
+    next_id = 0
+
+    def fresh_ids(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    def check():
+        df = txn.read_committed(spark, sink)
+        got = (
+            {}
+            if df is None
+            else {r["id"]: r["day"] for r in df.collect()}
+        )
+        assert got == live, f"seed={seed} step mismatch"
+        assert txn.metadata_agg(sink)["count"] == len(live)
+
+    for _step in range(12):
+        op = rng.choice(
+            ["append", "replace_day", "replace_dirs", "replace_table",
+             "delete", "restore"]
+        )
+        if op == "append" or not history:
+            day = rng.choice("abc")
+            ids = fresh_ids(rng.randint(1, 5))
+            txn.commit_append(
+                sink,
+                txn.stage_append(_mk_batch(spark, ids, day), sink, ("day",)),
+            )
+            live.update({i: day for i in ids})
+        elif op == "replace_day":
+            day = rng.choice("abc")
+            ids = fresh_ids(rng.randint(1, 4))
+            txn.commit_replace(
+                sink,
+                txn.stage_append(_mk_batch(spark, ids, day), sink, ("day",)),
+            )
+            live = {i: d for i, d in live.items() if d != day}
+            live.update({i: day for i in ids})
+        elif op == "replace_dirs":
+            src = rng.choice("abc")
+            dst = rng.choice("xyz")
+            ids = fresh_ids(rng.randint(1, 4))
+            txn.commit_replace_dirs(
+                sink,
+                txn.stage_append(_mk_batch(spark, ids, dst), sink, ("day",)),
+                [f"day={src}"],
+            )
+            live = {i: d for i, d in live.items() if d not in (src, dst)}
+            live.update({i: dst for i in ids})
+        elif op == "replace_table":
+            day = rng.choice("abcxyz")
+            ids = fresh_ids(rng.randint(1, 4))
+            txn.commit_replace_table(
+                sink,
+                txn.stage_append(_mk_batch(spark, ids, day), sink, ("day",)),
+            )
+            live = {i: day for i in ids}
+        elif op == "delete":
+            k = rng.choice([2, 3])
+            deleted = txn.delete_where(spark, sink, F.col("id") % k == 0)
+            if deleted == 0:
+                check()  # nothing matched: no commit, state unchanged
+                continue
+            live = {i: d for i, d in live.items() if i % k != 0}
+        elif op == "restore":
+            v = rng.choice(range(1, len(history) + 1))
+            txn.restore(sink, v)
+            live = dict(history[v - 1])
+        history.append(dict(live))
+        check()
+    # every historical version still time-travels to its model
+    # snapshot (restores must not have corrupted the log)
+    for v, snap in enumerate(history, start=1):
+        df = txn.read_version(spark, sink, v)
+        got = {r["id"]: r["day"] for r in df.collect()}
+        assert got == snap, f"seed={seed} version {v}"
