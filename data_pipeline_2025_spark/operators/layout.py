@@ -159,3 +159,97 @@ def q163_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --------------- q239: multi-format sink/source round-trip parity
+#
+# The sources/sinks axis beyond parquet (SURVEY §2.1): the same
+# slice of events written to PARQUET, ORC, JSON, and CSV through
+# Spark's native writers, read back with an EXPLICIT schema (the
+# discipline that makes text formats safe — inference would turn
+# CSV bigints into strings on an unlucky sample), and aggregated —
+# every format leg must reproduce the direct aggregate
+# bit-for-bit. This pins the two classic text-format hazards:
+# double round-tripping (Spark writes shortest-round-trip decimal
+# strings; the exact-decimal money path then makes the sum
+# rendering-independent) and type erosion. Columns are
+# bigint/double/string only; the timestamp is carried as an ISO
+# day STRING — date/time serialization across four formats is a
+# config matrix, not a correctness property, so it is normalized
+# before the sink boundary (the same choice the gold sinks make).
+# At 100 TB: columnar formats carry footer stats and prune;
+# JSON/CSV legs exist for interchange, and the parity harness is
+# how you prove an interchange copy lossless before promoting it.
+
+_RT_FORMATS = ("csv", "json", "orc", "parquet")
+_RT_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, value DOUBLE, "
+    "event_type STRING, day STRING"
+)
+
+_ORACLE_Q239 = """
+WITH agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS value_sum_d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+)
+SELECT f.fmt AS format, a.n_rows, a.value_sum_d, a.n_users
+FROM agg a, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(fmt)
+ORDER BY f.fmt
+"""
+
+
+@register(
+    "q239_format_roundtrip",
+    oracle=_ORACLE_Q239,
+    doc="Sink/source format parity: the same events slice written "
+    "to CSV/JSON/ORC/parquet via the native writers, read back "
+    "under an explicit schema, aggregated — all four legs must "
+    "reproduce the direct aggregate bit-for-bit (double "
+    "round-tripping + type erosion pinned).",
+    tags=("sources", "sinks", "formats"),
+)
+def q239_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from functools import reduce
+
+    from ..session import session_scratch_dir
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+    )
+    import hashlib as _h
+
+    root, fresh = session_scratch_dir(
+        spark, "fmt_q239_" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    legs = []
+    for fmt in _RT_FORMATS:
+        path = os.path.join(root, fmt)
+        if fresh or not os.path.isdir(path):
+            w = ev.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.save(path)
+        r = spark.read.schema(_RT_SCHEMA).format(fmt)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        back = r.load(path)
+        legs.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(
+                    "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)"
+                    " AS DOUBLE)"
+                ).alias("value_sum_d"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            ).select(F.lit(fmt).alias("format"), "*")
+        )
+    return reduce(DataFrame.unionByName, legs).orderBy("format")

@@ -3234,3 +3234,98 @@ def q225_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------- q237: contrastive-pair mining (hard negatives)
+#
+# The embedding-training data op the ANN family feeds: for each
+# anchor vector, mine the TOP-K most-similar vectors with a
+# DIFFERENT label (hard negatives — the pairs that actually move a
+# contrastive loss) and the top-k same-label vectors (positives).
+# Same exact-cosine machinery as q40 (broadcast anchors ×
+# candidates, integer-exact rank tiebreak on neighbor_id), with the
+# label constraint expressed as a second window-partition key — one
+# pass produces both legs, no second scan. At 100 TB the anchor set
+# is the (bounded) training batch and the candidate scan rides the
+# q202/q225 IVF candidate generation instead of the full corpus;
+# this registered query IS the exact-mining baseline that validates
+# that path, exactly as q40 validates ANN recall.
+
+_ORACLE_Q237 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+q AS (SELECT * FROM n WHERE vec_id IN ({_QIDS_SQL})),
+pairs AS (
+    SELECT q.vec_id AS query_id,
+           CASE WHEN c.label = q.label THEN 'positive'
+                ELSE 'hard_negative' END AS pair_type,
+           c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           round(list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)), 6)
+               AS cos_r
+    FROM q JOIN n c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, pair_type, neighbor_id, neighbor_label, cos_r,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id, pair_type ORDER BY cos_r DESC, neighbor_id
+    ) AS rn
+    FROM pairs
+)
+WHERE rn <= {TOP_K}
+ORDER BY query_id, pair_type, rank
+"""
+
+
+@register(
+    "q237_hard_negative_mining",
+    oracle=_ORACLE_Q237,
+    doc="Contrastive-pair mining: per anchor, top-k most-similar "
+    "DIFFERENT-label vectors (hard negatives) and top-k same-label "
+    "positives in one pass — the label constraint is a second "
+    "window-partition key over the q40 exact-cosine machinery. The "
+    "exact baseline the IVF-candidate mining path validates "
+    "against.",
+    tags=("similarity", "ann", "training-pairs"),
+)
+def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _vec_norms(spark, sf_dir)
+    q = (
+        n.where(F.col("vec_id").isin(*QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("qn2"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.when(F.col("label") == F.col("qlabel"), F.lit("positive"))
+            .otherwise(F.lit("hard_negative"))
+            .alias("pair_type"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id", "pair_type").orderBy(
+        F.col("cos_r").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "pair_type", "neighbor_id", "neighbor_label",
+            "cos_r", "rank",
+        )
+        .orderBy("query_id", "pair_type", "rank")
+    )

@@ -2257,3 +2257,57 @@ def q236_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------- q240: compression-ratio quality signal (mapInPandas)
+#
+# The classic cheap quality proxy rule-based filters can't express
+# in column algebra: zlib-compressibility. Highly repetitive or
+# templated text compresses far below natural prose, so the
+# deflate ratio is a one-number redundancy signal (used alongside
+# Gopher-style rules in public curation pipelines). zlib is not
+# expressible in either engine's SQL, so this is the repo's
+# canonical ARROW-BATCH python path (same contract as
+# multimodal.py): one mapInPandas over the documents scan — no
+# row-at-a-time UDF, no shuffle, output O(docs). It is therefore a
+# ROWS-ONLY registry entry (no DuckDB oracle CAN exist); the exact
+# per-doc values are pinned instead by
+# tests/test_prep_ops.py::test_q240_compression_matches_driver_zlib,
+# which recomputes every doc with the same zlib on the driver.
+# ratio_ppm is exact integer algebra on the two lengths, so the
+# pin is bit-exact, not approximate.
+
+def _compress_batches(batches):
+    import zlib
+
+    for pdf in batches:
+        enc = pdf["text"].str.encode("utf-8")
+        comp = enc.map(lambda b: len(zlib.compress(b)))
+        out = pdf[["doc_id"]].copy()
+        out["raw_len"] = enc.map(len).astype("int64")
+        out["comp_len"] = comp.astype("int64")
+        out["ratio_ppm"] = (
+            out["comp_len"] * 1_000_000 // out["raw_len"]
+        ).astype("int64")
+        yield out
+
+
+@register(
+    "q240_compression_quality",
+    oracle=None,  # zlib exists in neither SQL engine — see module doc
+    doc="zlib-compressibility quality signal per document (low "
+    "ratio = templated/repetitive text): one Arrow-batched "
+    "mapInPandas pass, no shuffle; ratio in exact integer ppm. "
+    "Rows-only registry entry; per-doc values pinned bit-exact by "
+    "a driver-side zlib recomputation test.",
+    tags=("text", "quality", "pandas-udf"),
+)
+def q240_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        Catalog(spark, sf_dir).documents.select("doc_id", "text"), "doc_id"
+    )
+    out = docs.mapInPandas(
+        _compress_batches,
+        "doc_id BIGINT, raw_len BIGINT, comp_len BIGINT, ratio_ppm BIGINT",
+    )
+    return out.orderBy("doc_id")

@@ -133,6 +133,10 @@ _PRIORITY = (
     "q234_grid_resample_ffill",
     "q235_incremental_optimize",
     "q236_bigram_predictability",
+    "q237_hard_negative_mining",
+    "q238_scd2_from_cdf",
+    "q239_format_roundtrip",
+    "q240_compression_quality",
     "q230_dynamic_file_pruning",
     "q231_unigram_rarity",
     "q232_optimize_zorder",

@@ -2793,3 +2793,127 @@ def q235_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum_d",
         F.lit(n_total).cast("bigint").alias("n_rows_total"),
     )
+
+
+# --------- q238: SCD2 dimension history FROM the change feed
+#
+# The composition the CDF exists for besides mat-views (q215): a
+# TYPE-2 dimension history. A dimension table lives through three
+# versions — the initial load, then two DV-backed MERGEs that
+# upsert only the keys whose attribute actually changed — and the
+# SCD2 table is materialized purely from txn.read_changes: every
+# 'insert' change opens a validity interval at its _commit_version,
+# closed by the key's next insert (lead() per key), open-ended =
+# current. No snapshot is ever re-scanned: the history is O(changes),
+# which at 100 TB is the only affordable way to maintain dimension
+# history (a daily full-snapshot diff re-reads the table every
+# day). The upsert-only fold matches dimension-maintenance
+# semantics; hard deletes appear as 'delete' changes (q214/q227)
+# and would close intervals the same way. The oracle re-derives
+# every interval from batch algebra over events: which users
+# changed at which version, with which running count, is pure
+# day-window arithmetic. Rebuilt per invocation at day-split
+# boundaries 10/20 (the merge IS the lifecycle under test).
+
+_SCD_D1, _SCD_D2 = 10, 20
+
+_ORACLE_Q238 = f"""
+WITH base AS (
+    SELECT user_id,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS d
+    FROM events
+), c0 AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM base
+    WHERE d < {_SCD_D1} GROUP BY user_id
+), u2 AS (SELECT DISTINCT user_id FROM base
+          WHERE d >= {_SCD_D1} AND d < {_SCD_D2}),
+c1 AS (
+    SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM base b
+    JOIN u2 USING (user_id) WHERE d < {_SCD_D2} GROUP BY b.user_id
+), u3 AS (SELECT DISTINCT user_id FROM base WHERE d >= {_SCD_D2}),
+c2 AS (
+    SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM base b
+    JOIN u3 USING (user_id) GROUP BY b.user_id
+), ins AS (
+    SELECT user_id, cnt, 1 AS valid_from FROM c0
+    UNION ALL SELECT user_id, cnt, 2 FROM c1
+    UNION ALL SELECT user_id, cnt, 3 FROM c2
+)
+SELECT user_id, cnt,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(lead(valid_from) OVER w AS BIGINT) AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM ins
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+ORDER BY user_id, valid_from
+"""
+
+
+def _build_scd_sink(spark: SparkSession, sf_dir: str) -> str:
+    tag = "scd_q238_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 3:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        base = Catalog(spark, sf_dir).events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias(
+                "d"
+            ),
+        )
+        dim0 = (
+            base.where(F.col("d") < _SCD_D1)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("p", F.col("user_id") % 4)
+        )
+        txn.commit_append(sink, txn.stage_append(dim0, sink, ("p",)))
+        for lo, hi in ((_SCD_D1, _SCD_D2), (_SCD_D2, None)):
+            changed = base.where(
+                (F.col("d") >= lo)
+                & (F.col("d") < hi if hi is not None else F.lit(True))
+            ).select("user_id").distinct()
+            upd = (
+                base.where(F.col("d") < hi if hi is not None else F.lit(True))
+                .join(changed, "user_id")
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .withColumn("p", F.col("user_id") % 4)
+            )
+            txn.merge_upsert_dv(spark, sink, upd, "user_id", ("p",))
+    return sink
+
+
+@register(
+    "q238_scd2_from_cdf",
+    oracle=_ORACLE_Q238,
+    doc="Type-2 dimension history materialized purely from the "
+    "change feed: each 'insert' change opens a validity interval at "
+    "its _commit_version, closed by the key's next insert (lead per "
+    "key), open = current — O(changes), no snapshot rescan; the "
+    "dimension lives through an initial load and two DV-backed "
+    "MERGEs of only-changed keys. Oracle re-derives every interval "
+    "from day-window arithmetic over events.",
+    tags=("streaming", "txn", "cdf", "scd2"),
+)
+def q238_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sink = _build_scd_sink(spark, sf_dir)
+    ch = txn.read_changes(spark, sink, 0)
+    ins = ch.where(F.col("_change_type") == "insert").select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("_commit_version").cast("bigint").alias("valid_from"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return ins.select(
+        "user_id",
+        "cnt",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")

@@ -1164,8 +1164,13 @@ def prune_files_in(
     selectivity."""
     import bisect
 
-    keys = sorted(set(values))
     index = stats_at(sink_dir, version)
+    try:
+        keys = sorted(set(values))
+    except TypeError:
+        # mixed incomparable key types: cannot order, cannot refute —
+        # keep everything rather than crash or wrongly skip
+        return list(index), len(index)
     if not keys:
         return [], len(index)
     blooms = blooms_at(sink_dir, version)

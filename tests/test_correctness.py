@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 234
+EXPECTED_QUERY_COUNT = 238
 
 
 def test_registry_complete():
@@ -77,7 +77,7 @@ def test_priority_queries_inside_driver_cap():
 
     first_50 = set(list(SPECS)[:50])
     must_lead = set(_registry._PRIORITY)
-    assert len(must_lead) == 46
+    assert len(must_lead) == 50
     # spot-pin the three rotation groups so _PRIORITY edits stay honest
     assert "q225_trained_ivfpq" in must_lead  # (a) new round-7
     assert "q208_dv_merge" in must_lead  # (b) sidecar-rewritten

@@ -506,3 +506,24 @@ def test_q231_rarity_orders_common_vs_rare(spark, sf_smoke):
     # corpus minimum possible value; every real doc scores >= that
     floor = total * RARITY_SCALE // max(cnt.values())
     assert all(ppm >= floor for _n, ppm in out.values())
+
+
+def test_q240_compression_matches_driver_zlib(spark, sf_smoke):
+    """The mapInPandas zlib pass must agree bit-exactly with a
+    driver-side recomputation over every document (the oracle this
+    non-SQL-expressible op can't have)."""
+    import zlib
+
+    from data_pipeline_2025_spark.catalog import Catalog
+
+    got = {
+        r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio_ppm"])
+        for r in SPECS["q240_compression_quality"].spark_fn(spark, sf_smoke).collect()
+    }
+    docs = Catalog(spark, sf_smoke).documents.select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        raw = r["text"].encode("utf-8")
+        comp = len(zlib.compress(raw))
+        want = (len(raw), comp, comp * 1_000_000 // len(raw))
+        assert got[r["doc_id"]] == want, r["doc_id"]
