@@ -274,3 +274,98 @@ def q166_audio_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return audio.mapInPandas(_segment_audio, AUDIO_CHUNK_SCHEMA)
+
+
+# -------- q241: thumbnail resize (the last of the four media ops)
+#
+# decode (q45), frame-sample (q60), audio-segment (q166) — this
+# closes the brief's list with RESIZE: every image payload scaled
+# to fit a 64-px bounding box with aspect ratio preserved. Same
+# honest seam as the rest of the family: the pixel resample is
+# stubbed (the codec libs aren't in this container) but everything
+# an engine actually schedules is real — Arrow batch in, integer
+# geometry computed per row, deterministic thumb content hash out,
+# explicit schema. The geometry is pure integer algebra on the
+# fake-decode dimensions, so the DuckDB oracle recomputes the
+# whole thing including the hash; swap `_resize_stub` internals
+# for PIL's `Image.thumbnail` and only the hash column stops being
+# oracle-checkable. No shuffle; output O(images).
+
+THUMB_MAX = 64  # bounding box, px
+
+
+def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            first = blob[0] if len(blob) else 0
+            n = len(blob)
+            w = 16 * (1 + first % 64)   # the q45 fake-decode geometry
+            h = 16 * (1 + n % 64)
+            m = max(w, h)
+            ow = max(1, w * THUMB_MAX // m)
+            oh = max(1, h * THUMB_MAX // m)
+            rows.append(
+                (
+                    doc_id, w, h, ow, oh,
+                    hashlib.md5(f"{doc_id}:{ow}x{oh}".encode()).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "in_w", "in_h", "out_w", "out_h", "thumb_hash"],
+        )
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_w", IntegerType()),
+        StructField("in_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("thumb_hash", StringType()),
+    ]
+)
+
+_ORACLE_Q241 = f"""
+WITH imgs AS (
+    SELECT doc_id,
+           16 * (1 + ascii(substr(text, 1, 1)) % 64) AS w,
+           16 * (1 + length(text) % 64) AS h
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS in_w, CAST(h AS INTEGER) AS in_h,
+       CAST(greatest(1, w * {THUMB_MAX} // greatest(w, h)) AS INTEGER)
+           AS out_w,
+       CAST(greatest(1, h * {THUMB_MAX} // greatest(w, h)) AS INTEGER)
+           AS out_h,
+       md5(doc_id || ':'
+           || CAST(greatest(1, w * {THUMB_MAX} // greatest(w, h)) AS VARCHAR)
+           || 'x'
+           || CAST(greatest(1, h * {THUMB_MAX} // greatest(w, h)) AS VARCHAR))
+           AS thumb_hash
+FROM imgs
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q241_image_resize_thumbs",
+    oracle=_ORACLE_Q241,
+    doc="Aspect-preserving thumbnail resize for image payloads "
+    "(stubbed resampler, real Arrow mapInPandas plumbing): integer "
+    "bounding-box geometry + deterministic thumb hash, fully "
+    "oracle-recomputable. Closes the decode / feature-extract / "
+    "resize / frame-sample media quartet.",
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def q241_image_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    imgs = cat.documents.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return imgs.mapInPandas(_resize_stub, THUMB_SCHEMA).orderBy("doc_id")
