@@ -2917,3 +2917,75 @@ def q238_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+# --------- q242: table-health report (maintenance planning surface)
+#
+# The read side of the maintenance loop the incremental OPTIMIZE
+# (q235) closes: before spending I/O, a scheduler asks the MANIFEST
+# — never the data — how many live files exist, how many rows they
+# hold net of deletion vectors, how many files carry DV pressure
+# (a rewrite reclaims their scan work), and how wide the
+# partition-dir drop set would be. Lifecycle here: a day-partitioned
+# append, then a DV delete — the report must be metadata-exact
+# through both. Every figure is re-derived by the oracle from
+# events algebra (files = distinct days, dv_files = days holding a
+# deleted row, rows = count net of deletes), proving the manifest's
+# numbers equal the data's without the engine ever opening a file.
+
+_TH_MOD = 5  # delete event_id % 5 == 0
+
+_ORACLE_Q242 = f"""
+WITH base AS (
+    SELECT event_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM base) AS files,
+  CAST(COUNT(*) FILTER (WHERE event_id % {_TH_MOD} <> 0) AS BIGINT)
+      AS n_rows,
+  (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM base
+    WHERE event_id % {_TH_MOD} = 0) AS dv_files,
+  CAST(COUNT(*) FILTER (WHERE event_id % {_TH_MOD} = 0) AS BIGINT)
+      AS deleted_rows,
+  (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM base)
+      AS partition_dirs,
+  CAST(2 AS BIGINT) AS versions
+FROM base
+"""
+
+
+@register(
+    "q242_table_health",
+    oracle=_ORACLE_Q242,
+    doc="Metadata-only maintenance report (txn.table_health): live "
+    "files, rows net of deletion vectors, DV-pressured files, "
+    "partition-dir drop-set width, log length — all from the "
+    "manifest, zero data files opened; the oracle re-derives every "
+    "figure from events algebra. The read side of the q235 "
+    "incremental-OPTIMIZE loop.",
+    tags=("txn", "metadata", "maintenance"),
+)
+def q242_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "th_q242_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 2:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", F.to_date("ts").alias("day")
+        )
+        txn.commit_append(
+            sink, txn.stage_append(ev.repartition(F.col("day")), sink, ("day",))
+        )
+        txn.delete_where(spark, sink, F.col("event_id") % _TH_MOD == 0)
+    h = txn.table_health(sink)
+    return spark.createDataFrame(
+        [(
+            h["files"], h["rows"], h["dv_files"], h["deleted_rows"],
+            h["partition_dirs"], h["versions"],
+        )],
+        "files BIGINT, n_rows BIGINT, dv_files BIGINT, "
+        "deleted_rows BIGINT, partition_dirs BIGINT, versions BIGINT",
+    )

@@ -754,6 +754,66 @@ def metadata_agg(
     }
 
 
+def table_health(
+    sink_dir: str, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """Maintenance-planning report from the MANIFEST alone (zero data
+    files opened at any table size) — the numbers an OPTIMIZE/vacuum
+    scheduler looks at before spending I/O:
+
+    - ``files``: live file count; ``rows``: live rows (footer counts
+      minus DV lengths, None if any file predates row-count stats);
+    - ``small_files``: files under half the target row count — the
+      compaction backlog; ``small_file_fraction`` of live files;
+    - ``dv_files``: files carrying deletion-vector positions and
+      ``deleted_rows`` total — when the fraction grows, a rewrite
+      (compaction applies DVs) reclaims scan work;
+    - ``partition_dirs``: distinct live directories — the replace
+      grammar's drop-set size, i.e. what a full rewrite would cost
+      in manifest lines;
+    - ``versions``: log length since the last prune.
+
+    This is the read side of the q235 incremental-OPTIMIZE loop:
+    health says WHICH dirs are backlog; commit_replace_dirs retires
+    exactly those."""
+    vs = versions(sink_dir)
+    if not vs:
+        return {
+            "files": 0, "rows": 0, "small_files": 0,
+            "small_file_fraction": 0.0, "dv_files": 0, "deleted_rows": 0,
+            "partition_dirs": 0, "versions": 0,
+        }
+    entries, _s, dvs, _c, _p, _cm, dvrefs = _snapshot_at(sink_dir, vs[-1])
+    rows_ok = True
+    rows = 0
+    small = 0
+    for _path, stats in entries.items():
+        n, _cols = _parse_stats(stats)
+        if n is None:
+            rows_ok = False
+            continue
+        rows += n
+        if n < target_rows_per_file // 2:
+            small += 1
+    dv_paths = set(dvs) | {
+        p for counts in dvrefs.values() for p in counts
+    }
+    deleted = sum(len(p) for p in dvs.values()) + sum(
+        n for counts in dvrefs.values() for n in counts.values()
+    )
+    nfiles = len(entries)
+    return {
+        "files": nfiles,
+        "rows": (rows - deleted) if rows_ok else None,
+        "small_files": small,
+        "small_file_fraction": (small / nfiles) if nfiles else 0.0,
+        "dv_files": len(dv_paths),
+        "deleted_rows": deleted,
+        "partition_dirs": len({os.path.dirname(p) for p in entries}),
+        "versions": len(vs),
+    }
+
+
 def prune_files(
     sink_dir: str,
     predicate: dict[str, tuple],

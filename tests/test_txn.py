@@ -1974,3 +1974,38 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
         df = txn.read_version(spark, sink, v)
         got = {r["id"]: r["day"] for r in df.collect()}
         assert got == snap, f"seed={seed} version {v}"
+
+
+def test_table_health_reports_backlog_and_dv_pressure(spark, tmp_path):
+    """The maintenance report must be metadata-exact: counts match
+    the actual table through appends, a DV delete, and a compacting
+    full rewrite — and small-file accounting tracks the target."""
+    sink = str(tmp_path / "t")
+    h0 = txn.table_health(sink)
+    assert h0["files"] == 0 and h0["versions"] == 0
+    for g in ("a", "b"):
+        df = spark.range(0, 10).coalesce(1).select(
+            F.col("id"), F.lit(g).alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(df, sink, ("day",)))
+    h1 = txn.table_health(sink, target_rows_per_file=10)
+    assert h1["files"] == 2 and h1["rows"] == 20
+    assert h1["small_files"] == 0  # 10 rows >= 10 // 2
+    assert h1["partition_dirs"] == 2 and h1["versions"] == 2
+    # every file is small against a 1M-row target
+    assert txn.table_health(sink)["small_file_fraction"] == 1.0
+    # DV pressure shows up without opening a file
+    assert txn.delete_where(spark, sink, F.col("id") < 3) == 6
+    h2 = txn.table_health(sink, target_rows_per_file=10)
+    assert h2["rows"] == 14 and h2["deleted_rows"] == 6 and h2["dv_files"] == 2
+    # a full rewrite clears the DV pressure and the dir backlog
+    cur = txn.read_committed(spark, sink)
+    txn.commit_replace_table(
+        sink,
+        txn.stage_append(
+            cur.coalesce(1).withColumn("g", F.lit(0)), sink, ("g",)
+        ),
+    )
+    h3 = txn.table_health(sink, target_rows_per_file=10)
+    assert h3["rows"] == 14 and h3["deleted_rows"] == 0
+    assert h3["dv_files"] == 0 and h3["partition_dirs"] == 1
