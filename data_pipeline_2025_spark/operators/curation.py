@@ -1561,3 +1561,62 @@ def q221_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------- q244: exact-quota stratified sample
+#
+# q62 (hash split) and q66 (rate thinning) give BINOMIAL per-stratum
+# counts — right for train splits, wrong for building a balanced
+# eval set that needs EXACTLY n docs per source. The
+# without-replacement exact-quota version: rank each stratum by the
+# md5 of its doc key (a deterministic, uncorrelated "random" order —
+# same trick, third md5 use, so it is independent of both the split
+# and the thinning buckets by the hash's avalanche property) and
+# take the first QUOTA. One window per stratum — the shuffle is by
+# source (few, bounded partitions), per-row state is a counter, and
+# the selection is reproducible on any engine or cluster shape.
+# Sources are ~5 here; at real scale strata stay bounded (domains,
+# languages) — a skewed giant stratum costs one partition's sort of
+# ITS OWN rows, bounded further by TakeOrderedAndProject-style
+# partial top-k if QUOTA << stratum (rank<=k prunes map-side).
+
+SAMPLE_QUOTA = 20
+
+_ORACLE_Q244 = f"""
+WITH ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pick_rank
+    FROM documents
+)
+SELECT source, doc_id, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked WHERE pick_rank <= {SAMPLE_QUOTA}
+ORDER BY source, pick_rank
+"""
+
+
+@register(
+    "q244_exact_quota_sample",
+    oracle=_ORACLE_Q244,
+    doc="Exact-quota stratified sample (balanced eval-set "
+    "construction): exactly QUOTA docs per source, ranked by "
+    "md5(doc_id) — deterministic sampling without replacement, "
+    "uncorrelated with the q62 split and q66 thinning hashes; "
+    "reproducible under any partitioning.",
+    tags=("curation", "sampling"),
+)
+def q244_exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick_rank") <= SAMPLE_QUOTA)
+        .select("source", "doc_id", "pick_rank")
+        .orderBy("source", "pick_rank")
+    )

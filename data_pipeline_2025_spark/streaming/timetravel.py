@@ -2989,3 +2989,94 @@ def q242_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files BIGINT, n_rows BIGINT, dv_files BIGINT, "
         "deleted_rows BIGINT, partition_dirs BIGINT, versions BIGINT",
     )
+
+
+# --------- q243: GDPR erasure, end to end
+#
+# The scenario the DV sidecar machinery exists for, as one checked
+# story: erase EVERY row of one user from a large day-partitioned
+# table and prove (a) the delete touched no data file — file count
+# and paths unchanged, positions in an executor-written sidecar,
+# O(#files) manifest bytes; (b) the erased user is gone from the
+# live read while every other row survives; (c) the change feed
+# accounts for exactly the erased rows (the audit trail an erasure
+# request requires); (d) metadata-only counting stays exact. The
+# subject user is picked deterministically (the user with the MOST
+# events — the worst case for an erasure); the oracle re-derives
+# the pick and every figure from events algebra. VACUUM is NOT run
+# inside the query (retention is an operator decision, q204); the
+# point pinned here is that erasure latency is independent of
+# table size — the physical rewrite can happen lazily at the next
+# compaction (q235's loop applies DVs when it rewrites).
+
+_ORACLE_Q243 = """
+WITH ranked AS (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 1
+), agg AS (
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS files,
+           CAST(COUNT(*) AS BIGINT) AS rows_before
+    FROM events
+)
+SELECT a.files AS files_before, a.files AS files_after,
+       a.rows_before,
+       a.rows_before - r.cnt AS rows_after,
+       CAST(r.cnt AS BIGINT) AS erased_rows,
+       CAST(r.cnt AS BIGINT) AS cdf_delete_rows,
+       CAST(0 AS BIGINT) AS subject_rows_live
+FROM agg a, ranked r
+"""
+
+
+@register(
+    "q243_gdpr_erasure",
+    oracle=_ORACLE_Q243,
+    doc="GDPR erasure as a metadata operation: the heaviest user's "
+    "rows deleted via an executor-written DV sidecar — file list "
+    "unchanged (files_before == files_after), live read clean of "
+    "the subject, change feed accounting for exactly the erased "
+    "rows, metadata count exact; the physical rewrite is deferred "
+    "to the next compaction. Every figure oracle-derived from "
+    "events algebra.",
+    tags=("txn", "dv", "delete", "gdpr"),
+)
+def q243_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "gdpr_q243_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, _fresh = session_scratch_dir(spark, tag)
+    # rebuilt per invocation: the erasure IS the query
+    shutil.rmtree(sink, ignore_errors=True)
+    os.makedirs(sink, exist_ok=True)
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", F.to_date("ts").alias("day")
+    )
+    txn.commit_append(
+        sink, txn.stage_append(ev.repartition(F.col("day")), sink, ("day",))
+    )
+    subject = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .first()["user_id"]
+    )
+    files_before = set(txn.committed_files(sink))
+    rows_before = txn.metadata_agg(sink)["count"]
+    erased = txn.delete_where(spark, sink, F.col("user_id") == subject)
+    files_after = set(txn.committed_files(sink))
+    assert files_after == files_before  # no data file touched
+    rows_after = txn.metadata_agg(sink)["count"]  # zero files opened
+    live = txn.read_committed(spark, sink)
+    subject_live = live.where(F.col("user_id") == subject).count()
+    cdf = (
+        txn.read_changes(spark, sink, 1)
+        .where(F.col("_change_type") == "delete")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            len(files_before), len(files_after), rows_before, rows_after,
+            erased, cdf, subject_live,
+        )],
+        "files_before BIGINT, files_after BIGINT, rows_before BIGINT, "
+        "rows_after BIGINT, erased_rows BIGINT, cdf_delete_rows BIGINT, "
+        "subject_rows_live BIGINT",
+    )
