@@ -3080,3 +3080,128 @@ def q243_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_after BIGINT, erased_rows BIGINT, cdf_delete_rows BIGINT, "
         "subject_rows_live BIGINT",
     )
+
+
+# --------- q245: health-triggered auto-compaction (the closed loop)
+#
+# q242 reads the health report; q235 rewrites incrementally; this
+# closes the loop the way a maintenance DAEMON runs it: the MANIFEST
+# (not a scan) identifies the small-file backlog — every partition
+# dir holding more than one file, here the days that accumulated
+# three per-day ingest batches — and ONLY those dirs are compacted,
+# via the dynamic-overwrite commit (the compacted files land in the
+# same day dirs, which is exactly commit_replace's drop rule). The
+# single-file days are never touched (paths pinned carried), rows
+# and money are conserved bit-for-bit, and every count is re-derived
+# by the oracle from (day, event_id mod 3) algebra. At 100 TB the
+# trigger list is O(#dirs) manifest lines and the rewrite cost is
+# O(backlog), never O(table) — the property that makes continuous
+# compaction affordable at all.
+
+_AC_SPLIT_D = 15  # days < 15: one big file; days >= 15: 3 batches
+
+_ORACLE_Q245 = f"""
+WITH base AS (
+    SELECT event_id, value,
+           date_diff('day', DATE '{_Z_EPOCH}', CAST(ts AS DATE)) AS d
+    FROM events
+), pre AS (SELECT DISTINCT d FROM base WHERE d < {_AC_SPLIT_D}),
+post AS (
+    SELECT d, COUNT(DISTINCT event_id % 3) AS nb
+    FROM base WHERE d >= {_AC_SPLIT_D} GROUP BY d
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pre)
+    + (SELECT CAST(COALESCE(SUM(nb), 0) AS BIGINT) FROM post)
+      AS files_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM post WHERE nb >= 2)
+      AS backlog_dirs,
+  (SELECT CAST(COALESCE(SUM(nb) FILTER (WHERE nb >= 2), 0) AS BIGINT)
+     FROM post) AS files_rewritten,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pre)
+    + (SELECT CAST(COUNT(*) AS BIGINT) FROM post)
+      AS files_after,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pre)
+    + (SELECT CAST(COUNT(*) AS BIGINT) FROM post WHERE nb = 1)
+      AS files_carried,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+      AS value_sum_d
+FROM base
+"""
+
+
+@register(
+    "q245_auto_compaction",
+    oracle=_ORACLE_Q245,
+    doc="Health-triggered auto-compaction, the closed maintenance "
+    "loop: the manifest identifies every multi-file partition dir "
+    "(the ingest backlog), ONLY those dirs are compacted via the "
+    "dynamic-overwrite commit, single-file dirs carry over with "
+    "paths pinned, rows/money conserved bit-for-bit — O(backlog) "
+    "rewrite, O(#dirs) trigger, never O(table). All counts "
+    "oracle-derived from (day, batch) algebra.",
+    tags=("txn", "maintenance", "compaction"),
+)
+def q245_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = "ac_q245_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink, fresh = session_scratch_dir(spark, tag)
+    if not fresh and len(txn.versions(sink)) != 5:
+        shutil.rmtree(sink, ignore_errors=True)
+        os.makedirs(sink, exist_ok=True)
+        fresh = True
+    if fresh:
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id",
+            "value",
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")).alias(
+                "day"
+            ),
+        )
+        pre = ev.where(F.col("day") < _AC_SPLIT_D)
+        txn.commit_append(
+            sink, txn.stage_append(pre.repartition(F.col("day")), sink, ("day",))
+        )
+        post = ev.where(F.col("day") >= _AC_SPLIT_D)
+        for r in range(3):  # the small-file ingest cadence
+            b = post.where(F.col("event_id") % 3 == r)
+            txn.commit_append(
+                sink,
+                txn.stage_append(b.repartition(F.col("day")), sink, ("day",)),
+            )
+        # ---- the daemon's pass: trigger from the MANIFEST alone
+        listing = txn.committed_files(sink)
+        per_dir: dict[str, int] = {}
+        for f in listing:
+            per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+        backlog = sorted(d for d, n in per_dir.items() if n >= 2)
+        raw_files = [f for f in listing if os.path.dirname(f) in set(backlog)]
+        raw = spark.read.schema("event_id BIGINT, value DOUBLE").option(
+            "basePath", sink
+        ).parquet(*[os.path.join(sink, f) for f in raw_files])
+        txn.commit_replace(
+            sink,
+            txn.stage_append(raw.repartition(F.col("day")), sink, ("day",)),
+        )
+    # ---- evidence, recomputed from the log on every invocation
+    v4 = txn.listing_at(sink, 4)
+    head = txn.committed_files(sink)
+    per_dir4: dict[str, int] = {}
+    for f in v4:
+        per_dir4[os.path.dirname(f)] = per_dir4.get(os.path.dirname(f), 0) + 1
+    backlog_dirs = [d for d, n in per_dir4.items() if n >= 2]
+    rewritten = sum(per_dir4[d] for d in backlog_dirs)
+    carried = len(set(v4) & set(head))
+    agg = txn.read_committed(spark, sink).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_out(F.sum(dec("value"))).alias("value_sum_d"),
+    )
+    return agg.select(
+        F.lit(len(v4)).cast("bigint").alias("files_before"),
+        F.lit(len(backlog_dirs)).cast("bigint").alias("backlog_dirs"),
+        F.lit(rewritten).cast("bigint").alias("files_rewritten"),
+        F.lit(len(head)).cast("bigint").alias("files_after"),
+        F.lit(carried).cast("bigint").alias("files_carried"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "value_sum_d",
+    )
