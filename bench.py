@@ -110,6 +110,10 @@ HEADLINE = (
     # commit_replace_table + manifest-measured pruning).
     "q229_segment_dedup_rebuild",
     "q232_optimize_zorder",
+    # Late round-7 addition: the join-free bigram-LM pass (two
+    # count windows over the corpus bigram stream — a distinct
+    # execution shape none of the other headline queries guard).
+    "q236_bigram_predictability",
 )
 
 

@@ -1030,3 +1030,21 @@ def test_q233_hidden_partitioning_exact_filter_pushed(spark, sf_smoke):
     plan = plan_of(spark, "q233_hidden_partitioning", sf_smoke)
     assert "GreaterThanOrEqual(ts" in plan
     assert "LessThanOrEqual(ts" in plan
+
+
+def test_q237_mining_candidates_never_shuffle(spark, sf_smoke):
+    """Hard-negative mining: anchors broadcast over the candidate
+    scan — the corpus-sized side must never be the shuffled side of
+    a SortMergeJoin."""
+    plan = plan_of(spark, "q237_hard_negative_mining", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_q244_quota_sample_prunes_columns(spark, sf_smoke):
+    """Exact-quota sampling must read only (source, doc_id) — a scan
+    that drags the text column through the per-stratum sort would be
+    ~100x the bytes at corpus scale."""
+    plan = plan_of(spark, "q244_exact_quota_sample", sf_smoke)
+    assert "text" not in plan.split("ReadSchema")[-1][:300]
+    assert "doc_id" in plan
