@@ -3205,3 +3205,103 @@ def q245_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         "value_sum_d",
     )
+
+
+# --------- q246: quarantine ingest (CHECK dead-letter routing)
+#
+# q210 proves a CHECK refuses a bad batch; production ingest cannot
+# stop there — it must LAND the good rows and PARK the bad ones
+# with a reason, without ever letting a violating row become
+# visible in the serving table. The routing pattern, as one checked
+# story: a table with CHECK (value >= 1); the raw batch is first
+# offered WHOLE to commit_append_checked, which refuses it
+# (CheckViolation carries the violation count; its staged files are
+# crash-orphans for vacuum — the same contract as any failed
+# commit); the writer then splits the batch on the SAME expression
+# the manifest declares (read from checks_at — the rule lives in
+# the table, not the job), lands the clean rows through the checked
+# commit, and appends the violations to a QUARANTINE table with a
+# reason column for triage. Evidence: all counts, a zero scan of
+# bad rows in the serving read, and metadata-only counts on both
+# tables. Oracle: pure value algebra over events. At 100 TB both
+# legs are one O(batch) scan; the quarantine table is itself
+# transactional, so triage/replay rides the same machinery.
+
+_QI_EXPR = "value >= 1"
+
+_ORACLE_Q246 = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(COUNT(*) FILTER (WHERE value >= 1) AS BIGINT) AS clean_rows,
+       CAST(COUNT(*) FILTER (WHERE NOT (value >= 1)) AS BIGINT)
+           AS quarantined_rows,
+       CAST(COUNT(*) FILTER (WHERE NOT (value >= 1)) AS BIGINT)
+           AS refused_violations,
+       CAST(COUNT(*) FILTER (WHERE value >= 1) AS BIGINT) AS main_count,
+       CAST(COUNT(*) FILTER (WHERE NOT (value >= 1)) AS BIGINT)
+           AS quarantine_count,
+       CAST(0 AS BIGINT) AS bad_rows_visible
+FROM events
+"""
+
+
+@register(
+    "q246_quarantine_ingest",
+    oracle=_ORACLE_Q246,
+    doc="CHECK dead-letter routing: the whole batch is refused by "
+    "the manifest's constraint (violation count pinned), then split "
+    "on the SAME declared expression — clean rows land through the "
+    "checked commit, violations park in a transactional quarantine "
+    "table with a reason; zero bad rows ever visible in the serving "
+    "read, counts metadata-exact on both tables.",
+    tags=("txn", "check", "quality", "ingest"),
+)
+def q246_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    main, fresh_m = session_scratch_dir(spark, "qi_main_q246_" + tag)
+    quar, _fresh_q = session_scratch_dir(spark, "qi_quar_q246_" + tag)
+    if not fresh_m and (
+        len(txn.versions(main)) != 2 or len(txn.versions(quar)) != 1
+    ):
+        for d in (main, quar):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        fresh_m = True
+    refused_violations = None
+    if fresh_m:
+        txn.add_check(spark, main, "value_floor", _QI_EXPR)  # v1
+        ev = Catalog(spark, sf_dir).events.select(
+            "event_id", "value", F.to_date("ts").alias("day")
+        )
+        # 1) the naive whole-batch commit must be REFUSED
+        staged_all = txn.stage_append(ev, main, ("day",))
+        try:
+            txn.commit_append_checked(spark, main, staged_all)
+            raise AssertionError("violating batch was not refused")
+        except txn.CheckViolation as e:
+            refused_violations = e.violations
+        # 2) split on the TABLE'S declared rule, not the job's copy
+        rule = txn.checks_at(main)["value_floor"]
+        clean = ev.where(F.expr(rule))
+        bad = ev.where(~F.expr(rule)).withColumn(
+            "reason", F.lit("value_floor")
+        )
+        txn.commit_append_checked(
+            spark, main, txn.stage_append(clean, main, ("day",))
+        )  # v2
+        txn.commit_append(quar, txn.stage_append(bad, quar, ("day",)))
+    if refused_violations is None:  # cached sink: re-derive, metadata-free
+        refused_violations = txn.metadata_agg(quar)["count"]
+    main_count = txn.metadata_agg(main)["count"]
+    quar_count = txn.metadata_agg(quar)["count"]
+    bad_visible = (
+        txn.read_committed(spark, main).where(~F.expr(_QI_EXPR)).count()
+    )
+    return spark.createDataFrame(
+        [(
+            main_count + quar_count, main_count, quar_count,
+            refused_violations, main_count, quar_count, bad_visible,
+        )],
+        "total_rows BIGINT, clean_rows BIGINT, quarantined_rows BIGINT, "
+        "refused_violations BIGINT, main_count BIGINT, "
+        "quarantine_count BIGINT, bad_rows_visible BIGINT",
+    )
