@@ -2489,3 +2489,176 @@ def q229_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebuilt.select(
         "doc_id", "segs_total", "segs_kept", "toks_after", "rebuilt_md5"
     ).orderBy("doc_id")
+
+
+# ----------- q247: content-defined chunking (rolling-hash CDC)
+#
+# q229 dedups FIXED 8-token segments — insert ONE token near a
+# document's head and every later boundary shifts, so nothing
+# downstream matches. Content-defined chunking (the rolling-hash
+# trick backup dedup and long-doc near-dup pipelines use) fixes
+# exactly that: a boundary is cut wherever the hash of the local
+# 4-token window satisfies H % 64 == 0, so boundaries are a
+# function of CONTENT, not position — after an edit the chunking
+# re-synchronizes at the next content boundary and the untouched
+# chunks dedup again.
+#
+# Two-engine exactness: token hash = first 12 md5 hex chars as a
+# 48-bit int reduced mod 2^20; window hash = Σ_j th_{i+j}·31^j
+# (j < 4) — every term < 2^36, the sum exact BIGINT in both
+# engines, no modular tricks needed. Boundary BEFORE position i
+# (i > 1) when H_i % 64 == 0; chunk number = running cut count
+# (one ordered window per doc); chunk identity = md5 of the
+# token-joined chunk; corpus-level first-occurrence survival
+# exactly like q229 (row_number over the chunk hash — the 32-byte
+# shuffle key convention).
+#
+# 100 TB: per-doc windows only (lead ×3 + one cumsum — state is
+# four values), then ONE corpus shuffle keyed on md5(chunk) with
+# bounded per-key fan-in; expected chunk length is the divisor
+# (64 tokens), tunable per corpus.
+
+CDC_W = 4        # rolling window (tokens)
+CDC_DIV = 64     # expected chunk length = divisor
+CDC_MASK = (1 << 20) - 1
+_CDC_B = (1, 31, 961, 29791)  # 31^j, j<4
+
+_CDC_TH = (
+    "CAST(concat('0x', substr(md5({t}), 1, 12)) AS UBIGINT) % 1048576"
+)
+
+_ORACLE_Q247 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), pos AS (
+    SELECT doc_id, i AS p, toks[i] AS tok, len(toks) AS n
+    FROM toks, LATERAL UNNEST(range(1, len(toks) + 1)) AS r(i)
+), th AS (
+    SELECT doc_id, p, tok, n,
+           {_CDC_TH.format(t='tok')} AS h
+    FROM pos
+), win AS (
+    SELECT doc_id, p, tok,
+           h * {_CDC_B[0]}
+             + COALESCE(lead(h, 1) OVER w, 0) * {_CDC_B[1]}
+             + COALESCE(lead(h, 2) OVER w, 0) * {_CDC_B[2]}
+             + COALESCE(lead(h, 3) OVER w, 0) * {_CDC_B[3]} AS hw,
+           p <= n - {CDC_W} + 1 AS full_win
+    FROM th
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), cuts AS (
+    SELECT doc_id, p, tok,
+           CASE WHEN p > 1 AND full_win AND hw % {CDC_DIV} = 0
+                THEN 1 ELSE 0 END AS cut
+    FROM win
+), numbered AS (
+    SELECT doc_id, p, tok,
+           SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) AS chunk_no
+    FROM cuts
+), chunks AS (
+    SELECT doc_id, chunk_no,
+           md5(string_agg(tok, ' ' ORDER BY p)) AS ch,
+           CAST(COUNT(*) AS BIGINT) AS chunk_toks
+    FROM numbered GROUP BY doc_id, chunk_no
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY ch
+                                 ORDER BY doc_id, chunk_no) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_chunks,
+       CAST(COALESCE(SUM(chunk_toks) FILTER (WHERE rn = 1), 0) AS BIGINT)
+           AS toks_kept
+FROM ranked GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q247_cdc_chunk_dedup",
+    oracle=_ORACLE_Q247,
+    doc="Content-defined chunking (rolling-hash CDC): boundaries cut "
+    "where the 4-token window hash ≡ 0 mod 64, so chunking is a "
+    "function of content — an insertion re-synchronizes at the next "
+    "boundary and untouched chunks still dedup (the robustness "
+    "fixed segmentation q229 lacks). Exact BIGINT window algebra, "
+    "one corpus shuffle on md5(chunk).",
+    tags=("dedup", "cdc", "chunking"),
+)
+def q247_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select(
+        "doc_id", "n", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    # Spark half of the shared 48-bit md5 hash (the oracle's UBIGINT
+    # cast is DuckDB spelling; conv() is Spark's — same integer)
+    th = pos.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+        % (CDC_MASK + 1),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    hw = (
+        F.col("h") * _CDC_B[0]
+        + F.coalesce(F.lead("h", 1).over(w), F.lit(0)) * _CDC_B[1]
+        + F.coalesce(F.lead("h", 2).over(w), F.lit(0)) * _CDC_B[2]
+        + F.coalesce(F.lead("h", 3).over(w), F.lit(0)) * _CDC_B[3]
+    )
+    cuts = th.select(
+        "doc_id",
+        "p",
+        "tok",
+        F.when(
+            (F.col("p") > 1)
+            & (F.col("p") <= F.col("n") - CDC_W + 1)
+            & (hw % CDC_DIV == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    numbered = cuts.withColumn(
+        "chunk_no",
+        F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_no").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("ch"),
+        F.count(F.lit(1)).cast("bigint").alias("chunk_toks"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("ch").orderBy("doc_id", "chunk_no")
+    )
+    ranked = chunks.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("dup_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") == 1, F.col("chunk_toks"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("toks_kept"),
+        )
+        .orderBy("doc_id")
+    )

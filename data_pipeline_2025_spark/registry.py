@@ -137,7 +137,7 @@ _PRIORITY = (
     "q238_scd2_from_cdf",
     "q239_format_roundtrip",
     "q240_compression_quality",
-    # q241-q246 land past the cap by module order this round (locally
+    # q241-q247 land past the cap by module order this round (locally
     # gated by the full sweep); the r8 rotation picks it up first.
     "q230_dynamic_file_pruning",
     "q231_unigram_rarity",

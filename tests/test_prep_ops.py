@@ -527,3 +527,71 @@ def test_q240_compression_matches_driver_zlib(spark, sf_smoke):
         comp = len(zlib.compress(raw))
         want = (len(raw), comp, comp * 1_000_000 // len(raw))
         assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def _cdc_chunks(toks):
+    """Pure-python mirror of q247's exact chunking algebra."""
+    import hashlib
+
+    from data_pipeline_2025_spark.operators.dedup import (
+        CDC_DIV,
+        CDC_MASK,
+        CDC_W,
+        _CDC_B,
+    )
+
+    th = [
+        int(hashlib.md5(t.encode()).hexdigest()[:12], 16) & CDC_MASK
+        for t in toks
+    ]
+    chunks, cur = [], []
+    for i, t in enumerate(toks):
+        if i > 0 and i + CDC_W <= len(toks):
+            hw = sum(th[i + j] * _CDC_B[j] for j in range(CDC_W))
+            if hw % CDC_DIV == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        cur.append(t)
+    chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_q247_matches_python_mirror_and_resynchronizes(spark, sf_smoke):
+    """(1) The Spark chunking agrees with a pure-python mirror of
+    the algebra for every document. (2) The CDC property itself:
+    inserting one token at a document's head changes only the
+    chunks BEFORE the first content boundary — everything after
+    re-synchronizes (the robustness fixed segmentation lacks)."""
+    import hashlib
+
+    from data_pipeline_2025_spark.catalog import Catalog
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["toks_kept"] + 0)
+        for r in SPECS["q247_cdc_chunk_dedup"].spark_fn(spark, sf_smoke).collect()
+    }
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in Catalog(spark, sf_smoke).documents.collect()
+    }
+    seen: set = set()
+    resync_checked = 0
+    for doc_id in sorted(docs):
+        chunks = _cdc_chunks(docs[doc_id])
+        kept = 0
+        for c in chunks:
+            h = hashlib.md5(c.encode()).hexdigest()
+            if h not in seen:
+                seen.add(h)
+                kept += len(c.split(" "))
+        assert got[doc_id][0] == len(chunks), doc_id
+        assert got[doc_id][1] == kept, doc_id
+        # resynchronization: prepend a token; chunk lists must share
+        # their tails whenever the original had >= 2 chunks
+        if len(chunks) >= 2 and resync_checked < 25:
+            edited = _cdc_chunks(["zzz_inserted"] + docs[doc_id])
+            assert edited[1:] == chunks[1:] or set(chunks[1:]) <= set(
+                edited
+            ), doc_id
+            resync_checked += 1
+    assert resync_checked > 0
