@@ -2009,3 +2009,40 @@ def test_table_health_reports_backlog_and_dv_pressure(spark, tmp_path):
     h3 = txn.table_health(sink, target_rows_per_file=10)
     assert h3["rows"] == 14 and h3["deleted_rows"] == 0
     assert h3["dv_files"] == 0 and h3["partition_dirs"] == 1
+
+
+def test_replace_table_at_checkpoint_version(spark, tmp_path):
+    """A full-snapshot replace landing exactly on a CHECKPOINT
+    version (v11) takes _commit's checkpoint branch: the carried
+    base must be drop-pruned there too, DVs included — and time
+    travel before/after the checkpoint still works."""
+    sink = str(tmp_path / "t")
+    for i in range(10):  # v1..v10
+        df = spark.range(i * 5, i * 5 + 5).coalesce(1).select(
+            F.col("id"), F.lit(f"d{i}").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(df, sink, ("day",)))
+    assert txn.delete_where(spark, sink, F.col("id") == 0) == 1  # v11
+    # checkpoints land on v1, v11, v21, ...; to put the REPLACE on a
+    # checkpoint sequence number, append up to v20 first.
+    for i in range(10, 19):  # v12..v20
+        df = spark.range(i * 5, i * 5 + 5).coalesce(1).select(
+            F.col("id"), F.lit(f"d{i}").alias("day")
+        )
+        txn.commit_append(sink, txn.stage_append(df, sink, ("day",)))
+    assert len(txn.versions(sink)) == 20
+    live_before = {
+        r["id"] for r in txn.read_committed(spark, sink).collect()
+    }
+    reb = txn.read_committed(spark, sink).withColumn("g", F.col("id") % 2)
+    txn.commit_replace_table(  # v21 — a checkpoint version
+        sink, txn.stage_append(reb.repartition(F.col("g")), sink, ("g",))
+    )
+    assert txn.versions(sink)[-1] == 21
+    live_after = {r["id"] for r in txn.read_committed(spark, sink).collect()}
+    assert live_after == live_before  # content preserved through ckpt replace
+    assert all(f.startswith("g=") for f in txn.committed_files(sink))
+    assert txn.metadata_agg(sink)["count"] == len(live_before)
+    # time travel across the checkpoint boundary still exact
+    v11 = {r["id"] for r in txn.read_version(spark, sink, 11).collect()}
+    assert v11 == set(range(1, 50))
