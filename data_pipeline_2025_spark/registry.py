@@ -120,76 +120,74 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
-    # ROUND 7 ROTATION (verdict item #3): the 50-cap leads with the
-    # round's new queries, then every query whose implementation the
-    # round-7 DV/bloom SIDECAR rewrite + advisor fixes touched, then
-    # swings back to the OLDEST officially-checked rows — the r2-era
-    # queries (q01/q02/q21-q30/q34/q47/q48/q53-q57, last official
-    # check r1/r2, five rounds of shared-infrastructure rewrites
-    # since). Groups, in order:
-    # (a) new round-7 queries (never driver-checked)
+    # ROUND 8 ROTATION (r7 verdict #1): lead with q241-q247 — the
+    # ONLY registry rows never officially driver-checked (they
+    # registered past the r7 cap) — plus the new round-8 queries,
+    # then every query rewritten this round, then swing to the
+    # oldest official checks left: the 29 rows whose last driver
+    # check is r2 (q31-q78 block), then the head of the r3-era
+    # block. Groups, in order:
+    # (a) never driver-checked: the r7 overflow + new round-8 rows
+    "q241_image_resize_thumbs",
+    "q242_table_health",
+    "q243_gdpr_erasure",
+    "q244_exact_quota_sample",
+    "q245_auto_compaction",
+    "q246_quarantine_ingest",
+    "q247_cdc_chunk_dedup",   # also rewritten: skew-proof survival
+    "q248_dedup_then_pack",   # new r8: composed dedup → pack
+    # (b) rewritten/affected this round: q229 skew-proof survival
+    # (shared shape with q247), q240 hash-checked face, q226
+    # pack_assignment refactor (shared with q248), q228 partitioned
+    # CDF reader.
     "q229_segment_dedup_rebuild",
-    "q233_hidden_partitioning",
-    "q234_grid_resample_ffill",
-    "q235_incremental_optimize",
-    "q236_bigram_predictability",
-    "q237_hard_negative_mining",
-    "q238_scd2_from_cdf",
-    "q239_format_roundtrip",
     "q240_compression_quality",
-    # q241-q247 land past the cap by module order this round (locally
-    # gated by the full sweep); the r8 rotation picks it up first.
-    "q230_dynamic_file_pruning",
-    "q231_unigram_rarity",
-    "q232_optimize_zorder",
-    "q225_trained_ivfpq",
     "q226_packed_sequences",
-    "q227_concurrent_dv_writers",
     "q228_streaming_cdf_matview",
-    # (b) rewritten/affected this round: every DV consumer now rides
-    # executor-written sidecars (q207/q208/q211/q212/q214/q215/q220
-    # + metadata counting q209/q223), the bloom index moved to
-    # sidecar storage + the probe type guard (q213, q201 shares
-    # prune plumbing), vacuum's sidecar lifecycle (q204, q219), and
-    # the column-mapping advisor fixes (q224).
-    "q207_deletion_vectors",
-    "q208_dv_merge",
-    "q209_metadata_only_agg",
-    "q211_restore_table",
-    "q212_describe_history",
-    "q213_bloom_point_lookup",
-    "q214_change_data_feed",
-    "q215_incremental_matview",
-    "q220_stream_dv_upsert",
-    "q223_metadata_partition_counts",
-    "q201_manifest_skipping",
-    "q204_log_retention",
-    "q219_write_audit_publish",
-    "q224_column_rename",
-    # (c) r2-era rows — the oldest official checks left (verdict #3
-    # names exactly this set)
-    "q01_pricing_summary",
-    "q02_product_search",
-    "q21_events_daily",
-    "q22_user_running_totals",
-    "q23_event_gaps",
-    "q24_user_event_pivot",
-    "q25_scalar_showcase",
-    "q26_segment_balances",
-    "q27_set_operations",
-    "q28_revenue_rollup",
-    "q29_sessionization",
-    "q30_text_quality",
-    "q34_dedup_exact",
-    "q47_trigram_fuzzy_search",
-    "q48_price_percentiles",
-    "q53_asof_price",
-    "q54_price_validity_intervals",
-    "q55_price_spread",
-    "q56_shipping_priority",
-    "q57_large_volume_orders",
-    # = 38 priority rows; the remaining ~12 driver-cap slots fall
-    # through to module registration order.
+    # (c) r2-era rows — the oldest official checks anywhere (last
+    # green in CORRECTNESS_r02; five rounds of shared-infra
+    # rewrites since)
+    "q31_lang_id_matrix",
+    "q32_token_counts",
+    "q33_doc_fingerprint",
+    "q37_simhash",
+    "q38_simhash_neardup",
+    "q40_ann_bruteforce",
+    "q41_ivf_assign",
+    "q42_ivf_cluster_stats",
+    "q44_rp_lsh_buckets",
+    "q45_multimodal_metadata",
+    "q49_salted_skew_agg",
+    "q52_sql_api_pricing",
+    "q58_order_cube",
+    "q59_semi_join_urgent",
+    "q60_multimodal_frame_sample",
+    "q61_dedup_pipeline",
+    "q62_deterministic_split",
+    "q64_source_mixture",
+    "q65_repetition_filter",
+    "q66_weighted_downsample",
+    "q68_vocab_coverage",
+    "q69_duplicated_span_ratio",
+    "q70_neardup_components",
+    "q71_tfidf_keywords",
+    "q72_ann_recall",
+    "q73_span_cut_stats",
+    "q75_continuous_aggregate",
+    "q77_kmv_distinct_sketch",
+    "q78_kmv_sketch_merge",
+    # (d) head of the r3-era block (last checked r3) — fills the cap
+    # to exactly 50; the rest of the r3 block is the r9 rotation.
+    "q46_ann_pandas_vectorized",
+    "q67_trigram_index_search",
+    "q74_stream_join_attribution",
+    "q76_interval_snapshot_join",
+    "q79_cms_heavy_hitters",
+    "q80_group_quantiles",
+    "q81_bigram_collocations",
+    "q82_kmeans_refine",
+    "q83_stream_cagg_serving",
+    # = 50 priority rows — exactly the driver cap.
 )
 
 

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 245
+EXPECTED_QUERY_COUNT = 246
 
 
 def test_registry_complete():
@@ -65,11 +65,11 @@ def test_registry_complete():
 
 def test_priority_queries_inside_driver_cap():
     """Driver evidence says the correctness sweep caps at 50 queries
-    in registration order. Round-7 rotation (verdict item #3): the
-    cap leads with the round's 4 new queries, then every query the
-    DV/bloom sidecar rewrite + advisor fixes touched, then the
-    r2-era rows (last official check r1/r2) — so no registry row's
-    last official check falls further behind. The must-lead set IS
+    in registration order. Round-8 rotation (r7 verdict #1): the
+    cap leads with q241-q247 (the only rows never officially
+    driver-checked) + the new q248, then the queries rewritten this
+    round (q229/q240/q226/q228), then the 29 r2-era rows and the
+    head of the r3-era block. The must-lead set IS
     registry._PRIORITY: pinning the same tuple here guards against
     a registration-order change silently pushing a row past the
     cap."""
@@ -78,8 +78,10 @@ def test_priority_queries_inside_driver_cap():
     first_50 = set(list(SPECS)[:50])
     must_lead = set(_registry._PRIORITY)
     assert len(must_lead) == 50
-    # spot-pin the three rotation groups so _PRIORITY edits stay honest
-    assert "q225_trained_ivfpq" in must_lead  # (a) new round-7
-    assert "q208_dv_merge" in must_lead  # (b) sidecar-rewritten
-    assert "q21_events_daily" in must_lead  # (c) r2-era rotation
+    # spot-pin the rotation groups so _PRIORITY edits stay honest
+    assert "q241_image_resize_thumbs" in must_lead  # (a) never checked
+    assert "q248_dedup_then_pack" in must_lead  # (a) new round-8
+    assert "q229_segment_dedup_rebuild" in must_lead  # (b) rewritten
+    assert "q31_lang_id_matrix" in must_lead  # (c) r2-era rotation
+    assert "q83_stream_cagg_serving" in must_lead  # (d) r3-era head
     assert must_lead <= first_50, must_lead - first_50

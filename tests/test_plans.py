@@ -1048,3 +1048,30 @@ def test_q244_quota_sample_prunes_columns(spark, sf_smoke):
     plan = plan_of(spark, "q244_exact_quota_sample", sf_smoke)
     assert "text" not in plan.split("ReadSchema")[-1][:300]
     assert "doc_id" in plan
+
+
+def test_segment_dedup_survival_is_partial_agg_not_window(spark, sf_smoke):
+    """q229 survival ranking must be the skew-proof shape: a
+    partial-aggregatable min(struct(doc_id, seg_no)) per segment
+    hash (map-side combine caps reducer fan-in at #map-partitions
+    even for a segment duplicated 10^8 times), keeper flag restored
+    by a join on the UNIQUE occurrence key. A row_number window over
+    md5(segment) would funnel every copy of a hot segment through
+    one task — banned."""
+    plan = plan_of(spark, "q229_segment_dedup_rebuild", sf_smoke)
+    assert "Window" not in plan
+    assert "partial_min(struct(doc_id" in plan
+
+
+def test_cdc_dedup_windows_are_doc_local_only(spark, sf_smoke):
+    """q247's only windows are the per-document lead/cumsum (state
+    bounded by one doc); survival over the corpus-wide chunk hash
+    must be the partial-aggregatable min-struct, never a window
+    keyed on content (hot-key funnel at 100 TB)."""
+    import re
+
+    plan = plan_of(spark, "q247_cdc_chunk_dedup", sf_smoke)
+    assert "partial_min(struct(doc_id" in plan
+    specs_ = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs_, "doc-local windows expected"
+    assert all(s.strip().startswith("doc_id") for s in specs_), specs_

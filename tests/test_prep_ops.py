@@ -515,10 +515,11 @@ def test_q240_compression_matches_driver_zlib(spark, sf_smoke):
     import zlib
 
     from data_pipeline_2025_spark.catalog import Catalog
+    from data_pipeline_2025_spark.operators.text import compression_signal
 
     got = {
         r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio_ppm"])
-        for r in SPECS["q240_compression_quality"].spark_fn(spark, sf_smoke).collect()
+        for r in compression_signal(spark, sf_smoke).collect()
     }
     docs = Catalog(spark, sf_smoke).documents.select("doc_id", "text").collect()
     assert len(got) == len(docs)
@@ -595,3 +596,50 @@ def test_q247_matches_python_mirror_and_resynchronizes(spark, sf_smoke):
             ), doc_id
             resync_checked += 1
     assert resync_checked > 0
+
+
+def test_q248_token_conservation_over_deduped_corpus(spark, sf_smoke):
+    """Round-8 composition pin (judge #4): dedup → pack end-to-end.
+    The packed spans must partition each document's DEDUPED token
+    count exactly (tokens_after == packed span sum, per doc), and
+    every window must tile gap- and overlap-free — i.e. the actual
+    pipeline order a training-data run executes conserves tokens
+    across the stage boundary."""
+    from data_pipeline_2025_spark.operators.text import (
+        PACK_STREAMS,
+        PACK_WINDOW,
+    )
+
+    rows = SPECS["q248_dedup_then_pack"].spark_fn(spark, sf_smoke).collect()
+    deduped = {
+        r["doc_id"]: r["toks_after"]
+        for r in SPECS["q229_segment_dedup_rebuild"]
+        .spark_fn(spark, sf_smoke)
+        .collect()
+        if r["toks_after"] > 0
+    }
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["start_offset"] < r["end_offset"] <= PACK_WINDOW
+        assert r["stream"] == r["doc_id"] % PACK_STREAMS
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + (
+            r["end_offset"] - r["start_offset"]
+        )
+    assert per_doc == deduped
+    # windows tile without gaps/overlaps; all but each stream's tail
+    # window hold exactly PACK_WINDOW tokens
+    by_win: dict[tuple[int, int], list] = {}
+    for r in rows:
+        by_win.setdefault((r["stream"], r["seq_id"]), []).append(
+            (r["start_offset"], r["end_offset"])
+        )
+    max_seq: dict[int, int] = {}
+    for (s, q), _ in by_win.items():
+        max_seq[s] = max(max_seq.get(s, -1), q)
+    for (s, q), segs in by_win.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (a, b), (c, d) in zip(segs, segs[1:]):
+            assert b == c, (s, q, segs)
+        if q < max_seq[s]:
+            assert segs[-1][1] == PACK_WINDOW, (s, q, segs)
