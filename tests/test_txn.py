@@ -1642,6 +1642,103 @@ def test_cdf_source_reader_matches_read_changes(spark, tmp_path):
     assert rows2 == [] and off2 == off
 
 
+def test_cdf_partitioned_reader_row_identical_to_simple(spark, tmp_path):
+    """Round-8 (r7 verdict #3): the partition-parallel
+    DataSourceStreamReader must be row-identical to the simple
+    reader across the full lifecycle grammar (append, merge+DV,
+    sidecar delete, restore) — for the whole feed AND for every
+    per-version offset window — and its planning must carry only
+    manifest metadata (file path + inline positions + sidecar refs,
+    never row data)."""
+    from pyspark.sql.types import StructType
+
+    from data_pipeline_2025_spark.streaming.cdfsource import (
+        _TxnChangesPartitionedReader,
+        _TxnChangesReader,
+    )
+
+    sink = str(tmp_path / "t")
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 0, 6, "a"), sink, ("day",)))
+    txn.commit_append(sink, txn.stage_append(_mk(spark, 6, 9, "b"), sink, ("day",)))
+    txn.delete_where(spark, sink, F.col("id") % 2 == 0)  # v3 sidecar
+    upd = spark.createDataFrame([(1, "a"), (100, "b")], "id bigint, day string")
+    txn.merge_upsert_dv(spark, sink, upd, "id", ("day",))  # v4
+    txn.restore(sink, 2)  # v5: un-deletes everything
+
+    schema = StructType.fromDDL(
+        "id bigint, day string, _change_type string, _commit_version bigint"
+    )
+    simple = _TxnChangesReader(sink, schema)
+    part = _TxnChangesPartitionedReader(sink, schema)
+    assert part.initialOffset() == {"version": 0}
+    assert part.latestOffset() == {"version": 5}
+    for lo in range(0, 5):
+        for hi in range(lo + 1, 6):
+            units = part.partitions({"version": lo}, {"version": hi})
+            got = sorted(r for u in units for r in part.read(u))
+            want = sorted(
+                simple.readBetweenOffsets(
+                    {"version": lo}, {"version": hi}
+                )
+            )
+            assert got == want, (lo, hi)
+    # planning is metadata-only: no unit carries row data, and a
+    # round-trip through pickle (the executor hand-off) preserves it
+    import pickle
+
+    units = part.partitions({"version": 0}, {"version": 5})
+    assert units
+    for u in units:
+        assert u.kind in ("added", "removed", "surviving")
+        u2 = pickle.loads(pickle.dumps(u))
+        assert sorted(part.read(u2)) == sorted(part.read(u))
+
+
+def test_cdf_partitioned_reader_end_to_end_stream(spark, tmp_path):
+    """The default txn_changes format must run the partitioned
+    reader THROUGH the engine (read tasks on executors) and deliver
+    the same rows the simple reader delivers for the same sink."""
+    from data_pipeline_2025_spark.streaming.cdfsource import (
+        _FEED_SCHEMA,
+        register_txn_changes_source,
+    )
+
+    register_txn_changes_source(spark)
+    sink = str(tmp_path / "t")
+    ev = spark.range(0, 40).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 1.0).alias("value"),
+        F.when(F.col("id") % 2 == 0, "2024-01-01")
+        .otherwise("2024-01-02")
+        .alias("day"),
+    )
+    txn.commit_append(sink, txn.stage_append(ev, sink, ("day",)))
+    txn.delete_where(spark, sink, F.col("event_id") % 4 == 0)
+
+    got = {}
+    for label, opts in (("partitioned", {}), ("simple", {"reader": "simple"})):
+        rows = []
+        b = spark.readStream.format("txn_changes").option(
+            "readSchema", _FEED_SCHEMA
+        )
+        for k, v in opts.items():
+            b = b.option(k, v)
+        q = (
+            b.load(sink)
+            .writeStream.foreachBatch(
+                lambda df, _id: rows.extend(tuple(r) for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{label}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got[label] = sorted(rows)
+    assert got["partitioned"] == got["simple"]
+    assert got["partitioned"], "feed must not be empty"
+
+
 def test_cdf_matview_batch_apply_is_exactly_once(spark, tmp_path):
     """foreachBatch is at-least-once; the consumer's version-per-
     batch-id guard + conditional replace make the apply exactly
