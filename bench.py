@@ -114,6 +114,14 @@ HEADLINE = (
     # count windows over the corpus bigram stream — a distinct
     # execution shape none of the other headline queries guard).
     "q236_bigram_predictability",
+    # Round-8 additions: the composed dedup→pack pipeline (q229's
+    # skew-proof survival feeding q226's assignment — the
+    # end-to-end training-data path), the trained-classifier
+    # broadcast-weights pass, and the asymmetric delta-vs-index
+    # LSH probe (incremental dedup's standing-index join shape).
+    "q248_dedup_then_pack",
+    "q250_nb_quality_classifier",
+    "q252_incremental_dedup_probe",
 )
 
 

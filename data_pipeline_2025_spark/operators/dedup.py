@@ -2451,14 +2451,16 @@ def q229_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def segment_dedup_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q229's dedup+rebuild core, exposed so downstream stages
-    (q248 packs the deduped corpus) compose on the same plan."""
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 8-token segmentation stream: one row per
+    (doc_id, seg_no) with the segment text, its token length, and
+    its md5 — q229/q248 (first-occurrence dedup) and q251
+    (frequency-threshold boilerplate removal) all start here."""
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", tokens_col().alias("toks")
     )
     n_seg = F.ceil(F.size("toks") / F.lit(SEG_W)).cast("int")
-    segs = docs.select(
+    return docs.select(
         "doc_id",
         F.posexplode(
             F.when(
@@ -2475,6 +2477,12 @@ def segment_dedup_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("seg_toks", " ").alias("seg"),
         F.size("seg_toks").cast("bigint").alias("seg_len"),
     ).withColumn("seg_h", F.md5(F.col("seg").cast("binary")))
+
+
+def segment_dedup_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q229's dedup+rebuild core, exposed so downstream stages
+    (q248 packs the deduped corpus) compose on the same plan."""
+    segs = _doc_segments(spark, sf_dir)
     # First-occurrence survival WITHOUT a window over the content
     # hash: min(struct) is partial-aggregatable (map-side combine →
     # a mega-duplicated segment contributes ≤1 row per map partition
@@ -2805,3 +2813,254 @@ def q248_dedup_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tok") > 0)
     )
     return pack_assignment(d)
+
+
+# ----------- q251: boilerplate removal by document frequency
+#
+# q229 keeps the FIRST copy of a duplicated segment; boilerplate
+# filtering (C4's "discard any line appearing verbatim across
+# enough pages", RefinedWeb's repetition rules) drops EVERY copy —
+# headers, cookie banners, navigation chrome carry no training
+# signal even once. Semantics: a segment whose corpus DOCUMENT
+# frequency (distinct docs containing it) >= BP_DF is boilerplate;
+# all its occurrences are removed and each document is rebuilt
+# from its surviving segments (byte-exact md5 pin, as q229).
+# Scale shape: document frequency is approximate-count-distinct's
+# exact cousin done right — groupBy(seg_h, doc_id) first (combine
+# collapses a doc's internal repeats), then groupBy(seg_h) count,
+# both partial-aggregatable, so a segment on 10^8 pages still
+# reaches its reducer as <= #map-partitions rows. The flag joins
+# back on seg_h with a 1-row build side per key — the
+# AQE-skew-splittable join shape (the probe side's hot key splits;
+# the single build row replicates), which a row_number window
+# could never be.
+
+BP_DF = 3  # segments in >= 3 distinct docs are boilerplate
+
+_ORACLE_Q251 = f"""
+WITH base AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), segs AS (
+    SELECT doc_id, i AS seg_no,
+           array_to_string(list_slice(toks, i * {SEG_W} + 1,
+                                      i * {SEG_W} + {SEG_W}), ' ') AS seg,
+           least(len(toks) - i * {SEG_W}, {SEG_W}) AS seg_len
+    FROM base,
+         LATERAL UNNEST(range(0, CAST(ceil(len(toks) / {SEG_W}.0) AS BIGINT)))
+             AS t(i)
+), df AS (
+    SELECT md5(seg) AS h,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS seg_df
+    FROM segs GROUP BY md5(seg)
+), flagged AS (
+    SELECT s.*, d.seg_df >= {BP_DF} AS bp
+    FROM segs s JOIN df d ON md5(s.seg) = d.h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS segs_total,
+       CAST(COUNT(*) FILTER (WHERE bp) AS BIGINT) AS segs_dropped,
+       CAST(COALESCE(SUM(seg_len) FILTER (WHERE NOT bp), 0) AS BIGINT)
+           AS toks_after,
+       md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_no)
+                        FILTER (WHERE NOT bp), '')) AS rebuilt_md5
+FROM flagged GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q251_boilerplate_removal",
+    oracle=_ORACLE_Q251,
+    doc="Corpus boilerplate removal: segments appearing in >= 3 "
+    "distinct documents are dropped EVERYWHERE (unlike q229's "
+    "keep-first) and every document rebuilt byte-exact from its "
+    "survivors. Document frequency via two stacked combine-safe "
+    "aggregations (per-doc collapse then per-segment count) — "
+    "skew-proof at any duplication — and the flag joins back on a "
+    "1-row-per-key build side (AQE-skew-splittable).",
+    tags=("dedup", "boilerplate", "rewrite"),
+)
+def q251_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _doc_segments(spark, sf_dir)
+    # document frequency: collapse per (seg, doc) FIRST — both
+    # levels partial-aggregatable, no hot reducer at any skew
+    seg_df = (
+        segs.select("seg_h", "doc_id")
+        .groupBy("seg_h", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("seg_h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("seg_df"))
+    )
+    flagged = segs.join(seg_df, "seg_h").withColumn(
+        "bp", F.col("seg_df") >= BP_DF
+    )
+    keep = ~F.col("bp")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("segs_total"),
+            F.sum(F.col("bp").cast("bigint"))
+            .cast("bigint")
+            .alias("segs_dropped"),
+            F.coalesce(F.sum(F.when(keep, F.col("seg_len"))), F.lit(0))
+            .cast("bigint")
+            .alias("toks_after"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("seg_no", "seg"))
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("rebuilt_md5"),
+        )
+        .select(
+            "doc_id", "segs_total", "segs_dropped", "toks_after",
+            "rebuilt_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ----------- q252: incremental dedup probe (round 8)
+#
+# Production dedup is INCREMENTAL: each new crawl batch is checked
+# against the standing corpus index, not re-deduped from scratch —
+# you never re-shingle 100 TB because 100 GB arrived. The shape:
+# the base corpus's LSH band index is a standing artifact (here
+# doc_id % 10 != 0, materialized by the shared minhash/band cache);
+# the delta (doc_id % 10 == 0) is signed and PROBED against it —
+# an asymmetric join whose probe side is delta-sized, candidates
+# verified by exact Jaccard on shingles. The 0.8 threshold is
+# checked as inter*5 >= union*4 — pure BIGINT, no doubles anywhere.
+# Per delta doc: band candidates, verified near-dups, and the
+# largest verified overlap (the "is this new page already in the
+# corpus" triage row an ingest gate consumes).
+
+INC_MOD = 10  # doc_id % 10 == 0 → the new-crawl delta; rest = base
+
+_ORACLE_Q252 = f"""
+WITH {SHINGLES_SQL},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT d.doc_id AS delta_doc, b.doc_id AS base_doc
+    FROM bands d
+    JOIN bands b ON d.band = b.band AND d.bkey = b.bkey
+    WHERE d.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.delta_doc, c.base_doc,
+           CAST(COUNT(*) AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - COUNT(*) AS BIGINT) AS un
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.delta_doc
+    JOIN shingles b ON b.doc_id = c.base_doc AND a.sh = b.sh
+    JOIN sizes sa ON sa.doc_id = c.delta_doc
+    JOIN sizes sb ON sb.doc_id = c.base_doc
+    GROUP BY c.delta_doc, c.base_doc, sa.n, sb.n
+)
+SELECT c.delta_doc AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(CASE WHEN v.inter * 5 >= v.un * 4
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dups,
+       CAST(COALESCE(MAX(CASE WHEN v.inter * 5 >= v.un * 4
+                               THEN v.inter END), 0) AS BIGINT) AS max_inter
+FROM cand c
+LEFT JOIN verified v
+       ON v.delta_doc = c.delta_doc AND v.base_doc = c.base_doc
+GROUP BY c.delta_doc
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q252_incremental_dedup_probe",
+    oracle=_ORACLE_Q252,
+    doc="Incremental dedup: a new-crawl delta (doc_id % 10 == 0) is "
+    "MinHash-signed and probed against the standing base corpus's "
+    "LSH band index (the asymmetric delta-vs-index join — never "
+    "re-dedup the corpus for a new batch), candidates verified by "
+    "exact Jaccard with the 0.8 threshold as the all-BIGINT "
+    "inter*5 >= union*4. Per delta doc: candidates, verified "
+    "near-dups, largest verified overlap.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def q252_incremental_dedup_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    bands = band_keys(minhash_df(spark, sf_dir))
+    delta = bands.where(F.col("doc_id") % INC_MOD == 0)
+    base = bands.where(F.col("doc_id") % INC_MOD != 0)
+    cand = (
+        delta.alias("d")
+        .join(
+            base.alias("b"),
+            (F.col("d.band") == F.col("b.band"))
+            & (F.col("d.bkey") == F.col("b.bkey")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_doc"),
+            F.col("b.doc_id").alias("base_doc"),
+        )
+        .distinct()
+    )
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    verified = (
+        cand.join(
+            sh.alias("sa"), F.col("sa.doc_id") == F.col("delta_doc")
+        )
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("base_doc"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("delta_doc", "base_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("delta_doc"), F.col("n").alias("na")
+            ),
+            "delta_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("base_doc"), F.col("n").alias("nb")
+            ),
+            "base_doc",
+        )
+        .select(
+            "delta_doc",
+            "base_doc",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("bigint")
+            .alias("un"),
+        )
+    )
+    is_dup = F.col("inter") * 5 >= F.col("un") * 4
+    return (
+        cand.join(verified, ["delta_doc", "base_doc"], "left")
+        .groupBy(F.col("delta_doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(is_dup, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("n_dups"),
+            F.coalesce(
+                F.max(F.when(is_dup, F.col("inter"))), F.lit(0)
+            ).cast("bigint").alias("max_inter"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2383,3 +2383,128 @@ def q240_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "raw_len", "distinct8_ppm")
         .orderBy("doc_id")
     )
+
+
+# ------- q250: trained naive-Bayes quality classifier (round 8)
+#
+# The quality-classifier pattern production curation actually runs
+# (CCNet/fasttext-style): TRAIN a linear model on a labeled split
+# of the corpus, then SCORE every document with it. Here the label
+# is lang='en' (the curated class), training is one aggregation
+# pass (per-token class counts with add-one smoothing), and the
+# score is the mean token likelihood ratio — log-odds without the
+# log, per the repo's no-transcendentals convention:
+#
+#   pP_ppb(t) = (cntP(t)+1)·10⁹ DIV (TP+V)     # P(t | en), ppb
+#   pN_ppb(t) = (cntN(t)+1)·10⁹ DIV (TN+V)
+#   w_ppm(t)  = pP_ppb·10⁶ DIV pN_ppb          # likelihood ratio
+#   score_ppm(doc) = Σ_tok w_ppm DIV n_tok;  predict en iff > 10⁶
+#
+# All-BIGINT and safe to ~10⁹ corpus tokens per class at ppb
+# scale; a 100 TB corpus bumps the scale constant (or DECIMAL(38))
+# — the seam is the constant, not the shape. Distributed shape =
+# q231's: train is ONE partial-aggregatable groupBy over the token
+# stream; the per-token weight table (vocab-sized) broadcasts; the
+# corpus is never the shuffled side of a join. Emits per-doc
+# score, prediction, truth, and correctness so the hash pins the
+# whole train→apply loop, not just the arithmetic.
+
+_NB_SCALE = 1_000_000_000  # per-class probability scale (ppb)
+
+_ORACLE_Q250 = f"""
+WITH tok AS (
+    SELECT doc_id, lang = 'en' AS pos, unnest({TOKENS_SQL}) AS tok
+    FROM documents
+), v AS (
+    SELECT tok,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+           CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cnt_n
+    FROM tok GROUP BY tok
+), t AS (
+    SELECT CAST(SUM(cnt_p) AS BIGINT) AS tp,
+           CAST(SUM(cnt_n) AS BIGINT) AS tn,
+           CAST(COUNT(*) AS BIGINT) AS vsz
+    FROM v
+), w AS (
+    SELECT tok,
+           ((cnt_p + 1) * {_NB_SCALE} // (tp + vsz)) * 1000000
+               // ((cnt_n + 1) * {_NB_SCALE} // (tn + vsz)) AS w_ppm
+    FROM v, t
+)
+SELECT s.doc_id,
+       CAST(s.n_tok AS BIGINT) AS n_tok,
+       CAST(s.score_ppm AS BIGINT) AS score_ppm,
+       CAST(CASE WHEN s.score_ppm > 1000000 THEN 1 ELSE 0 END AS BIGINT)
+           AS pred_en,
+       CAST(s.is_en AS BIGINT) AS is_en,
+       CAST(CASE WHEN (s.score_ppm > 1000000) = (s.is_en = 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM (
+    SELECT tok.doc_id,
+           MAX(CASE WHEN tok.pos THEN 1 ELSE 0 END) AS is_en,
+           COUNT(*) AS n_tok,
+           SUM(w.w_ppm) // COUNT(*) AS score_ppm
+    FROM tok JOIN w USING (tok)
+    GROUP BY tok.doc_id
+) s
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "q250_nb_quality_classifier",
+    oracle=_ORACLE_Q250,
+    doc="Trained quality classifier, the CCNet/fasttext curation "
+    "pattern: per-token class counts with add-one smoothing fit in "
+    "ONE combine-safe aggregation pass (label = lang='en'), the "
+    "vocab-sized likelihood-ratio weight table broadcasts, and "
+    "every document is scored by its mean token ratio in exact "
+    "BIGINT ppm — train AND apply hash-pinned per doc (score, "
+    "prediction, truth, correctness).",
+    tags=("text", "quality", "classifier"),
+)
+def q250_nb_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.explode(tokens_col()).alias("tok"),
+    )
+    vocab = tok.groupBy("tok").agg(
+        F.sum(F.col("pos").cast("long")).cast("long").alias("cnt_p"),
+        F.sum((~F.col("pos")).cast("long")).cast("long").alias("cnt_n"),
+    )
+    totals = vocab.agg(
+        F.sum("cnt_p").cast("long").alias("tp"),
+        F.sum("cnt_n").cast("long").alias("tn"),
+        F.count(F.lit(1)).cast("long").alias("vsz"),
+    )
+    weights = (
+        vocab.join(F.broadcast(totals))  # one-row scalar
+        .selectExpr(
+            "tok",
+            f"((cnt_p + 1) * {_NB_SCALE} DIV (tp + vsz)) * 1000000"
+            f" DIV ((cnt_n + 1) * {_NB_SCALE} DIV (tn + vsz)) AS w_ppm",
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(weights), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("pos").cast("int")).alias("is_en_i"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.expr("SUM(w_ppm) DIV COUNT(*)").alias("score_ppm"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        F.col("score_ppm").cast("bigint").alias("score_ppm"),
+        (F.col("score_ppm") > 1_000_000).cast("bigint").alias("pred_en"),
+        F.col("is_en_i").cast("bigint").alias("is_en"),
+        (
+            (F.col("score_ppm") > 1_000_000) == (F.col("is_en_i") == 1)
+        ).cast("bigint").alias("correct"),
+    ).orderBy("doc_id")

@@ -136,6 +136,10 @@ _PRIORITY = (
     "q246_quarantine_ingest",
     "q247_cdc_chunk_dedup",   # also rewritten: skew-proof survival
     "q248_dedup_then_pack",   # new r8: composed dedup → pack
+    "q249_cdf_update_images",  # new r8: four-type CDF
+    "q250_nb_quality_classifier",  # new r8: trained quality clf
+    "q251_boilerplate_removal",  # new r8: df-threshold dedup
+    "q252_incremental_dedup_probe",  # new r8: delta-vs-index probe
     # (b) rewritten/affected this round: q229 skew-proof survival
     # (shared shape with q247), q240 hash-checked face, q226
     # pack_assignment refactor (shared with q248), q228 partitioned
@@ -183,10 +187,6 @@ _PRIORITY = (
     "q74_stream_join_attribution",
     "q76_interval_snapshot_join",
     "q79_cms_heavy_hitters",
-    "q80_group_quantiles",
-    "q81_bigram_collocations",
-    "q82_kmeans_refine",
-    "q83_stream_cagg_serving",
     # = 50 priority rows — exactly the driver cap.
 )
 

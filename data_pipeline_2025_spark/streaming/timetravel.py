@@ -1620,6 +1620,87 @@ def q215_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --------- q249: CDF update pre/post-images (round 8)
+#
+# q214's feed represents a DV-backed MERGE as delete+insert of the
+# same key — Delta's storage-level shape. Delta's readChangeFeed
+# API exposes one refinement consumers rely on (SCD2 builders,
+# audit diffs): the same-key pair inside ONE commit is relabeled
+# update_preimage / update_postimage, distinguishing a row that
+# CHANGED from a row that genuinely arrived or left.
+# txn.read_changes_with_images derives the four-type feed from the
+# two-type one with a single (version, key) aggregation + join —
+# O(delta), no hot key beyond the merge's own write set. On the
+# shared q214 lifecycle the v4 merge splits exactly: the min-user
+# rows live at v3 become pre/post-image pairs, while that user's
+# v3-deleted rows (%7==3) come back as plain inserts — the
+# distinction the two-type feed cannot make.
+
+_ORACLE_Q249 = f"""
+WITH mu AS (SELECT MIN(user_id) AS mu FROM events),
+chg AS (
+    SELECT 1 AS commit_version, 'insert' AS change_type,
+           COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS s
+    FROM events WHERE ts < TIMESTAMP '{_TT_SPLIT}'
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*), SUM(CAST(value AS DECIMAL(12,2)))
+    FROM events WHERE ts >= TIMESTAMP '{_TT_SPLIT}'
+    UNION ALL
+    SELECT 3, 'delete', COUNT(*), SUM(CAST(value AS DECIMAL(12,2)))
+    FROM events WHERE event_id % {_CDF_MOD} = {_CDF_REM}
+    UNION ALL
+    SELECT 4, 'update_preimage', COUNT(*),
+           SUM(CAST(value AS DECIMAL(12,2)))
+    FROM events, mu
+    WHERE user_id = mu AND event_id % {_CDF_MOD} <> {_CDF_REM}
+    UNION ALL
+    SELECT 4, 'update_postimage', COUNT(*),
+           SUM(2 * CAST(value AS DECIMAL(12,2)))
+    FROM events, mu
+    WHERE user_id = mu AND event_id % {_CDF_MOD} <> {_CDF_REM}
+    UNION ALL
+    SELECT 4, 'insert', COUNT(*), SUM(2 * CAST(value AS DECIMAL(12,2)))
+    FROM events, mu
+    WHERE user_id = mu AND event_id % {_CDF_MOD} = {_CDF_REM}
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version,
+       change_type,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ROUND(s, 2) AS DOUBLE) AS value_sum_d
+FROM chg WHERE n > 0
+ORDER BY commit_version, change_type
+"""
+
+
+@register(
+    "q249_cdf_update_images",
+    oracle=_ORACLE_Q249,
+    doc="Delta CDF's four change types from the two-type manifest "
+    "feed: a key deleted AND inserted within one commit is "
+    "relabeled update_preimage/update_postimage via one (version, "
+    "key) aggregation + join — O(delta). On the shared q214 "
+    "lifecycle, the v4 merge's same-key pairs become image pairs "
+    "while the re-inserted previously-deleted keys stay plain "
+    "inserts; every (version, type) count and value sum "
+    "hash-checked against events algebra.",
+    tags=("streaming", "txn", "cdf"),
+)
+def q249_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _cdf_sink(spark, sf_dir)
+    ch = txn.read_changes_with_images(spark, sink, 0, 4, "event_id")
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            money_out(F.sum(dec("value"))).alias("value_sum_d"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
 # --------- q218: partition-spec evolution (round 6)
 #
 # Iceberg's signature capability: changing HOW a table is

@@ -1966,18 +1966,32 @@ def test_prune_files_in_consults_blooms_on_unclustered_column(spark, tmp_path):
 # The unit tests pin each operation's semantics in isolation; this
 # pins their INTERACTIONS: seeded random sequences of append /
 # dynamic replace / explicit-dir replace / full-table replace /
-# DV delete / restore, checked after every step against a
-# driver-side model of the live row set, plus the metadata-only
-# count (which must agree with the actual read at every version —
-# the invariant every lakehouse feature rides on) and a final
-# time-travel sweep re-reading every historical version against
-# its model snapshot. Vacuum is excluded on purpose: it reclaims
+# DV delete / restore — plus, round 8 (r7 verdict #5), DV-backed
+# MERGE upsert and q245's health-triggered auto-compaction —
+# checked after every step against a driver-side model of the live
+# row set, plus the metadata-only count (which must agree with the
+# actual read at every version — the invariant every lakehouse
+# feature rides on) and a final time-travel sweep re-reading every
+# historical version against its model snapshot. The compaction op
+# exercises the nastiest interaction on purpose: it rewrites
+# backlog dirs from the LIVE read (DVs applied), so a compaction
+# right after a delete/merge must neither resurrect DV-dead rows
+# nor drop live ones. Vacuum is excluded on purpose: it reclaims
 # superseded files, which legitimately ends time travel past it
 # (its lifecycle is pinned by the dedicated sidecar/WAP tests).
+#
+# TXN_SOAK=1 widens the seed matrix to the 13-seed soak the round
+# ledger records (kept out of default CI for runtime).
 
 import random as _random
 
 import pytest
+
+_GRAMMAR_SEEDS = [7, 23, 71]
+if os.environ.get("TXN_SOAK"):
+    _GRAMMAR_SEEDS = [
+        7, 23, 71, 101, 137, 149, 173, 199, 211, 241, 257, 283, 311,
+    ]
 
 
 def _mk_batch(spark, ids, day):
@@ -1987,7 +2001,7 @@ def _mk_batch(spark, ids, day):
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23, 71])
+@pytest.mark.parametrize("seed", _GRAMMAR_SEEDS)
 def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = _random.Random(seed)
     sink = str(tmp_path / f"t{seed}")
@@ -2011,10 +2025,10 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
         assert got == live, f"seed={seed} step mismatch"
         assert txn.metadata_agg(sink)["count"] == len(live)
 
-    for _step in range(12):
+    for _step in range(14):
         op = rng.choice(
             ["append", "replace_day", "replace_dirs", "replace_table",
-             "delete", "restore"]
+             "delete", "restore", "merge", "auto_compact"]
         )
         if op == "append" or not history:
             day = rng.choice("abc")
@@ -2063,6 +2077,52 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
             v = rng.choice(range(1, len(history) + 1))
             txn.restore(sink, v)
             live = dict(history[v - 1])
+        elif op == "merge":
+            # DV-backed MERGE: a mix of existing keys (rewritten in
+            # place via deletion vectors) and brand-new keys, one
+            # atomic commit
+            n_old = min(len(live), rng.randint(0, 3))
+            upd_ids = rng.sample(sorted(live), n_old) + fresh_ids(
+                rng.randint(1, 3)
+            )
+            upd_rows = [(i, rng.choice("abcxyz")) for i in upd_ids]
+            upd = spark.createDataFrame(
+                upd_rows, "id BIGINT, day STRING"
+            ).coalesce(1)
+            matched, inserted = txn.merge_upsert_dv(
+                spark, sink, upd, "id", ("day",)
+            )
+            assert matched == n_old and inserted == len(upd_ids) - n_old
+            live.update({i: d for i, d in upd_rows})
+        elif op == "auto_compact":
+            # q245's daemon pass inside the grammar: manifest-only
+            # trigger (dirs with >= 2 files), rewrite ONLY those
+            # dirs from the LIVE read (DVs applied) — the live set
+            # must be bit-identical before and after
+            per_dir: dict[str, int] = {}
+            for f in txn.committed_files(sink):
+                d = os.path.dirname(f)
+                per_dir[d] = per_dir.get(d, 0) + 1
+            backlog_days = sorted(
+                d.split("=", 1)[1]
+                for d, n in per_dir.items()
+                if n >= 2 and "=" in d
+            )
+            compacted = txn.read_committed(spark, sink)
+            if compacted is not None:
+                compacted = compacted.where(
+                    F.col("day").isin(backlog_days)
+                )
+            if not backlog_days or compacted is None or not compacted.take(1):
+                check()  # nothing to compact: no commit
+                continue
+            txn.commit_replace(
+                sink,
+                txn.stage_append(
+                    compacted.repartition(F.col("day")), sink, ("day",)
+                ),
+            )
+            # live unchanged BY DEFINITION — check() enforces it
         history.append(dict(live))
         check()
     # every historical version still time-travels to its model
