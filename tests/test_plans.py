@@ -1011,16 +1011,21 @@ def test_q231_rarity_joins_broadcast_corpus_never_shuffled(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
 
 
-def test_q229_segment_dedup_single_hash_shuffle_no_joins(spark, sf_smoke):
-    """Segment dedup: the keep decision is ONE window over the
-    segment hash plus a per-doc rebuild — no join of any kind, no
-    cartesian, and the window partitions on md5 (32-byte key), not
-    on the segment text."""
+def test_q229_segment_dedup_keeper_join_is_equi_on_occurrence_key(
+    spark, sf_smoke
+):
+    """Segment dedup, round-8 shape (supersedes the r7 pin of the
+    window form): the keep decision is a combine-safe min-struct
+    aggregation whose keeper flag returns via an EQUI join on the
+    unique occurrence key (seg_h, doc_id, seg_no) — never a
+    cartesian, never a window (see
+    test_segment_dedup_survival_is_partial_agg_not_window), and
+    the join keys on md5 (32-byte hash), not the segment text."""
     plan = plan_of(spark, "q229_segment_dedup_rebuild", sf_smoke)
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "md5" in plan
+    # the keeper join is present and keyed on all three columns
+    assert "seg_h" in plan and "seg_no" in plan
 
 
 def test_q233_hidden_partitioning_exact_filter_pushed(spark, sf_smoke):
@@ -1075,3 +1080,13 @@ def test_cdc_dedup_windows_are_doc_local_only(spark, sf_smoke):
     specs_ = re.findall(r"windowspecdefinition\(([^,]+)", plan)
     assert specs_, "doc-local windows expected"
     assert all(s.strip().startswith("doc_id") for s in specs_), specs_
+
+
+def test_q250_classifier_applies_via_broadcast(spark, sf_smoke):
+    """q250's weight table (vocab-sized) and totals scalar must ride
+    the broadcast path — the corpus token stream is never the
+    shuffled side of a SortMergeJoin (the train pass's groupBy is
+    the only corpus shuffle)."""
+    plan = plan_of(spark, "q250_nb_quality_classifier", sf_smoke)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
