@@ -2304,8 +2304,10 @@ def _compress_batches(batches):
         out = pdf[["doc_id"]].copy()
         out["raw_len"] = enc.map(len).astype("int64")
         out["comp_len"] = comp.astype("int64")
+        # clip: an EMPTY document (raw_len 0) gets ratio vs 1 byte —
+        # bounded instead of a numpy divide-by-zero
         out["ratio_ppm"] = (
-            out["comp_len"] * 1_000_000 // out["raw_len"]
+            out["comp_len"] * 1_000_000 // out["raw_len"].clip(lower=1)
         ).astype("int64")
         if "distinct8_ppm" in pdf.columns:
             out["distinct8_ppm"] = pdf["distinct8_ppm"].astype("int64")
@@ -2319,10 +2321,16 @@ def compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT algebra (DIV pairs with the oracle's //)."""
     toks = tokens_col()
     n_win = F.greatest(F.size(toks) - 7, F.lit(0)).cast("bigint")
-    wins = F.transform(
-        F.sequence(F.lit(1), n_win.cast("int")),
-        lambda i: F.array_join(F.slice(toks, i, 8), " "),
-    )
+    # guard: F.sequence(1, 0) is the DESCENDING [1, 0] and slice's
+    # start=0 throws — docs with <8 tokens must short-circuit to an
+    # empty window list (their ppm is the n_win=0 branch below)
+    wins = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_win.cast("int")),
+            lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     distinct = F.size(F.array_distinct(wins)).cast("bigint")
     pre = Catalog(spark, sf_dir).documents.select(
         "doc_id",
@@ -2469,7 +2477,10 @@ def q250_nb_quality_classifier(
     docs = Catalog(spark, sf_dir).documents
     tok = docs.select(
         "doc_id",
-        (F.col("lang") == "en").alias("pos"),
+        # eqNullSafe: a NULL lang is the negative class (matches the
+        # oracle's CASE WHEN pos THEN ... ELSE 1), never a skipped
+        # NULL that would silently shrink cnt_n
+        F.col("lang").eqNullSafe(F.lit("en")).alias("pos"),
         F.explode(tokens_col()).alias("tok"),
     )
     vocab = tok.groupBy("tok").agg(

@@ -110,11 +110,6 @@ class TxnChangeFeedDataSource(DataSource):
 
 
 class _ChangeUnit(InputPartition):
-    __slots__ = (
-        "kind", "version", "rel",
-        "inline_prev", "inline_cur", "refs_prev", "refs_cur",
-    )
-
     def __init__(
         self, kind, version, rel, inline_prev, inline_cur,
         refs_prev, refs_cur,
@@ -126,13 +121,6 @@ class _ChangeUnit(InputPartition):
         self.inline_cur = inline_cur
         self.refs_prev = refs_prev  # tuple[str, ...] sidecar refs
         self.refs_cur = refs_cur
-
-    def __getstate__(self):
-        return {s: getattr(self, s) for s in self.__slots__}
-
-    def __setstate__(self, state):
-        for k, v in state.items():
-            setattr(self, k, v)
 
 
 def _relevant_refs(snap, rel: str) -> tuple:
@@ -210,29 +198,51 @@ def _file_rows(sink_dir: str, cols, rel: str) -> list[tuple]:
     return list(zip(*out)) if n else []
 
 
-def _dv_positions_for(sink_dir: str, rel: str, inline, refs) -> set:
+def _dv_positions_for(
+    sink_dir: str, rel: str, inline, refs, ref_cache: dict | None = None
+) -> set:
+    """Dead positions for one file = manifest-inline positions +
+    the referenced sidecars' entries for that file. ``ref_cache``
+    (optional, {ref: parsed rows}) lets a caller that walks MANY
+    units — the simple reader's driver-side loop — parse each
+    immutable sidecar once instead of once per unit; executor tasks
+    hold one unit each, so they pass nothing."""
     dead = set(inline)
     for ref in refs:
-        for p, pos in txn._read_dv_sidecar(sink_dir, ref):
+        if ref_cache is not None and ref in ref_cache:
+            rows = ref_cache[ref]
+        else:
+            rows = txn._read_dv_sidecar(sink_dir, ref)
+            if ref_cache is not None:
+                ref_cache[ref] = rows
+        for p, pos in rows:
             if p == rel:
                 dead.add(pos)
     return dead
 
 
-def _unit_rows(sink_dir: str, cols, u: "_ChangeUnit"):
+def _unit_rows(sink_dir: str, cols, u: "_ChangeUnit", ref_cache=None):
     if u.kind == "added":
-        dead = _dv_positions_for(sink_dir, u.rel, u.inline_cur, u.refs_cur)
+        dead = _dv_positions_for(
+            sink_dir, u.rel, u.inline_cur, u.refs_cur, ref_cache
+        )
         for i, row in enumerate(_file_rows(sink_dir, cols, u.rel)):
             if i not in dead:
                 yield (*row, "insert", u.version)
     elif u.kind == "removed":
-        dead = _dv_positions_for(sink_dir, u.rel, u.inline_prev, u.refs_prev)
+        dead = _dv_positions_for(
+            sink_dir, u.rel, u.inline_prev, u.refs_prev, ref_cache
+        )
         for i, row in enumerate(_file_rows(sink_dir, cols, u.rel)):
             if i not in dead:
                 yield (*row, "delete", u.version)
     else:  # surviving — DV delta only
-        prev = _dv_positions_for(sink_dir, u.rel, u.inline_prev, u.refs_prev)
-        cur = _dv_positions_for(sink_dir, u.rel, u.inline_cur, u.refs_cur)
+        prev = _dv_positions_for(
+            sink_dir, u.rel, u.inline_prev, u.refs_prev, ref_cache
+        )
+        cur = _dv_positions_for(
+            sink_dir, u.rel, u.inline_cur, u.refs_cur, ref_cache
+        )
         new_dead = cur - prev
         undead = prev - cur
         if not new_dead and not undead:
@@ -298,9 +308,12 @@ class _TxnChangesReader(SimpleDataSourceStreamReader):
 
     def _rows(self, frm: int, to: int):
         # same planning + row derivation as the partitioned reader,
-        # just executed in-place (single planner)
+        # just executed in-place (single planner); the ref cache
+        # parses each immutable DV sidecar once per call, not once
+        # per changed file
+        cache: dict = {}
         for u in _plan_units(self._sink, frm, to):
-            yield from _unit_rows(self._sink, self._cols, u)
+            yield from _unit_rows(self._sink, self._cols, u, cache)
 
 
 def register_txn_changes_source(spark: SparkSession) -> None:

@@ -1630,11 +1630,17 @@ def q215_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CHANGED from a row that genuinely arrived or left.
 # txn.read_changes_with_images derives the four-type feed from the
 # two-type one with a single (version, key) aggregation + join —
-# O(delta), no hot key beyond the merge's own write set. On the
-# shared q214 lifecycle the v4 merge splits exactly: the min-user
-# rows live at v3 become pre/post-image pairs, while that user's
-# v3-deleted rows (%7==3) come back as plain inserts — the
-# distinction the two-type feed cannot make.
+# O(delta), no hot key beyond the merge's own write set — and is
+# CONTENT-AWARE (round-8 review fix): a same-key pair whose full
+# row content is identical is a file-rewrite artifact (compaction /
+# OPTIMIZE re-laying rows) and emits NOTHING, Delta's behavior for
+# OPTIMIZE commits. On the shared q214 lifecycle the v4 merge
+# splits exactly: the min-user rows live at v3 become pre/post
+# pairs (value doubled — content differs; note this oracle depends
+# on the doubled value differing, i.e. no zero-value rows for the
+# min user, true at every tier), while that user's v3-deleted rows
+# (%7==3) come back as plain inserts — the distinction the
+# two-type feed cannot make.
 
 _ORACLE_Q249 = f"""
 WITH mu AS (SELECT MIN(user_id) AS mu FROM events),

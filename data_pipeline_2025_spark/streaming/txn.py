@@ -2454,47 +2454,64 @@ def read_changes_with_images(
     to_version: int | None,
     key: str,
 ) -> DataFrame | None:
-    """Delta CDF's FOUR change types (round 8): a ``key`` that is
-    both deleted and inserted within ONE commit version is an
-    UPDATE — its delete row is relabeled ``update_preimage`` and
-    its insert row ``update_postimage`` (exactly Delta's
-    ``readChangeFeed`` output for DV-backed merges); keys touched
-    one-sidedly keep plain ``insert``/``delete``. Derived from
-    :func:`read_changes` with one additional aggregation + join on
-    ``(_commit_version, key)`` — per-key-per-version fan-in is the
-    number of change rows for that key in that commit (bounded by
-    the merge's own write amplification), so the classification
-    shuffle is O(delta), never O(table), and carries no hot key a
-    merge didn't already have."""
+    """Delta CDF's FOUR change types (round 8), content-aware: a
+    ``key`` that is both deleted and inserted within ONE commit
+    version is classified by comparing the two sides' FULL row
+    content —
+
+    - identical content multisets → a pure file-rewrite artifact
+      (compaction / OPTIMIZE / dynamic overwrite re-laying the same
+      rows): NO change rows are emitted for that key, exactly
+      Delta's readChangeFeed behavior for OPTIMIZE commits (which
+      our plain two-type :func:`read_changes` reports as
+      delete+insert pairs, since the manifest diff genuinely
+      retired and added files);
+    - differing content → an UPDATE: delete rows relabeled
+      ``update_preimage``, insert rows ``update_postimage``
+      (Delta's DV-merge output);
+    - one-sided keys keep plain ``insert``/``delete``.
+
+    One aggregation + join on ``(_commit_version, key)``; per-key
+    fan-in is that commit's write amplification for the key, so the
+    classification shuffle is O(delta), never O(table), with no hot
+    key a merge didn't already have. Known deviation, stated
+    honestly: a MERGE that rewrites a row to ITS EXISTING values is
+    indistinguishable from a rewrite artifact here (the manifest
+    records files, not intent) and emits nothing — Delta, which
+    carries the operation on the commit, would emit an
+    identical-pre/post update pair."""
     from pyspark.sql import functions as F
 
     ch = read_changes(spark, sink_dir, from_version, to_version)
     if ch is None:
         return None
-    flags = ch.groupBy("_commit_version", key).agg(
-        F.max(
-            (F.col("_change_type") == "insert").cast("int")
-        ).alias("_has_ins"),
-        F.max(
-            (F.col("_change_type") == "delete").cast("int")
-        ).alias("_has_del"),
+    data_cols = [c for c in ch.columns if not c.startswith("_")]
+    content_h = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in data_cols])).cast("binary")
     )
-    both = (F.col("_has_ins") == 1) & (F.col("_has_del") == 1)
+    ch = ch.withColumn("_content_h", content_h)
+    is_ins = F.col("_change_type") == "insert"
+    sides = ch.groupBy("_commit_version", key).agg(
+        F.sort_array(
+            F.collect_list(F.when(is_ins, F.col("_content_h")))
+        ).alias("_ins_h"),
+        F.sort_array(
+            F.collect_list(F.when(~is_ins, F.col("_content_h")))
+        ).alias("_del_h"),
+    )
+    both = (F.size("_ins_h") > 0) & (F.size("_del_h") > 0)
+    rewrite = both & (F.col("_ins_h") == F.col("_del_h"))
+    update = both & (F.col("_ins_h") != F.col("_del_h"))
     return (
-        ch.join(flags, ["_commit_version", key], "left")
+        ch.join(sides, ["_commit_version", key], "left")
+        .where(~rewrite)
         .withColumn(
             "_change_type",
-            F.when(
-                both & (F.col("_change_type") == "delete"),
-                F.lit("update_preimage"),
-            )
-            .when(
-                both & (F.col("_change_type") == "insert"),
-                F.lit("update_postimage"),
-            )
+            F.when(update & ~is_ins, F.lit("update_preimage"))
+            .when(update & is_ins, F.lit("update_postimage"))
             .otherwise(F.col("_change_type")),
         )
-        .drop("_has_ins", "_has_del")
+        .drop("_ins_h", "_del_h", "_content_h")
     )
 
 

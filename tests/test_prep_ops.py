@@ -526,7 +526,7 @@ def test_q240_compression_matches_driver_zlib(spark, sf_smoke):
     for r in docs:
         raw = r["text"].encode("utf-8")
         comp = len(zlib.compress(raw))
-        want = (len(raw), comp, comp * 1_000_000 // len(raw))
+        want = (len(raw), comp, comp * 1_000_000 // max(len(raw), 1))
         assert got[r["doc_id"]] == want, r["doc_id"]
 
 
@@ -643,3 +643,51 @@ def test_q248_token_conservation_over_deduped_corpus(spark, sf_smoke):
             assert b == c, (s, q, segs)
         if q < max_seq[s]:
             assert segs[-1][1] == PACK_WINDOW, (s, q, segs)
+
+
+def test_q240_short_and_empty_docs_dont_crash(spark, tmp_path):
+    """Round-8 review fix: docs with <8 tokens must yield
+    distinct8_ppm = 1_000_000 (no 8-gram window — F.sequence(1, 0)
+    would otherwise produce [1, 0] and slice(start=0) throws), and
+    an EMPTY doc must not divide by zero in the zlib ratio."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_2025_spark.operators.text import (
+        compression_signal,
+    )
+
+    texts = ["", "a b c", "t " * 7 + "t", "t " * 15 + "t", "w x y z u v q r s"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in compression_signal(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == len(texts)
+    # <8 tokens (incl. empty) and exactly-8 → one/zero windows → 1e6
+    for i in (0, 1, 2):
+        assert got[i]["distinct8_ppm"] == 1_000_000, i
+    # 16 identical tokens: 9 identical windows → 1 distinct → 1e6//9
+    assert got[3]["distinct8_ppm"] == 1_000_000 // 9
+    # 9 distinct tokens: 2 distinct windows of 2 → 1e6
+    assert got[4]["distinct8_ppm"] == 1_000_000
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        comp = len(zlib.compress(raw))
+        assert got[i]["raw_len"] == len(raw)
+        assert got[i]["ratio_ppm"] == comp * 1_000_000 // max(len(raw), 1)

@@ -2203,3 +2203,39 @@ def test_replace_table_at_checkpoint_version(spark, tmp_path):
     # time travel across the checkpoint boundary still exact
     v11 = {r["id"] for r in txn.read_version(spark, sink, 11).collect()}
     assert v11 == set(range(1, 50))
+
+
+def test_cdf_images_suppress_pure_rewrite_artifacts(spark, tmp_path):
+    """Round-8 review fix: a commit that merely re-lays the same
+    rows (compaction / OPTIMIZE / dynamic overwrite) produces
+    delete+insert pairs in the two-type feed — the manifest
+    genuinely retired and added files — but the four-type feed must
+    emit NOTHING for it (Delta's readChangeFeed behavior for
+    OPTIMIZE), while a genuine value change in a merge still
+    becomes an update_preimage/update_postimage pair."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 6, "a"), sink, ("day",))
+    )
+    # v2: compaction analog — byte-identical rows re-laid
+    txn.commit_replace(
+        sink, txn.stage_append(_mk(spark, 0, 6, "a"), sink, ("day",))
+    )
+    # v3: a REAL change — id 1 moves day a → b (merge: DV + insert)
+    upd = spark.createDataFrame([(1, "b")], "id bigint, day string")
+    txn.merge_upsert_dv(spark, sink, upd, "id", ("day",))
+
+    two_type = txn.read_changes(spark, sink, 0, 3)
+    v2_pairs = two_type.where(F.col("_commit_version") == 2).count()
+    assert v2_pairs == 12  # 6 deletes + 6 inserts — the raw diff
+
+    four = txn.read_changes_with_images(spark, sink, 0, 3, "id")
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in four.collect()
+    ]
+    assert not [r for r in rows if r[2] == 2], rows  # v2 suppressed
+    v1 = sorted(r for r in rows if r[2] == 1)
+    assert v1 == [(i, "insert", 1) for i in range(6)]
+    v3 = sorted((r[0], r[1]) for r in rows if r[2] == 3)
+    assert v3 == [(1, "update_postimage"), (1, "update_preimage")]
