@@ -40,7 +40,7 @@ hex), which is what makes every one of these oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -1620,3 +1620,112 @@ def q244_exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "pick_rank")
         .orderBy("source", "pick_rank")
     )
+
+
+# ------- q253: deterministic training order (round 8)
+#
+# The last step of a training-data build: emit the ORDER the
+# examples will be consumed in. Requirements production loaders
+# (epoch shuffling a la streaming-dataset formats) put on it:
+# reproducible with no stored state (pure function of the doc key —
+# the q62 discipline), different across epochs, and SOURCE-FAIR in
+# every prefix: if source s holds share p_s of the corpus, any
+# training prefix should contain ≈ p_s of its docs from s — a
+# random-looking order with a proportional-interleave guarantee,
+# not just uniformity in expectation. Construction: per-source
+# md5 rank r (1-based) maps to the midpoint position
+# pos_ppm = (2r-1)·10⁶ DIV (2·n_s); sorting by pos_ppm interleaves
+# sources exactly proportionally (each source's positions are
+# equally spaced midpoints of [0, 1e6)), and the md5 key makes the
+# within-source order a deterministic shuffle (epoch-varying via
+# the key prefix).
+#
+# Scale shape — the repo's first DISTRIBUTED GLOBAL RANKING: a
+# per-source row_number window would put each source's entire
+# stream through ONE task (source cardinality ~20, unbounded rows
+# per source at 100 TB). Instead the classic two-phase rank: bucket
+# every doc by its first key byte (256 buckets), count per
+# (source, bucket) — combine-safe —, prefix-sum the tiny
+# source×bucket grid, then rank WITHIN (source, bucket) only
+# (fine-grained windows, each 1/256th of a source) and add the
+# prefix. The only full-stream window partitions by
+# (source, bucket); the prefix-sum window runs on ≤ 256·|sources|
+# rows of counts.
+
+EPOCH_TAG = "ep1"
+
+_ORACLE_Q253 = f"""
+WITH k AS (
+    SELECT doc_id, source,
+           md5('{EPOCH_TAG}|' || CAST(doc_id AS VARCHAR)) AS kk
+    FROM documents
+), r AS (
+    SELECT doc_id, source, kk,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY kk, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS ns
+    FROM k
+)
+SELECT doc_id, source,
+       CAST(r AS BIGINT) AS src_rank,
+       CAST((2 * r - 1) * 1000000 // (2 * ns) AS BIGINT) AS pos_ppm
+FROM r
+ORDER BY pos_ppm, source, src_rank
+"""
+
+
+@register(
+    "q253_training_order",
+    oracle=_ORACLE_Q253,
+    doc="Deterministic epoch training order with an exact "
+    "proportional-interleave guarantee: per-source md5 rank maps to "
+    "midpoint positions (2r-1)*1e6 DIV (2*n_s), so every prefix of "
+    "the order holds each source in proportion to its corpus share "
+    "(+-1 doc, pinned in pytest). Rank is the two-phase distributed "
+    "form — 256-bucket counts, tiny prefix-sum grid, windows only "
+    "within (source, bucket) — never a one-task-per-source window.",
+    tags=("curation", "ordering", "ranking"),
+)
+def q253_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                F.lit(EPOCH_TAG + "|"), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ).alias("kk"),
+    ).withColumn("bucket", F.substring("kk", 1, 2))
+    # phase 1: combine-safe counts on the tiny (source, bucket) grid
+    counts = docs.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = Window.partitionBy("source").orderBy("bucket")
+    prefix = counts.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("cnt").over(
+                grid.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "ns", F.sum("cnt").over(Window.partitionBy("source"))
+    ).select("source", "bucket", "prefix", "ns")
+    # phase 2: rank within (source, bucket) — fine-grained windows —
+    # plus the broadcastable grid prefix
+    fine = Window.partitionBy("source", "bucket").orderBy("kk", "doc_id")
+    ranked = (
+        docs.join(F.broadcast(prefix), ["source", "bucket"])
+        .withColumn(
+            "src_rank",
+            (F.col("prefix") + F.row_number().over(fine)).cast("bigint"),
+        )
+    )
+    return ranked.selectExpr(
+        "doc_id",
+        "source",
+        "src_rank",
+        "CAST((2 * src_rank - 1) * 1000000 DIV (2 * ns) AS BIGINT)"
+        " AS pos_ppm",
+    ).orderBy("pos_ppm", "source", "src_rank")

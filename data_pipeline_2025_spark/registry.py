@@ -140,6 +140,7 @@ _PRIORITY = (
     "q250_nb_quality_classifier",  # new r8: trained quality clf
     "q251_boilerplate_removal",  # new r8: df-threshold dedup
     "q252_incremental_dedup_probe",  # new r8: delta-vs-index probe
+    "q253_training_order",  # new r8: two-phase distributed ranking
     # (b) rewritten/affected this round: q229 skew-proof survival
     # (shared shape with q247), q240 hash-checked face, q226
     # pack_assignment refactor (shared with q248), q228 partitioned
@@ -186,7 +187,6 @@ _PRIORITY = (
     "q67_trigram_index_search",
     "q74_stream_join_attribution",
     "q76_interval_snapshot_join",
-    "q79_cms_heavy_hitters",
     # = 50 priority rows — exactly the driver cap.
 )
 

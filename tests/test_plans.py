@@ -1090,3 +1090,19 @@ def test_q250_classifier_applies_via_broadcast(spark, sf_smoke):
     plan = plan_of(spark, "q250_nb_quality_classifier", sf_smoke)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q253_rank_windows_are_bucket_grained(spark, sf_smoke):
+    """q253's corpus-stream rank window must partition by
+    (source, bucket) — never by source alone, which would funnel a
+    source's whole stream (unbounded at 100 TB; ~20 sources) through
+    one task. The source-only windows in the plan run on the tiny
+    counts grid, and the bucket counts must be partial-aggregatable."""
+    import re
+
+    plan = plan_of(spark, "q253_training_order", sf_smoke)
+    assert "partial_count" in plan
+    # any window ordered by the shuffle key must be bucket-grained
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        if "kk" in spec:
+            assert "bucket" in spec, spec

@@ -691,3 +691,28 @@ def test_q240_short_and_empty_docs_dont_crash(spark, tmp_path):
         comp = len(zlib.compress(raw))
         assert got[i]["raw_len"] == len(raw)
         assert got[i]["ratio_ppm"] == comp * 1_000_000 // max(len(raw), 1)
+
+
+def test_q253_interleave_is_source_fair_in_every_prefix(spark, sf_smoke):
+    """q253's guarantee beyond the hash: in ANY prefix of the
+    training order, each source appears in proportion to its corpus
+    share, off by at most one doc (midpoint positions are equally
+    spaced per source)."""
+    rows = SPECS["q253_training_order"].spark_fn(spark, sf_smoke).collect()
+    n_s: dict[str, int] = {}
+    for r in rows:
+        n_s[r["source"]] = n_s.get(r["source"], 0) + 1
+    for cut in (137_000, 250_000, 500_000, 750_000, 999_999):
+        got: dict[str, int] = {}
+        for r in rows:
+            if r["pos_ppm"] < cut:
+                got[r["source"]] = got.get(r["source"], 0) + 1
+        for s, n in n_s.items():
+            expected = n * cut / 1_000_000
+            assert abs(got.get(s, 0) - expected) <= 1, (s, cut)
+    # ranks are a permutation of 1..n_s per source
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["src_rank"])
+    for s, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, n_s[s] + 1)), s

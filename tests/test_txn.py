@@ -2239,3 +2239,49 @@ def test_cdf_images_suppress_pure_rewrite_artifacts(spark, tmp_path):
     assert v1 == [(i, "insert", 1) for i in range(6)]
     v3 = sorted((r[0], r[1]) for r in rows if r[2] == 3)
     assert v3 == [(1, "update_postimage"), (1, "update_preimage")]
+
+
+def test_cdf_partitioned_reader_null_fills_schema_evolved_files(
+    spark, tmp_path
+):
+    """Schema evolution through the STREAMING source: after a
+    commit widens the read schema, a reader asking for the wide
+    schema must null-fill the pre-evolution files' missing column —
+    identically on the executor (partitioned) and driver (simple)
+    paths."""
+    from pyspark.sql.types import StructType
+
+    from data_pipeline_2025_spark.streaming.cdfsource import (
+        _TxnChangesPartitionedReader,
+        _TxnChangesReader,
+    )
+
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 3, "a"), sink, ("day",))
+    )
+    wide = spark.createDataFrame(
+        [(100, "b", "x")], "id bigint, day string, note string"
+    ).coalesce(1)
+    txn.commit_append(
+        sink,
+        txn.stage_append(wide, sink, ("day",)),
+        schema_ddl="id bigint, day string, note string",
+    )
+    schema = StructType.fromDDL(
+        "id bigint, day string, note string,"
+        " _change_type string, _commit_version bigint"
+    )
+    part = _TxnChangesPartitionedReader(sink, schema)
+    units = part.partitions({"version": 0}, {"version": 2})
+    got = sorted(r for u in units for r in part.read(u))
+    simple = _TxnChangesReader(sink, schema)
+    want = sorted(
+        simple.readBetweenOffsets({"version": 0}, {"version": 2})
+    )
+    assert got == want
+    # v1 files predate the note column → null-filled; v2 carries it
+    v1 = [r for r in got if r[4] == 1]
+    assert v1 and all(r[2] is None for r in v1)
+    v2 = [r for r in got if r[4] == 2]
+    assert v2 == [(100, "b", "x", "insert", 2)]
