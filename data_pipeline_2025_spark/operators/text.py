@@ -2519,3 +2519,147 @@ def q250_nb_quality_classifier(
             (F.col("score_ppm") > 1_000_000) == (F.col("is_en_i") == 1)
         ).cast("bigint").alias("correct"),
     ).orderBy("doc_id")
+
+
+# ------- q254: span-corruption mask generation (round 8)
+#
+# Objective preparation — the step between a packed corpus and a
+# denoising/masked-LM training run: choose corruption SPANS over
+# each document's token stream, deterministically (the q62
+# discipline: a pure function of (doc_id, position), so any worker
+# regenerates the same masks with no stored state and no RNG).
+# A span STARTS at position p when the 48-bit md5 of (doc|p) is
+# ≡ 0 mod 7 (expected start density 1/7) and runs 1 + (h2 mod 3)
+# tokens (lengths 1..3, mean 2 → expected ~2/7 of tokens masked).
+# A token is masked iff ANY of positions p, p-1, p-2 started a span
+# long enough to cover it — three lag columns over the per-doc
+# window, the q247 rolling-window idiom. Overlapping spans merge
+# (mask coverage is a union); n_spans counts STARTS, the usual
+# sentinel count a T5-style objective consumes.
+#
+# All exact BIGINT algebra; per-doc windows only (state = three
+# lags) — embarrassingly parallel at any corpus size.
+
+SPAN_EVERY = 7   # expected one span start per 7 positions
+SPAN_MAXLEN = 3  # span lengths 1..3
+
+_SC_H = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' ||"
+    " CAST(p AS VARCHAR)), 1, 12)) AS UBIGINT)"
+)
+
+_ORACLE_Q254 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), pos AS (
+    SELECT doc_id, i AS p, len(toks) AS n
+    FROM toks, LATERAL UNNEST(range(1, len(toks) + 1)) AS r(i)
+), h AS (
+    SELECT doc_id, p, n,
+           CASE WHEN {_SC_H} % {SPAN_EVERY} = 0 THEN 1 ELSE 0 END AS st,
+           1 + CAST({_SC_H} // {SPAN_EVERY} AS BIGINT) % {SPAN_MAXLEN}
+               AS slen
+    FROM pos
+), m AS (
+    SELECT doc_id, p, n, st,
+           CASE WHEN st = 1
+                  OR (COALESCE(lag(st, 1) OVER w, 0) = 1
+                      AND COALESCE(lag(slen, 1) OVER w, 0) > 1)
+                  OR (COALESCE(lag(st, 2) OVER w, 0) = 1
+                      AND COALESCE(lag(slen, 2) OVER w, 0) > 2)
+                THEN 1 ELSE 0 END AS masked
+    FROM h
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(st) AS BIGINT) AS n_spans,
+       CAST(SUM(masked) AS BIGINT) AS masked_tokens,
+       CAST(SUM(masked) * 1000000 // COUNT(*) AS BIGINT) AS mask_ppm
+FROM m GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q254_span_corruption_masks",
+    oracle=_ORACLE_Q254,
+    doc="Span-corruption objective prep: deterministic corruption "
+    "spans per document (start where md5(doc|pos) % 7 == 0, length "
+    "1 + h div 7 mod 3), token mask = union of covering spans via "
+    "three lag columns over the per-doc window — regenerable by any "
+    "worker with no RNG and no stored state; per-doc span/mask "
+    "counts and exact mask ppm.",
+    tags=("text", "objective", "masking"),
+)
+def q254_span_corruption_masks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(
+        Catalog(spark, sf_dir).documents.select(
+            "doc_id", tokens_col().alias("toks")
+        ),
+        "doc_id",
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("p").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hp = pos.select(
+        "doc_id",
+        "p",
+        (h % SPAN_EVERY == 0).cast("int").alias("st"),
+        (
+            F.lit(1) + F.expr(f"pmod({_spark_sc_h()} DIV {SPAN_EVERY},"
+                              f" {SPAN_MAXLEN})")
+        ).cast("long").alias("slen"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    masked = (
+        (F.col("st") == 1)
+        | (
+            (F.coalesce(F.lag("st", 1).over(w), F.lit(0)) == 1)
+            & (F.coalesce(F.lag("slen", 1).over(w), F.lit(0)) > 1)
+        )
+        | (
+            (F.coalesce(F.lag("st", 2).over(w), F.lit(0)) == 1)
+            & (F.coalesce(F.lag("slen", 2).over(w), F.lit(0)) > 2)
+        )
+    ).cast("int")
+    m = hp.withColumn("masked", masked)
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("st").cast("bigint").alias("n_spans"),
+            F.sum("masked").cast("bigint").alias("masked_tokens"),
+            F.expr(
+                "CAST(SUM(masked) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("mask_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _spark_sc_h() -> str:
+    """Spark-SQL spelling of the shared 48-bit (doc, pos) hash."""
+    return (
+        "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) || '|' ||"
+        " CAST(p AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
+    )

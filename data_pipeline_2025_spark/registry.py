@@ -141,6 +141,7 @@ _PRIORITY = (
     "q251_boilerplate_removal",  # new r8: df-threshold dedup
     "q252_incremental_dedup_probe",  # new r8: delta-vs-index probe
     "q253_training_order",  # new r8: two-phase distributed ranking
+    "q254_span_corruption_masks",  # new r8: objective prep
     # (b) rewritten/affected this round: q229 skew-proof survival
     # (shared shape with q247), q240 hash-checked face, q226
     # pack_assignment refactor (shared with q248), q228 partitioned
@@ -186,7 +187,6 @@ _PRIORITY = (
     "q46_ann_pandas_vectorized",
     "q67_trigram_index_search",
     "q74_stream_join_attribution",
-    "q76_interval_snapshot_join",
     # = 50 priority rows — exactly the driver cap.
 )
 

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 251
+EXPECTED_QUERY_COUNT = 252
 
 
 def test_registry_complete():
@@ -83,6 +83,6 @@ def test_priority_queries_inside_driver_cap():
     assert "q248_dedup_then_pack" in must_lead  # (a) new round-8
     assert "q229_segment_dedup_rebuild" in must_lead  # (b) rewritten
     assert "q31_lang_id_matrix" in must_lead  # (c) r2-era rotation
-    assert "q76_interval_snapshot_join" in must_lead  # (d) r3-era head
+    assert "q74_stream_join_attribution" in must_lead  # (d) r3-era head
     assert "q252_incremental_dedup_probe" in must_lead  # (a) new round-8
     assert must_lead <= first_50, must_lead - first_50

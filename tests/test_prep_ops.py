@@ -716,3 +716,46 @@ def test_q253_interleave_is_source_fair_in_every_prefix(spark, sf_smoke):
         per_src.setdefault(r["source"], []).append(r["src_rank"])
     for s, ranks in per_src.items():
         assert sorted(ranks) == list(range(1, n_s[s] + 1)), s
+
+
+def test_q254_masks_match_pure_python_mirror(spark, sf_smoke):
+    """Span-corruption semantics pinned against a pure-python mirror
+    (independent of the SQL oracle's shared algebra): deterministic
+    starts/lengths from the (doc, pos) hash, mask = union of
+    covering spans, truncated at the document end."""
+    import hashlib
+
+    from data_pipeline_2025_spark.operators.text import (
+        SPAN_EVERY,
+        SPAN_MAXLEN,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tok"], r["n_spans"], r["masked_tokens"], r["mask_ppm"]
+        )
+        for r in SPECS["q254_span_corruption_masks"]
+        .spark_fn(spark, sf_smoke)
+        .collect()
+    }
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        n = len(toks)
+        masked = set()
+        spans = 0
+        for p in range(1, n + 1):
+            h = int(
+                hashlib.md5(f"{r['doc_id']}|{p}".encode()).hexdigest()[:12],
+                16,
+            )
+            if h % SPAN_EVERY == 0:
+                spans += 1
+                ln = 1 + (h // SPAN_EVERY) % SPAN_MAXLEN
+                for q in range(p, min(p + ln, n + 1)):
+                    masked.add(q)
+        want = (n, spans, len(masked), len(masked) * 1_000_000 // n)
+        assert got[r["doc_id"]] == want, r["doc_id"]
