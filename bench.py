@@ -122,6 +122,13 @@ HEADLINE = (
     "q248_dedup_then_pack",
     "q250_nb_quality_classifier",
     "q252_incremental_dedup_probe",
+    # Late round-8 additions: the df-threshold boilerplate rebuild
+    # (two stacked combine-safe aggs + rebuild), the two-phase
+    # distributed ranking (a plan shape nothing else guards), and
+    # the per-doc lag-window mask generation.
+    "q251_boilerplate_removal",
+    "q253_training_order",
+    "q254_span_corruption_masks",
 )
 
 
