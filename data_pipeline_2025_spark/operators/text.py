@@ -2595,8 +2595,6 @@ ORDER BY doc_id
 def q254_span_corruption_masks(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = fan_out(
         Catalog(spark, sf_dir).documents.select(
             "doc_id", tokens_col().alias("toks")
@@ -2606,6 +2604,8 @@ def q254_span_corruption_masks(
     pos = docs.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("p"))
+    # the 48-bit (doc, pos) hash materialized ONCE — st and slen
+    # must derive from the same bits (review finding, round 8)
     h = F.conv(
         F.substring(
             F.md5(
@@ -2621,13 +2621,13 @@ def q254_span_corruption_masks(
         16,
         10,
     ).cast("long")
-    hp = pos.select(
+    hp = pos.withColumn("h0", h).select(
         "doc_id",
         "p",
-        (h % SPAN_EVERY == 0).cast("int").alias("st"),
+        (F.col("h0") % SPAN_EVERY == 0).cast("int").alias("st"),
         (
-            F.lit(1) + F.expr(f"pmod({_spark_sc_h()} DIV {SPAN_EVERY},"
-                              f" {SPAN_MAXLEN})")
+            F.lit(1)
+            + F.expr(f"pmod(h0 DIV {SPAN_EVERY}, {SPAN_MAXLEN})")
         ).cast("long").alias("slen"),
     )
     w = Window.partitionBy("doc_id").orderBy("p")
@@ -2654,12 +2654,4 @@ def q254_span_corruption_masks(
             ).alias("mask_ppm"),
         )
         .orderBy("doc_id")
-    )
-
-
-def _spark_sc_h() -> str:
-    """Spark-SQL spelling of the shared 48-bit (doc, pos) hash."""
-    return (
-        "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) || '|' ||"
-        " CAST(p AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
     )

@@ -2502,8 +2502,18 @@ def read_changes_with_images(
     both = (F.size("_ins_h") > 0) & (F.size("_del_h") > 0)
     rewrite = both & (F.col("_ins_h") == F.col("_del_h"))
     update = both & (F.col("_ins_h") != F.col("_del_h"))
+    # NULL-SAFE join back: a NULL key groups normally in the
+    # aggregation above, but a plain equi-join would never match it
+    # — its _ins_h/_del_h would be NULL and where(~rewrite) would
+    # silently DROP the row (review finding, round 8).
+    sides = sides.withColumnRenamed(
+        "_commit_version", "_s_v"
+    ).withColumnRenamed(key, "_s_k")
+    cond = (F.col("_commit_version") == F.col("_s_v")) & F.col(
+        key
+    ).eqNullSafe(F.col("_s_k"))
     return (
-        ch.join(sides, ["_commit_version", key], "left")
+        ch.join(sides, cond, "left")
         .where(~rewrite)
         .withColumn(
             "_change_type",
@@ -2511,7 +2521,7 @@ def read_changes_with_images(
             .when(update & is_ins, F.lit("update_postimage"))
             .otherwise(F.col("_change_type")),
         )
-        .drop("_ins_h", "_del_h", "_content_h")
+        .drop("_ins_h", "_del_h", "_content_h", "_s_v", "_s_k")
     )
 
 

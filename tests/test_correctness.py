@@ -86,3 +86,32 @@ def test_priority_queries_inside_driver_cap():
     assert "q74_stream_join_attribution" in must_lead  # (d) r3-era head
     assert "q252_incremental_dedup_probe" in must_lead  # (a) new round-8
     assert must_lead <= first_50, must_lead - first_50
+
+
+def test_q249_min_user_has_no_self_doubling_values(spark):
+    """q249's oracle counts every min-user live row as an update
+    pair; the content-aware feed suppresses a pair whose doubled
+    value equals the original (0.00 or NULL). Pin the data invariant
+    the oracle rides on, at every local tier, so a regenerated
+    corpus that violates it fails HERE with a message instead of as
+    a silent q249 hash mismatch."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        mu = ev.agg(F.min("user_id")).first()[0]
+        bad = (
+            ev.where(F.col("user_id") == mu)
+            .where(
+                F.col("value").isNull()
+                | (F.col("value").cast("decimal(12,2)") == 0)
+            )
+            .count()
+        )
+        assert bad == 0, (
+            f"{sf}: {bad} min-user rows with value 0/NULL — q249's "
+            "update-pair oracle would diverge from the content-aware "
+            "feed; adjust the q249 lifecycle (e.g. value+1) if the "
+            "corpus generator changes"
+        )

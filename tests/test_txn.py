@@ -2285,3 +2285,18 @@ def test_cdf_partitioned_reader_null_fills_schema_evolved_files(
     assert v1 and all(r[2] is None for r in v1)
     v2 = [r for r in got if r[4] == 2]
     assert v2 == [(100, "b", "x", "insert", 2)]
+
+
+def test_cdf_images_keep_null_key_rows(spark, tmp_path):
+    """Round-8 review fix: a change row whose key column is NULL
+    must survive the four-type classification (the aggregation
+    groups NULL keys normally, so the join-back must be null-safe —
+    a plain equi-join would drop the row via where(~NULL))."""
+    sink = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(None, "a"), (1, "a")], "id bigint, day string"
+    ).coalesce(1)
+    txn.commit_append(sink, txn.stage_append(batch, sink, ("day",)))
+    four = txn.read_changes_with_images(spark, sink, 0, 1, "id")
+    rows = {(r["id"], r["_change_type"]) for r in four.collect()}
+    assert rows == {(None, "insert"), (1, "insert")}
