@@ -214,6 +214,15 @@ def main() -> None:
 
     timings = {name: round(median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Record the box's load average next to the numbers: the r6 and
+    # r8 "regressions" were both external load (loadavg ~6 with zero
+    # local jobs) inflating every query uniformly — a degraded run
+    # should be self-documenting, not diagnosed after the fact.
+    try:
+        with open("/proc/loadavg") as f:
+            load = [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        load = None
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -221,6 +230,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
     }
+    if load is not None:
+        out["loadavg"] = load
     if reps > 1:
         out["reps"] = reps
     # Round-7 (verdict #2): the stdout contract line stays COMPACT so
@@ -235,6 +246,7 @@ def main() -> None:
         },
         "sf": sf_dir,
         "reps": reps,
+        "loadavg": load,
     }
     try:
         with open(

@@ -199,6 +199,23 @@ def validate_arguments(name: str, arguments: dict[str, Any]) -> None:
             )
 
 
+def server_info() -> dict[str, Any]:
+    """GET /api/mcp/server/info analog (mcp.py:580-583): the static
+    server-metadata block (mcp.py:47-55) — name/version/description/
+    capabilities/protocol_version/tools_count, with capabilities
+    derived from the live tool table rather than hand-listed so the
+    count can never drift from the declarations."""
+    names = sorted(TOOL_SCHEMAS)
+    return {
+        "name": "shopping-mcp-server",
+        "version": "0.1.0",
+        "description": "Shopping comparison MCP server",
+        "capabilities": names,
+        "protocol_version": "2024-11-05",
+        "tools_count": len(names),
+    }
+
+
 def list_tools() -> list[dict[str, Any]]:
     """GET /api/mcp/tools analog (mcp.py:585-591)."""
     return [TOOL_SCHEMAS[name] for name in sorted(TOOL_SCHEMAS)]

@@ -3015,38 +3015,46 @@ def q252_incremental_dedup_probe(
         )
         .distinct()
     )
+    # Verify with the q144 idiom: two keyed joins against a per-doc
+    # shingle-SET table + a row-local array_intersect, shuffling
+    # |candidates| rows — NOT the row-exploded cand ⋈ shingles ⋈
+    # shingles form, which shuffles |candidates| × avg-shingles rows
+    # (same-harness A/B at the 10× tier: exploded 41.9 s vs 2.1 s
+    # for this shape; a candidate-semi-filtered doc_sets variant is
+    # WORSE — broadcasting the candidate doc list forces the whole
+    # LSH pipeline to evaluate twice). Exact because the shingle
+    # lists are per-doc distinct by construction. A pair with zero
+    # common shingles now gets an explicit inter = 0 row, which the
+    # 0.8-threshold check rejects exactly as the old no-row form did
+    # through the left join.
     sh = shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
     verified = (
         cand.join(
-            sh.alias("sa"), F.col("sa.doc_id") == F.col("delta_doc")
-        )
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("base_doc"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("delta_doc", "base_doc")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("delta_doc"), F.col("n").alias("na")
+            doc_sets.select(
+                F.col("doc_id").alias("delta_doc"),
+                F.col("shs").alias("shs_a"),
+                F.col("n").alias("na"),
             ),
             "delta_doc",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("base_doc"), F.col("n").alias("nb")
+            doc_sets.select(
+                F.col("doc_id").alias("base_doc"),
+                F.col("shs").alias("shs_b"),
+                F.col("n").alias("nb"),
             ),
             "base_doc",
         )
         .select(
             "delta_doc",
             "base_doc",
-            "inter",
-            (F.col("na") + F.col("nb") - F.col("inter"))
-            .cast("bigint")
-            .alias("un"),
+            inter.alias("inter"),
+            (F.col("na") + F.col("nb") - inter).cast("bigint").alias("un"),
         )
     )
     is_dup = F.col("inter") * 5 >= F.col("un") * 4

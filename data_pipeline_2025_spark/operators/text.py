@@ -2506,7 +2506,17 @@ def q250_nb_quality_classifier(
         .agg(
             F.max(F.col("pos").cast("int")).alias("is_en_i"),
             F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-            F.expr("SUM(w_ppm) DIV COUNT(*)").alias("score_ppm"),
+            # w_ppm can approach ~1e15 when the negative-class term
+            # floors near 1, so a long doc could wrap a BIGINT sum
+            # in Spark while the DuckDB oracle sums into HUGEINT —
+            # sum as DECIMAL(38,0) and floor-divide exactly
+            # (subtracting the remainder first makes the decimal
+            # division exact, no scale rounding).
+            F.expr(
+                "CAST((SUM(CAST(w_ppm AS DECIMAL(38,0)))"
+                " - SUM(CAST(w_ppm AS DECIMAL(38,0))) % COUNT(*))"
+                " / COUNT(*) AS BIGINT)"
+            ).alias("score_ppm"),
         )
     )
     return scored.select(

@@ -1,6 +1,10 @@
 """HTTP/REST parity shim — the reference's FastAPI surface served by
-the engine (salim/app/server/main.py:72-76 routers; routes/
-products.py, supermarkets.py, utils.py, mcp.py:585-635).
+the engine (salim/app/server/main.py:68-76 root + routers). Every
+@router route in the reference's four route files (products.py,
+supermarkets.py, utils.py, mcp.py) has a matching entry in the route
+table below, including the single-row fetches (/products/{id},
+/supermarkets/{id}), /products/price-history/{barcode}, and the MCP
+metadata/health endpoints.
 
 FastAPI is not installed in this container, so the server is plain
 stdlib (ThreadingHTTPServer + a regex route table): zero
@@ -140,6 +144,38 @@ def get_barcode(spark: SparkSession, sf_dir: str, barcode: str) -> list[dict]:
     return out
 
 
+def get_product(spark: SparkSession, sf_dir: str, product_id: str) -> dict:
+    """GET /products/{product_id} (products.py:148-160): fetch one
+    row by primary key, 404 when absent. The reference key is a
+    serial int; ours is the md5 surrogate the mapping layer derives
+    (mapping.py:19), so the path segment is the hash string — same
+    contract (exact-match single fetch), engine-native key."""
+    row = (
+        products(Catalog(spark, sf_dir))
+        .where(F.col("product_id") == product_id)
+        .limit(1)
+        .select(*_PRODUCT_COLS)
+        .collect()
+    )
+    if not row:
+        raise HttpError(404, "Product not found")
+    return _jsonable(row[0].asDict())
+
+
+def get_supermarket(spark: SparkSession, sf_dir: str, supermarket_id: int) -> dict:
+    """GET /supermarkets/{supermarket_id} (supermarkets.py:24-35):
+    one dim row by id, 404 when absent."""
+    row = (
+        supermarkets(Catalog(spark, sf_dir))
+        .where(F.col("supermarket_id") == supermarket_id)
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise HttpError(404, "Supermarket not found")
+    return _jsonable(row[0].asDict())
+
+
 def get_history(
     spark: SparkSession, sf_dir: str, barcode: str, params: dict
 ) -> dict:
@@ -264,9 +300,16 @@ def _route(method: str, pattern: str):
     return deco
 
 
+@_route("GET", r"/")
+def _root(ctx, m, params, body):
+    # main.py:68-70 welcome banner
+    return {"message": "Welcome to Salim API - Israeli Supermarket Price Comparison"}
+
+
 @_route("GET", r"/health")
 def _health(ctx, m, params, body):
-    return {"status": "healthy"}
+    # utils.py:56-59
+    return {"status": "healthy", "service": "salim-api"}
 
 
 @_route("GET", r"/products")
@@ -279,8 +322,15 @@ def _lowest(ctx, m, params, body):
     return get_lowest_prices(ctx["spark"], ctx["sf_dir"], params)
 
 
+@_route("GET", r"/products/price-history/(?P<barcode>[^/]+)")
+def _price_history(ctx, m, params, body):
+    # the reference's literal path (products.py:228)
+    return get_history(ctx["spark"], ctx["sf_dir"], m["barcode"], params)
+
+
 @_route("GET", r"/products/barcode/(?P<barcode>[^/]+)/history")
 def _history(ctx, m, params, body):
+    # engine-native alias of /products/price-history/{barcode}
     return get_history(ctx["spark"], ctx["sf_dir"], m["barcode"], params)
 
 
@@ -289,9 +339,21 @@ def _barcode(ctx, m, params, body):
     return get_barcode(ctx["spark"], ctx["sf_dir"], m["barcode"])
 
 
+@_route("GET", r"/products/(?P<pid>[^/]+)")
+def _product(ctx, m, params, body):
+    # registered AFTER /products/lowest-prices and the barcode routes
+    # so the literal segments win, as FastAPI's router resolves them
+    return get_product(ctx["spark"], ctx["sf_dir"], m["pid"])
+
+
 @_route("GET", r"/supermarkets")
 def _supermarkets(ctx, m, params, body):
     return get_supermarkets(ctx["spark"], ctx["sf_dir"], params)
+
+
+@_route("GET", r"/supermarkets/(?P<sid>\d+)")
+def _supermarket(ctx, m, params, body):
+    return get_supermarket(ctx["spark"], ctx["sf_dir"], int(m["sid"]))
 
 
 @_route("GET", r"/supermarkets/(?P<sid>\d+)/products")
@@ -314,6 +376,17 @@ def _brands(ctx, m, params, body):
 @_route("GET", r"/stats")
 def _stats(ctx, m, params, body):
     return get_stats(ctx["spark"], ctx["sf_dir"])
+
+
+@_route("GET", r"/api/mcp/health")
+def _mcp_health(ctx, m, params, body):
+    # mcp.py:637-643
+    return {"status": "healthy", "mcpConnected": True, "server": mcp.server_info()}
+
+
+@_route("GET", r"/api/mcp/server/info")
+def _mcp_info(ctx, m, params, body):
+    return {"server": mcp.server_info()}
 
 
 @_route("GET", r"/api/mcp/tools")

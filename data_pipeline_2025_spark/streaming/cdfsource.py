@@ -28,8 +28,9 @@ Implementation notes, honestly stated:
   ``SimpleDataSourceStreamReader`` remains behind
   ``option("reader", "simple")`` — same offsets, same row
   derivation (both drive the shared ``_plan_units``/``_unit_rows``
-  core) — and tests/test_streaming_source.py proves the two are
-  row-identical across the full lifecycle grammar
+  core) — and tests/test_txn.py
+  (test_cdf_partitioned_reader_row_identical_to_simple) proves the
+  two are row-identical across the full lifecycle grammar
   (append / merge / sidecar-delete / restore).
 - Exactly-once END TO END despite foreachBatch's at-least-once: the
   consumer commits ONE matview version per batch id, so version
@@ -163,13 +164,13 @@ def _plan_units(sink_dir: str, frm: int, to: int):
             units.append(unit("removed", p))
         for p in sorted(p for p in listing if p in prev_listing):
             u = unit("surviving", p)
-            # plan-time fast path: identical inline DVs + identical
-            # ref sets can still differ inside the sidecars, so only
-            # the fully-empty case is skippable without reading
-            if (
-                not u.inline_prev and not u.inline_cur
-                and not u.refs_prev and not u.refs_cur
-            ):
+            # plan-time fast path: sidecars are immutable once
+            # written (txn.write_dv_sidecar never rewrites a path),
+            # so identical inline DVs AND identical ref sets
+            # guarantee an empty per-file delta — skip the unit
+            # entirely instead of spawning a no-op executor task
+            # per surviving DV-carrying file per commit.
+            if u.inline_prev == u.inline_cur and u.refs_prev == u.refs_cur:
                 continue
             units.append(u)
         prev_listing, prev_snap = listing, snap

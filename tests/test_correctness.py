@@ -95,10 +95,19 @@ def test_q249_min_user_has_no_self_doubling_values(spark):
     the oracle rides on, at every local tier, so a regenerated
     corpus that violates it fails HERE with a message instead of as
     a silent q249 hash mismatch."""
+    import os
+
     from pyspark.sql import functions as F
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-               "/root/testdata/sf0.1"):
+    tiers = [
+        sf
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1")
+        if os.path.exists(f"{sf}/events.parquet")
+    ]
+    if not tiers:
+        pytest.skip("no local testdata tiers present")
+    for sf in tiers:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         mu = ev.agg(F.min("user_id")).first()[0]
         bad = (

@@ -49,7 +49,14 @@ def _status_of(err_url: str, payload=None):
 
 
 def test_health(base_url):
-    assert _get(f"{base_url}/health")[1] == {"status": "healthy"}
+    assert _get(f"{base_url}/health")[1] == {
+        "status": "healthy",
+        "service": "salim-api",
+    }
+    assert "Salim API" in _get(f"{base_url}/")[1]["message"]
+    mcp_h = _get(f"{base_url}/api/mcp/health")[1]
+    assert mcp_h["status"] == "healthy" and mcp_h["mcpConnected"] is True
+    assert mcp_h["server"]["tools_count"] == len(mcp_h["server"]["capabilities"])
 
 
 def test_products_filters_and_pagination(base_url):
@@ -86,6 +93,9 @@ def test_barcode_compare_and_404(base_url):
 def test_history_trend_shape(base_url):
     _, hist = _get(f"{base_url}/products/barcode/50/history?days=365")
     assert hist["barcode"] == "50"
+    # the reference's literal path (products.py:228) serves the same payload
+    _, hist_ref = _get(f"{base_url}/products/price-history/50?days=365")
+    assert hist_ref == hist
     assert hist["price_history"]
     assert hist["trend"] in ("increasing", "decreasing", "stable")
     assert hist["lowest_price"] <= hist["highest_price"]
@@ -99,6 +109,44 @@ def test_lowest_prices_page(base_url):
     assert 0 < len(rows) <= 12  # limit*3 — O1's deliberate quirk
     effs = [r["eff"] for r in rows]
     assert effs == sorted(effs)
+
+
+def test_product_by_id_and_404(base_url):
+    """GET /products/{product_id} (products.py:148-160): single-row
+    fetch by the engine's surrogate key, 404 on miss — and the
+    literal sibling routes must still win over the id pattern."""
+    _, page = _get(f"{base_url}/products?limit=1")
+    pid = page[0]["product_id"]
+    status, one = _get(f"{base_url}/products/{pid}")
+    assert status == 200 and one["product_id"] == pid
+    assert one == page[0]  # same row, same serialization
+    assert _status_of(f"{base_url}/products/definitely-not-a-key")[0] == 404
+    # literal segment still routes to the page handler, not the id fetch
+    status, rows = _get(f"{base_url}/products/lowest-prices?limit=2")
+    assert status == 200 and isinstance(rows, list)
+
+
+def test_supermarket_by_id_and_404(base_url):
+    """GET /supermarkets/{supermarket_id} (supermarkets.py:24-35)."""
+    _, stores = _get(f"{base_url}/supermarkets")
+    sid = stores[0]["supermarket_id"]
+    status, one = _get(f"{base_url}/supermarkets/{sid}")
+    assert status == 200 and one["supermarket_id"] == sid
+    assert one == stores[0]
+    assert _status_of(f"{base_url}/supermarkets/999999999")[0] == 404
+
+
+def test_mcp_server_info(base_url):
+    """GET /api/mcp/server/info (mcp.py:580-583)."""
+    status, payload = _get(f"{base_url}/api/mcp/server/info")
+    assert status == 200
+    info = payload["server"]
+    assert info["tools_count"] == len(info["capabilities"])
+    assert "search_product" in info["capabilities"]
+    assert info["protocol_version"] == "2024-11-05"
+    # the tools listing and the info block agree on the tool set
+    _, listing = _get(f"{base_url}/api/mcp/tools")
+    assert sorted(t["name"] for t in listing["tools"]) == info["capabilities"]
 
 
 def test_supermarkets_and_scoped_products(base_url):
