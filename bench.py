@@ -129,6 +129,17 @@ HEADLINE = (
     "q251_boilerplate_removal",
     "q253_training_order",
     "q254_span_corruption_masks",
+    # Round-9 additions: the intent-exact four-type CDF (manifest
+    # ops + the row-paired classification agg), the URL
+    # canonicalization + domain dedup pre-filter (stacked
+    # combine-safe aggs over regex-derived keys), the codegen-bound
+    # PII scrub (pure per-row regexp — guards the string-engine
+    # path), and the token-drift monitor (conditional agg +
+    # partial top-k).
+    "q249_cdf_update_images",
+    "q255_url_dedup_by_domain",
+    "q256_pii_scrub",
+    "q259_token_drift",
 )
 
 

@@ -209,7 +209,9 @@ def txn_compact(
             results[part_dir] = (len(files), len(staged))
         if _test_between_stage_and_commit is not None:
             _test_between_stage_and_commit()
-        if txn.commit_replace_if(sink_dir, new_files, expected_version=head):
+        if txn.commit_replace_if(
+            sink_dir, new_files, expected_version=head, op="optimize"
+        ):
             return results
         # lost the race: staged files stay manifest-invisible until
         # vacuum; re-derive from the new head

@@ -1729,3 +1729,99 @@ def q253_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2 * src_rank - 1) * 1000000 DIV (2 * ns) AS BIGINT)"
         " AS pos_ppm",
     ).orderBy("pos_ppm", "source", "src_rank")
+
+
+# ------- q258: size-balanced output shards (round 9)
+#
+# The last physical step of a corpus build: assign docs to K
+# output shards so shard BYTE totals balance (training loaders
+# want near-equal shard sizes, not near-equal doc counts). The
+# deterministic classic: sort by size descending, deal round-robin
+# — rank r goes to shard (r-1) mod K — which bounds any shard's
+# total within max_doc_bytes of the mean (LPT-style guarantee),
+# needs no state, and reproduces identically on any engine.
+#
+# The global size rank reuses the q253 two-phase DISTRIBUTED
+# ranking discipline — never one window over the whole corpus: the
+# grid here is the distinct n_chars VALUES (phase 1 counts per
+# length — combine-safe; the grid is bounded by the max doc length,
+# coarsenable to length buckets at 100 TB), phase 2 ranks only
+# within (n_chars) groups ordered by doc_id and adds the grid
+# prefix. Per shard: docs, byte total, and the exact share in ppm;
+# the balance check (max share ≈ min share) runs on the K-row
+# aggregate.
+
+SHARDS_K = 8
+
+_ORACLE_Q258 = f"""
+WITH r AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+    FROM documents
+), a AS (
+    SELECT (rnk - 1) % {SHARDS_K} AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_total
+    FROM r GROUP BY 1
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(chars_total AS BIGINT) AS chars_total,
+       CAST(chars_total * 1000000 //
+            (SELECT SUM(chars_total) FROM a) AS BIGINT) AS share_ppm
+FROM a ORDER BY shard
+"""
+
+
+@register(
+    "q258_balanced_shards",
+    oracle=_ORACLE_Q258,
+    doc="Size-balanced output sharding: global rank by byte size "
+    "descending (the q253 two-phase distributed form — grid counts "
+    "per distinct length, windows only within one length group), "
+    "round-robin deal to K shards; per shard the doc count, byte "
+    "total, and exact ppm share. Deterministic, stateless, "
+    "LPT-style balance bound.",
+    tags=("curation", "sharding", "ranking"),
+)
+def q258_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    counts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = Window.orderBy(F.col("n_chars").desc())
+    prefix = counts.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("cnt").over(
+                grid.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("n_chars", "prefix")
+    fine = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        docs.join(F.broadcast(prefix), "n_chars")
+        .withColumn(
+            "rnk", (F.col("prefix") + F.row_number().over(fine)).cast("bigint")
+        )
+        .withColumn("shard", (F.col("rnk") - 1) % SHARDS_K)
+    )
+    agg = ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    return (
+        agg.withColumn(
+            "share_ppm",
+            F.expr(
+                f"CAST(chars_total * 1000000 DIV "
+                f"(SUM(chars_total) OVER ()) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "chars_total",
+            "share_ppm",
+        )
+        .orderBy("shard")
+    )

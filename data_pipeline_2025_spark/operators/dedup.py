@@ -3072,3 +3072,134 @@ def q252_incremental_dedup_probe(
         )
         .orderBy("doc_id")
     )
+
+
+# ------- q255: URL canonicalization + domain-aware dedup (round 9)
+#
+# The standard pre-filter of a web-corpus pipeline (run BEFORE
+# content dedup, it is near-free and removes the bulk of re-crawl
+# duplicates): canonicalize each page's URL — strip scheme, a
+# leading "www.", tracking query parameters (utm_*, ref), a bare
+# trailing slash — then dedup exact canonical URLs keeping the
+# first fetch, and report per REGISTRABLE DOMAIN (the last two
+# host labels — the grouping crawl schedulers and robots caches
+# key on). Reference analog: the crawler's one-row-per-page fetch
+# (salim/app/crawler, SURVEY S1/S2) never re-visits a URL; at
+# corpus scale that discipline becomes this operator.
+#
+# The documents table carries no url column, so the fixture
+# synthesizes one DETERMINISTICALLY from doc_id — identical
+# algebra in both engines, exercising every canonicalization rule:
+# scheme varies (%2), subdomain varies www/news/none (%3), 12
+# registrable domains (%12), 50 paths (%50) forcing canonical
+# collisions, a bare trailing slash (%5), utm/ref tracking params
+# (%4 / %7). The canonicalizer itself is the operator under test;
+# a real deployment maps `url` straight in.
+#
+# Scale shape: two STACKED combine-safe aggregations (the q251
+# discipline) — canonical-URL groups collapse map-side (survivor =
+# min(doc_id): the q229 agg-not-window shape), then the per-domain
+# rollup is a second combine-safe agg over one row per canonical
+# URL. No windows, no join back, no hot key: a domain with 10^9
+# pages costs its reducer one row per DISTINCT canonical URL after
+# map-side partial aggregation.
+
+_URL_SYNTH_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+             WHEN doc_id % 3 = 1 THEN 'news.' ELSE '' END)
+    || 'd' || CAST(doc_id % 12 AS STRING) || '.example.com'
+    || '/p/' || CAST(doc_id % 50 AS STRING)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y'
+             WHEN doc_id % 7 = 0 THEN '?ref=abc' ELSE '' END)
+"""
+
+# Canonicalization as portable regex algebra (Java and RE2 agree on
+# every pattern here: no backrefs, no lookaround):
+#   1. strip scheme            ^https?://
+#   2. strip leading www.      ^www\.
+#   3. strip tracking params   (utm_[a-z]+|ref)=[^&#]* (+ tidy &/?)
+#   4. strip bare trailing /   /$
+_CANON_STEPS = (
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"(utm_[a-z]+|ref)=[^&#]*&?", ""),
+    (r"[?&]$", ""),
+    (r"/$", ""),
+)
+_REG_DOMAIN_RE = r"([a-z0-9-]+\.[a-z]+)(/|$)"
+
+
+def _canon_sql(expr: str) -> str:
+    out = expr
+    for pat, rep in _CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out
+
+
+_ORACLE_Q255 = f"""
+WITH u AS (
+    SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+), c AS (
+    SELECT doc_id, {_canon_sql('url')} AS curl FROM u
+), s AS (
+    SELECT curl,
+           regexp_extract(curl, '{_REG_DOMAIN_RE}', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM c GROUP BY curl, regexp_extract(curl, '{_REG_DOMAIN_RE}', 1)
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       CAST(SUM(n_fetches) AS BIGINT) AS n_fetches,
+       CAST(SUM(n_fetches) - COUNT(*) AS BIGINT) AS n_dupes,
+       CAST((SUM(n_fetches) - COUNT(*)) * 1000000
+            // SUM(n_fetches) AS BIGINT) AS dup_ppm,
+       CAST(MIN(keep_doc) AS BIGINT) AS first_doc
+FROM s GROUP BY domain ORDER BY domain
+"""
+
+
+@register(
+    "q255_url_dedup_by_domain",
+    oracle=_ORACLE_Q255,
+    doc="URL canonicalization + domain-aware crawl dedup (the "
+    "web-pipeline pre-filter run before content dedup): strip "
+    "scheme/www./tracking params/trailing slash with portable "
+    "regex algebra, dedup exact canonical URLs keeping the first "
+    "fetch, report per registrable domain — two stacked "
+    "combine-safe aggregations, no windows, skew-proof at any "
+    "re-crawl rate.",
+    tags=("dedup", "url", "crawl"),
+)
+def q255_url_dedup_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.selectExpr(
+        "doc_id", f"{_URL_SYNTH_SQL} AS url"
+    )
+    curl = F.col("url")
+    for pat, rep in _CANON_STEPS:
+        curl = F.regexp_replace(curl, pat, rep)
+    c = docs.select("doc_id", curl.alias("curl")).withColumn(
+        "domain", F.regexp_extract("curl", _REG_DOMAIN_RE, 1)
+    )
+    per_url = c.groupBy("curl", "domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.min("doc_id").cast("bigint").alias("keep_doc"),
+    )
+    return (
+        per_url.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+            F.sum("n_fetches").cast("bigint").alias("n_fetches"),
+            (F.sum("n_fetches") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_dupes"),
+            F.expr(
+                "CAST((SUM(n_fetches) - COUNT(*)) * 1000000"
+                " DIV SUM(n_fetches) AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.min("keep_doc").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("domain")
+    )

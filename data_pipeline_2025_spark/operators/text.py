@@ -2665,3 +2665,350 @@ def q254_span_corruption_masks(
         )
         .orderBy("doc_id")
     )
+
+
+# ------- q256: PII detection + scrub (round 9)
+#
+# The redaction pass every public-web training corpus runs before
+# release (C4 and friends strip emails/phones/IPs): detect each
+# PII class with portable regexes (Java and RE2 agree: character
+# classes, bounded repetition, no lookaround), count hits exactly,
+# and SCRUB by replacing each hit with a typed sentinel. The
+# synthetic corpus contains no organic PII, so the fixture APPENDS
+# deterministic PII spans to a doc_id-keyed subset — identical
+# string algebra in both engines — which makes the oracle exact:
+# the counts, the scrubbed text's md5, and its length all
+# hash-check. A real deployment drops the injection CTE and scrubs
+# `text` directly.
+#
+# Scale shape: pure per-row string work — JVM-side regexp inside
+# whole-stage codegen, zero shuffles before the output sort,
+# embarrassingly parallel at any corpus size.
+
+_PII_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"[0-9]{3,4}-[0-9]{3}-[0-9]{4}"
+_PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PII_INJECT_SQL = """
+    text
+    || (CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS STRING)
+                  || '@mail.example.com now' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN ' call ' || CAST(500 + doc_id % 400 AS STRING)
+                  || '-555-' || CAST(1000 + doc_id % 9000 AS STRING)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' from 10.' || CAST(doc_id % 256 AS STRING)
+                  || '.0.' || CAST(doc_id % 200 AS STRING) ELSE '' END)
+"""
+
+_ORACLE_Q256 = f"""
+WITH t AS (
+    SELECT doc_id, {_PII_INJECT_SQL} AS txt FROM documents
+), s AS (
+    SELECT doc_id, txt,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(txt, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{_PII_IP_RE}', '<IP>', 'g') AS scrubbed
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{_PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(
+           regexp_replace(txt, '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{_PII_IP_RE}')) AS BIGINT) AS n_ips,
+       md5(scrubbed) AS scrub_h,
+       CAST(length(scrubbed) AS BIGINT) AS scrub_len
+FROM s ORDER BY doc_id
+"""
+
+
+@register(
+    "q256_pii_scrub",
+    oracle=_ORACLE_Q256,
+    doc="PII detection + redaction (the pre-release scrub pass): "
+    "emails, phone numbers, IPv4s found with portable regexes, "
+    "replaced by typed sentinels; per doc the exact class counts "
+    "plus the scrubbed text's md5 and length. Deterministic PII "
+    "injection on a doc_id-keyed subset makes the oracle exact on "
+    "the synthetic corpus. Pure codegen string work — no shuffle.",
+    tags=("text", "pii", "quality"),
+)
+def q256_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents.selectExpr(
+        "doc_id", f"{_PII_INJECT_SQL} AS txt"
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count("txt", F.lit(_PII_EMAIL_RE))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.regexp_count("txt", F.lit(_PII_PHONE_RE))
+            .cast("bigint")
+            .alias("n_phones"),
+            # the phone sentinel first, so a phone's digit runs can
+            # never double-count as an IP fragment (same order as
+            # the scrub — and as the oracle's n_ips expression)
+            F.regexp_count(
+                F.regexp_replace(F.col("txt"), _PII_PHONE_RE, "<PHONE>"),
+                F.lit(_PII_IP_RE),
+            )
+            .cast("bigint")
+            .alias("n_ips"),
+            F.md5(scrub.cast("binary")).alias("scrub_h"),
+            F.length(scrub).cast("bigint").alias("scrub_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------- q257: fill-in-middle (FIM) objective prep (round 9)
+#
+# The code/infilling objective transform (PSM/SPM orderings):
+# deterministically split each doc's token stream into
+# prefix|middle|suffix and emit the REORDERED sequence with
+# sentinels — prefix+suffix first, the middle moved to the end,
+# so an autoregressive model learns infilling. The q62/q254
+# discipline: split points are a pure function of the 48-bit
+# doc-keyed md5 (no RNG, regenerable by any worker), the ordering
+# (PSM vs SPM, ~50/50) comes from independent bits of the same
+# hash. Docs under 3 tokens pass through untransformed (mode
+# 'short'). Per doc: mode, the three span lengths, and the md5 of
+# the transformed sequence — the oracle checks the full transform
+# byte-exactly.
+#
+# Scale shape: per-doc arithmetic + array slices, no shuffle
+# before the output sort; embarrassingly parallel (the q254 shape
+# without even the lag windows).
+
+_FIM_H = "fim48"  # hash salt
+
+
+def _fim_h_sql(col: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{_FIM_H}|' || "
+        f"CAST({col} AS STRING)), 1, 12)) AS UBIGINT)"
+    )
+
+
+_ORACLE_Q257 = f"""
+WITH t AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks,
+           len({TOKENS_SQL}) AS n,
+           CAST({_fim_h_sql('doc_id')} AS BIGINT) AS h
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, n,
+           CASE WHEN n >= 3 THEN h % (n - 1) + 1 ELSE n END AS a,
+           CASE WHEN n >= 3
+                THEN (h // 65536) % (n - (h % (n - 1) + 1)) + 1
+                ELSE 0 END AS m,
+           CASE WHEN n >= 3 AND (h // 4294967296) % 2 = 0
+                THEN 'psm'
+                WHEN n >= 3 THEN 'spm'
+                ELSE 'short' END AS mode
+    FROM t
+), parts AS (
+    SELECT doc_id, n, a, m, mode,
+           -- DuckDB's array_to_string of an EMPTY slice is NULL
+           -- (Spark's array_join is ''): coalesce every span
+           COALESCE(array_to_string(toks[1:a], ' '), '') AS pre,
+           COALESCE(array_to_string(toks[a+1:a+m], ' '), '') AS mid,
+           COALESCE(array_to_string(toks[a+m+1:n], ' '), '') AS suf,
+           array_to_string(toks, ' ') AS orig
+    FROM s
+)
+SELECT doc_id, mode,
+       CAST(a AS BIGINT) AS pre_len,
+       CAST(m AS BIGINT) AS mid_len,
+       CAST(n - a - m AS BIGINT) AS suf_len,
+       md5(CASE mode
+           WHEN 'psm' THEN '<P>' || pre || '<S>' || suf || '<M>' || mid
+           WHEN 'spm' THEN '<S>' || suf || '<P>' || pre || '<M>' || mid
+           ELSE orig END) AS fim_h
+FROM parts ORDER BY doc_id
+"""
+
+
+@register(
+    "q257_fim_transform",
+    oracle=_ORACLE_Q257,
+    doc="Fill-in-middle objective prep (PSM/SPM): deterministic "
+    "48-bit-hash split of each doc into prefix|middle|suffix, "
+    "middle moved behind the sentinels, ordering chosen from "
+    "independent hash bits; spans + full transformed sequence "
+    "md5-pinned against the oracle. No RNG, no shuffle, "
+    "embarrassingly parallel.",
+    tags=("text", "objective", "fim"),
+)
+def q257_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_FIM_H + "|"), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    ).withColumn("n", F.size("toks")).withColumn("h", h48)
+    s = t.selectExpr(
+        "doc_id",
+        "toks",
+        "n",
+        "CASE WHEN n >= 3 THEN h % (n - 1) + 1 ELSE n END AS a",
+        "CASE WHEN n >= 3"
+        " THEN (h DIV 65536) % (n - (h % (n - 1) + 1)) + 1"
+        " ELSE 0 END AS m",
+        "CASE WHEN n >= 3 AND (h DIV 4294967296) % 2 = 0 THEN 'psm'"
+        " WHEN n >= 3 THEN 'spm' ELSE 'short' END AS mode",
+    )
+    parts = s.selectExpr(
+        "doc_id",
+        "n",
+        "a",
+        "m",
+        "mode",
+        "array_join(slice(toks, 1, a), ' ') AS pre",
+        "array_join(slice(toks, a + 1, m), ' ') AS mid",
+        "array_join(slice(toks, a + m + 1, n - a - m), ' ') AS suf",
+        "array_join(toks, ' ') AS orig",
+    )
+    return parts.selectExpr(
+        "doc_id",
+        "mode",
+        "CAST(a AS BIGINT) AS pre_len",
+        "CAST(m AS BIGINT) AS mid_len",
+        "CAST(n - a - m AS BIGINT) AS suf_len",
+        "md5(CAST(CASE mode"
+        " WHEN 'psm' THEN '<P>' || pre || '<S>' || suf || '<M>' || mid"
+        " WHEN 'spm' THEN '<S>' || suf || '<P>' || pre || '<M>' || mid"
+        " ELSE orig END AS BINARY)) AS fim_h",
+    ).orderBy("doc_id")
+
+
+# ------- q259: token-distribution drift between corpus versions
+#          (round 9)
+#
+# The monitoring query a continuously-crawled corpus runs on every
+# refresh: compare the token distribution of the NEW half against
+# the OLD half and surface the biggest movers — vocabulary drift
+# that silently shifts a trained model's input distribution. Halves
+# here are the even/odd source index (deterministic); per token the
+# exact frequency in parts-per-million of each half, the absolute
+# ppm drift, and a signed direction. Top-50 by (drift, token) —
+# log-free exact integer algebra end to end (the repo's two-engine
+# discipline: no log, no doubles in ranking).
+#
+# Scale shape: ONE combine-safe groupBy(token) with conditional
+# sums (never two scans), one-row totals broadcast via crossJoin,
+# top-k is TakeOrderedAndProject (partial top-k map-side, no full
+# sort). A 10^9-type vocabulary shuffles one row per distinct
+# token after map-side partial aggregation.
+
+DRIFT_TOP_K = 50
+
+_ORACLE_Q259 = f"""
+WITH tok AS (
+    SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS in_a,
+           unnest({TOKENS_SQL}) AS tok
+    FROM documents
+), c AS (
+    SELECT tok,
+           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+    FROM tok GROUP BY tok
+), t AS (
+    SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+           CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+    FROM c
+), p AS (
+    SELECT tok,
+           cnt_a * 1000000 // tot_a AS ppm_a,
+           cnt_b * 1000000 // tot_b AS ppm_b
+    FROM c, t
+)
+SELECT tok,
+       CAST(ppm_a AS BIGINT) AS ppm_a,
+       CAST(ppm_b AS BIGINT) AS ppm_b,
+       CAST(abs(ppm_a - ppm_b) AS BIGINT) AS drift_ppm,
+       CAST(CASE WHEN ppm_b > ppm_a THEN 1
+                 WHEN ppm_b < ppm_a THEN -1 ELSE 0 END AS BIGINT)
+           AS direction
+FROM p
+ORDER BY drift_ppm DESC, tok
+LIMIT {DRIFT_TOP_K}
+"""
+
+
+@register(
+    "q259_token_drift",
+    oracle=_ORACLE_Q259,
+    doc="Token-distribution drift between two corpus halves "
+    "(refresh monitoring): exact per-token ppm in each half from "
+    "ONE combine-safe conditional aggregation, totals broadcast, "
+    "top-50 movers by absolute ppm drift via partial top-k — "
+    "all-BIGINT, log-free.",
+    tags=("text", "monitoring", "drift"),
+)
+def q259_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = Catalog(spark, sf_dir).documents.select(
+        (F.substring("source", 4, 10).cast("bigint") % 2 == 0).alias("in_a"),
+        F.explode(tokens_col()).alias("tok"),
+    )
+    c = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("cnt_b"),
+    )
+    t = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("tot_a"),
+        F.sum("cnt_b").cast("bigint").alias("tot_b"),
+    )
+    p = c.crossJoin(F.broadcast(t)).selectExpr(
+        "tok",
+        "CAST(cnt_a * 1000000 DIV tot_a AS BIGINT) AS ppm_a",
+        "CAST(cnt_b * 1000000 DIV tot_b AS BIGINT) AS ppm_b",
+    )
+    return (
+        p.select(
+            "tok",
+            "ppm_a",
+            "ppm_b",
+            F.abs(F.col("ppm_a") - F.col("ppm_b"))
+            .cast("bigint")
+            .alias("drift_ppm"),
+            F.when(F.col("ppm_b") > F.col("ppm_a"), 1)
+            .when(F.col("ppm_b") < F.col("ppm_a"), -1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("direction"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), "tok")
+        .limit(DRIFT_TOP_K)
+    )

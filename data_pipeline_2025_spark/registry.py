@@ -120,73 +120,69 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
-    # ROUND 8 ROTATION (r7 verdict #1): lead with q241-q247 — the
-    # ONLY registry rows never officially driver-checked (they
-    # registered past the r7 cap) — plus the new round-8 queries,
-    # then every query rewritten this round, then swing to the
-    # oldest official checks left: the 29 rows whose last driver
-    # check is r2 (q31-q78 block), then the head of the r3-era
-    # block. Groups, in order:
-    # (a) never driver-checked: the r7 overflow + new round-8 rows
-    "q241_image_resize_thumbs",
-    "q242_table_health",
-    "q243_gdpr_erasure",
-    "q244_exact_quota_sample",
-    "q245_auto_compaction",
-    "q246_quarantine_ingest",
-    "q247_cdc_chunk_dedup",   # also rewritten: skew-proof survival
-    "q248_dedup_then_pack",   # new r8: composed dedup → pack
-    "q249_cdf_update_images",  # new r8: four-type CDF
-    "q250_nb_quality_classifier",  # new r8: trained quality clf
-    "q251_boilerplate_removal",  # new r8: df-threshold dedup
-    "q252_incremental_dedup_probe",  # new r8: delta-vs-index probe
-    "q253_training_order",  # new r8: two-phase distributed ranking
-    "q254_span_corruption_masks",  # new r8: objective prep
-    # (b) rewritten/affected this round: q229 skew-proof survival
-    # (shared shape with q247), q240 hash-checked face, q226
-    # pack_assignment refactor (shared with q248), q228 partitioned
-    # CDF reader.
-    "q229_segment_dedup_rebuild",
-    "q240_compression_quality",
-    "q226_packed_sequences",
-    "q228_streaming_cdf_matview",
-    # (c) r2-era rows — the oldest official checks anywhere (last
-    # green in CORRECTNESS_r02; five rounds of shared-infra
-    # rewrites since)
-    "q31_lang_id_matrix",
-    "q32_token_counts",
-    "q33_doc_fingerprint",
-    "q37_simhash",
-    "q38_simhash_neardup",
-    "q40_ann_bruteforce",
-    "q41_ivf_assign",
-    "q42_ivf_cluster_stats",
-    "q44_rp_lsh_buckets",
-    "q45_multimodal_metadata",
-    "q49_salted_skew_agg",
-    "q52_sql_api_pricing",
-    "q58_order_cube",
-    "q59_semi_join_urgent",
-    "q60_multimodal_frame_sample",
-    "q61_dedup_pipeline",
-    "q62_deterministic_split",
-    "q64_source_mixture",
-    "q65_repetition_filter",
-    "q66_weighted_downsample",
-    "q68_vocab_coverage",
-    "q69_duplicated_span_ratio",
-    "q70_neardup_components",
-    "q71_tfidf_keywords",
-    "q72_ann_recall",
-    "q73_span_cut_stats",
-    "q75_continuous_aggregate",
-    "q77_kmv_distinct_sketch",
-    "q78_kmv_sketch_merge",
-    # (d) head of the r3-era block (last checked r3) — fills the cap
-    # to exactly 50; the rest of the r3 block is the r9 rotation.
-    "q46_ann_pandas_vectorized",
-    "q67_trigram_index_search",
-    "q74_stream_join_attribution",
+    # ROUND 9 ROTATION (r8 verdict #1): clear the last rotation
+    # debt. Groups, in order:
+    # (a) new round-9 queries — never officially driver-checked
+    "q255_url_dedup_by_domain",   # new r9: crawl URL canon + dedup
+    "q256_pii_scrub",             # new r9: PII detect + redact
+    "q257_fim_transform",         # new r9: fill-in-middle prep
+    "q258_balanced_shards",       # new r9: size-balanced sharding
+    "q259_token_drift",           # new r9: corpus drift monitor
+    # (b) rewritten/affected this round: q249 intent-exact four-type
+    # CDF (#op tags), q250 overflow-safe decimal sum, q252
+    # array-intersect verify stage
+    "q249_cdf_update_images",
+    "q250_nb_quality_classifier",
+    "q252_incremental_dedup_probe",
+    # (c) the ENTIRE r3-era block — the 41 rows whose last official
+    # driver check is CORRECTNESS_r03 (the r8 verdict's #1 item);
+    # after this round no registry row's last official check is
+    # older than r4
+    "q76_interval_snapshot_join",
+    "q79_cms_heavy_hitters",
+    "q80_group_quantiles",
+    "q81_bigram_collocations",
+    "q82_kmeans_refine",
+    "q83_stream_cagg_serving",
+    "q84_event_funnel",
+    "q85_bpe_pair_counts",
+    "q86_context_chunks",
+    "q87_sequence_packing",
+    "q88_filter_funnel",
+    "q89_bloom_prune_join",
+    "q90_ivf_coreset",
+    "q92_stratified_sample",
+    "q93_robust_outliers",
+    "q94_bucketed_colocated_join",
+    "q95_sampled_quantile_error",
+    "q96_temperature_mixture",
+    "q97_stream_cms_serving",
+    "q98_data_quality_audit",
+    "q99_cohort_retention",
+    "q100_event_transitions",
+    "q101_novelty_curve",
+    "q102_price_histogram",
+    "q103_trigram_similarity_join",
+    "q104_copurchase_lift",
+    "q105_hopping_windows",
+    "q106_session_window_native",
+    "q108_stream_session_windows",
+    "q110_time_decayed_value",
+    "q111_stream_stateful_sessions",
+    "q112_small_qty_revenue",
+    "q113_activity_streaks",
+    "q114_pq_quantization",
+    "q115_shingle_containment",
+    "q116_orders_in_flight",
+    "q117_new_vs_returning",
+    "q118_token_gini",
+    "q119_minhash_accuracy",
+    "q121_threshold_sweep",
+    "q122_ship_lag_quantiles",
+    # (d) head of the r4-era block (now the oldest official checks)
+    # — fills the cap to exactly 50; the rest of the r4 block leads
+    # the r10 rotation
+    "q123_token_lorenz_curve",
     # = 50 priority rows — exactly the driver cap.
 )
 

@@ -1173,12 +1173,12 @@ WITH base AS (
     FROM events
 )
 SELECT * FROM (
-    SELECT CAST(1 AS BIGINT) AS version, d AS n_files,
+    SELECT CAST(1 AS BIGINT) AS version, 'write' AS op, d AS n_files,
            CAST(0 AS BIGINT) AS dv_positions, n AS n_rows FROM base
     UNION ALL
-    SELECT CAST(2 AS BIGINT), d, del, n - del FROM base
+    SELECT CAST(2 AS BIGINT), 'delete', d, del, n - del FROM base
     UNION ALL
-    SELECT CAST(3 AS BIGINT), d, CAST(0 AS BIGINT), n FROM base
+    SELECT CAST(3 AS BIGINT), 'restore', d, CAST(0 AS BIGINT), n FROM base
 )
 ORDER BY version
 """
@@ -1190,7 +1190,9 @@ ORDER BY version
     doc="DESCRIBE HISTORY from the manifest alone: per-version live "
     "files, deletion-vector positions, and metadata-only row counts "
     "across an append -> DV delete -> RESTORE lifecycle, every "
-    "number re-derived by the oracle from the underlying table — "
+    "number re-derived by the oracle from the underlying table, "
+    "plus (round 9) the commit's #op intent — Delta's operation "
+    "column — "
     "auditing the full history of a 100 TB table as a pure metadata "
     "operation.",
     tags=("streaming", "txn", "history", "metadata"),
@@ -1221,6 +1223,7 @@ def q212_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (
             int(h["version"]),
+            h["op"],
             int(h["n_files"]),
             int(h["n_dv_positions"]),
             int(h["n_rows"]),
@@ -1229,7 +1232,8 @@ def q212_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows,
-        "version bigint, n_files bigint, dv_positions bigint, n_rows bigint",
+        "version bigint, op string, n_files bigint,"
+        " dv_positions bigint, n_rows bigint",
     ).orderBy("version")
 
 
@@ -1629,17 +1633,18 @@ def q215_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # update_preimage / update_postimage, distinguishing a row that
 # CHANGED from a row that genuinely arrived or left.
 # txn.read_changes_with_images derives the four-type feed from the
-# two-type one with a single (version, key) aggregation + join —
-# O(delta), no hot key beyond the merge's own write set — and is
-# CONTENT-AWARE (round-8 review fix): a same-key pair whose full
-# row content is identical is a file-rewrite artifact (compaction /
-# OPTIMIZE re-laying rows) and emits NOTHING, Delta's behavior for
-# OPTIMIZE commits. On the shared q214 lifecycle the v4 merge
-# splits exactly: the min-user rows live at v3 become pre/post
-# pairs (value doubled — content differs; note this oracle depends
-# on the doubled value differing, i.e. no zero-value rows for the
-# min user, true at every tier), while that user's v3-deleted rows
-# (%7==3) come back as plain inserts — the distinction the
+# two-type one with one combine-safe (version, key, content)
+# aggregation — O(delta), no hot key beyond the merge's own write
+# set — and is INTENT-EXACT (round 9): the manifest's #op commit
+# tag classifies the way Delta's per-commit operation field does
+# (a merge's same-key pairs are updates even when a row was
+# rewritten to its existing values; an optimize emits nothing;
+# untagged legacy commits fall back to row-paired content
+# comparison). On the shared q214 lifecycle the v4 merge (#op
+# merge) splits exactly: the min-user rows live at v3 become
+# pre/post pairs — by intent, with no dependence on the doubled
+# value differing from the original — while that user's v3-deleted
+# rows (%7==3) come back as plain inserts — the distinction the
 # two-type feed cannot make.
 
 _ORACLE_Q249 = f"""
@@ -2561,6 +2566,7 @@ def _build_opt_sink(spark: SparkSession, sf_dir: str) -> str:
         txn.commit_replace_table(
             sink,
             txn.stage_append(bucketed.repartition(F.col("b")), sink, ("b",)),
+            op="optimize",
         )
     return sink
 
@@ -3269,6 +3275,7 @@ def q245_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.commit_replace(
             sink,
             txn.stage_append(raw.repartition(F.col("day")), sink, ("day",)),
+            op="optimize",
         )
     # ---- evidence, recomputed from the log on every invocation
     v4 = txn.listing_at(sink, 4)

