@@ -3203,3 +3203,219 @@ def q255_url_dedup_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# --------- q261: per-domain quality scoreboard (round 9)
+#
+# The domain-level curation step (FineWeb/RefinedWeb-style): after
+# URL canonicalization, roll CONTENT signals up to the registrable
+# domain — content-duplicate rate and cheap text-quality ratios —
+# to build the domain blocklist/allowlist that runs before any
+# per-document scoring. Composes q255's URL algebra with q34's
+# exact-dedup fingerprint and q30-style stopword ppm, all exact
+# BIGINT.
+#
+# Scale shape: the content-dup flag follows the q251 discipline —
+# per-fingerprint copies via ONE combine-safe agg (1 row per
+# distinct hash), joined back broadcast-or-AQE-skew-split (build
+# side is 1 row per key, never the corpus); the domain rollup is
+# a second combine-safe agg. Survivorship = min(), never a window
+# over a content hash (q229 rule).
+
+_STOP_RE = "^(the|a|of|and|in|to|is)$"
+
+_ORACLE_Q261 = f"""
+WITH u AS (
+    SELECT doc_id,
+           {_canon_sql(f"({_URL_SYNTH_SQL})")} AS curl,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+           len({TOKENS_SQL}) AS n_tok,
+           len(list_filter({TOKENS_SQL},
+               x -> regexp_matches(lower(x), '{_STOP_RE}'))) AS n_stop
+    FROM documents
+), d AS (
+    SELECT u.*, regexp_extract(curl, '{_REG_DOMAIN_RE}', 1) AS domain
+    FROM u
+), fp AS (
+    SELECT fingerprint, MIN(doc_id) AS survivor,
+           COUNT(*) AS copies
+    FROM d GROUP BY fingerprint
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id <> fp.survivor THEN 1 ELSE 0 END)
+            AS BIGINT) AS redundant_docs,
+       CAST(SUM(CASE WHEN d.doc_id <> fp.survivor THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_stop) * 1000000 // SUM(n_tok) AS BIGINT)
+           AS stop_ppm,
+       CAST(CASE WHEN SUM(CASE WHEN d.doc_id <> fp.survivor
+                               THEN 1 ELSE 0 END) * 2 < COUNT(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM d JOIN fp USING (fingerprint)
+GROUP BY domain ORDER BY domain
+"""
+
+
+@register(
+    "q261_domain_quality_rollup",
+    oracle=_ORACLE_Q261,
+    doc="Domain-level curation scoreboard: content-duplicate rate "
+    "(exact md5 fingerprint) and stopword ppm per registrable "
+    "domain, plus the majority-unique keep flag — the domain "
+    "blocklist builder web pipelines run before per-document "
+    "scoring. Two combine-safe aggs + a 1-row-per-key flag join "
+    "(q251 discipline); survivorship is min(), never a window "
+    "over a content hash.",
+    tags=("dedup", "url", "quality", "curation"),
+)
+def q261_domain_quality_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id")
+    curl = F.expr(f"({_URL_SYNTH_SQL})")
+    for pat, rep in _CANON_STEPS:
+        curl = F.regexp_replace(curl, pat, rep)
+    toks = tokens_col()
+    d = docs.select(
+        "doc_id",
+        F.regexp_extract(curl, _REG_DOMAIN_RE, 1).alias("domain"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x).rlike(_STOP_RE))
+        ).alias("n_stop"),
+    )
+    fp = d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("survivor"),
+    )
+    j = d.join(fp, "fingerprint")
+    red = F.when(F.col("doc_id") != F.col("survivor"), 1).otherwise(0)
+    return (
+        j.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(red).cast("bigint").alias("redundant_docs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN doc_id <> survivor THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(SUM(n_stop) * 1000000 DIV SUM(n_tok) AS BIGINT)"
+            ).alias("stop_ppm"),
+            F.expr(
+                "CAST(CASE WHEN SUM(CASE WHEN doc_id <> survivor"
+                " THEN 1 ELSE 0 END) * 2 < COUNT(*)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("keep_flag"),
+        )
+        .orderBy("domain")
+    )
+
+
+# --------- q263: URL-dedup vs content-dedup agreement (round 9)
+#
+# Pipeline QA for the two-stage dedup design: how much of the
+# exact-content duplication would the CHEAP URL-canonical dedup
+# (q255) alone have caught, and how often does it over-fire
+# (same canonical URL, different content — a re-crawled page that
+# changed)? The 2x2 confusion counts decide whether the expensive
+# content stage can run on the URL-surviving subset only.
+#
+# Scale shape: both flags are the same agg + 1-row-per-key
+# join-back as q261; the final cross-tab is a single combine-safe
+# aggregation to ONE row.
+
+_ORACLE_Q263 = f"""
+WITH u AS (
+    SELECT doc_id,
+           {_canon_sql(f"({_URL_SYNTH_SQL})")} AS curl,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+), cu AS (
+    SELECT curl, MIN(doc_id) AS u_survivor FROM u GROUP BY curl
+), fp AS (
+    SELECT fingerprint, MIN(doc_id) AS c_survivor
+    FROM u GROUP BY fingerprint
+), flags AS (
+    SELECT u.doc_id,
+           CASE WHEN u.doc_id <> cu.u_survivor THEN 1 ELSE 0 END
+               AS url_dup,
+           CASE WHEN u.doc_id <> fp.c_survivor THEN 1 ELSE 0 END
+               AS content_dup
+    FROM u JOIN cu USING (curl) JOIN fp USING (fingerprint)
+)
+SELECT CAST(SUM(url_dup * content_dup) AS BIGINT) AS n_both,
+       CAST(SUM(url_dup * (1 - content_dup)) AS BIGINT) AS n_url_only,
+       CAST(SUM((1 - url_dup) * content_dup) AS BIGINT)
+           AS n_content_only,
+       CAST(SUM((1 - url_dup) * (1 - content_dup)) AS BIGINT)
+           AS n_neither,
+       CAST(SUM(CASE WHEN url_dup = content_dup THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+FROM flags
+"""
+
+
+@register(
+    "q263_dedup_agreement",
+    oracle=_ORACLE_Q263,
+    doc="URL-dedup vs content-dedup 2x2 agreement: per doc, the "
+    "cheap canonical-URL duplicate flag (q255) against the exact "
+    "content-fingerprint flag (q34), cross-tabbed to one row with "
+    "an agreement ppm — the measurement that decides whether the "
+    "expensive content stage can run on URL survivors only. Two "
+    "combine-safe survivor aggs, 1-row-per-key join-backs, one "
+    "single-row rollup.",
+    tags=("dedup", "url", "monitoring"),
+)
+def q263_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id")
+    curl = F.expr(f"({_URL_SYNTH_SQL})")
+    for pat, rep in _CANON_STEPS:
+        curl = F.regexp_replace(curl, pat, rep)
+    u = docs.select(
+        "doc_id",
+        curl.alias("curl"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    cu = u.groupBy("curl").agg(F.min("doc_id").alias("u_survivor"))
+    fp = u.groupBy("fingerprint").agg(F.min("doc_id").alias("c_survivor"))
+    flags = (
+        u.join(cu, "curl")
+        .join(fp, "fingerprint")
+        .select(
+            F.when(F.col("doc_id") != F.col("u_survivor"), 1)
+            .otherwise(0)
+            .alias("url_dup"),
+            F.when(F.col("doc_id") != F.col("c_survivor"), 1)
+            .otherwise(0)
+            .alias("content_dup"),
+        )
+    )
+    return flags.agg(
+        F.sum(F.col("url_dup") * F.col("content_dup"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.col("url_dup") * (1 - F.col("content_dup")))
+        .cast("bigint")
+        .alias("n_url_only"),
+        F.sum((1 - F.col("url_dup")) * F.col("content_dup"))
+        .cast("bigint")
+        .alias("n_content_only"),
+        F.sum((1 - F.col("url_dup")) * (1 - F.col("content_dup")))
+        .cast("bigint")
+        .alias("n_neither"),
+        F.expr(
+            "CAST(SUM(CASE WHEN url_dup = content_dup THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("agree_ppm"),
+    )

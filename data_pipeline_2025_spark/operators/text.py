@@ -2741,7 +2741,10 @@ FROM s ORDER BY doc_id
     tags=("text", "pii", "quality"),
 )
 def q256_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents.selectExpr(
+    # six regex passes per row on a table that often scans as ONE
+    # file = one partition: fan out so the codegen work parallelizes
+    # (the catalog helper is a no-op on already-wide scans)
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").selectExpr(
         "doc_id", f"{_PII_INJECT_SQL} AS txt"
     )
     scrub = F.regexp_replace(
@@ -3011,4 +3014,232 @@ def q259_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("drift_ppm").desc(), "tok")
         .limit(DRIFT_TOP_K)
+    )
+
+
+# ------- q260: training-resume locator over packed sequences (r9)
+#
+# The data-loader side of checkpoint/resume: a run that stops at
+# step N must restart mid-corpus WITHOUT replaying (duplicate
+# epochs bias the model) and without scanning forward (a 100 TB
+# corpus cannot be fast-forwarded token by token). Each
+# data-parallel rank owns one pack stream (q226's layout), so a
+# checkpoint is just a per-stream token offset; this query maps
+# the canonical grid of offsets (j/8 of each stream's total,
+# j = 1..7) back to the EXACT cursor a loader needs: the sequence
+# number, the position inside that sequence, the document the
+# token lands in, and how far into that document it is.
+#
+# Scale shape: the same per-stream cumsum window as q226 (streams
+# are the data-parallel width, not the corpus — bounded
+# partitions), ONE tiny marks frame (streams x 7 rows) built from
+# a combine-safe per-stream total, broadcast into a range probe
+# b <= g < e against the cumsum frame. The corpus is scanned
+# once and never shuffled; there is no explode at all (unlike the
+# full q226 materialization, the locator touches only the docs
+# the marks land in — at 100 TB the broadcast-probe filter is
+# pushed into the scan).
+
+RESUME_DENOM = 8  # marks at j/8 of each stream, j = 1..7
+
+_ORACLE_Q260 = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % {PACK_STREAMS} AS stream,
+           len({TOKENS_SQL}) AS n_tok
+    FROM documents
+    WHERE len({TOKENS_SQL}) > 0
+), c AS (
+    SELECT doc_id, stream,
+           SUM(n_tok) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS e,
+           SUM(n_tok) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS b
+    FROM d
+), tot AS (
+    SELECT stream, SUM(n_tok) AS total FROM d GROUP BY stream
+), marks AS (
+    SELECT stream, j, j * total // {RESUME_DENOM} AS g
+    FROM tot, LATERAL (
+        SELECT UNNEST(generate_series(1, {RESUME_DENOM} - 1)) AS j
+    ) f
+)
+SELECT CAST(m.stream AS BIGINT) AS stream,
+       CAST(m.j AS BIGINT) AS frac_8,
+       CAST(m.g AS BIGINT) AS global_tok,
+       CAST(m.g // {PACK_WINDOW} AS BIGINT) AS seq_id,
+       CAST(m.g % {PACK_WINDOW} AS BIGINT) AS pos_in_seq,
+       CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(m.g - c.b AS BIGINT) AS doc_offset
+FROM marks m JOIN c ON c.stream = m.stream AND c.b <= m.g AND m.g < c.e
+ORDER BY stream, frac_8
+"""
+
+
+@register(
+    "q260_resume_locator",
+    oracle=_ORACLE_Q260,
+    doc="Checkpoint/resume locator over the q226 packing: map a "
+    "grid of per-stream token offsets (j/8, j=1..7) to the exact "
+    "loader cursor — sequence id, position in sequence, covering "
+    "document, offset inside it. Per-stream cumsum (q226's "
+    "bounded-partition window) + a streams*7-row broadcast range "
+    "probe; the corpus is scanned once, never shuffled, no "
+    "explode.",
+    tags=("text", "packing", "training"),
+)
+def q260_resume_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = (
+        fan_out(cat.documents, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % PACK_STREAMS).alias("stream"),
+            F.size(tokens_col()).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("e", F.sum("n_tok").over(w)).withColumn(
+        "b", F.col("e") - F.col("n_tok")
+    )
+    # per-stream total = plain combine-safe SUM over the narrow
+    # frame (NOT max of the cumsum — that would re-run the window
+    # and re-scan the corpus for a streams-sized aggregate)
+    marks = (
+        d.groupBy("stream")
+        .agg(F.sum("n_tok").alias("total"))
+        .select(
+            F.col("stream").alias("m_stream"),
+            F.explode(F.sequence(F.lit(1), F.lit(RESUME_DENOM - 1))).alias(
+                "j"
+            ),
+            "total",
+        )
+        .select(
+            "m_stream",
+            "j",
+            F.expr(f"j * total DIV {RESUME_DENOM}").alias("g"),
+        )
+    )
+    loc = c.join(
+        F.broadcast(marks),
+        (F.col("stream") == F.col("m_stream"))
+        & (F.col("b") <= F.col("g"))
+        & (F.col("g") < F.col("e")),
+    )
+    return loc.select(
+        F.col("stream").cast("bigint").alias("stream"),
+        F.col("j").cast("bigint").alias("frac_8"),
+        F.col("g").cast("bigint").alias("global_tok"),
+        F.expr(f"g DIV {PACK_WINDOW}").cast("bigint").alias("seq_id"),
+        (F.col("g") % PACK_WINDOW).cast("bigint").alias("pos_in_seq"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.col("g") - F.col("b")).cast("bigint").alias("doc_offset"),
+    ).orderBy("stream", "frac_8")
+
+
+# ------- q262: markup strip + entity decode (r9)
+#
+# The first cleaning pass every web-text pipeline runs before any
+# quality/dedup stage: remove tags, decode character entities,
+# collapse whitespace. Same fixture discipline as q256's PII
+# injection — the documents table is plain text, so deterministic
+# doc_id-keyed markup is injected first and the CLEANER is the
+# operator under test (a real deployment maps raw HTML straight
+# in). Patterns are portable regex algebra (no lookaround, no
+# backrefs — Java and RE2 agree); entity decode is plain
+# replace() in both engines, &amp; LAST so '&amp;lt;' decodes to
+# the literal '&lt;' exactly as an HTML parser would.
+#
+# Scale shape: pure per-row codegen string work, zero shuffles
+# before the output sort; fan_out parallelizes the regex passes on
+# narrow single-file scans (no-op on wide scans).
+
+_MARKUP_INJECT_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN '<p class="m">' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '<b>hd' || CAST(doc_id % 7 AS STRING) || '</b> '
+             ELSE '' END)
+    || text
+    || (CASE WHEN doc_id % 4 = 0
+             THEN ' fish &amp; chips &lt;3' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' <a href="/p/' || CAST(doc_id % 50 AS STRING)
+                  || '">more</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '</p>' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '<br/>&nbsp;tail' ELSE '' END)
+"""
+
+_TAG_RE = r"<[^<>]*>"
+_ENTITY_RE = r"&(amp|lt|gt|nbsp);"
+
+_ORACLE_Q262 = f"""
+WITH t AS (
+    SELECT doc_id, {_MARKUP_INJECT_SQL} AS raw FROM documents
+), s AS (
+    SELECT doc_id, raw,
+           trim(regexp_replace(
+               replace(replace(replace(replace(
+                   regexp_replace(raw, '{_TAG_RE}', '', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+                   '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_TAG_RE}')) AS BIGINT)
+           AS n_tags,
+       CAST(len(regexp_extract_all(raw, '{_ENTITY_RE}')) AS BIGINT)
+           AS n_entities,
+       CAST(length(raw) AS BIGINT) AS raw_len,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_h
+FROM s ORDER BY doc_id
+"""
+
+
+@register(
+    "q262_markup_strip",
+    oracle=_ORACLE_Q262,
+    doc="Markup removal + entity decode + whitespace collapse (the "
+    "pre-quality web-text cleaning pass): strip tags, decode "
+    "&amp;/&lt;/&gt;/&nbsp; (amp last, parser order), collapse "
+    "runs of whitespace, trim; per doc the tag/entity counts and "
+    "the cleaned text's md5 + length, byte-exact vs the oracle. "
+    "Deterministic doc_id-keyed markup injection; pure codegen "
+    "string work, no shuffle.",
+    tags=("text", "cleaning", "html"),
+)
+def q262_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").selectExpr(
+        "doc_id", f"{_MARKUP_INJECT_SQL} AS raw"
+    )
+    decoded = F.expr(
+        "replace(replace(replace(replace("
+        "regexp_replace(raw, '<[^<>]*>', ''),"
+        " '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&')"
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count("raw", F.lit(_TAG_RE)).cast("bigint").alias(
+                "n_tags"
+            ),
+            F.regexp_count("raw", F.lit(_ENTITY_RE))
+            .cast("bigint")
+            .alias("n_entities"),
+            F.length("raw").cast("bigint").alias("raw_len"),
+            F.length(clean).cast("bigint").alias("clean_len"),
+            F.md5(clean.cast("binary")).alias("clean_h"),
+        )
+        .orderBy("doc_id")
     )

@@ -759,3 +759,101 @@ def test_q254_masks_match_pure_python_mirror(spark, sf_smoke):
                     masked.add(q)
         want = (n, spans, len(masked), len(masked) * 1_000_000 // n)
         assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_q260_every_mark_resolves_to_exactly_one_document(spark, sf_smoke):
+    """The resume locator must be total and unambiguous: each of the
+    streams x 7 checkpoint marks lands in EXACTLY one document
+    (cumsum intervals partition [0, total)), the cursor arithmetic
+    is consistent (seq_id * W + pos == g), and the doc-internal
+    offset never reaches past the doc."""
+    from data_pipeline_2025_spark.operators.text import (
+        PACK_WINDOW,
+        RESUME_DENOM,
+    )
+
+    loc = SPECS["q260_resume_locator"].spark_fn(spark, sf_smoke).collect()
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").collect()
+    n_tok = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in docs
+    }
+    streams = {r["stream"] for r in loc}
+    assert len(loc) == len(streams) * (RESUME_DENOM - 1)
+    # one row per (stream, fraction) — no mark is dropped or doubled
+    assert len({(r["stream"], r["frac_8"]) for r in loc}) == len(loc)
+    for r in loc:
+        assert r["seq_id"] * PACK_WINDOW + r["pos_in_seq"] == r["global_tok"]
+        assert 0 <= r["doc_offset"] < n_tok[r["doc_id"]]
+
+
+def test_q262_cleaner_is_idempotent(spark, sf_smoke):
+    """After one cleaning pass nothing tag-shaped survives and the
+    whitespace is fully collapsed — i.e. running the cleaner again
+    is a no-op (the property that lets the pass run exactly once
+    per document at any scale)."""
+    import re
+
+    rows = SPECS["q262_markup_strip"].spark_fn(spark, sf_smoke)
+    # recompute clean text the same way to inspect it directly
+    from data_pipeline_2025_spark.operators.text import _TAG_RE
+
+    got = rows.collect()
+    assert all(r["clean_len"] <= r["raw_len"] for r in got)
+    # docs with injected markup must report it
+    assert all(r["n_tags"] >= 2 for r in got if r["doc_id"] % 2 == 0)
+    assert all(
+        r["n_entities"] >= 2 for r in got if r["doc_id"] % 4 == 0
+    )
+    # idempotence: re-running the full strip+decode+collapse chain
+    # over a sample of injected docs changes nothing
+    from data_pipeline_2025_spark.catalog import Catalog
+    from data_pipeline_2025_spark.operators.text import (
+        _MARKUP_INJECT_SQL,
+    )
+
+    raw = (
+        Catalog(spark, sf_smoke)
+        .documents.selectExpr("doc_id", f"{_MARKUP_INJECT_SQL} AS raw")
+        .limit(20)
+        .collect()
+    )
+    for r in raw:
+        one = re.sub(_TAG_RE, "", r["raw"])
+        for a, b in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&nbsp;", " "),
+            ("&amp;", "&"),
+        ):
+            one = one.replace(a, b)
+        one = re.sub(r"\s+", " ", one).strip()
+        assert re.sub(_TAG_RE, "", one) == one
+        assert re.sub(r"\s+", " ", one).strip() == one
+
+
+def test_q261_q263_partition_the_corpus(spark, sf_smoke):
+    """Domain rollup counts and the 2x2 agreement cells must each
+    sum to the corpus size (every doc in exactly one bucket), and
+    q261's keep flag must restate its own dup_ppm."""
+    total = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    )
+    dom = (
+        SPECS["q261_domain_quality_rollup"]
+        .spark_fn(spark, sf_smoke)
+        .collect()
+    )
+    assert sum(r["n_docs"] for r in dom) == total
+    for r in dom:
+        assert r["keep_flag"] == (
+            1 if r["redundant_docs"] * 2 < r["n_docs"] else 0
+        )
+    cells = (
+        SPECS["q263_dedup_agreement"].spark_fn(spark, sf_smoke).collect()
+    )
+    (c,) = cells
+    assert (
+        c["n_both"] + c["n_url_only"] + c["n_content_only"] + c["n_neither"]
+        == total
+    )
