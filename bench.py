@@ -143,8 +143,21 @@ HEADLINE = (
 )
 
 
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Snapshot load BEFORE Spark spins up: this is the EXTERNAL-load
+    # indicator (the r6/r8 "regressions" were outside load inflating
+    # every query uniformly). By the end of a run the 1-min average
+    # is dominated by the bench's own 32 threads and says nothing.
+    load_start = _loadavg()
     spark = get_spark("dp2025-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.load_all()
@@ -228,12 +241,10 @@ def main() -> None:
     # Record the box's load average next to the numbers: the r6 and
     # r8 "regressions" were both external load (loadavg ~6 with zero
     # local jobs) inflating every query uniformly — a degraded run
-    # should be self-documenting, not diagnosed after the fact.
-    try:
-        with open("/proc/loadavg") as f:
-            load = [float(x) for x in f.read().split()[:3]]
-    except (OSError, ValueError):
-        load = None
+    # should be self-documenting, not diagnosed after the fact. The
+    # contract field is the START snapshot (external load); the end
+    # snapshot goes to BENCH_DETAIL for completeness.
+    load = load_start
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -258,6 +269,7 @@ def main() -> None:
         "sf": sf_dir,
         "reps": reps,
         "loadavg": load,
+        "loadavg_end": _loadavg(),
     }
     try:
         with open(
