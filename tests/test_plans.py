@@ -1106,3 +1106,39 @@ def test_q253_rank_windows_are_bucket_grained(spark, sf_smoke):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
         if "kk" in spec:
             assert "bucket" in spec, spec
+
+
+def test_q260_probe_is_broadcast_and_window_is_stream_grained(
+    spark, sf_smoke
+):
+    """q260's marks frame (streams x 7 rows) must ride the broadcast
+    side of the range probe — the corpus cumsum frame is never the
+    shuffled side of a SortMergeJoin — and the only window is the
+    per-stream cumsum (partitions = data-parallel width, bounded by
+    design). The per-stream totals must come from a plain
+    partial-aggregatable SUM, not a second window over the corpus."""
+    plan = plan_of(spark, "q260_resume_locator", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Window (") <= 1, plan[:2000]
+
+
+def test_q261_q263_have_no_windows(spark, sf_smoke):
+    """The domain scoreboard and the dedup-agreement cross-tab are
+    pure agg + 1-row-per-key join-back pipelines: a window over the
+    canonical URL or the content fingerprint would funnel every
+    copy of a hot key through one task (the q229 ban)."""
+    for name in ("q261_domain_quality_rollup", "q263_dedup_agreement"):
+        plan = plan_of(spark, name, sf_smoke)
+        assert "Window" not in plan, name
+        assert "partial_min" in plan or "partial_count" in plan, name
+
+
+def test_q262_is_scan_only(spark, sf_smoke):
+    """The cleaning pass must stay one embarrassingly parallel scan:
+    no join, no aggregation exchange — the only exchange allowed is
+    the fan_out repartition (round-robin) and the output sort."""
+    plan = plan_of(spark, "q262_markup_strip", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan
