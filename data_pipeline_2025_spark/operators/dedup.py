@@ -2829,11 +2829,12 @@ def q248_dedup_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact cousin done right — groupBy(seg_h, doc_id) first (combine
 # collapses a doc's internal repeats), then groupBy(seg_h) count,
 # both partial-aggregatable, so a segment on 10^8 pages still
-# reaches its reducer as <= #map-partitions rows. The flag joins
-# back on seg_h with a 1-row build side per key — the
-# AQE-skew-splittable join shape (the probe side's hot key splits;
-# the single build row replicates), which a row_number window
-# could never be.
+# reaches its reducer as <= #map-partitions rows. The flag join
+# (round-9 rewrite) uses the q200 fair-share hot/cold split —
+# AQE's skew-join CANNOT rescue the naive join here, because the
+# build side rides its own aggregation exchange (pinned in
+# tools/audit_skew_joinback.py) — which a row_number window could
+# never match either way.
 
 BP_DF = 3  # segments in >= 3 distinct docs are boilerplate
 
@@ -2876,23 +2877,62 @@ ORDER BY doc_id
     "keep-first) and every document rebuilt byte-exact from its "
     "survivors. Document frequency via two stacked combine-safe "
     "aggregations (per-doc collapse then per-segment count) — "
-    "skew-proof at any duplication — and the flag joins back on a "
-    "1-row-per-key build side (AQE-skew-splittable).",
+    "skew-proof at any duplication — and the flag joins back via "
+    "the q200 fair-share hot/cold split: above-fair-share keys "
+    "(a self-bounded <= P-row set) broadcast, the cold tail joins "
+    "co-keyed behind a broadcast anti-filter, so no shuffle "
+    "partition ever absorbs a hot segment's occurrences.",
     tags=("dedup", "boilerplate", "rewrite"),
 )
 def q251_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins import JOIN_HOT_FACTOR, JOIN_PARALLELISM
+
     segs = _doc_segments(spark, sf_dir)
     # document frequency: collapse per (seg, doc) FIRST — both
     # levels partial-aggregatable, no hot reducer at any skew
-    seg_df = (
+    per_doc = (
         segs.select("seg_h", "doc_id")
         .groupBy("seg_h", "doc_id")
-        .agg(F.lit(1).alias("_one"))
-        .groupBy("seg_h")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("seg_df"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    flagged = segs.join(seg_df, "seg_h").withColumn(
-        "bp", F.col("seg_df") >= BP_DF
+    seg_stats = per_doc.groupBy("seg_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("seg_df"),
+        F.sum("c").cast("bigint").alias("occ"),
+    )
+    # The flag applies to EVERY occurrence, so unlike q229/q261
+    # there is no unique-key join to hide behind: a boilerplate
+    # segment in 10^9 documents funnels 10^9 probe rows through one
+    # shuffle partition, and AQE cannot split a join whose build
+    # side rides its own aggregation exchange (demonstrated in
+    # tools/audit_skew_joinback.py). The q200 fair-share hot/cold
+    # decomposition fixes it structurally: keys above the 1/P
+    # occurrence share (≤ P rows at ANY corpus size — the criterion
+    # bounds its own broadcast) join map-side, the cold tail joins
+    # co-keyed with per-key fan-in bounded by occ_total/P, and the
+    # cold PROBE is pre-filtered by a broadcast anti-join so hot
+    # occurrences never enter the shuffle.
+    tot = seg_stats.agg(F.sum("occ").cast("bigint").alias("occ_total"))
+    hot = (
+        seg_stats.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr(
+                f"occ * 1000000 div occ_total * {JOIN_PARALLELISM}"
+                f" >= {JOIN_HOT_FACTOR} * 1000000"
+            )
+        )
+        .select("seg_h", "seg_df")
+    )
+    cold = seg_stats.join(
+        F.broadcast(hot.select("seg_h")), "seg_h", "left_anti"
+    ).select("seg_h", "seg_df")
+    flagged = (
+        segs.join(F.broadcast(hot), "seg_h")
+        .unionByName(
+            segs.join(
+                F.broadcast(hot.select("seg_h")), "seg_h", "left_anti"
+            ).join(cold, "seg_h")
+        )
+        .withColumn("bp", F.col("seg_df") >= BP_DF)
     )
     keep = ~F.col("bp")
     return (
@@ -3215,12 +3255,13 @@ def q255_url_dedup_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-dedup fingerprint and q30-style stopword ppm, all exact
 # BIGINT.
 #
-# Scale shape: the content-dup flag follows the q251 discipline —
-# per-fingerprint copies via ONE combine-safe agg (1 row per
-# distinct hash), joined back broadcast-or-AQE-skew-split (build
-# side is 1 row per key, never the corpus); the domain rollup is
-# a second combine-safe agg. Survivorship = min(), never a window
-# over a content hash (q229 rule).
+# Scale shape: the content-dup survivor comes from ONE combine-safe
+# agg (1 row per distinct hash) and joins back on the UNIQUE
+# (fingerprint, doc_id) key — the q229 shape — so a hot fingerprint
+# spreads over distinct doc_ids instead of funneling one shuffle
+# partition; the domain rollup is a second combine-safe agg.
+# Survivorship = min(), never a window over a content hash (q229
+# rule).
 
 _STOP_RE = "^(the|a|of|and|in|to|is)$"
 
@@ -3266,9 +3307,10 @@ GROUP BY domain ORDER BY domain
     "(exact md5 fingerprint) and stopword ppm per registrable "
     "domain, plus the majority-unique keep flag — the domain "
     "blocklist builder web pipelines run before per-document "
-    "scoring. Two combine-safe aggs + a 1-row-per-key flag join "
-    "(q251 discipline); survivorship is min(), never a window "
-    "over a content hash.",
+    "scoring. Two combine-safe aggs; the survivor flag joins back "
+    "on the UNIQUE (fingerprint, doc_id) key (q229 shape) — never "
+    "on the bare content hash, which AQE cannot skew-split when "
+    "the build side is agg-fused (tools/audit_skew_joinback.py).",
     tags=("dedup", "url", "quality", "curation"),
 )
 def q261_domain_quality_rollup(
@@ -3290,18 +3332,26 @@ def q261_domain_quality_rollup(
             F.filter(toks, lambda x: F.lower(x).rlike(_STOP_RE))
         ).alias("n_stop"),
     )
-    fp = d.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("survivor"),
-    )
-    j = d.join(fp, "fingerprint")
-    red = F.when(F.col("doc_id") != F.col("survivor"), 1).otherwise(0)
+    # Survivor flag via the q229 composite-key join: the winners
+    # frame carries (fingerprint, doc_id) so the shuffle key is the
+    # UNIQUE document identity, never the content hash — a
+    # fingerprint duplicated 10^9 times spreads over 10^9 distinct
+    # join keys. (A plain join on fingerprint is NOT rescued by AQE:
+    # skew-split cannot re-read a build side fused to its own
+    # aggregation exchange — demonstrated in
+    # tools/audit_skew_joinback.py.)
+    winners = d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+    ).withColumn("is_survivor", F.lit(True))
+    j = d.join(winners, ["fingerprint", "doc_id"], "left")
+    red = F.when(F.col("is_survivor").isNull(), 1).otherwise(0)
     return (
         j.groupBy("domain")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(red).cast("bigint").alias("redundant_docs"),
             F.expr(
-                "CAST(SUM(CASE WHEN doc_id <> survivor THEN 1 ELSE 0 END)"
+                "CAST(SUM(CASE WHEN is_survivor IS NULL THEN 1 ELSE 0 END)"
                 " * 1000000 DIV COUNT(*) AS BIGINT)"
             ).alias("dup_ppm"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
@@ -3309,7 +3359,7 @@ def q261_domain_quality_rollup(
                 "CAST(SUM(n_stop) * 1000000 DIV SUM(n_tok) AS BIGINT)"
             ).alias("stop_ppm"),
             F.expr(
-                "CAST(CASE WHEN SUM(CASE WHEN doc_id <> survivor"
+                "CAST(CASE WHEN SUM(CASE WHEN is_survivor IS NULL"
                 " THEN 1 ELSE 0 END) * 2 < COUNT(*)"
                 " THEN 1 ELSE 0 END AS BIGINT)"
             ).alias("keep_flag"),
@@ -3327,9 +3377,9 @@ def q261_domain_quality_rollup(
 # changed)? The 2x2 confusion counts decide whether the expensive
 # content stage can run on the URL-surviving subset only.
 #
-# Scale shape: both flags are the same agg + 1-row-per-key
-# join-back as q261; the final cross-tab is a single combine-safe
-# aggregation to ONE row.
+# Scale shape: both flags are composite-key survivor joins as in
+# q261; the final cross-tab is a single combine-safe aggregation
+# to ONE row.
 
 _ORACLE_Q263 = f"""
 WITH u AS (
@@ -3371,8 +3421,8 @@ FROM flags
     "content-fingerprint flag (q34), cross-tabbed to one row with "
     "an agreement ppm — the measurement that decides whether the "
     "expensive content stage can run on URL survivors only. Two "
-    "combine-safe survivor aggs, 1-row-per-key join-backs, one "
-    "single-row rollup.",
+    "combine-safe survivor aggs joined back on UNIQUE composite "
+    "keys (q229 shape), one single-row rollup.",
     tags=("dedup", "url", "monitoring"),
 )
 def q263_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3387,16 +3437,27 @@ def q263_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fingerprint"),
     )
-    cu = u.groupBy("curl").agg(F.min("doc_id").alias("u_survivor"))
-    fp = u.groupBy("fingerprint").agg(F.min("doc_id").alias("c_survivor"))
+    # Composite-key survivor joins (the q229/q261 shape): shuffle on
+    # the UNIQUE (key, doc_id) pair, never on the bare content/URL
+    # key — a plain key join is not rescued by AQE skew-split when
+    # the build side rides its own aggregation exchange
+    # (tools/audit_skew_joinback.py).
+    cu = (
+        u.groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("u_sv", F.lit(True))
+    )
+    fp = (
+        u.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("c_sv", F.lit(True))
+    )
     flags = (
-        u.join(cu, "curl")
-        .join(fp, "fingerprint")
+        u.join(cu, ["curl", "doc_id"], "left")
+        .join(fp, ["fingerprint", "doc_id"], "left")
         .select(
-            F.when(F.col("doc_id") != F.col("u_survivor"), 1)
-            .otherwise(0)
-            .alias("url_dup"),
-            F.when(F.col("doc_id") != F.col("c_survivor"), 1)
+            F.when(F.col("u_sv").isNull(), 1).otherwise(0).alias("url_dup"),
+            F.when(F.col("c_sv").isNull(), 1)
             .otherwise(0)
             .alias("content_dup"),
         )

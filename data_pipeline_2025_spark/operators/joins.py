@@ -916,8 +916,15 @@ def q200_zipf_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Round 9: the cold PROBE is pre-filtered by a broadcast
+    # anti-join against the (≤ P-row) hot list — without it every
+    # hot occurrence would still be shuffled and sorted into the
+    # merge join's hot partition just to match nothing, and AQE
+    # cannot split that partition because the dictionary side rides
+    # its own aggregation exchange (tools/audit_skew_joinback.py).
+    cold_tok = tok.join(F.broadcast(hot_dict.select("t")), "t", "left_anti")
     joined = tok.join(F.broadcast(hot_dict), "t").unionByName(
-        tok.join(cold_dict.hint("merge"), "t")
+        cold_tok.join(cold_dict.hint("merge"), "t")
     )
     return (
         joined.groupBy("source")

@@ -1142,3 +1142,46 @@ def test_q262_is_scan_only(spark, sf_smoke):
     plan = plan_of(spark, "q262_markup_strip", sf_smoke)
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_q200_cold_probe_is_prefiltered(spark, sf_smoke):
+    """Round 9: hot occurrences must never enter the cold shuffle —
+    the cold probe rides a broadcast ANTI-join against the hot list
+    (AQE cannot split the cold join's hot partition: its build side
+    rides an aggregation exchange, tools/audit_skew_joinback.py)."""
+    plan = plan_of(spark, "q200_zipf_split_join", sf_smoke)
+    assert "LeftAnti" in plan
+
+
+def test_q251_flag_join_is_hot_cold_split(spark, sf_smoke):
+    """q251's frequency-flag join must keep the q200 decomposition:
+    a broadcast leg for above-fair-share segments, a broadcast
+    anti-filter keeping those occurrences out of the cold shuffle,
+    and both stacked document-frequency aggs partial-aggregatable."""
+    plan = plan_of(spark, "q251_boilerplate_removal", sf_smoke)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+
+
+def test_q261_q263_survivor_joins_key_on_doc_identity(spark, sf_smoke):
+    """Survivor joins must shuffle on the UNIQUE (content key,
+    doc_id) pair — a join keyed on the bare fingerprint/curl would
+    funnel every copy of a hot key through one task, and AQE cannot
+    split it (agg-fused build side). Every hash-keyed join in these
+    plans must therefore carry doc_id in its key list."""
+    import re
+
+    for name in ("q261_domain_quality_rollup", "q263_dedup_agreement"):
+        plan = plan_of(spark, name, sf_smoke, mode="simple")
+        joins = re.findall(
+            r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+            r"\w*\s*\[([^\]]*)\], \[([^\]]*)\]",
+            plan,
+        )
+        assert joins, f"no equi-joins found in {name}"
+        for left, right in joins:
+            if "fingerprint" in left or "curl" in left:
+                assert "doc_id" in left, (name, left)
+                assert "doc_id" in right, (name, right)
