@@ -406,9 +406,14 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") / F.col("df")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "keyword")
+    # dft is VOCABULARY-sized — broadcast it deliberately (q231's
+    # strategy): a bare shuffled join on tok would funnel a stopword's
+    # every (doc, tok) row through one task, and AQE cannot split an
+    # agg-fused build side (tools/audit_skew_joinback.py). The dl
+    # join keys on doc_id, whose fan-in is bounded by doc length.
     return (
         counts.join(dl, "doc_id")
-        .join(dft, "tok")
+        .join(F.broadcast(dft), "tok")
         .crossJoin(F.broadcast(n))
         .select("doc_id", F.col("tok").alias("keyword"), score.alias("score"))
         .withColumn("rn", F.row_number().over(w))
