@@ -3131,10 +3131,14 @@ def q252_incremental_dedup_probe(
 # synthesizes one DETERMINISTICALLY from doc_id — identical
 # algebra in both engines, exercising every canonicalization rule:
 # scheme varies (%2), subdomain varies www/news/none (%3), 12
-# registrable domains (%12), 50 paths (%50) forcing canonical
-# collisions, a bare trailing slash (%5), utm/ref tracking params
-# (%4 / %7). The canonicalizer itself is the operator under test;
-# a real deployment maps `url` straight in.
+# hosts (%12) spread over 6 REGISTRABLE domains (example{0,1,2} x
+# {com,org} — the %3/%2 pair; the r9 advisor caught that the
+# original d<k>.example.com hosts all collapsed to the single
+# registrable domain "example.com", leaving the per-domain GROUP
+# BY with one group), 50 paths (%50) forcing canonical collisions,
+# a bare trailing slash (%5), utm/ref tracking params (%4 / %7).
+# The canonicalizer itself is the operator under test; a real
+# deployment maps `url` straight in.
 #
 # Scale shape: two STACKED combine-safe aggregations (the q251
 # discipline) — canonical-URL groups collapse map-side (survivor =
@@ -3148,15 +3152,24 @@ _URL_SYNTH_SQL = """
     (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
     || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
              WHEN doc_id % 3 = 1 THEN 'news.' ELSE '' END)
-    || 'd' || CAST(doc_id % 12 AS STRING) || '.example.com'
+    || 'd' || CAST(doc_id % 12 AS STRING)
+    || '.example' || CAST(doc_id % 3 AS STRING)
+    || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
     || '/p/' || CAST(doc_id % 50 AS STRING)
     || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
     || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y'
              WHEN doc_id % 7 = 0 THEN '?ref=abc' ELSE '' END)
 """
 
-# Canonicalization as portable regex algebra (Java and RE2 agree on
-# every pattern here: no backrefs, no lookaround):
+# Canonicalization as portable regex algebra. Two-engine agreement
+# needs BOTH (a) a shared dialect — no backrefs, no lookaround, so
+# Java regex and RE2 parse every pattern identically — AND (b) the
+# same replace arity: Spark's F.regexp_replace is replace-ALL, while
+# DuckDB's regexp_replace is replace-FIRST unless passed the 'g'
+# option. _canon_sql passes 'g' explicitly (the r9 advisor caught
+# that without it the oracle stripped only the first tracking param
+# of '?utm_source=x&utm_campaign=y', and the queries hash-matched
+# only through a fixture coincidence).
 #   1. strip scheme            ^https?://
 #   2. strip leading www.      ^www\.
 #   3. strip tracking params   (utm_[a-z]+|ref)=[^&#]* (+ tidy &/?)
@@ -3174,7 +3187,7 @@ _REG_DOMAIN_RE = r"([a-z0-9-]+\.[a-z]+)(/|$)"
 def _canon_sql(expr: str) -> str:
     out = expr
     for pat, rep in _CANON_STEPS:
-        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
 
 
