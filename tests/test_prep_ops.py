@@ -857,3 +857,28 @@ def test_q261_q263_partition_the_corpus(spark, sf_smoke):
         c["n_both"] + c["n_url_only"] + c["n_content_only"] + c["n_neither"]
         == total
     )
+
+
+def test_q264_foldin_replay_is_idempotent(spark, sf_smoke):
+    """The LSH ingest-gate composition's defining invariant: after
+    folding the admitted survivors' bands into the index, replaying
+    the SAME delta admits nothing — survivors collide with their own
+    index entry (self at Jaccard 1), rejects still collide with the
+    base duplicate that rejected them. Also pins the fold-in
+    direction: replay candidate sets only grow (the index gained
+    rows, lost none)."""
+    rows = SPECS["q264_lsh_index_foldin"].spark_fn(spark, sf_smoke).collect()
+    assert rows, "delta universe must be non-empty at smoke scale"
+    assert all(r["readmitted"] == 0 for r in rows)
+    for r in rows:
+        if r["admitted"] == 1:
+            # survivor finds at least itself on replay
+            assert r["n_dups_replay"] >= 1
+            assert r["n_cand_replay"] >= 1
+        else:
+            # reject still sees its first-pass dups (index kept them)
+            assert r["n_dups_replay"] >= r["n_dups_first"]
+    assert any(r["admitted"] == 1 for r in rows)
+    assert any(r["admitted"] == 0 for r in rows) or all(
+        r["n_dups_first"] == 0 for r in rows
+    )
