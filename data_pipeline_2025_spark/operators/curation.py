@@ -43,10 +43,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, fan_out
 from ..registry import register
 from .dedup import SHINGLES_SQL, shingles_df
-from .text import TOKENS_SQL, tokens_col
+from .text import PACK_WINDOW, RESUME_DENOM, TOKENS_SQL, tokens_col
 
 # --------------------------------------------------- hash-split buckets
 
@@ -1825,3 +1825,152 @@ def q258_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ------- q265: per-shard resume cursor (round 10)
+#
+# The query a trainer actually issues on restart, composing the two
+# rankings of the loader stack end-to-end (r9 verdict #6): q258's
+# size-balanced shard assignment (global rank by n_chars desc, the
+# q253 two-phase distributed form, round-robin deal to K shards)
+# decides WHICH docs a data-parallel rank owns and IN WHAT ORDER it
+# consumes them; q260's packed-sequence locator maps a checkpoint's
+# per-shard token offset back to the exact loader cursor. Given the
+# canonical grid of offsets (j/8 of each shard's token total,
+# j = 1..7), emit per (shard, offset): the global token position,
+# the training-sequence id and position inside it (q226's
+# PACK_WINDOW layout), the covering document and the offset into
+# it. Unlike q260 (streams keyed by doc_id % 8), the pack order
+# here is the SHARD's consumption order — rnk ascending — so the
+# cumsum partitions by the shard assignment the first ranking just
+# computed: both two-phase rankings run in one plan.
+#
+# Scale shape: ranking is q258's grid-prefix broadcast + windows
+# only WITHIN one length group (never a global corpus window);
+# the cumsum partitions by shard (K = data-parallel width, bounded
+# by design); per-shard totals are a plain combine-safe SUM; the
+# marks frame (K x 7 rows) rides a broadcast range probe. The
+# corpus is scanned once; the only corpus shuffles are the two
+# key-partitioned windows.
+
+_ORACLE_Q265 = f"""
+WITH d AS (
+    SELECT doc_id, n_chars, len({TOKENS_SQL}) AS n_tok FROM documents
+), r AS (
+    SELECT doc_id, n_tok,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+    FROM d
+), s AS (
+    SELECT doc_id, n_tok, rnk, (rnk - 1) % {SHARDS_K} AS shard FROM r
+), c AS (
+    SELECT doc_id, shard, rnk,
+           SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS e,
+           SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS b
+    FROM s WHERE n_tok > 0
+), tot AS (
+    SELECT shard, SUM(n_tok) AS total
+    FROM s WHERE n_tok > 0 GROUP BY shard
+), marks AS (
+    SELECT shard, j, j * total // {RESUME_DENOM} AS g
+    FROM tot, LATERAL (
+        SELECT UNNEST(generate_series(1, {RESUME_DENOM} - 1)) AS j
+    ) f
+)
+SELECT CAST(m.shard AS BIGINT) AS shard,
+       CAST(m.j AS BIGINT) AS frac_8,
+       CAST(m.g AS BIGINT) AS global_tok,
+       CAST(m.g // {PACK_WINDOW} AS BIGINT) AS seq_id,
+       CAST(m.g % {PACK_WINDOW} AS BIGINT) AS pos_in_seq,
+       CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(m.g - c.b AS BIGINT) AS doc_offset
+FROM marks m JOIN c ON c.shard = m.shard AND c.b <= m.g AND m.g < c.e
+ORDER BY shard, frac_8
+"""
+
+
+@register(
+    "q265_shard_resume_cursor",
+    oracle=_ORACLE_Q265,
+    doc="Trainer-restart cursor composing the full loader stack: "
+    "q258's size-balanced shard deal fixes each data-parallel "
+    "rank's doc set and consumption order, q260's locator maps the "
+    "checkpoint grid (j/8 of each shard's token total) to the "
+    "exact cursor — global token, sequence id/position (PACK_WINDOW "
+    "layout), covering doc, offset into it. Both two-phase "
+    "rankings in one plan; marks broadcast, no global corpus "
+    "window.",
+    tags=("curation", "sharding", "packing", "training"),
+)
+def q265_shard_resume_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").select(
+        "doc_id", "n_chars", F.size(tokens_col()).alias("n_tok")
+    )
+    # --- ranking 1: q258's two-phase global rank by (n_chars desc,
+    # doc_id) — grid prefix over the tiny distinct-length counts
+    # frame (broadcast), row_number only WITHIN one length group.
+    counts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = Window.orderBy(F.col("n_chars").desc())
+    prefix = counts.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("cnt").over(grid.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("n_chars", "prefix")
+    fine = Window.partitionBy("n_chars").orderBy("doc_id")
+    sharded = (
+        docs.join(F.broadcast(prefix), "n_chars")
+        .withColumn(
+            "rnk", (F.col("prefix") + F.row_number().over(fine)).cast("bigint")
+        )
+        .withColumn("shard", (F.col("rnk") - 1) % SHARDS_K)
+        .select("doc_id", "n_tok", "rnk", "shard")
+    )
+    # --- ranking 2: q260's per-shard cumsum in consumption order
+    # (partitions = K data-parallel ranks, bounded by design).
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        sharded.where(F.col("n_tok") > 0)
+        .withColumn("e", F.sum("n_tok").over(w))
+        .withColumn("b", F.col("e") - F.col("n_tok"))
+    )
+    marks = (
+        sharded.where(F.col("n_tok") > 0)
+        .groupBy("shard")
+        .agg(F.sum("n_tok").alias("total"))
+        .select(
+            F.col("shard").alias("m_shard"),
+            F.explode(F.sequence(F.lit(1), F.lit(RESUME_DENOM - 1))).alias(
+                "j"
+            ),
+            "total",
+        )
+        .select(
+            "m_shard", "j", F.expr(f"j * total DIV {RESUME_DENOM}").alias("g")
+        )
+    )
+    loc = c.join(
+        F.broadcast(marks),
+        (F.col("shard") == F.col("m_shard"))
+        & (F.col("b") <= F.col("g"))
+        & (F.col("g") < F.col("e")),
+    )
+    return loc.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("j").cast("bigint").alias("frac_8"),
+        F.col("g").cast("bigint").alias("global_tok"),
+        F.expr(f"g DIV {PACK_WINDOW}").cast("bigint").alias("seq_id"),
+        (F.col("g") % PACK_WINDOW).cast("bigint").alias("pos_in_seq"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.col("g") - F.col("b")).cast("bigint").alias("doc_offset"),
+    ).orderBy("shard", "frac_8")

@@ -1185,3 +1185,26 @@ def test_q261_q263_survivor_joins_key_on_doc_identity(spark, sf_smoke):
             if "fingerprint" in left or "curl" in left:
                 assert "doc_id" in left, (name, left)
                 assert "doc_id" in right, (name, right)
+
+
+def test_q265_composes_both_rankings_broadcast_only(spark, sf_smoke):
+    """q265 (q258 x q260 composition) must keep both parents'
+    disciplines in one plan: every equi/range join rides a
+    broadcast (the grid prefix and the K*7 marks frame — the corpus
+    cumsum frame is never the shuffled side of a SortMergeJoin),
+    per-shard totals come from a plain partial-aggregatable SUM,
+    and the only single-partition window runs on the tiny
+    distinct-length counts grid (the corpus windows partition by
+    n_chars / shard)."""
+    import re
+
+    plan = plan_of(spark, "q265_shard_resume_cursor", sf_smoke)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+    # both rankings present: the fine rank window partitions by
+    # n_chars, the cumsum window partitions by shard — and no spec
+    # orders the whole corpus by a content key
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert any(s.lstrip().startswith("n_chars") for s in specs), specs
+    assert any(s.lstrip().startswith("shard") for s in specs), specs
