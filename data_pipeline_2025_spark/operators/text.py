@@ -3248,3 +3248,147 @@ def q262_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------- q266: script / charset detection (round 10)
+#
+# The lang-id pre-filter public web pipelines run BEFORE quality
+# scoring (CCNet/C4 bucket pages by script before any model-based
+# language id): count codepoints per Unicode block, classify each
+# doc to its majority script, flag script-mixed pages. Reference
+# analog: the price-file domain is Hebrew retail text (SURVEY S5's
+# seeded Hebrew vocab) ingested alongside Latin metadata — script
+# bucketing is the first split such a corpus needs.
+#
+# The synthetic corpus is pure ASCII, so the fixture INJECTS
+# deterministic script runs keyed by doc_id (q256/q262 discipline
+# — identical string algebra in both engines; a real deployment
+# drops the injection and detects on `text` directly). Run length
+# scales with n_chars so the majority vote is genuinely contested:
+# keys 1-4 flip the majority to the injected script, key 5 injects
+# two scripts so no script clears 50% ('mixed'), key 0 stays
+# Latin. Portability: the character classes are LITERAL-char
+# ranges ([א-ת], [一-龥] …) — no backslash escapes, so the same
+# pattern text means the same thing to Java regex and RE2, and
+# survives both engines' string-literal rules; counting is
+# length(regexp_replace(txt, '[^cls]', '')) with DuckDB's 'g'
+# flag matching Spark's replace-all default. The division in the
+# repeat count is the portable exact form CAST((n - n%8)/8 AS INT)
+# (DuckDB // vs Spark DIV are dialect-specific).
+#
+# Scale shape: pure per-row codegen string work behind fan_out —
+# zero shuffles before the output sort (q262's scan-only class).
+
+_SCRIPT_INJECT_SQL = """
+    text
+    || (CASE doc_id % 6
+        WHEN 1 THEN repeat(' שלום עולם מחיר מבצע',
+                           1 + CAST((n_chars - n_chars % 8) / 8 AS INT))
+        WHEN 2 THEN repeat(' привет мир цена',
+                           1 + CAST((n_chars - n_chars % 8) / 8 AS INT))
+        WHEN 3 THEN repeat(' γεια σου κοσμος',
+                           1 + CAST((n_chars - n_chars % 8) / 8 AS INT))
+        WHEN 4 THEN repeat(' 你好世界价格数据快慢',
+                           1 + CAST((n_chars - n_chars % 8) / 8 AS INT))
+        WHEN 5 THEN repeat(' שלום עולם',
+                           1 + CAST((n_chars - n_chars % 8) / 8 AS INT))
+                 || repeat(' привет мир',
+                           1 + CAST((n_chars - n_chars % 8) / 8 AS INT))
+        ELSE '' END)
+"""
+
+# (name, literal-char range class) in deterministic tie-break order
+_SCRIPT_CLASSES = (
+    ("latin", "A-Za-z"),
+    ("hebrew", "א-ת"),
+    ("cyrillic", "А-я"),
+    ("greek", "Α-ω"),
+    ("cjk", "一-龥"),
+    ("arabic", "ا-ي"),
+)
+
+_SCRIPT_COUNTS_SQL = ",\n           ".join(
+    f"CAST(length(regexp_replace(txt, '[^{cls}]', '', 'g')) AS BIGINT)"
+    f" AS n_{name}"
+    for name, cls in _SCRIPT_CLASSES
+)
+_SCRIPT_TOTAL_SQL = " + ".join(f"n_{name}" for name, _ in _SCRIPT_CLASSES)
+_SCRIPT_MAX_SQL = (
+    "greatest(" + ", ".join(f"n_{name}" for name, _ in _SCRIPT_CLASSES) + ")"
+)
+_SCRIPT_PICK_SQL = (
+    "CASE WHEN 2 * mx <= n_letters THEN 'mixed' "
+    + " ".join(
+        f"WHEN n_{name} = mx THEN '{name}'" for name, _ in _SCRIPT_CLASSES
+    )
+    + " END"
+)
+
+_ORACLE_Q266 = f"""
+WITH t AS (
+    SELECT doc_id, {_SCRIPT_INJECT_SQL} AS txt FROM documents
+), c AS (
+    SELECT doc_id,
+           {_SCRIPT_COUNTS_SQL}
+    FROM t
+), s AS (
+    SELECT *, CAST({_SCRIPT_TOTAL_SQL} AS BIGINT) AS n_letters,
+           CAST({_SCRIPT_MAX_SQL} AS BIGINT) AS mx
+    FROM c
+)
+SELECT doc_id, n_latin, n_hebrew, n_cyrillic, n_greek, n_cjk, n_arabic,
+       n_letters,
+       {_SCRIPT_PICK_SQL} AS main_script,
+       CAST(mx * 1000000 // n_letters AS BIGINT) AS main_ppm
+FROM s ORDER BY doc_id
+"""
+
+
+@register(
+    "q266_script_detection",
+    oracle=_ORACLE_Q266,
+    doc="Script/charset detection (the lang-id pre-filter before "
+    "quality scoring): per doc, exact codepoint counts for six "
+    "Unicode script blocks (Latin, Hebrew, Cyrillic, Greek, CJK, "
+    "Arabic), majority-script classification with an exact-integer "
+    "50% mixed threshold, and the majority share in ppm. "
+    "Deterministic script-run injection keyed by doc_id makes the "
+    "oracle exact on the ASCII corpus. Scan-only codegen string "
+    "work — no shuffle.",
+    tags=("text", "lang-id", "quality"),
+)
+def q266_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").selectExpr(
+        "doc_id", f"{_SCRIPT_INJECT_SQL} AS txt"
+    )
+    counts = docs.select(
+        "doc_id",
+        *[
+            F.length(F.regexp_replace("txt", f"[^{cls}]", ""))
+            .cast("bigint")
+            .alias(f"n_{name}")
+            for name, cls in _SCRIPT_CLASSES
+        ],
+    )
+    total = sum(F.col(f"n_{name}") for name, _ in _SCRIPT_CLASSES)
+    mx = F.greatest(*[F.col(f"n_{name}") for name, _ in _SCRIPT_CLASSES])
+    s = counts.withColumn("n_letters", total.cast("bigint")).withColumn(
+        "mx", mx.cast("bigint")
+    )
+    pick = F.when(F.lit(2) * F.col("mx") <= F.col("n_letters"), "mixed")
+    for name, _ in _SCRIPT_CLASSES:
+        pick = pick.when(F.col(f"n_{name}") == F.col("mx"), name)
+    return s.select(
+        "doc_id",
+        "n_latin",
+        "n_hebrew",
+        "n_cyrillic",
+        "n_greek",
+        "n_cjk",
+        "n_arabic",
+        "n_letters",
+        pick.alias("main_script"),
+        F.expr("CAST(mx * 1000000 DIV n_letters AS BIGINT)").alias(
+            "main_ppm"
+        ),
+    ).orderBy("doc_id")

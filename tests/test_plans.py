@@ -1208,3 +1208,12 @@ def test_q265_composes_both_rankings_broadcast_only(spark, sf_smoke):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert any(s.lstrip().startswith("n_chars") for s in specs), specs
     assert any(s.lstrip().startswith("shard") for s in specs), specs
+
+
+def test_q266_is_scan_only(spark, sf_smoke):
+    """Script detection is per-row codegen string work: no join, no
+    window, no aggregation exchange — only the fan_out round-robin
+    and the output sort (the q262 scan-only class)."""
+    plan = plan_of(spark, "q266_script_detection", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan

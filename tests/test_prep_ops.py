@@ -882,3 +882,32 @@ def test_q264_foldin_replay_is_idempotent(spark, sf_smoke):
     assert any(r["admitted"] == 0 for r in rows) or all(
         r["n_dups_first"] == 0 for r in rows
     )
+
+
+def test_q266_detects_the_injected_script(spark, sf_smoke):
+    """The detector must recover the fixture's injection key for
+    every doc: key 0 stays latin, keys 1-4 flip the majority to the
+    injected script, key 5 (two injected scripts) never lets any
+    script clear 50% and classifies 'mixed'."""
+    rows = SPECS["q266_script_detection"].spark_fn(spark, sf_smoke).collect()
+    expect = {
+        0: "latin",
+        1: "hebrew",
+        2: "cyrillic",
+        3: "greek",
+        4: "cjk",
+        5: "mixed",
+    }
+    assert rows
+    seen = set()
+    for r in rows:
+        key = r["doc_id"] % 6
+        seen.add(key)
+        assert r["main_script"] == expect[key], (r["doc_id"], key, r)
+        assert r["main_ppm"] <= 1000000
+        if r["main_script"] == "mixed":
+            assert 2 * max(
+                r["n_latin"], r["n_hebrew"], r["n_cyrillic"],
+                r["n_greek"], r["n_cjk"], r["n_arabic"],
+            ) <= r["n_letters"]
+    assert seen == set(range(6))
