@@ -120,69 +120,70 @@ def register(
 # driver-checked before; the remaining ~20 slots fall through to
 # module order (already-green rotation re-checks).
 _PRIORITY = (
-    # ROUND 9 ROTATION (r8 verdict #1): clear the last rotation
-    # debt. Groups, in order:
-    # (a) new round-9 queries — never officially driver-checked
-    "q255_url_dedup_by_domain",   # new r9: crawl URL canon + dedup
-    "q256_pii_scrub",             # new r9: PII detect + redact
-    "q257_fim_transform",         # new r9: fill-in-middle prep
-    "q258_balanced_shards",       # new r9: size-balanced sharding
-    "q259_token_drift",           # new r9: corpus drift monitor
-    # (b) rewritten/affected this round: q249 intent-exact four-type
-    # CDF (#op tags), q250 overflow-safe decimal sum, q252
-    # array-intersect verify stage
-    "q249_cdf_update_images",
-    "q250_nb_quality_classifier",
-    "q252_incremental_dedup_probe",
-    # (c) the ENTIRE r3-era block — the 41 rows whose last official
-    # driver check is CORRECTNESS_r03 (the r8 verdict's #1 item);
-    # after this round no registry row's last official check is
-    # older than r4
-    "q76_interval_snapshot_join",
-    "q79_cms_heavy_hitters",
-    "q80_group_quantiles",
-    "q81_bigram_collocations",
-    "q82_kmeans_refine",
-    "q83_stream_cagg_serving",
-    "q84_event_funnel",
-    "q85_bpe_pair_counts",
-    "q86_context_chunks",
-    "q87_sequence_packing",
-    "q88_filter_funnel",
-    "q89_bloom_prune_join",
-    "q90_ivf_coreset",
-    "q92_stratified_sample",
-    "q93_robust_outliers",
-    "q94_bucketed_colocated_join",
-    "q95_sampled_quantile_error",
-    "q96_temperature_mixture",
-    "q97_stream_cms_serving",
-    "q98_data_quality_audit",
-    "q99_cohort_retention",
-    "q100_event_transitions",
-    "q101_novelty_curve",
-    "q102_price_histogram",
-    "q103_trigram_similarity_join",
-    "q104_copurchase_lift",
-    "q105_hopping_windows",
-    "q106_session_window_native",
-    "q108_stream_session_windows",
-    "q110_time_decayed_value",
-    "q111_stream_stateful_sessions",
-    "q112_small_qty_revenue",
-    "q113_activity_streaks",
-    "q114_pq_quantization",
-    "q115_shingle_containment",
-    "q116_orders_in_flight",
-    "q117_new_vs_returning",
-    "q118_token_gini",
-    "q119_minhash_accuracy",
-    "q121_threshold_sweep",
-    "q122_ship_lag_quantiles",
-    # (d) head of the r4-era block (now the oldest official checks)
-    # — fills the cap to exactly 50; the rest of the r4 block leads
-    # the r10 rotation
-    "q123_token_lorenz_curve",
+    # ROUND 10 ROTATION (r9 verdict #1): the final freshness cycle.
+    # Groups, in order:
+    # (a) the four r9-late queries that registered past the cap and
+    # have NEVER been officially driver-checked
+    "q260_resume_locator",
+    "q261_domain_quality_rollup",
+    "q262_markup_strip",
+    "q263_dedup_agreement",
+    # (b) changed this round: the r9 advisor's _canon_sql fix
+    # (DuckDB 'g' replace-all flag) + the multi-domain fixture
+    # rewrite alter q255's results (q261/q263 sit in group (a))
+    "q255_url_dedup_by_domain",
+    # (c) new round-10 queries
+    "q264_lsh_index_foldin",      # LSH fold-in + replay idempotence
+    "q265_shard_resume_cursor",   # q258 x q260 loader composition
+    "q266_script_detection",      # Unicode-script lang-id pre-filter
+    # (d) the ENTIRE r4-era block — the 35 rows whose last official
+    # driver check is CORRECTNESS_r04 (the r9 verdict's freshness
+    # histogram); after this round no registry row's last official
+    # check is older than r5
+    "q124_corpus_pipeline",
+    "q126_stream_ivf_indexing",
+    "q127_trailing_range_window",
+    "q128_gapfill_locf",
+    "q129_skipgram_cooccurrence",
+    "q130_dataset_card",
+    "q132_returned_revenue",
+    "q133_rich_never_ordered",
+    "q134_stream_static_enrich",
+    "q135_stream_dedup_watermarked",
+    "q136_stream_chained_stateful",
+    "q137_late_data_drops",
+    "q138_percentile_cont_exact",
+    "q139_grouping_sets",
+    "q140_nearest_asof",
+    "q141_schema_evolution_read",
+    "q142_windowed_funnel",
+    "q145_kmv_join_cardinality",
+    "q147_ivf_multiprobe_recall",
+    "q148_vocab_growth",
+    "q149_stream_outer_join",
+    "q152_tombstone_purge",
+    "q153_approx_distinct_hll",
+    "q154_unigram_surprisal",
+    "q155_approx_quantile_envelope",
+    "q156_waiting_supplier",
+    "q157_stream_approx_distinct",
+    "q158_rendezvous_sharding",
+    "q159_centroid_classifier_eval",
+    "q160_distribution_drift",
+    "q165_cc_pointer_doubling",
+    "q166_audio_segmentation",
+    "q167_budget_waterfill",
+    "q173_phrase_search",
+    "q174_priority_sampling",
+    # (e) head of the r5-era block (the oldest official checks once
+    # (a)-(d) clear) — fills the cap to exactly 50
+    "q51_stream_dedup_replay",
+    "q125_bm25_topk",
+    "q150_hybrid_bm25_cosine",
+    "q180_zipf_slope",
+    "q190_trending_terms",
+    "q193_bigram_surprisal",
+    "q198_bpe_merge_training",
     # = 50 priority rows — exactly the driver cap.
 )
 

