@@ -151,6 +151,35 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _psi() -> dict[str, dict[str, float]] | None:
+    """Pressure-stall snapshot (r9 verdict #4): loadavg cannot tell
+    CPU contention from memory-bandwidth or I/O stalls — the
+    slow-regime runs (0.45-0.58x with IDLE loadavg) need /proc/
+    pressure to be classifiable from the artifact itself. Records
+    avg10/avg60 for the `some` line (any task stalled) and, where
+    the kernel exposes it, `full` (all tasks stalled)."""
+    out: dict[str, dict[str, float]] = {}
+    for res in ("cpu", "memory", "io"):
+        try:
+            with open(f"/proc/pressure/{res}") as f:
+                lines = f.read().splitlines()
+        except OSError:
+            return None
+        vals: dict[str, float] = {}
+        for ln in lines:
+            parts = ln.split()
+            kind = parts[0]  # some | full
+            for kv in parts[1:]:
+                k, _, v = kv.partition("=")
+                if k in ("avg10", "avg60"):
+                    try:
+                        vals[f"{kind}_{k}"] = float(v)
+                    except ValueError:
+                        pass
+        out[res] = vals
+    return out or None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Snapshot load BEFORE Spark spins up: this is the EXTERNAL-load
@@ -158,6 +187,7 @@ def main() -> None:
     # every query uniformly). By the end of a run the 1-min average
     # is dominated by the bench's own 32 threads and says nothing.
     load_start = _loadavg()
+    psi_start = _psi()
     spark = get_spark("dp2025-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.load_all()
@@ -172,6 +202,19 @@ def main() -> None:
     # probe loads the state-store/AvailableNow machinery.
     for name in HEADLINE:
         specs[name].spark_fn(spark, "/root/testdata/sf0.001").collect()
+
+    # r9 verdict #5: the q249/q214/q215 lifecycle sink (4 commits
+    # incl. a DV merge) is session-cached, so its one-time build is
+    # ALREADY outside the timed reps — but its cost was invisible,
+    # which let the headline read as if the feed cost included it.
+    # Build it here, timed, and report the wall in its own field;
+    # the timed q249 reps below are feed-only by construction (the
+    # second _cdf_sink call returns the cached dir in ~1 ms).
+    from data_pipeline_2025_spark.streaming.timetravel import _cdf_sink
+
+    t0 = time.perf_counter()
+    _cdf_sink(spark, sf_dir)
+    q249_sink_build = round(time.perf_counter() - t0, 3)
 
     # Round-7 (verdict #2): ONE untimed pass at the BENCH tier before
     # the timed reps. The txn-sink queries (q201/q208/q215 et al.)
@@ -254,6 +297,14 @@ def main() -> None:
     }
     if load is not None:
         out["loadavg"] = load
+    # compact PSI summary on the contract line (full detail below):
+    # the highest avg10 stall per resource tells the slow-regime
+    # story at a glance
+    if psi_start is not None:
+        out["psi_some_avg10"] = {
+            res: vals.get("some_avg10") for res, vals in psi_start.items()
+        }
+    out["q249_sink_build_sec"] = q249_sink_build
     if reps > 1:
         out["reps"] = reps
     # Round-7 (verdict #2): the stdout contract line stays COMPACT so
@@ -270,6 +321,9 @@ def main() -> None:
         "reps": reps,
         "loadavg": load,
         "loadavg_end": _loadavg(),
+        "psi": psi_start,
+        "psi_end": _psi(),
+        "q249_sink_build_sec": q249_sink_build,
     }
     try:
         with open(

@@ -3227,7 +3227,9 @@ FROM s GROUP BY domain ORDER BY domain
     tags=("dedup", "url", "crawl"),
 )
 def q255_url_dedup_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents.selectExpr(
+    # five regex passes per row on a possibly single-file scan:
+    # fan_out parallelizes the canonicalizer (no-op on wide scans)
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").selectExpr(
         "doc_id", f"{_URL_SYNTH_SQL} AS url"
     )
     curl = F.col("url")

@@ -2982,7 +2982,11 @@ LIMIT {DRIFT_TOP_K}
     tags=("text", "monitoring", "drift"),
 )
 def q259_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = Catalog(spark, sf_dir).documents.select(
+    # the tokenize+explode and its map-side partial agg ride the
+    # scan stage: fan_out so a single-file table doesn't serialize
+    # the whole token stream on one core (r10 skew audit found the
+    # sf0.1 scan planning as ONE partition; no-op on wide scans)
+    tok = fan_out(Catalog(spark, sf_dir).documents, "doc_id").select(
         (F.substring("source", 4, 10).cast("bigint") % 2 == 0).alias("in_a"),
         F.explode(tokens_col()).alias("tok"),
     )
@@ -3391,4 +3395,157 @@ def q266_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(mx * 1000000 DIV n_letters AS BIGINT)").alias(
             "main_ppm"
         ),
+    ).orderBy("doc_id")
+
+
+# ------- q267: repetition-based quality filter (round 10)
+#
+# The Gopher/MassiveText repetition rules — the classic heuristic
+# family public LLM pipelines run right after lang-id and before
+# any model-based scoring: a page dominated by one repeated phrase
+# (nav bars, SEO keyword stuffing, boilerplate listings) is
+# dropped no matter how clean its vocabulary looks. Token-level
+# analogs of the two strongest rules, both exact-integer:
+#   * top-2-gram occurrence share — occurrences of the doc's most
+#     frequent bigram over all bigram occurrences (n_tok - 1);
+#   * duplicated-5-gram share — (occurrences - distinct) over
+#     occurrences of 5-grams, the repeated-passage signal.
+# Thresholds are the published ~0.18/0.15 rules, exact in ppm.
+#
+# Scale shape: every shuffle keys on (doc_id, gram) or doc_id —
+# the gram never stands alone as a key, so a phrase duplicated
+# across 10^9 pages (hello, cookie banners) costs nothing extra:
+# per-group fan-in is bounded by ONE document's repetition of ONE
+# gram, map-side combined. Per-doc rollups are combine-safe
+# max/sum pairs; distinct-5-gram counting is the same
+# (doc_id, gram) pre-aggregation, never a count_distinct expand.
+
+_REP_TOP2_MAX_PPM = 180000
+_REP_DUP5_MAX_PPM = 150000
+
+_ORACLE_Q267 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), base AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM toks
+), g2 AS (
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                   for i in range(1, len(toks))]) AS g
+    FROM toks WHERE len(toks) >= 2
+), c2 AS (
+    SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g
+), a2 AS (
+    SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS tot2
+    FROM c2 GROUP BY doc_id
+), g5 AS (
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(toks, i, i + 4), ' ')
+                   for i in range(1, len(toks) - 3)]) AS g
+    FROM toks WHERE len(toks) >= 5
+), c5 AS (
+    SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, g
+), a5 AS (
+    SELECT doc_id, SUM(cnt) AS tot5, COUNT(*) AS dist5
+    FROM c5 GROUP BY doc_id
+), m AS (
+    SELECT b.doc_id, b.n_tok,
+           CAST(COALESCE(a2.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           CAST(CASE WHEN COALESCE(a2.tot2, 0) > 0
+                     THEN a2.top_cnt * 1000000 // a2.tot2
+                     ELSE 0 END AS BIGINT) AS top2_ppm,
+           CAST(CASE WHEN COALESCE(a5.tot5, 0) > 0
+                     THEN (a5.tot5 - a5.dist5) * 1000000 // a5.tot5
+                     ELSE 0 END AS BIGINT) AS dup5_ppm
+    FROM base b
+    LEFT JOIN a2 ON a2.doc_id = b.doc_id
+    LEFT JOIN a5 ON a5.doc_id = b.doc_id
+)
+SELECT doc_id, n_tok, top_bigram_cnt, top2_ppm, dup5_ppm,
+       CAST(CASE WHEN top2_ppm <= {_REP_TOP2_MAX_PPM}
+                  AND dup5_ppm <= {_REP_DUP5_MAX_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM m ORDER BY doc_id
+"""
+
+
+def _gram_counts(toks: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g, cnt) n-gram occurrence counts — the explode is
+    guarded per row, the count keys on (doc_id, g) so a corpus-hot
+    gram never concentrates (fan-in = one doc's repetitions)."""
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q267_repetition_filter",
+    oracle=_ORACLE_Q267,
+    doc="Gopher/MassiveText repetition rules as an exact-integer "
+    "filter: per doc, the most-frequent-bigram occurrence share "
+    "and the duplicated-5-gram share (both ppm), with the "
+    "published ~0.18/0.15 thresholds deciding keep_flag. All "
+    "shuffles key on (doc_id, gram) — a corpus-hot phrase adds "
+    "zero skew — and every rollup is combine-safe.",
+    tags=("text", "quality", "repetition"),
+)
+def q267_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = fan_out(Catalog(spark, sf_dir).documents, "doc_id").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    base = toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
+    a2 = _gram_counts(toks, 2).groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("tot2")
+    )
+    a5 = _gram_counts(toks, 5).groupBy("doc_id").agg(
+        F.sum("cnt").alias("tot5"), F.count(F.lit(1)).alias("dist5")
+    )
+    m = (
+        base.join(a2, "doc_id", "left")
+        .join(a5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("top_cnt", F.lit(0))
+            .cast("bigint")
+            .alias("top_bigram_cnt"),
+            F.when(
+                F.coalesce("tot2", F.lit(0)) > 0,
+                F.expr("CAST(top_cnt * 1000000 DIV tot2 AS BIGINT)"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("top2_ppm"),
+            F.when(
+                F.coalesce("tot5", F.lit(0)) > 0,
+                F.expr("CAST((tot5 - dist5) * 1000000 DIV tot5 AS BIGINT)"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("dup5_ppm"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tok",
+        "top_bigram_cnt",
+        "top2_ppm",
+        "dup5_ppm",
+        F.when(
+            (F.col("top2_ppm") <= _REP_TOP2_MAX_PPM)
+            & (F.col("dup5_ppm") <= _REP_DUP5_MAX_PPM),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("keep_flag"),
     ).orderBy("doc_id")

@@ -136,6 +136,7 @@ _PRIORITY = (
     "q264_lsh_index_foldin",      # LSH fold-in + replay idempotence
     "q265_shard_resume_cursor",   # q258 x q260 loader composition
     "q266_script_detection",      # Unicode-script lang-id pre-filter
+    "q267_repetition_filter",     # Gopher repetition rules
     # (d) the ENTIRE r4-era block — the 35 rows whose last official
     # driver check is CORRECTNESS_r04 (the r9 verdict's freshness
     # histogram); after this round no registry row's last official
@@ -183,7 +184,6 @@ _PRIORITY = (
     "q180_zipf_slope",
     "q190_trending_terms",
     "q193_bigram_surprisal",
-    "q198_bpe_merge_training",
     # = 50 priority rows — exactly the driver cap.
 )
 

@@ -2600,22 +2600,44 @@ def read_changes_with_images(
     )
     upd = (F.col("_k_ins") > 0) & (F.col("_k_del") > 0)
 
-    def _emit(rem: str, plain: str, image: str) -> DataFrame:
-        return (
-            counts.where(F.col(rem) > 0)
-            .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col(rem))))
-            .select(
-                F.col("_row.*"),
-                F.when(upd, F.lit(image)).otherwise(F.lit(plain)).alias(
-                    "_change_type"
-                ),
-                "_commit_version",
-            )
-        )
-
+    # ONE pass for both sides (round 10): the old
+    # union(_emit(del), _emit(ins)) form planned the entire feed
+    # twice — Spark does not ReuseExchange across the two branches
+    # because each filters `counts` differently BELOW the union, so
+    # every commit's changed files were scanned, hashed, aggregated
+    # and windowed twice (measured: 14 parquet scans / 18 exchanges
+    # at sf0.01; halved by this rewrite). Instead, each collapsed
+    # (version, key, content) group emits one side-tag array sized
+    # by its residual counts and a single explode fans out both
+    # change types; empty arrays (fully-paired groups) drop out of
+    # the plain explode exactly as the old rem > 0 filters did.
+    empty = F.array().cast("array<string>")
+    side_tags = F.concat(
+        F.when(
+            F.col("_rem_del") > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_rem_del")), lambda i: F.lit("d")
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("_rem_ins") > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_rem_ins")), lambda i: F.lit("i")
+            ),
+        ).otherwise(empty),
+    )
     return (
-        _emit("_rem_del", "delete", "update_preimage")
-        .unionByName(_emit("_rem_ins", "insert", "update_postimage"))
+        counts.withColumn("_side", F.explode(side_tags))
+        .select(
+            F.col("_row.*"),
+            F.when(
+                F.col("_side") == "d",
+                F.when(upd, "update_preimage").otherwise("delete"),
+            )
+            .otherwise(F.when(upd, "update_postimage").otherwise("insert"))
+            .alias("_change_type"),
+            "_commit_version",
+        )
         .select(*out_cols)
     )
 
