@@ -140,6 +140,16 @@ HEADLINE = (
     "q255_url_dedup_by_domain",
     "q256_pii_scrub",
     "q259_token_drift",
+    # Round-10 additions: the LSH ingest-gate composition (probe +
+    # fold-in + replay — two asymmetric band joins and two verify
+    # joins in one plan), the q258 x q260 loader-stack composition
+    # (both two-phase rankings), the Unicode-script detector (six
+    # regex counting passes — string-engine path), and the Gopher
+    # repetition filter (two (doc_id, gram) explode+agg passes).
+    "q264_lsh_index_foldin",
+    "q265_shard_resume_cursor",
+    "q266_script_detection",
+    "q267_repetition_filter",
 )
 
 

@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog, fan_out
 from ..registry import register
 from .dedup import SHINGLES_SQL, shingles_df
-from .text import PACK_WINDOW, RESUME_DENOM, TOKENS_SQL, tokens_col
+from .text import (
+    PACK_STREAMS,
+    PACK_WINDOW,
+    RESUME_DENOM,
+    TOKENS_SQL,
+    tokens_col,
+)
 
 # --------------------------------------------------- hash-split buckets
 
@@ -1974,3 +1980,292 @@ def q265_shard_resume_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         (F.col("g") - F.col("b")).cast("bigint").alias("doc_offset"),
     ).orderBy("shard", "frac_8")
+
+
+# ------- q268: packing-efficiency sweep (round 10)
+#
+# The capacity-planning query behind choosing PACK_WINDOW: under
+# the q226 concat-stream packing (docs concatenated per stream,
+# split every W tokens), padding waste is exactly the per-stream
+# tail — ceil(total/W)*W - total — so sweeping W costs one
+# 8-row-per-stream aggregate, not a repack. Emits, per candidate
+# window size: sequence count, token capacity, wasted tokens, and
+# exact waste ppm. (Doc-boundary packing variants trade this near-
+# zero waste for attention isolation — the sweep quantifies what
+# that trade starts from.)
+#
+# Scale shape: one combine-safe per-stream SUM (streams = the
+# data-parallel width, 8 rows), a 4-value literal explode, and a
+# final 4-row rollup. The corpus is scanned once.
+
+_PACK_SWEEP_WINDOWS = (128, 256, 512, 1024)
+
+_ORACLE_Q268 = f"""
+WITH d AS (
+    SELECT doc_id % {PACK_STREAMS} AS stream,
+           len({TOKENS_SQL}) AS n_tok
+    FROM documents
+    WHERE len({TOKENS_SQL}) > 0
+), tot AS (
+    SELECT stream, SUM(n_tok) AS total FROM d GROUP BY stream
+), g AS (
+    SELECT w, (total + w - 1) // w AS seqs, total
+    FROM tot, LATERAL (
+        SELECT UNNEST([{", ".join(str(w) for w in _PACK_SWEEP_WINDOWS)}]) AS w
+    ) f
+)
+SELECT CAST(w AS BIGINT) AS window_size,
+       CAST(SUM(seqs) AS BIGINT) AS n_seqs,
+       CAST(SUM(seqs) * w AS BIGINT) AS capacity_tok,
+       CAST(SUM(seqs) * w - SUM(total) AS BIGINT) AS waste_tok,
+       CAST((SUM(seqs) * w - SUM(total)) * 1000000
+            // (SUM(seqs) * w) AS BIGINT) AS waste_ppm
+FROM g GROUP BY w ORDER BY window_size
+"""
+
+
+@register(
+    "q268_packing_efficiency",
+    oracle=_ORACLE_Q268,
+    doc="Packing-efficiency sweep over candidate sequence lengths "
+    "(128/256/512/1024): under concat-stream packing the waste is "
+    "exactly the per-stream tail, so the sweep is one per-stream "
+    "total + integer algebra — sequence counts, capacity, wasted "
+    "tokens, exact waste ppm per window size. One corpus scan, "
+    "one 8-row aggregate.",
+    tags=("curation", "packing", "planning"),
+)
+def q268_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        fan_out(Catalog(spark, sf_dir).documents, "doc_id")
+        .select(
+            (F.col("doc_id") % PACK_STREAMS).alias("stream"),
+            F.size(tokens_col()).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    tot = d.groupBy("stream").agg(F.sum("n_tok").alias("total"))
+    g = tot.select(
+        "total",
+        F.explode(
+            F.array(*[F.lit(w) for w in _PACK_SWEEP_WINDOWS])
+        ).alias("w"),
+    ).select(
+        "w",
+        "total",
+        F.expr("CAST((total + w - 1) DIV w AS BIGINT)").alias("seqs"),
+    )
+    return (
+        g.groupBy("w")
+        .agg(
+            F.sum("seqs").cast("bigint").alias("n_seqs"),
+            F.sum(F.col("seqs") * F.col("w")).cast("bigint").alias(
+                "capacity_tok"
+            ),
+            F.sum(F.col("seqs") * F.col("w") - F.col("total"))
+            .cast("bigint")
+            .alias("waste_tok"),
+        )
+        .select(
+            F.col("w").cast("bigint").alias("window_size"),
+            "n_seqs",
+            "capacity_tok",
+            "waste_tok",
+            F.expr(
+                "CAST(waste_tok * 1000000 DIV capacity_tok AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("window_size")
+    )
+
+
+# ------- q269: clean held-out construction (round 10)
+#
+# The composition a team actually runs to cut an eval set — three
+# established primitives in one plan, in the order that matters:
+# (1) candidates = the md5-bucket test split (q62's pure-function
+# split, bucket >= VAL_PCT); (2) DECONTAMINATE: drop any candidate
+# whose word-5-gram shingles overlap the train+val stream above
+# 10% (q63's leakage check turned into a filter at the GPT-3-style
+# longer-gram grain — at trigram grain the synthetic corpus's tiny
+# shared vocabulary marks EVERY candidate contaminated and the
+# whole pipeline degenerates; 5-grams leave a real mix of drops
+# and keeps. The train side collapses to DISTINCT shingles first,
+# so the probe is a bounded-fan-in join, never test x train doc
+# pairs); (3) DEDUP the survivors by CANONICAL-VOCABULARY
+# fingerprint — md5 of the sorted distinct token set, the
+# order-insensitive exact grain that catches re-shuffled
+# duplicates (q34's whitespace-normalized fingerprint never
+# collides on this corpus, which would leave the dedup stage
+# dead code; a deployment picks the grain its eval data needs) —
+# min doc_id survives, since a duplicated eval example
+# double-counts its score. Per source: candidates, contamination
+# drops, dup drops, kept docs and kept chars.
+#
+# Scale shape: the contamination probe joins on sh against a
+# DISTINCT train-shingle set (per-shingle fan-in 1); the survivor
+# join-back keys on the UNIQUE (fingerprint, doc_id) composite
+# (q229/q261 discipline — never the bare fingerprint); rollups
+# are combine-safe counts.
+
+_HELDOUT_CONTAM_PCT = 10  # drop if >10% of shingles seen in train
+_HELDOUT_GRAM = 5  # GPT-3-style longer-gram decontamination grain
+
+# md5 of the sorted distinct token set — order-insensitive
+_FP_SQL = (
+    f"md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' '))"
+)
+
+_ORACLE_Q269 = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               [array_to_string(list_slice(toks, i, i + {_HELDOUT_GRAM - 1}),
+                                ' ')
+                for i in range(1, len(toks) - {_HELDOUT_GRAM - 2})])) AS sh
+    FROM toks WHERE len(toks) >= {_HELDOUT_GRAM}
+),
+cand AS (
+    SELECT doc_id, source, n_chars, {_FP_SQL} AS fingerprint
+    FROM documents
+    WHERE {_BUCKET_SQL} >= {VAL_PCT}
+),
+tsh AS (
+    SELECT s.doc_id, s.sh FROM grams s
+    JOIN cand c ON c.doc_id = s.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+trsh AS (
+    SELECT DISTINCT sh FROM grams
+    WHERE {_BUCKET_SQL} < {VAL_PCT}
+),
+contam AS (
+    SELECT t.doc_id, COUNT(*) AS n_cont
+    FROM tsh t JOIN trsh r ON r.sh = t.sh
+    GROUP BY t.doc_id
+),
+flags AS (
+    SELECT c.*, 
+           CASE WHEN COALESCE(ct.n_cont, 0) * 100
+                     > COALESCE(s.n, 0) * {_HELDOUT_CONTAM_PCT}
+                THEN 1 ELSE 0 END AS contaminated
+    FROM cand c
+    LEFT JOIN sizes s ON s.doc_id = c.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = c.doc_id
+),
+surv AS (
+    SELECT fingerprint, MIN(doc_id) AS doc_id
+    FROM flags WHERE contaminated = 0
+    GROUP BY fingerprint
+),
+final AS (
+    SELECT f.source, f.n_chars, f.contaminated,
+           CASE WHEN f.contaminated = 0 AND sv.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END AS kept
+    FROM flags f
+    LEFT JOIN surv sv
+           ON sv.fingerprint = f.fingerprint AND sv.doc_id = f.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN contaminated = 0 AND kept = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars
+FROM final GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "q269_clean_heldout",
+    oracle=_ORACLE_Q269,
+    doc="Clean held-out construction composing split -> "
+    "decontaminate -> dedup: md5-bucket test candidates (q62), "
+    "drop those with >10% word-5-gram overlap against the "
+    "train+val stream (q63 as a filter at the GPT-3-style longer "
+    "gram, probing a DISTINCT train-gram set), dedup the "
+    "survivors by canonical-vocabulary fingerprint (md5 of the "
+    "sorted distinct token set) keeping min doc_id. Per source: "
+    "candidate, contamination-drop, dup-drop, kept counts and "
+    "kept chars.",
+    tags=("curation", "decontamination", "dedup", "split"),
+)
+def q269_clean_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens_col())), " ")
+    )
+    cand = cat.documents.where(bucket_col() >= VAL_PCT).select(
+        "doc_id", "source", "n_chars", fp.alias("fingerprint")
+    )
+    n = _HELDOUT_GRAM
+    gram_arr = F.array_distinct(
+        F.when(
+            F.size(tokens_col()) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens_col()) - (n - 1)),
+                lambda i: F.array_join(F.slice(tokens_col(), i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    sh = (
+        fan_out(cat.documents, "doc_id")
+        .select("doc_id", F.explode(gram_arr).alias("sh"))
+        .withColumn("bucket", bucket_col())
+    )
+    tsh = sh.where(F.col("bucket") >= VAL_PCT).select("doc_id", "sh")
+    sizes = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    trsh = sh.where(F.col("bucket") < VAL_PCT).select("sh").distinct()
+    contam = (
+        tsh.join(trsh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cont"))
+    )
+    flags = (
+        cand.join(sizes, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn(
+            "contaminated",
+            F.when(
+                F.coalesce("n_cont", F.lit(0)) * 100
+                > F.coalesce("n", F.lit(0)) * _HELDOUT_CONTAM_PCT,
+                1,
+            ).otherwise(0),
+        )
+    )
+    surv = (
+        flags.where(F.col("contaminated") == 0)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("sv", F.lit(True))
+    )
+    final = flags.join(surv, ["fingerprint", "doc_id"], "left").withColumn(
+        "kept",
+        F.when(
+            (F.col("contaminated") == 0) & F.col("sv").isNotNull(), 1
+        ).otherwise(0),
+    )
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("contaminated").cast("bigint").alias("n_contaminated"),
+            F.sum(
+                F.when(
+                    (F.col("contaminated") == 0) & (F.col("kept") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dupes"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

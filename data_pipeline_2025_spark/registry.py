@@ -137,6 +137,8 @@ _PRIORITY = (
     "q265_shard_resume_cursor",   # q258 x q260 loader composition
     "q266_script_detection",      # Unicode-script lang-id pre-filter
     "q267_repetition_filter",     # Gopher repetition rules
+    "q268_packing_efficiency",    # pack-window waste sweep
+    "q269_clean_heldout",         # split -> decontam -> dedup
     # (d) the ENTIRE r4-era block — the 35 rows whose last official
     # driver check is CORRECTNESS_r04 (the r9 verdict's freshness
     # histogram); after this round no registry row's last official
@@ -182,8 +184,6 @@ _PRIORITY = (
     "q125_bm25_topk",
     "q150_hybrid_bm25_cosine",
     "q180_zipf_slope",
-    "q190_trending_terms",
-    "q193_bigram_surprisal",
     # = 50 priority rows — exactly the driver cap.
 )
 

@@ -911,3 +911,41 @@ def test_q266_detects_the_injected_script(spark, sf_smoke):
                 r["n_greek"], r["n_cjk"], r["n_arabic"],
             ) <= r["n_letters"]
     assert seen == set(range(6))
+
+
+def test_q269_stages_partition_the_candidates(spark, sf_smoke):
+    """Every candidate lands in exactly one bucket (contaminated /
+    dup-dropped / kept), every stage actually fires on the fixture
+    (a degenerate all-contaminated or no-dupe corpus would leave
+    pipeline stages as dead code — the q255 single-group lesson),
+    and kept docs are fingerprint-unique."""
+    rows = SPECS["q269_clean_heldout"].spark_fn(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["n_candidates"] == (
+            r["n_contaminated"] + r["n_dupes"] + r["n_kept"]
+        ), r
+    assert sum(r["n_contaminated"] for r in rows) > 0
+    assert sum(r["n_dupes"] for r in rows) > 0
+    assert sum(r["n_kept"] for r in rows) > 0
+
+
+def test_q268_waste_is_monotone_in_window(spark, sf_smoke):
+    """Under concat-stream packing, halving the window can never
+    increase waste (each stream tail shrinks or stays), and waste
+    is always below one window per stream."""
+    rows = (
+        SPECS["q268_packing_efficiency"].spark_fn(spark, sf_smoke).collect()
+    )
+    by_w = {r["window_size"]: r for r in rows}
+    ws = sorted(by_w)
+    assert len(ws) == 4
+    for small, big in zip(ws, ws[1:]):
+        assert by_w[small]["waste_tok"] <= by_w[big]["waste_tok"]
+    from data_pipeline_2025_spark.operators.text import PACK_STREAMS
+
+    for w, r in by_w.items():
+        assert r["waste_tok"] < w * PACK_STREAMS
+        assert r["capacity_tok"] - r["waste_tok"] == (
+            by_w[ws[0]]["capacity_tok"] - by_w[ws[0]]["waste_tok"]
+        )  # total tokens invariant across the sweep
