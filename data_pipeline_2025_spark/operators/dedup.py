@@ -3714,3 +3714,144 @@ def q264_lsh_index_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------- q270: cross-source near-dup contamination matrix (r10)
+#
+# The curation diagnostic behind every "dataset X is N% contained
+# in dataset Y" report: roll the verified near-dup pair graph up
+# to the SOURCE level — which feeds copy from each other, how many
+# pairs cross a source boundary, how many docs are implicated per
+# source pair. Runs on the materialized pair table (lsh_pairs_df —
+# at 100 TB the LSH join + verify runs once at ingest; this query
+# is pure analysis over it, like q70's components).
+#
+# Scale shape: two keyed joins doc_id -> source (unique key, no
+# fan-out), a least/greatest pair normalization (the unordered
+# source pair), and two combine-safe rollups — pair counts
+# directly, implicated-doc counts over the UNION of the two
+# endpoint projections pre-distincted on (pair, doc). No windows,
+# no content-keyed joins.
+
+_ORACLE_Q270 = f"""
+WITH {SHINGLES_SQL},
+minhash AS (
+    {_minhash_select_sql()}
+),
+bands AS (
+{_band_keys_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+    GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+    SELECT v.doc_a, v.doc_b
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter)
+          >= {LSH_VERIFY_THRESHOLD}
+),
+src AS (SELECT doc_id, source FROM documents),
+p AS (
+    SELECT least(s1.source, s2.source) AS source_a,
+           greatest(s1.source, s2.source) AS source_b,
+           doc_a, doc_b
+    FROM pairs
+    JOIN src s1 ON s1.doc_id = doc_a
+    JOIN src s2 ON s2.doc_id = doc_b
+),
+np AS (
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM p GROUP BY source_a, source_b
+),
+nd AS (
+    SELECT source_a, source_b, COUNT(*) AS n_docs FROM (
+        SELECT DISTINCT source_a, source_b, d FROM (
+            SELECT source_a, source_b, doc_a AS d FROM p
+            UNION ALL
+            SELECT source_a, source_b, doc_b AS d FROM p
+        )
+    ) GROUP BY source_a, source_b
+)
+SELECT np.source_a, np.source_b,
+       CAST(CASE WHEN np.source_a <> np.source_b THEN 1 ELSE 0
+            END AS BIGINT) AS cross_source,
+       CAST(np.n_pairs AS BIGINT) AS n_pairs,
+       CAST(nd.n_docs AS BIGINT) AS n_docs
+FROM np JOIN nd USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "q270_cross_source_matrix",
+    oracle=_ORACLE_Q270,
+    doc="Cross-source near-dup contamination matrix (the 'dataset "
+    "X is N% contained in dataset Y' report): the verified LSH "
+    "pair graph rolled up to unordered source pairs — pair counts, "
+    "implicated-doc counts, cross-source flag. Pure analysis over "
+    "the materialized pair table; doc->source joins key on the "
+    "unique doc_id.",
+    tags=("dedup", "minhash", "curation", "monitoring"),
+)
+def q270_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    src = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    p = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("s1")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("s2")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    np_ = p.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        p.select("source_a", "source_b", F.col("doc_a").alias("d"))
+        .unionByName(
+            p.select("source_a", "source_b", F.col("doc_b").alias("d"))
+        )
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        np_.join(nd, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            F.when(F.col("source_a") != F.col("source_b"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("cross_source"),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("source_a", "source_b")
+    )

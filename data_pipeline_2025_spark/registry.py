@@ -139,6 +139,7 @@ _PRIORITY = (
     "q267_repetition_filter",     # Gopher repetition rules
     "q268_packing_efficiency",    # pack-window waste sweep
     "q269_clean_heldout",         # split -> decontam -> dedup
+    "q270_cross_source_matrix",   # source-pair near-dup rollup
     # (d) the ENTIRE r4-era block — the 35 rows whose last official
     # driver check is CORRECTNESS_r04 (the r9 verdict's freshness
     # histogram); after this round no registry row's last official
@@ -183,7 +184,6 @@ _PRIORITY = (
     "q51_stream_dedup_replay",
     "q125_bm25_topk",
     "q150_hybrid_bm25_cosine",
-    "q180_zipf_slope",
     # = 50 priority rows — exactly the driver cap.
 )
 

@@ -56,7 +56,7 @@ def test_contract_shape():
 # A silently-dropped operator module (the registry.load_all()
 # ModuleNotFoundError guard) must show up as a hard failure here.
 # Bump this when registering new queries.
-EXPECTED_QUERY_COUNT = 267
+EXPECTED_QUERY_COUNT = 268
 
 
 def test_registry_complete():
@@ -86,7 +86,7 @@ def test_priority_queries_inside_driver_cap():
     assert "q266_script_detection" in must_lead  # (c) new round-10
     assert "q124_corpus_pipeline" in must_lead  # (d) r4-era block
     assert "q174_priority_sampling" in must_lead  # (d) r4-era block
-    assert "q180_zipf_slope" in must_lead  # (e) r5-era head
+    assert "q150_hybrid_bm25_cosine" in must_lead  # (e) r5-era head
     assert must_lead <= first_50, must_lead - first_50
 
 
