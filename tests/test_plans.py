@@ -1217,3 +1217,18 @@ def test_q266_is_scan_only(spark, sf_smoke):
     plan = plan_of(spark, "q266_script_detection", sf_smoke)
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_q264_foldin_has_no_windows_and_appends_via_semi_join(
+    spark, sf_smoke
+):
+    """The ingest-gate composition must keep the dedup discipline
+    end-to-end: no window anywhere (survivor selection is an agg +
+    semi join on the unique doc_id), the fold-in is a LeftSemi
+    append — never a rewrite — and the per-doc rollups are
+    partial-aggregatable."""
+    plan = plan_of(spark, "q264_lsh_index_foldin", sf_smoke)
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
