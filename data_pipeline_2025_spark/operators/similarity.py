@@ -2997,12 +2997,41 @@ def _q225_train(
     return coarse, sub
 
 
+def _q225_exact(vecs: DataFrame, queries: DataFrame) -> DataFrame:
+    """Brute-force (query_id, neighbor_id) top-k ground truth. Shared
+    by both legs (r10 optimization): it depends only on queries x
+    vecs — never on a codebook — so computing it once per query
+    (instead of once per leg) removes a full corpus cross-join +
+    window from the second leg's plan for identical results."""
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), "neighbor_id"
+    )
+    return (
+        F.broadcast(queries)
+        .crossJoin(vecs)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _idot(F.col("qmv"), F.col("mv"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+                6,
+            ).alias("cos_r"),
+        )
+        .withColumn("rn", F.row_number().over(wfin))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def _q225_leg(
     vecs: DataFrame,
     subv: DataFrame,
     queries: DataFrame,
     coarse: DataFrame,
     sub: DataFrame,
+    exact: DataFrame,
 ) -> DataFrame:
     """(query_id, cand, hits) for one codebook pair — q202's
     no-corpus-shuffle plan parametrized by codebook: coarse
@@ -3136,23 +3165,6 @@ def _q225_leg(
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    exact = (
-        F.broadcast(queries)
-        .crossJoin(vecs)
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _idot(F.col("qmv"), F.col("mv"))
-                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
-                6,
-            ).alias("cos_r"),
-        )
-        .withColumn("rn", F.row_number().over(wfin))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
     counts = cand.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cand")
     )
@@ -3207,8 +3219,12 @@ def q225_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("qn2"),
     )
     coarse_t, sub_t = _q225_train(vecs, subv, c0, sc0)
-    u = _q225_leg(vecs, subv, queries, c0, sc0)
-    t = _q225_leg(vecs, subv, queries, coarse_t, sub_t)
+    # Ground truth computed ONCE for both legs (r10): Q x TOP_K rows,
+    # checkpointed so neither leg's plan re-runs the brute-force
+    # corpus cross-join + window.
+    exact = _q225_exact(vecs, queries).localCheckpoint()
+    u = _q225_leg(vecs, subv, queries, c0, sc0, exact)
+    t = _q225_leg(vecs, subv, queries, coarse_t, sub_t, exact)
     return (
         u.select(
             "query_id",

@@ -3328,6 +3328,54 @@ _SCRIPT_PICK_SQL = (
     + " END"
 )
 
+# The injected constant strings per doc_id % 6 key — MUST match the
+# literals in _SCRIPT_INJECT_SQL above (pinned by
+# tests/test_prep_ops.py::test_q266_inject_consts_match_sql). Used by
+# the Spark side to decompose counts over text || repeat(c, k)
+# algebraically instead of materializing the repeat.
+_SCRIPT_INJECT_CONSTS: dict[int, tuple[str, ...]] = {
+    1: (" שלום עולם מחיר מבצע",),
+    2: (" привет мир цена",),
+    3: (" γεια σου κοσμος",),
+    4: (" 你好世界价格数据快慢",),
+    5: (" שלום עולם", " привет мир"),
+}
+
+
+def _cls_ranges(cls: str) -> list[tuple[int, int]]:
+    """Parse a literal-char regex class body ('A-Za-z') into
+    inclusive codepoint ranges — the same semantics Java regex gives
+    the class (all chars are BMP literals, no escapes by
+    construction)."""
+    rngs: list[tuple[int, int]] = []
+    i = 0
+    while i < len(cls):
+        if i + 2 < len(cls) and cls[i + 1] == "-":
+            rngs.append((ord(cls[i]), ord(cls[i + 2])))
+            i += 3
+        else:
+            rngs.append((ord(cls[i]), ord(cls[i])))
+            i += 1
+    return rngs
+
+
+def _const_class_counts(s: str) -> dict[str, int]:
+    return {
+        name: sum(
+            1
+            for ch in s
+            if any(lo <= ord(ch) <= hi for lo, hi in _cls_ranges(cls))
+        )
+        for name, cls in _SCRIPT_CLASSES
+    }
+
+
+_SCRIPT_CONST_COUNTS: dict[str, dict[str, int]] = {
+    const: _const_class_counts(const)
+    for consts in _SCRIPT_INJECT_CONSTS.values()
+    for const in consts
+}
+
 _ORACLE_Q266 = f"""
 WITH t AS (
     SELECT doc_id, {_SCRIPT_INJECT_SQL} AS txt FROM documents
@@ -3362,15 +3410,41 @@ FROM s ORDER BY doc_id
     tags=("text", "lang-id", "quality"),
 )
 def q266_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").selectExpr(
-        "doc_id", f"{_SCRIPT_INJECT_SQL} AS txt"
+    # Optimization (r10, guide §1.2 "the distributed algorithm"):
+    # the injected text is built BY THIS QUERY as
+    # text || repeat(c, k) [|| repeat(c2, k)], so per-class counts
+    # decompose exactly: count(text || repeat(c, k)) =
+    # count(text) + k * count(c), with count(c) a compile-time
+    # constant (_SCRIPT_CONST_COUNTS). The six regex passes now scan
+    # only the ORIGINAL text (~1/3.3 of the injected length) and the
+    # giant repeat/concat string is never materialized; regexp_count
+    # avoids allocating the stripped copy regexp_replace built.
+    # Pure query algebra — no assumption about the data (the regexes
+    # still scan the real text for every class); results identical,
+    # oracle unchanged (proven by the oracle sweep).
+    k = F.expr("CAST(1 + (n_chars - n_chars % 8) / 8 AS BIGINT)")
+    docs = fan_out(Catalog(spark, sf_dir).documents, "doc_id").select(
+        "doc_id", "text", k.alias("k"), (F.col("doc_id") % 6).alias("key6")
     )
+
+    def inj_count(name: str) -> Column:
+        """k * (class count of the injected constant for this key)."""
+        expr: Column = F.lit(0).cast("bigint")
+        for key, consts in _SCRIPT_INJECT_CONSTS.items():
+            c = sum(_SCRIPT_CONST_COUNTS[const][name] for const in consts)
+            if c:
+                expr = F.when(F.col("key6") == key, F.col("k") * c).otherwise(
+                    expr
+                )
+        return expr
+
     counts = docs.select(
         "doc_id",
         *[
-            F.length(F.regexp_replace("txt", f"[^{cls}]", ""))
-            .cast("bigint")
-            .alias(f"n_{name}")
+            (
+                F.expr(f"regexp_count(text, '[{cls}]')").cast("bigint")
+                + inj_count(name)
+            ).alias(f"n_{name}")
             for name, cls in _SCRIPT_CLASSES
         ],
     )

@@ -870,9 +870,21 @@ def q208_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sink, upd.unionByName(ins), "event_id", ("day",)
         )
     matched = sum(txn.dv_counts_at(sink).values())
-    pre_rows = txn.read_version(spark, sink, 1).count()
+    # Row counts from manifest footer statistics (txn.metadata_agg —
+    # the q209 metadata-only COUNT, exact even under DVs): the v1
+    # count and the head count were previously two FULL SCANS of the
+    # sink per invocation, 2/3 of this query's wall (guide §6 —
+    # manifest metadata answers COUNT without opening a data file;
+    # at 100 TB the scan-based delta is a multi-minute job). Scan
+    # fallback kept for sinks predating per-file row-count stats.
+    pre_rows = txn.metadata_agg(sink, version=1)["count"]
+    if pre_rows is None:
+        pre_rows = txn.read_version(spark, sink, 1).count()
     post = txn.read_committed(spark, sink)
-    inserted = post.count() - pre_rows
+    post_rows = txn.metadata_agg(sink)["count"]
+    if post_rows is None:
+        post_rows = post.count()
+    inserted = post_rows - pre_rows
     v1_files = set(txn.listing_at(sink, 1))
     intact = 1 if v1_files <= set(txn.committed_files(sink)) else 0
     return (
@@ -1584,6 +1596,12 @@ def q215_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("s0", zero) + F.coalesce("ds", zero)).alias("sd"),
         )
         .where(F.col("n_rows") > 0)
+        # The incremental aggregate feeds BOTH the verification join
+        # below (an eager .count()) and the returned rows: without a
+        # checkpoint the v2 scan + change-feed read run twice per
+        # invocation (guide §5 — reuse beats recompute for a small
+        # per-user aggregate; rows = |users|, not |events|).
+        .localCheckpoint()
     )
     # full recompute of the head snapshot — the O(table) path the
     # incremental one must match exactly

@@ -949,3 +949,40 @@ def test_q268_waste_is_monotone_in_window(spark, sf_smoke):
         assert r["capacity_tok"] - r["waste_tok"] == (
             by_w[ws[0]]["capacity_tok"] - by_w[ws[0]]["waste_tok"]
         )  # total tokens invariant across the sweep
+
+
+def test_q266_inject_consts_match_sql():
+    """The algebraic decomposition in q266 (counts over
+    text || repeat(c, k) = counts(text) + k * counts(c)) is only
+    correct if _SCRIPT_INJECT_CONSTS mirrors the literals inside
+    _SCRIPT_INJECT_SQL exactly, and _SCRIPT_CONST_COUNTS counts each
+    constant the way the per-class regexes would. Pin both against
+    the SQL text and an independent `re` recount."""
+    import re
+
+    from data_pipeline_2025_spark.operators.text import (
+        _SCRIPT_CLASSES,
+        _SCRIPT_CONST_COUNTS,
+        _SCRIPT_INJECT_CONSTS,
+        _SCRIPT_INJECT_SQL,
+    )
+
+    # 1. Every WHEN branch's repeat() literals == the consts table.
+    branches = re.findall(
+        r"WHEN (\d+) THEN((?:.|\n)*?)(?=WHEN \d|ELSE)", _SCRIPT_INJECT_SQL
+    )
+    from_sql = {
+        int(k): tuple(re.findall(r"repeat\('([^']*)'", body))
+        for k, body in branches
+    }
+    assert from_sql == _SCRIPT_INJECT_CONSTS
+    assert set(from_sql) == {1, 2, 3, 4, 5}
+
+    # 2. Per-class counts of each constant == an independent regex
+    # recount (same literal-char classes the engines execute).
+    for const, counts in _SCRIPT_CONST_COUNTS.items():
+        for name, cls in _SCRIPT_CLASSES:
+            assert counts[name] == len(re.findall(f"[{cls}]", const)), (
+                const,
+                name,
+            )
