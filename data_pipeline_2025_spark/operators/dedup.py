@@ -995,8 +995,16 @@ def q70_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_pairs_df(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     )
-    sym = edges.unionByName(
-        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    # r10 (guide §2.4): hash-partition the symmetric edge list by u
+    # ONCE and checkpoint — localCheckpoint preserves the physical
+    # partitioning, so every round's message join reuses it instead
+    # of re-shuffling the edges per round (the q172 fix).
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+        )
+        .repartition("u")
+        .localCheckpoint()
     )
     labels = cat.documents.select(
         "doc_id", F.col("doc_id").alias("label")
@@ -2228,31 +2236,60 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "snm", "blocking"),
 )
 def q164_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 optimization (guide §1.2 + §5): the naive form re-derived
+    # the shingle subtree FOUR times (keys, sizes, and both verify
+    # sides — 13 parquet scans / 32 exchanges in the before plan)
+    # and verified candidates by exploding cand x shingles through a
+    # shuffle. Now ONE pass over the shingles computes per-doc
+    # blocking key, set size and the collected shingle set together
+    # (same groupBy key — one shuffle), checkpointed and reused
+    # everywhere; verification is the repo's q144/q252 per-candidate
+    # array_intersect idiom, shuffling one row per candidate instead
+    # of one per (candidate, shingle). inter = |set intersection| is
+    # identical because shingles are distinct per doc (the same
+    # equivalence _verified_dup_pairs rests on); oracle unchanged.
     sh = shingles_df(spark, sf_dir)
-    keys = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("hv"),
-    ).groupBy("doc_id").agg(F.min("hv").alias("skey"))
-    bucketed = keys.select(
+    docs = (
+        sh.select(
+            "doc_id",
+            "sh",
+            F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("hv").alias("skey"),
+            F.collect_list("sh").alias("shs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    bucketed = docs.select(
         "doc_id", "skey", F.expr(f"skey div {_SNM_BUCKET_DIV}").alias("bucket")
     )
     cand = snm_candidate_pairs(bucketed)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("sha") == F.col("shb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter_c = F.size(F.array_intersect("sha", "shb")).cast("bigint")
     uni = F.col("na") + F.col("nb") - F.col("inter")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(F.col("inter") * 10 >= 8 * uni)
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("sha"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("shb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "na", "nb", inter_c.alias("inter"))
+        .where((F.col("inter") > 0) & (F.col("inter") * 10 >= 8 * uni))
         .select(
             "doc_a",
             "doc_b",
@@ -2304,8 +2341,16 @@ def q165_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_pairs_df(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     )
-    sym = edges.unionByName(
-        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    # r10 (guide §2.4): hash-partition the symmetric edge list by u
+    # ONCE and checkpoint — localCheckpoint preserves the physical
+    # partitioning, so every round's message join reuses it instead
+    # of re-shuffling the edges per round (the q172 fix).
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+        )
+        .repartition("u")
+        .localCheckpoint()
     )
     labels = cat.documents.select(
         "doc_id", F.col("doc_id").alias("label")
@@ -2456,6 +2501,11 @@ def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, seg_no) with the segment text, its token length, and
     its md5 — q229/q248 (first-occurrence dedup) and q251
     (frequency-threshold boilerplate removal) all start here."""
+    # NO fan_out here (r10, measured): unlike the regex-heavy q256,
+    # the tokenize+explode is cheap relative to a pre-shuffle of the
+    # rows — fan_out variants measured 2.0-3.0 s vs 1.3-1.6 s plain
+    # for q229 at sf0.1 (both orderings: shuffling raw text or token
+    # arrays). The downstream groupBy supplies the parallelism.
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", tokens_col().alias("toks")
     )
@@ -2887,7 +2937,13 @@ ORDER BY doc_id
 def q251_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .joins import JOIN_HOT_FACTOR, JOIN_PARALLELISM
 
-    segs = _doc_segments(spark, sf_dir)
+    # r10: the segment stream feeds the DF aggregation AND both
+    # hot/cold flag-join branches — without a checkpoint the
+    # tokenize+explode subtree ran three times (18 parquet scans /
+    # 52 exchanges in the before plan). Same for seg_stats, whose
+    # stacked aggs fed tot/hot/cold separately (guide §5: reuse
+    # beats recompute; one materialization vs three corpus passes).
+    segs = _doc_segments(spark, sf_dir).localCheckpoint()
     # document frequency: collapse per (seg, doc) FIRST — both
     # levels partial-aggregatable, no hot reducer at any skew
     per_doc = (
@@ -2898,7 +2954,7 @@ def q251_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_stats = per_doc.groupBy("seg_h").agg(
         F.count(F.lit(1)).cast("bigint").alias("seg_df"),
         F.sum("c").cast("bigint").alias("occ"),
-    )
+    ).localCheckpoint()
     # The flag applies to EVERY occurrence, so unlike q229/q261
     # there is no unique-key join to hide behind: a boilerplate
     # segment in 10^9 documents funnels 10^9 probe rows through one
@@ -3641,14 +3697,32 @@ def _probe_counts(cand: DataFrame, alias: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "incremental", "replay"),
 )
 def q264_lsh_index_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = band_keys(minhash_df(spark, sf_dir))
+    # r10 optimization (guide §1.2 "the distributed algorithm" +
+    # §5 reuse-beats-recompute). The naive composition re-derived the
+    # shingle->minhash->band subtree at every use (77 parquet scans /
+    # 126 exchanges in the before plan) and probed + verified the
+    # ENTIRE folded index on replay. Two exact rewrites:
+    #   1. checkpoint the shared intermediates (band table, per-doc
+    #      shingle sets, first-pass candidates) — each is built once
+    #      per invocation and reused by both passes;
+    #   2. the replay pass distributes over the fold-in union:
+    #      folded = base ∪ admitted-delta partitions the index by
+    #      doc_id % INC_MOD, so cand2 = cand1 ∪ (delta ⋈ admitted
+    #      bands) with DISJOINT idx_doc sides, and verification
+    #      distributes over that disjoint union: ver2 = ver1 ∪
+    #      verify(extra). The replay probe therefore touches only
+    #      delta-vs-admitted-delta band pairs — O(delta), never a
+    #      second full-index pass. At 100 TB the base index never
+    #      moves twice; semantics pinned by the unchanged oracle
+    #      (which still computes the replay pass naively).
+    bands = band_keys(minhash_df(spark, sf_dir)).localCheckpoint()
     delta_b = bands.where(F.col("doc_id") % INC_MOD == 0)
     base_b = bands.where(F.col("doc_id") % INC_MOD != 0)
     sh = shingles_df(spark, sf_dir)
     doc_sets = sh.groupBy("doc_id").agg(
         F.collect_list("sh").alias("shs"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint()
 
     def probe(index_b: DataFrame) -> DataFrame:
         return (
@@ -3665,7 +3739,7 @@ def q264_lsh_index_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    cand1 = probe(base_b)
+    cand1 = probe(base_b).localCheckpoint()
     dups1 = _probe_counts(_verified_dup_pairs(cand1, doc_sets), "n_dups_first")
     firstpass = (
         delta_b.select("doc_id")
@@ -3681,33 +3755,39 @@ def q264_lsh_index_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("admitted"),
         )
+        .localCheckpoint()
     )
     # Fold-in = APPEND of the survivors' band rows (semi join on the
-    # unique doc_id — never a window, never an index rewrite).
-    folded = base_b.unionByName(
-        delta_b.join(
-            firstpass.where(F.col("admitted") == 1).select("doc_id"),
-            "doc_id",
-            "semi",
-        )
+    # unique doc_id — never a window, never an index rewrite). Only
+    # the appended slice needs probing on replay (rewrite #2 above).
+    admitted_b = delta_b.join(
+        firstpass.where(F.col("admitted") == 1).select("doc_id"),
+        "doc_id",
+        "semi",
     )
-    cand2 = probe(folded)
-    ncand2 = _probe_counts(cand2, "n_cand_replay")
-    dups2 = _probe_counts(_verified_dup_pairs(cand2, doc_sets), "n_dups_replay")
+    # (not checkpointed: it derives from the checkpointed bands +
+    # firstpass, so the duplicated subtree is two cheap band joins,
+    # and the LeftSemi fold-in stays visible in the final plan)
+    extra = probe(admitted_b)
+    ncand1 = _probe_counts(cand1, "nc1")
+    ncand_x = _probe_counts(extra, "ncx")
+    dups_x = _probe_counts(_verified_dup_pairs(extra, doc_sets), "ndx")
+    n_dups_replay = (
+        F.col("n_dups_first") + F.coalesce("ndx", F.lit(0))
+    ).cast("bigint")
     return (
-        firstpass.join(ncand2, "doc_id", "left")
-        .join(dups2, "doc_id", "left")
+        firstpass.join(ncand1, "doc_id", "left")
+        .join(ncand_x, "doc_id", "left")
+        .join(dups_x, "doc_id", "left")
         .select(
             "doc_id",
             "n_dups_first",
             "admitted",
-            F.coalesce("n_cand_replay", F.lit(0))
+            (F.coalesce("nc1", F.lit(0)) + F.coalesce("ncx", F.lit(0)))
             .cast("bigint")
             .alias("n_cand_replay"),
-            F.coalesce("n_dups_replay", F.lit(0))
-            .cast("bigint")
-            .alias("n_dups_replay"),
-            F.when(F.coalesce("n_dups_replay", F.lit(0)) == 0, 1)
+            n_dups_replay.alias("n_dups_replay"),
+            F.when(n_dups_replay == 0, 1)
             .otherwise(0)
             .cast("bigint")
             .alias("readmitted"),

@@ -584,6 +584,12 @@ def q156_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # r10: `late` anchors the probe AND is the NOT-EXISTS build
+        # side — lazily the lineitem ⋈ orders + distinct subtree ran
+        # twice (guide §5). One materialization of the (orderkey,
+        # suppkey) late set; the set is late-lineitems-sized, far
+        # smaller than lineitem.
+        .localCheckpoint()
     )
     l1 = late.alias("l1")
     other_line = lines.select(

@@ -1518,12 +1518,15 @@ def q169_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
     )
     vecs = fan_out(cat.embeddings, "vec_id").select("vec_id", mq.alias("mv"))
-    mi = vecs.select("vec_id", F.posexplode("mv").alias("i", "vi"))
+    # r10 (guide §2.4 — remove shuffles outright): the Gram terms
+    # come from CHAINED generators (explode i keeping mv, then
+    # explode j) instead of a self-join of two exploded streams —
+    # the join shuffled both N x 64 sides by vec_id before emitting
+    # the same N x 4096 terms; now nothing shuffles until the
+    # map-side-combined 4096-group aggregate. Identical cells.
+    mi = vecs.select("vec_id", F.posexplode("mv").alias("i", "vi"), "mv")
     cells = (
-        mi.join(
-            vecs.select("vec_id", F.posexplode("mv").alias("j", "vj")),
-            "vec_id",
-        )
+        mi.select("i", "vi", F.posexplode("mv").alias("j", "vj"))
         .groupBy("i", "j")
         .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
         .collect()
@@ -2435,7 +2438,11 @@ ORDER BY q.query_id
     tags=("similarity", "ann", "pq", "ivf"),
 )
 def q202_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _int_vecs(spark, sf_dir)
+    # r10: the quantized-vector frame feeds the codebook, encoder,
+    # queries, rerank AND exact legs — lazily it was re-derived at
+    # every use (28 parquet scans / 74 exchanges in the before
+    # plan). Checkpointed once, as q225 already does (guide §5).
+    vecs = _int_vecs(spark, sf_dir).localCheckpoint()
     # ONE broadcast codebook row: cids ascending with aligned vectors
     # and self-dots (the q114 pattern).
     cb = (
