@@ -1141,6 +1141,11 @@ def q160_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where(F.array_contains(edge_ranks, F.col("rn")))
         .groupBy("event_type")
         .agg(F.array_sort(F.collect_list("value")).alias("es"))
+        # r10 (guide §5): the edge table is 9 values per event type
+        # but its subtree contains the full row_number sort of the
+        # reference half — lazily that sort ran THREE times (both
+        # histogram broadcasts + the bin spine). One materialization.
+        .localCheckpoint()
     )
     bin_of = F.size(F.filter(F.col("es"), lambda x: x <= F.col("value")))
     rh = (
@@ -1156,9 +1161,12 @@ def q160_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = edges.select(
         "event_type", F.explode(F.array(*[F.lit(b) for b in range(DRIFT_BINS)])).alias("bin")
     )
+    # histograms are <= |event types| x 10 rows at any scale —
+    # broadcast explicitly (the checkpointed edge frame hides size
+    # estimates, which otherwise demotes these to sort-merge joins)
     hist = (
-        spine.join(rh, ["event_type", "bin"], "left")
-        .join(ch, ["event_type", "bin"], "left")
+        spine.join(F.broadcast(rh), ["event_type", "bin"], "left")
+        .join(F.broadcast(ch), ["event_type", "bin"], "left")
         .select(
             "event_type",
             "bin",

