@@ -3110,6 +3110,12 @@ def q252_incremental_dedup_probe(
             F.col("b.doc_id").alias("base_doc"),
         )
         .distinct()
+        # r10 optimization (guide §2.4): cand feeds both the verify
+        # joins and the final join-back — without truncation the LSH
+        # band join + distinct execute twice (before-plan: 21 parquet
+        # scans / 43 exchanges). Checkpoint the delta-sized pair list
+        # once, like q264's fold-in does.
+        .localCheckpoint()
     )
     # Verify with the q144 idiom: two keyed joins against a per-doc
     # shingle-SET table + a row-local array_intersect, shuffling
@@ -3124,10 +3130,14 @@ def q252_incremental_dedup_probe(
     # 0.8-threshold check rejects exactly as the old no-row form did
     # through the left join.
     sh = shingles_df(spark, sf_dir)
+    # r10: the per-doc shingle-set table feeds BOTH verify joins
+    # (delta side and base side) — checkpoint so the groupBy +
+    # collect_list shuffle runs once, not twice (no ReusedExchange in
+    # the before-plan).
     doc_sets = sh.groupBy("doc_id").agg(
         F.collect_list("sh").alias("shs"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint()
     inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
     verified = (
         cand.join(

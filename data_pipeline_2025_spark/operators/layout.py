@@ -132,20 +132,32 @@ def q163_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").alias("zlo"),
         F.max("z").alias("zhi"),
     )
+    # r10 optimization (guide §2.4/§7.2): the former 3-leg union
+    # recomputed the events scan + the 96-term Morton expression once
+    # per leg, and the min/max agg subtree three more times (plan: 12
+    # parquet scans). One pass now emits all three (layout, f) pairs
+    # per row via an inline explode — the z expression and the scan
+    # run ONCE — and the 1-row range frame is checkpointed so its agg
+    # runs once too. Row multiset fed to the groupBy is identical to
+    # the union's.
+    rng = rng.localCheckpoint(eager=True)
     withrng = keyed.crossJoin(F.broadcast(rng))
-    layouts = None
-    for name, key, lo, hi in (
-        ("day_sorted", "d", "dlo", "dhi"),
-        ("user_sorted", "u", "ulo", "uhi"),
-        ("zorder", "z", "zlo", "zhi"),
-    ):
-        part = withrng.select(
-            F.lit(name).alias("layout"),
-            "u",
-            "d",
-            F.expr(_bucket_sql(key, lo, hi, "div")).alias("f"),
-        )
-        layouts = part if layouts is None else layouts.unionByName(part)
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("layout"),
+                F.expr(_bucket_sql(key, lo, hi, "div")).alias("f"),
+            )
+            for name, key, lo, hi in (
+                ("day_sorted", "d", "dlo", "dhi"),
+                ("user_sorted", "u", "ulo", "uhi"),
+                ("zorder", "z", "zlo", "zhi"),
+            )
+        ]
+    )
+    layouts = withrng.select(
+        "u", "d", F.explode(legs).alias("leg")
+    ).select(F.col("leg.layout").alias("layout"), "u", "d", F.col("leg.f").alias("f"))
     per_file = layouts.groupBy("layout", "f").agg(
         (F.max("u") - F.min("u")).alias("uspan"),
         (F.max("d") - F.min("d")).alias("dspan"),

@@ -1668,7 +1668,10 @@ def q170_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins the projection frame once — the former per-offset
     # self-join pair computed the 16-fold projection four times
     # (2 offsets x 2 sides) and doubled the shuffle.
-    p = m.select("vec_id", "mv", *proj)
+    # r10: p feeds both sides of the pair join — checkpoint so the
+    # 16-fold projection and the embeddings scan run once, not twice
+    # (before-plan: 4 parquet scans, no ReusedExchange).
+    p = m.select("vec_id", "mv", *proj).localCheckpoint()
     a = p.select(
         "vec_id",
         "mv",

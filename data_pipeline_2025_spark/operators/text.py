@@ -2488,10 +2488,14 @@ def q250_nb_quality_classifier(
         F.col("lang").eqNullSafe(F.lit("en")).alias("pos"),
         F.explode(tokens_col()).alias("tok"),
     )
+    # r10: vocab feeds BOTH the totals scalar and the weight table —
+    # checkpoint the vocab-sized counts so the train pass (explode +
+    # groupBy over the corpus token stream) runs once, not twice
+    # (before-plan: 6 parquet scans; now 2 — one train, one score).
     vocab = tok.groupBy("tok").agg(
         F.sum(F.col("pos").cast("long")).cast("long").alias("cnt_p"),
         F.sum((~F.col("pos")).cast("long")).cast("long").alias("cnt_n"),
-    )
+    ).localCheckpoint()
     totals = vocab.agg(
         F.sum("cnt_p").cast("long").alias("tp"),
         F.sum("cnt_n").cast("long").alias("tn"),
