@@ -680,7 +680,11 @@ ORDER BY e.query_id
 )
 def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q40_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    assign = _ivf_assign(spark, sf_dir)
+    # r10 (guide §5): `assign` is consumed twice (query buckets +
+    # neighbor side) and _vec_norms is not session-persisted, so the
+    # lazy form ran the corpus × centroids crossJoin + argmin window
+    # twice. One materialization of the (vec_id, centroid_id) table.
+    assign = _ivf_assign(spark, sf_dir).localCheckpoint()
     n = _vec_norms(spark, sf_dir)
     qa = (
         assign.where(F.col("vec_id").isin(*QUERY_IDS))
@@ -715,6 +719,10 @@ def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_r"),
         )
+        # r10: probe feeds the top-k window AND the scanned count —
+        # candidate-sized, so materializing beats re-running the
+        # bucket join + cosine pass twice.
+        .localCheckpoint()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
     ivf = (
@@ -1242,6 +1250,12 @@ def q147_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_r"),
         )
+        # r10 (guide §5): cand feeds both downstream consumers (the
+        # per-nprobe top-k window and the scanned counts) through
+        # `probe`, and _vec_norms/_ivf_assign are not session-
+        # persisted — lazily the bucket join + cosine pass (and the
+        # corpus × centroids assignment beneath it) ran twice.
+        .localCheckpoint()
     )
     lev = spark.createDataFrame([(p,) for p in NPROBES], "nprobe INT")
     probe = cand.join(
@@ -1812,7 +1826,16 @@ def q181_ivf_density_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_k = IVF_SWEEP_KS[0]
 
     def leg(k: int):
-        assign = _ivf_assign(spark, sf_dir, k).select("vec_id", "centroid_id")
+        # r10 (guide §5): consumed three times per leg (both pair
+        # sides + occupancy) and _ivf_assign re-derives vec_norms
+        # internally — lazily each leg ran the corpus × k crossJoin
+        # + argmin window three times. One (vec_id, centroid_id)
+        # materialization per leg.
+        assign = (
+            _ivf_assign(spark, sf_dir, k)
+            .select("vec_id", "centroid_id")
+            .localCheckpoint()
+        )
         a = assign.select(F.col("vec_id").alias("vec_a"), F.col("centroid_id").alias("ca"))
         b = assign.select(F.col("vec_id").alias("vec_b"), F.col("centroid_id").alias("cb"))
         cand = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b"))).select(
@@ -1831,7 +1854,14 @@ def q181_ivf_density_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("m"))
         return cand, ver, occ
 
-    legs = {k: leg(k) for k in IVF_SWEEP_KS}
+    # guide §2.6: each leg's eager assign job is independent — build
+    # them from a small pool so a leg's straggler tail is back-filled
+    # by the next leg's tasks instead of serializing the sweeps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _pool:
+        _futs = {k: _pool.submit(leg, k) for k in IVF_SWEEP_KS}
+        legs = {k: f.result() for k, f in _futs.items()}
     base_ver = legs[base_k][1].localCheckpoint()  # reused by every recall join
 
     out = None
