@@ -585,17 +585,47 @@ def q69_duplicated_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size(toks) >= SPAN_N)
         .select("doc_id", F.explode(F.when(F.size(toks) >= SPAN_N, gram)).alias("g"))
     )
-    df_counts = spans.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("docs")
+    # r10: the old form joined the raw span stream back to the per-g
+    # document-frequency table ON THE GRAM KEY — at toy scale Spark
+    # broadcasts the g-table (it fits under the threshold only by
+    # size ESTIMATE), at corpus scale that table is the distinct-gram
+    # dictionary (over the broadcast cap) and the fallback is a
+    # gram⋈gram SortMergeJoin with unbounded hot-gram skew
+    # (boilerplate spans appear in every doc). Computed instead by
+    # complement, with stacked combine-safe aggs and no content-key
+    # join anywhere: dup_windows = windows − occurrences in SINGLETON
+    # grams (docs == 1), and a singleton gram's occurrences all live
+    # in its one doc (min(doc_id) = the doc). fan_out's doc_id
+    # partitioning satisfies both (g, doc_id)-keyed groupBys, so the
+    # only gram-sized exchange is the per-g rollup's PARTIAL rows —
+    # a hot gram is absorbed map-side. A/B: identical 5000 rows +
+    # schema at sf0.1, flat wall (3.26 → 3.23 s median).
+    windows_per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("windows")
     )
-    dup = F.when(F.col("docs") >= 2, 1).otherwise(0)
-    return (
-        spans.join(df_counts, "g")
-        .groupBy("doc_id")
+    gdg = spans.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    uniq_per_doc = (
+        gdg.groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("windows"),
-            F.sum(dup).cast("bigint").alias("dup_windows"),
-            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+            F.count(F.lit(1)).alias("docs"),
+            F.min("doc_id").alias("doc_id"),
+            F.sum("c").alias("occ"),
+        )
+        .where(F.col("docs") == 1)
+        .groupBy("doc_id")
+        .agg(F.sum("occ").alias("uniq"))
+    )
+    dupw = F.when(
+        F.col("windows").isNotNull(),
+        F.col("windows") - F.coalesce(F.col("uniq"), F.lit(0)),
+    ).cast("bigint")
+    return (
+        windows_per_doc.join(uniq_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("windows").cast("bigint").alias("windows"),
+            dupw.alias("dup_windows"),
+            (dupw.cast("double") / F.col("windows")).alias("dup_ratio"),
         )
     )
 
@@ -677,8 +707,10 @@ def q73_span_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs into deciles of the doc_id range yields the curve curation
 # teams watch: novelty decays as the corpus grows, and a flat-low
 # tail says additional ingest is mostly duplication. Scale shape:
-# identical to q69 — ONE groupBy on the span hash (min doc_id is
-# partial-aggregatable) and an equi-join back; no pair explosion.
+# identical to q69 — ONE combine-safe groupBy on the span hash
+# (min doc_id is partial-aggregatable), then doc-sized aggregations
+# only (novel per doc = a second agg over firsts, r10 — no
+# content-key join back); no pair explosion.
 # The decile uses the max doc_id, a one-row broadcast scalar. All
 # ratios are exact integral ppm (DIV / //).
 
@@ -733,15 +765,28 @@ def q101_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.when(F.size(toks) >= SPAN_N, gram)).alias("g"))
         .distinct()
     )
-    firsts = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    perdoc = (
-        dg.join(firsts, "g")
+    # r10: the old form joined dg back to the per-g firsts table ON
+    # THE GRAM KEY (broadcast locally only by size estimate; at
+    # corpus scale firsts IS the distinct-gram dictionary — over the
+    # broadcast cap, SMJ fallback, hot-gram skew). A doc's novel
+    # count is just how many grams it is the min-doc OF, so the
+    # join-back collapses to a second aggregation over firsts:
+    # gram-sized data crosses one combine-safe (g, min) exchange and
+    # everything after is doc-sized. A/B: identical 10 rows + schema
+    # at sf0.1, flat wall (2.62 → 2.57 s median).
+    spans_per_doc = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("spans"))
+    novel_per_doc = (
+        dg.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("spans"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("novel"),
+        .agg(F.count(F.lit(1)).alias("novel"))
+    )
+    perdoc = (
+        spans_per_doc.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "spans",
+            F.coalesce("novel", F.lit(0)).alias("novel"),
         )
     )
     mx = cat.documents.agg((F.max("doc_id") + 1).alias("m"))
@@ -1460,14 +1505,31 @@ def q107_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between fitting and OOM-ing a 4g local driver at the 10x tier.
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_key").alias("vkey"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_key").alias("wkey"))
+    # r10: aggregate wedge MULTIPLICITY per endpoint pair before the
+    # close join (guide §2.3 "aggregate before you shuffle"). The raw
+    # wedge stream is O(sum outdeg^2) = O(m^1.5) rows; the groupBy's
+    # map-side partial aggregation compresses it to the distinct
+    # co-out-neighbor pairs INSIDE the wedge join's output partitions,
+    # so the exchange feeding the close join carries one row per
+    # (v, w) pair instead of one per wedge instance (at sf0.1:
+    # 32.5M wedges -> the distinct pairs; A/B 8.26 -> 7.05 s median,
+    # identical rows). n_triangles = SUM of multiplicities over the
+    # pairs an oriented edge closes — identical to counting the
+    # wedge-join rows one by one.
     tri = (
         w1.join(w2, "src")
         .where(F.col("vkey") < F.col("wkey"))
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("wc"))
         .join(
             oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
             ["v", "w"],
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(
+            F.coalesce(F.sum("wc"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (

@@ -317,6 +317,21 @@ def test_triangle_join_is_oriented_equi(spark, sf_smoke):
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
 
 
+def test_triangle_wedges_aggregated_before_close_join(spark, sf_smoke):
+    """q107 (r10): the wedge stream is O(sum outdeg^2) = O(m^1.5)
+    rows; it must be compressed to per-(v, w) multiplicities by an
+    aggregation (map-side partial) BEFORE the close join's exchange,
+    never shuffled raw (guide §2.3). Pinned by requiring a
+    HashAggregate keyed exactly (v, w) in the plan."""
+    import re
+
+    plan = plan_of(spark, "q107_neardup_triangles", sf_smoke)
+    assert re.search(r"Keys \[2\]: \[v#\d+L, w#\d+L\]", plan), (
+        "no (v, w)-keyed aggregate between the wedge join and the "
+        "close join"
+    )
+
+
 def test_skyline_window_runs_on_bounded_frame(spark, sf_smoke):
     """q109: the only global-order window runs over the per-price
     grouped frame (bounded dictionary), never the raw part table —
