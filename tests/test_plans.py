@@ -990,11 +990,44 @@ def test_q225_trained_ivfpq_no_shuffle_joins_on_corpus(spark, sf_smoke):
     joining back against a corpus-sized codes table (that join
     would SortMergeJoin-shuffle the codes at 100 TB). Lloyd
     training's only shuffles are the map-side-combinable
-    per-dimension sums."""
+    per-dimension sums. Since r10's serve-leg overlap the final
+    frame is a join of two checkpointed Q-row legs, so the
+    discipline is asserted on the LEG SUBTREE itself (the shape
+    both legs parametrize), plus the final frame."""
+    from data_pipeline_2025_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
     plan = plan_of(spark, "q225_trained_ivfpq", sf_smoke)
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the leg subtree, un-checkpointed: corpus joins broadcast-only
+    vecs = S._int_vecs(spark, sf_smoke)
+    subv = S._q225_sub_rows(vecs)
+    c0 = vecs.where(F.col("vec_id") < S.N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("mv").alias("cv")
+    )
+    sc0 = c0.select(
+        F.explode(F.array(*[F.lit(s) for s in range(S.PQ_SUB)])).alias("s"),
+        "cid",
+        "cv",
+    ).select(
+        "s",
+        "cid",
+        F.expr(f"slice(cv, s * {S.PQ_SUB_DIM} + 1, {S.PQ_SUB_DIM})").alias(
+            "scv"
+        ),
+    )
+    queries = vecs.where(F.col("vec_id").isin(*S.QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("mv").alias("qmv"),
+        F.col("n2").alias("qn2"),
+    )
+    exact = S._q225_exact(vecs, queries)
+    leg = S._q225_leg(vecs, subv, queries, c0, sc0, exact)
+    leg_plan = _plan_of(leg, "formatted")
+    assert "BroadcastHashJoin" in leg_plan
+    assert "SortMergeJoin" not in leg_plan
+    assert "CartesianProduct" not in leg_plan
 
 
 def test_q226_packing_assignment_window_is_hash_partitioned(spark, sf_smoke):
