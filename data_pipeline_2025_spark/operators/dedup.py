@@ -615,10 +615,11 @@ def q69_duplicated_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("occ").alias("uniq"))
     )
-    dupw = F.when(
-        F.col("windows").isNotNull(),
-        F.col("windows") - F.coalesce(F.col("uniq"), F.lit(0)),
-    ).cast("bigint")
+    # windows comes from the LEFT side of the left join, so it is
+    # never null — no guard needed (advisor r10).
+    dupw = (F.col("windows") - F.coalesce(F.col("uniq"), F.lit(0))).cast(
+        "bigint"
+    )
     return (
         windows_per_doc.join(uniq_per_doc, "doc_id", "left")
         .select(
@@ -3787,14 +3788,29 @@ def q264_lsh_index_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      second full-index pass. At 100 TB the base index never
     #      moves twice; semantics pinned by the unchanged oracle
     #      (which still computes the replay pass naively).
-    bands = band_keys(minhash_df(spark, sf_dir)).localCheckpoint()
+    # r11 (guide §2.6): the band table and the per-doc shingle sets
+    # are INDEPENDENT eager builds (bands <- minhash, doc_sets <-
+    # shingles; both ride session-persisted base frames), so their
+    # checkpoint jobs run from two driver threads and back-fill each
+    # other's straggler tails instead of serializing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    sh = shingles_df(spark, sf_dir)
+    with ThreadPoolExecutor(2) as pool:
+        fb = pool.submit(
+            lambda: band_keys(minhash_df(spark, sf_dir)).localCheckpoint()
+        )
+        fd = pool.submit(
+            lambda: sh.groupBy("doc_id")
+            .agg(
+                F.collect_list("sh").alias("shs"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .localCheckpoint()
+        )
+        bands, doc_sets = fb.result(), fd.result()
     delta_b = bands.where(F.col("doc_id") % INC_MOD == 0)
     base_b = bands.where(F.col("doc_id") % INC_MOD != 0)
-    sh = shingles_df(spark, sf_dir)
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    ).localCheckpoint()
 
     def probe(index_b: DataFrame) -> DataFrame:
         return (
@@ -3841,16 +3857,39 @@ def q264_lsh_index_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # firstpass, so the duplicated subtree is two cheap band joins,
     # and the LeftSemi fold-in stays visible in the final plan)
     extra = probe(admitted_b)
-    ncand1 = _probe_counts(cand1, "nc1")
-    ncand_x = _probe_counts(extra, "ncx")
-    dups_x = _probe_counts(_verified_dup_pairs(extra, doc_sets), "ndx")
+    # r11 (guide §2.3/§2.4): the three per-doc rollups (first-pass
+    # candidates, replay-extra candidates, replay-extra verified
+    # dups) used to aggregate separately and LEFT JOIN back onto the
+    # firstpass spine one by one — 3 doc-keyed agg exchanges + 3
+    # SortMergeJoins. They are all counts over delta_doc, so one
+    # tagged union + ONE conditional combine-safe agg + ONE join
+    # produces the identical three columns with a single doc-keyed
+    # exchange.
+    tagged = (
+        cand1.select("delta_doc", F.lit(0).alias("k"))
+        .unionByName(extra.select("delta_doc", F.lit(1).alias("k")))
+        .unionByName(
+            _verified_dup_pairs(extra, doc_sets).select(
+                "delta_doc", F.lit(2).alias("k")
+            )
+        )
+    )
+    counts = tagged.groupBy(F.col("delta_doc").alias("doc_id")).agg(
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc1"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ncx"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ndx"),
+    )
     n_dups_replay = (
         F.col("n_dups_first") + F.coalesce("ndx", F.lit(0))
     ).cast("bigint")
     return (
-        firstpass.join(ncand1, "doc_id", "left")
-        .join(ncand_x, "doc_id", "left")
-        .join(dups_x, "doc_id", "left")
+        firstpass.join(counts, "doc_id", "left")
         .select(
             "doc_id",
             "n_dups_first",

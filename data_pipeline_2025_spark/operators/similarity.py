@@ -2475,6 +2475,12 @@ def q202_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries, rerank AND exact legs — lazily it was re-derived at
     # every use (28 parquet scans / 74 exchanges in the before
     # plan). Checkpointed once, as q225 already does (guide §5).
+    # r11 note: a fused generalized serve (shared with q225, both
+    # legs through one parametrized pipeline) was implemented and
+    # in-session A/B'd — identical rows, median 2.20 s (this form)
+    # vs 2.90 s (fused): the union-built codebook rows and the
+    # leg-indexed ADC deepen the stage chain for zero byte savings.
+    # Reverted; this specialized single-leg form stays.
     vecs = _int_vecs(spark, sf_dir).localCheckpoint()
     # ONE broadcast codebook row: cids ascending with aligned vectors
     # and self-dots (the q114 pattern).
@@ -3085,6 +3091,35 @@ def _q225_exact(vecs: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
+def _q225_seed_codebooks(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Seed (untrained) coarse codebook (cid, cv) and per-subspace
+    codebook (s, cid, scv) from the first N_CENTROIDS vectors — the
+    q202 seeds. Shared by q202, q225 and the plan tests so the
+    pinned subtree IS the production subtree (advisor r10)."""
+    c0 = vecs.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("mv").alias("cv")
+    )
+    sc0 = c0.select(
+        F.explode(F.array(*[F.lit(s) for s in range(PQ_SUB)])).alias("s"),
+        "cid",
+        "cv",
+    ).select(
+        "s",
+        "cid",
+        F.expr(f"slice(cv, s * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias("scv"),
+    )
+    return c0, sc0
+
+
+def _q225_queries(vecs: DataFrame) -> DataFrame:
+    """(query_id, qmv, qn2) probe set — shared by q202/q225/tests."""
+    return vecs.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("mv").alias("qmv"),
+        F.col("n2").alias("qn2"),
+    )
+
+
 def _q225_leg(
     vecs: DataFrame,
     subv: DataFrame,
@@ -3261,29 +3296,29 @@ def _q225_leg(
 def q225_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _int_vecs(spark, sf_dir).localCheckpoint()
     subv = _q225_sub_rows(vecs)
-    c0 = vecs.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("mv").alias("cv")
-    )
-    sc0 = c0.select(
-        F.explode(F.array(*[F.lit(s) for s in range(PQ_SUB)])).alias("s"),
-        "cid",
-        "cv",
-    ).select(
-        "s",
-        "cid",
-        F.expr(f"slice(cv, s * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias("scv"),
-    )
-    queries = vecs.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("mv").alias("qmv"),
-        F.col("n2").alias("qn2"),
-    )
+    c0, sc0 = _q225_seed_codebooks(vecs)
+    queries = _q225_queries(vecs)
     # Ground truth computed ONCE for both legs (r10): Q x TOP_K rows,
     # checkpointed so neither leg's plan re-runs the brute-force
     # corpus cross-join + window — and computed CONCURRENTLY with the
     # training chain (guide §2.6: exact depends only on vecs/queries,
     # never on a codebook, so its job overlaps the training stages'
     # idle tails instead of serializing after them).
+    #
+    # r11 re-examined, both alternatives measured and DECLINED
+    # (in-session alternating A/Bs, identical 3 rows asserted):
+    # (a) a fused serve — both legs through one parametrized
+    #     pipeline (one corpus encode emitting both legs' codes,
+    #     (leg, query_id)-keyed windows, one rerank) — measured
+    #     5.93 s median vs this form, because the union-built
+    #     codebook rows deepen the critical path and the fusion
+    #     SERIALIZES the untrained leg behind training;
+    # (b) launching the untrained leg as soon as `exact` lands
+    #     (3-thread schedule, overlapping it with the training
+    #     rounds) — 4.93 vs 4.65 s median, flat within noise: the
+    #     extra concurrent job contends with training for the same
+    #     cores and the trained leg remains the tail either way.
+    # The r10 schedule below stays.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(2) as pool:
@@ -3293,16 +3328,11 @@ def q225_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ftr = pool.submit(lambda: _q225_train(vecs, subv, c0, sc0))
         exact = fex.result()
         coarse_t, sub_t = ftr.result()
-        # r10 round-close (guide §2.6 again): the two serve legs are
+        # r10 round-close (guide §2.6): the two serve legs are
         # independent given (vecs, exact, codebooks) — lazily they
-        # serialize (the trained leg's whole broadcast chain builds
-        # before the untrained leg's probe job starts), so each leg
-        # is eagerly checkpointed from its own driver thread and the
-        # legs' stages back-fill each other. Q x 1-row outputs, so
-        # the checkpoints are free; A/B identical 3 rows, median
-        # 9.30 -> 7.76 s in-session (the leg-plan discipline is now
-        # pinned on the leg SUBTREE in test_plans.py, since the
-        # final frame no longer contains it).
+        # serialize, so each leg is eagerly checkpointed from its
+        # own driver thread and the legs' stages back-fill each
+        # other. Q x 1-row outputs, so the checkpoints are free.
         fu = pool.submit(
             lambda: _q225_leg(
                 vecs, subv, queries, c0, sc0, exact

@@ -326,10 +326,33 @@ def test_triangle_wedges_aggregated_before_close_join(spark, sf_smoke):
     import re
 
     plan = plan_of(spark, "q107_neardup_triangles", sf_smoke)
-    assert re.search(r"Keys \[2\]: \[v#\d+L, w#\d+L\]", plan), (
+    # Loose on the column-type suffix (advisor r10): any #<id><type>
+    # spelling matches, so a Spark formatting or type change does not
+    # break the pin.
+    key_re = re.compile(r"\((\d+)\) HashAggregate")
+    vw_re = re.compile(r"Keys \[2\]: \[v#\d+\w*, w#\d+\w*\]")
+    # Node ids in formatted explain are post-order: a child's id is
+    # smaller than its parent's. Ordering claim: some (v, w)-keyed
+    # HashAggregate sits ABOVE the wedge join (a SortMergeJoin with a
+    # smaller id) and BELOW the close join (a SortMergeJoin with a
+    # larger id).
+    detail_ids = []
+    for block in re.split(r"\n\n", plan):
+        m = key_re.search(block)
+        if m and vw_re.search(block):
+            detail_ids.append(int(m.group(1)))
+    assert detail_ids, (
         "no (v, w)-keyed aggregate between the wedge join and the "
         "close join"
     )
+    smj_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
+    ]
+    assert any(
+        any(j < a for j in smj_ids) and any(j > a for j in smj_ids)
+        for a in detail_ids
+    ), "the (v, w)-keyed aggregate is not between the wedge and close joins"
 
 
 def test_skyline_window_runs_on_bounded_frame(spark, sf_smoke):
@@ -986,42 +1009,29 @@ def test_q216_packing_window_is_hash_partitioned(spark, sf_smoke):
 def test_q225_trained_ivfpq_no_shuffle_joins_on_corpus(spark, sf_smoke):
     """q225 (trained IVF-PQ): like q202, every corpus-touching join
     must be broadcast — including the candidate stream, which
-    carries its own PQ codes from the single encode pass instead of
-    joining back against a corpus-sized codes table (that join
-    would SortMergeJoin-shuffle the codes at 100 TB). Lloyd
-    training's only shuffles are the map-side-combinable
-    per-dimension sums. Since r10's serve-leg overlap the final
-    frame is a join of two checkpointed Q-row legs, so the
-    discipline is asserted on the LEG SUBTREE itself (the shape
-    both legs parametrize), plus the final frame."""
+    carries its own PQ codes from the single fused encode pass
+    instead of joining back against a corpus-sized codes table
+    (that join would SortMergeJoin-shuffle the codes at 100 TB).
+    Lloyd training's only shuffles are the map-side-combinable
+    per-dimension sums. The final frame is a join of two
+    checkpointed Q-row legs, so the discipline is asserted on the
+    LEG SUBTREE itself — built from the PRODUCTION input helpers
+    (_q225_seed_codebooks/_q225_queries/_q225_exact/_q225_leg), so
+    the pinned subtree IS the one q225 executes (advisor r10) —
+    plus the final frame."""
     from data_pipeline_2025_spark.operators import similarity as S
-    from pyspark.sql import functions as F
 
     plan = plan_of(spark, "q225_trained_ivfpq", sf_smoke)
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the leg subtree, un-checkpointed: corpus joins broadcast-only
+    # the leg subtree, un-checkpointed, from the production builders
+    # themselves (the seed leg stands in for both — the subtree
+    # shape is codebook-independent)
     vecs = S._int_vecs(spark, sf_smoke)
     subv = S._q225_sub_rows(vecs)
-    c0 = vecs.where(F.col("vec_id") < S.N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("mv").alias("cv")
-    )
-    sc0 = c0.select(
-        F.explode(F.array(*[F.lit(s) for s in range(S.PQ_SUB)])).alias("s"),
-        "cid",
-        "cv",
-    ).select(
-        "s",
-        "cid",
-        F.expr(f"slice(cv, s * {S.PQ_SUB_DIM} + 1, {S.PQ_SUB_DIM})").alias(
-            "scv"
-        ),
-    )
-    queries = vecs.where(F.col("vec_id").isin(*S.QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("mv").alias("qmv"),
-        F.col("n2").alias("qn2"),
-    )
+    c0, sc0 = S._q225_seed_codebooks(vecs)
+    queries = S._q225_queries(vecs)
     exact = S._q225_exact(vecs, queries)
     leg = S._q225_leg(vecs, subv, queries, c0, sc0, exact)
     leg_plan = _plan_of(leg, "formatted")
@@ -1289,5 +1299,8 @@ def test_q264_foldin_has_no_windows_and_appends_via_semi_join(
     plan = plan_of(spark, "q264_lsh_index_foldin", sf_smoke)
     assert "Window" not in plan
     assert "LeftSemi" in plan
-    assert "partial_count" in plan
+    # r11: the three per-doc rollups are one tagged-union conditional
+    # agg — still map-side partial (partial_sum instead of the three
+    # separate partial_counts)
+    assert "partial_sum" in plan or "partial_count" in plan
     assert "CartesianProduct" not in plan

@@ -1,13 +1,13 @@
-"""Capture .explain("formatted") for headline queries → plans/r10/.
+"""Capture .explain("formatted") for headline queries → plans/<round>/.
 
 Usage:
     python tools/capture_plans.py before [sf_dir] [q1 q2 ...]
     python tools/capture_plans.py after  [sf_dir] [q1 q2 ...]
 
 With no query names, captures every bench.py HEADLINE query. Output
-files: plans/r10/<query>_<tag>.txt (committed as judge evidence —
-the optimization round's plan-shape claims are checked against
-these).
+files: plans/$PLANS_ROUND/<query>_<tag>.txt (PLANS_ROUND defaults to
+r11; committed as judge evidence — the optimization round's
+plan-shape claims are checked against these).
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
